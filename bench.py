@@ -1,0 +1,78 @@
+"""Benchmark entry point (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Query set: the flagship vector surface (exact kNN both metrics, LSH ANN,
+recall eval), the dedup family, text analysis, and the relational/event
+analytics — the same operators the correctness gate checks, at 10x the data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "knn_exact_l2",
+    "knn_exact_cosine",
+    "recall_cosine_vs_l2",
+    "ann_lsh_topk",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_customer",
+    "events_hourly",
+    "events_sessions",
+    "text_quality",
+    "lang_profile",
+    "dedup_exact",
+    "minhash_lsh_dup_pairs",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
+    "snapshot_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from vectordb_acc_and_speed_exp_spark.queries import load_all
+    from vectordb_acc_and_speed_exp_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=max(32, cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+
+    # Warm-up (reference B1): JVM/codegen/Arrow paths, untimed.
+    registry["knn_exact_l2"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from vectordb_acc_and_speed_exp_spark.session import get_spark
+
+    spark = get_spark("tests", cpus=4, shuffle_partitions=8)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_SMALL
+
+
+@pytest.fixture(scope="session")
+def embeddings(spark, sf_dir):
+    from vectordb_acc_and_speed_exp_spark.io import load_table
+
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="session")
+def documents(spark, sf_dir):
+    from vectordb_acc_and_speed_exp_spark.io import load_table
+
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="session")
+def query_set(spark, embeddings):
+    import pyspark.sql.functions as F
+
+    return embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )

@@ -1,0 +1,78 @@
+"""Dedup family: planted duplicates must be found; clean corpora must not
+produce false exact-dups."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from vectordb_acc_and_speed_exp_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures_df,
+    ngram_jaccard_join,
+    simhash_fingerprints,
+    simhash_neardup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def with_planted(spark, documents):
+    """documents + an exact dup of doc 0 (id 90001) + a near dup of doc 1
+    (id 90002: one word changed)."""
+    rows = documents.select("doc_id", "text").limit(2).collect()
+    t0, t1 = rows[0].text, rows[1].text
+    words = t1.split()
+    words[len(words) // 2] = "XXNEARDUPXX"
+    near = " ".join(words)
+    extra = spark.createDataFrame(
+        [(90001, t0), (90002, near)], "doc_id bigint, text string"
+    )
+    return documents.select("doc_id", "text").unionByName(extra)
+
+
+def test_exact_dedup_finds_planted(with_planted):
+    groups = exact_dedup(with_planted, "doc_id", "text").collect()
+    assert any(g.keeper_doc_id == 0 and g.n_dups == 2 for g in groups)
+
+
+def test_exact_dedup_clean_on_unique(documents):
+    assert exact_dedup(documents, "doc_id", "text").count() == 0
+
+
+def test_minhash_signature_shape(documents):
+    sig = minhash_signatures_df(documents.limit(20), "doc_id", "text", n_hashes=8)
+    counts = sig.groupBy("doc_id").count().collect()
+    assert all(c["count"] == 8 for c in counts)
+    assert sig.filter(F.col("minhash") < 0).count() == 0
+
+
+def test_minhash_lsh_finds_exact_and_near_dup(with_planted):
+    pairs = minhash_lsh_pairs(
+        with_planted, "doc_id", "text", jaccard_threshold=0.5
+    ).collect()
+    got = {(p.id_a, p.id_b) for p in pairs}
+    assert (0, 90001) in got
+    assert (1, 90002) in got
+    exact = [p for p in pairs if (p.id_a, p.id_b) == (0, 90001)]
+    assert exact[0].jaccard_r == 1.0
+
+
+def test_ngram_jaccard_finds_near_dup(with_planted):
+    pairs = ngram_jaccard_join(with_planted, "doc_id", "text", threshold=0.3)
+    got = {(p.id_a, p.id_b): p.jaccard_r for p in pairs.collect()}
+    assert got.get((0, 90001)) == 1.0
+    assert (1, 90002) in got
+
+
+def test_simhash_identical_docs_equal(with_planted):
+    fp = simhash_fingerprints(with_planted, "doc_id", "text")
+    vals = {r.doc_id: r.simhash for r in fp.collect()}
+    assert vals[0] == vals[90001]
+    assert 0 <= vals[0] < 2**60
+
+
+def test_simhash_neardup_pairs(with_planted):
+    pairs = simhash_neardup_pairs(with_planted, "doc_id", "text", max_hamming=8)
+    got = {(p.id_a, p.id_b): p.hamming for p in pairs.collect()}
+    assert got.get((0, 90001)) == 0

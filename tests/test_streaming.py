@@ -1,0 +1,58 @@
+"""Streaming surface: bounded stream == batch for the tumbling window;
+stateful sessionization consistent with the batch lag/gap sessionizer."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from vectordb_acc_and_speed_exp_spark.streaming.events import (
+    hourly_counts_stream,
+    read_events_stream,
+    run_stream_to_batch,
+    sessionize_stream,
+)
+
+
+def test_streaming_hourly_equals_batch(spark, sf_dir):
+    from vectordb_acc_and_speed_exp_spark.io import load_table
+
+    stream = read_events_stream(spark, sf_dir)
+    got = run_stream_to_batch(hourly_counts_stream(stream), mode="complete")
+    got_rows = {
+        (r.win.start, r.event_type): (r.n_events, r.sum_value)
+        for r in got.collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    batch = (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias(
+                "sum_value"
+            ),
+        )
+        .collect()
+    )
+    batch_rows = {
+        (r.win.start, r.event_type): (r.n_events, r.sum_value) for r in batch
+    }
+    assert got_rows == batch_rows
+
+
+def test_stateful_sessionize_counts(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    sessions = run_stream_to_batch(
+        sessionize_stream(stream, gap_minutes=30), mode="append"
+    )
+    rows = sessions.collect()
+    assert len(rows) > 0
+    # event conservation: session event counts sum to the table size
+    from vectordb_acc_and_speed_exp_spark.io import load_table
+
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == total
+    # every session well-formed
+    for r in rows:
+        assert r.session_end_ms >= r.session_start_ms
+        assert r.n_events >= 1

@@ -1,0 +1,207 @@
+"""Approximate nearest-neighbour search (reference V3: ChromaDB HNSW query,
+chromadb_speed_experiment.py:474-477, chromadb_acc_experiment.py:622-628).
+
+Spark has no HNSW; two scale paths, both recall-evaluated against the exact
+oracle (operators/knn.py) by operators/recall.py — mirroring the reference's
+own methodology (brute force as ground truth, README.md:28-31):
+
+1. **LSH (random hyperplane signs)** — built-in expressions only. Project
+   every vector onto ``n_planes`` fixed pseudo-random hyperplanes (seeded,
+   derived per-dimension from a hash — no model fit, fully deterministic);
+   the sign pattern buckets the corpus. Query probes its own bucket plus
+   multi-probe neighbours (1-bit flips). Candidate set → exact re-rank.
+   At 100 TB: bucket id is a narrow shuffle key; corpus can be written
+   bucketed-by(signature) so probes become partition-pruned scans.
+
+2. **IVF (inverted file)** — k-means-style coarse quantizer. Centroids are
+   computed with MLlib KMeans (seeded) or supplied; every vector is assigned
+   to its nearest centroid (one broadcast join); a query scans only the
+   ``n_probe`` nearest cells. At 100 TB the corpus is *written partitioned
+   by cell id*, so a query touches n_probe/n_cells of the data — this is the
+   honest Spark analogue of an ANN index.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import l2_dist
+from .knn import exact_knn
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (Box-Muller over a
+    splitmix-style integer hash — stable across runs/machines, no numpy)."""
+
+    def h(x: int) -> int:
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & (2**64 - 1)
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB & (2**64 - 1)
+        return (x ^ (x >> 31)) & (2**64 - 1)
+
+    planes = []
+    for p in range(n_planes):
+        vec = []
+        for d in range(0, dim, 2):
+            u1 = (h(seed * 1_000_003 + p * 10_007 + d) % (2**53)) / 2**53
+            u2 = (h(seed * 1_000_003 + p * 10_007 + d + 1) % (2**53)) / 2**53
+            r = math.sqrt(-2.0 * math.log(u1 + 1e-18))
+            vec.append(r * math.cos(2 * math.pi * u2))
+            if d + 1 < dim:
+                vec.append(r * math.sin(2 * math.pi * u2))
+        n = math.sqrt(sum(x * x for x in vec)) or 1.0
+        planes.append([x / n for x in vec])
+    return planes
+
+
+def _signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Bit-packed sign signature of the vector against each hyperplane."""
+    bits = []
+    for i, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(vec_col.cast("array<double>"), plane_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("int")
+
+
+def lsh_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_planes: int = 6,
+    n_probe_bits: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH ANN: bucket corpus by signature; probe the query's bucket and
+    every bucket within ``n_probe_bits`` bit-flips; exact re-rank candidates.
+    Returns (query_id, rank, item_id, dist)."""
+    import itertools
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(item_id).alias("item_id"),
+        F.col(item_vec).alias("_ivec"),
+        _signature(F.col(item_vec), planes).alias("bucket"),
+    )
+    # multi-probe set: the query signature with every subset of up to
+    # n_probe_bits bits flipped (probe fraction = sum_{r<=b} C(n,r) / 2^n)
+    q0 = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("_qvec"),
+        _signature(F.col(query_vec), planes).alias("sig"),
+    )
+    probes = [F.col("sig")]
+    for r in range(1, n_probe_bits + 1):
+        for bits in itertools.combinations(range(n_planes), r):
+            mask = 0
+            for b in bits:
+                mask |= 1 << b
+            probes.append(F.expr(f"int(sig ^ {mask})"))
+    q = q0.select(
+        "query_id", "_qvec", F.explode(F.array(*probes)).alias("bucket")
+    ).dropDuplicates(["query_id", "bucket"])
+    cand = q.join(c, "bucket").select(
+        "query_id",
+        "item_id",
+        l2_dist(F.col("_qvec"), F.col("_ivec")).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("item_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "dist")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    item_vec: str = "embedding",
+    centroid_id: str = "cell",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """Assign every corpus row to its nearest centroid (broadcast join +
+    window min). Output: corpus columns + ``cell``. At scale, write the
+    result partitioned by cell so searches prune."""
+    w = Window.partitionBy(F.col("_row")).orderBy(F.asc("_cdist"), F.asc(centroid_id))
+    assigned = (
+        corpus.withColumn("_row", F.monotonically_increasing_id())
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("_cdist", l2_dist(F.col(item_vec), F.col(centroid_vec)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_cdist", centroid_vec, "_row")
+    )
+    return assigned
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    item_vec: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Coarse-quantizer centroids via MLlib KMeans (seeded → deterministic).
+    Returns (cell int, centroid array<double>)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = corpus.select(array_to_vector(F.col(item_vec)).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(vecs)
+    spark = corpus.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return spark.createDataFrame(rows, "cell int, centroid array<double>")
+
+
+def ivf_ann(
+    queries: DataFrame,
+    corpus_assigned: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> DataFrame:
+    """IVF search: find each query's n_probe nearest cells, scan only those
+    cells, exact re-rank. ``corpus_assigned`` must carry a ``cell`` column
+    (from ivf_assign, ideally as a partition column of a written table)."""
+    qcells = exact_knn(
+        queries,
+        centroids,
+        k=n_probe,
+        query_id=query_id,
+        query_vec=query_vec,
+        item_id="cell",
+        item_vec="centroid",
+    ).select(F.col("query_id"), F.col("item_id").alias("cell"))
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec")
+    ).join(qcells, "query_id")
+    cand = q.join(corpus_assigned, "cell").select(
+        "query_id",
+        F.col(item_id).alias("item_id"),
+        l2_dist(F.col("_qvec"), F.col(item_vec)).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("item_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "dist")
+    )

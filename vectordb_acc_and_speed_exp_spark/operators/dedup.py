@@ -1,0 +1,242 @@
+"""Deduplication operators for LLM training-data pipelines (north-star
+[EXT] surface, SURVEY.md §2.3 V7): exact, MinHash+LSH, SimHash, n-gram
+Jaccard. All pure DataFrame ops — no UDFs — so the whole family runs inside
+whole-stage codegen and scales by shuffle on narrow keys (hashes, shingles),
+never on document text.
+
+Scale notes (100 TB corpus):
+- exact_dedup shuffles only (fingerprint, doc_id) pairs.
+- minhash_lsh_pairs shuffles (doc_id, seed, hash) — n_hashes rows per doc —
+  then (band, sig) buckets; candidate verification joins shingle sets only
+  for candidate pairs (a tiny fraction of the corpus).
+- the df_cap in ngram_jaccard_join bounds the inverted-index blow-up: a
+  shingle shared by d docs creates d² candidate rows, so stop-shingles must
+  be dropped (they carry ~no signal anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+from ..functions.text import norm_text, tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Duplicate groups by canonical-text md5. Returns
+    (fingerprint, n_dups, keeper_doc_id) for groups of size > 1."""
+    return (
+        df.select(
+            F.col(id_col), F.md5(norm_text(F.col(text_col))).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keeper_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs, shingles distinct per doc (set semantics)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh"),
+    )
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """(doc_id, seed, minhash): seed-th signature element = min over the
+    doc's shingle set of the seeded portable hash."""
+    sh = _shingle_table(df, id_col, text_col, shingle_words)
+    seeded = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+    )
+    hashed = seeded.select(
+        "doc_id",
+        "seed",
+        portable_hash64(
+            F.concat(F.col("seed").cast("string"), F.lit("\x1f"), F.col("sh"))
+        ).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+
+
+def _attach_jaccard(common: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b, n_common) + per-doc set sizes → pairs with jaccard ≥ t."""
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa_sz"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb_sz"))
+    j = F.col("n_common") * 1.0 / (F.col("sa_sz") + F.col("sb_sz") - F.col("n_common"))
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
+    )
+
+
+def _jaccard_verify(
+    candidates: DataFrame, shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs over the shingle table."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingles.select(F.col("doc_id").alias("id_a"), "sh")
+    sb = shingles.select(F.col("doc_id").alias("id_b"), "sh")
+    common = (
+        candidates.join(sa, "id_a")
+        .join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return _attach_jaccard(common, sizes, threshold)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline:
+    shingle → minhash(n_hashes) → band(n_hashes/band_size) → bucket-join →
+    exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard_r)."""
+    sig = minhash_signatures_df(df, id_col, text_col, n_hashes)
+    # band signature: ordered concat of the band's minhashes
+    bands = (
+        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("sig")
+        )
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    shingles = _shingle_table(df, id_col, text_col)
+    return _jaccard_verify(cand, shingles, jaccard_threshold)
+
+
+def ngram_jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.3,
+    df_cap: int = 50,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Inverted-index Jaccard similarity self-join with a document-frequency
+    cap on shingles. Returns (id_a, id_b, jaccard_r) for pairs ≥ threshold.
+
+    Note: n_common is counted over *capped* shingles but sizes over all —
+    matching the oracle; with a generous cap the rare-shingle intersection
+    equals the true intersection for near-dup pairs."""
+    shingles = _shingle_table(df, id_col, text_col, shingle_words)
+    rare = (
+        shingles.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("sh")
+    )
+    capped = shingles.join(rare, "sh")
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return _attach_jaccard(common, sizes, threshold)
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash over the distinct-token set. Bit j is set iff
+    sum over tokens of ±1 (by bit j of the token hash) is > 0."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(norm_text(F.col(text_col))))).alias("tok"),
+    ).distinct()
+    hashed = tok.select("doc_id", portable_hash64(F.col("tok")).alias("h"))
+    bits = hashed.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j")
+    )
+    contrib = F.when(F.expr("(h >> j) & 1") == 1, 1).otherwise(-1)
+    sums = bits.groupBy("doc_id", "j").agg(F.sum(contrib).alias("s"))
+    return sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j")).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation blocks on 4 x 15-bit chunks (pigeonhole: any pair
+    within Hamming ≤ 8 of a 60-bit hash shares at least one of 4 chunks when
+    distance < 4... for strictness we block on chunks and verify exactly, so
+    recall is high-but-heuristic for max_hamming ≥ 4; a standard trade-off).
+    """
+    fp = simhash_fingerprints(df, id_col, text_col)
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk"),
+    ).withColumn("chunk_val", F.expr("(simhash >> (chunk * 15)) & 32767"))
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sh_a ^ sh_b)")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,97 @@
+"""Batch embedding stage (reference V1/V6: SentenceTransformer.encode in
+batches of 32 with per-item fallback, create_collections.py:385-449; model
+load once per process, create_collections.py:69-71).
+
+Spark-first shape: an ``Iterator[pd.Series] -> Iterator[pd.Series]``
+pandas_udf. The iterator form means per-executor one-time model load (the
+reference's CC:70 equivalent) amortized over every Arrow batch, and Arrow
+batch size replaces the hand-rolled batch-32 loop (SURVEY.md §4).
+
+The real SBERT model (torch) is not available in this container, so the
+default encoder is a *deterministic fake*: seeded blake2b of the text drives
+a unit-normalized pseudo-random vector. The plumbing — signature, batching,
+per-item fallback alignment (CC:420-434), executor-local init — is the real
+production shape; swapping in SBERT is changing ``_encode_batch`` only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+DEFAULT_DIM = 64
+
+
+def fake_encode_text(text: str, dim: int = DEFAULT_DIM) -> list[float]:
+    """Deterministic unit-norm vector from text content (test encoder).
+    Pure-python + hashlib so driver, executor, and test processes agree."""
+    out: list[float] = []
+    i = 0
+    while len(out) < dim:
+        h = hashlib.blake2b(f"{i}\x1f{text}".encode("utf-8"), digest_size=8).digest()
+        (u,) = struct.unpack(">Q", h)
+        # map to (-1, 1) uniform; good enough for plumbing tests
+        out.append((u / 2**63) - 1.0)
+        i += 1
+    n = math.sqrt(sum(x * x for x in out)) or 1.0
+    return [x / n for x in out]
+
+
+def make_encoder_udf(dim: int = DEFAULT_DIM, model_path: str | None = None):
+    """Build the encode pandas_udf. ``model_path`` selects a real
+    SentenceTransformer when available (import-gated); otherwise the
+    deterministic fake is used."""
+
+    def encode_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = None
+        if model_path is not None:
+            try:  # pragma: no cover - torch not in the test container
+                from sentence_transformers import SentenceTransformer
+
+                model = SentenceTransformer(model_path)
+            except ImportError:
+                model = None
+        for batch in batches:
+            if model is not None:  # pragma: no cover
+                try:
+                    vecs = model.encode(batch.fillna("").tolist()).tolist()
+                except Exception:
+                    # per-item fallback, mirroring create_collections.py:420-434
+                    vecs = []
+                    for t in batch.fillna(""):
+                        try:
+                            vecs.append(model.encode([t])[0].tolist())
+                        except Exception:
+                            vecs.append([0.0] * dim)
+            else:
+                vecs = [fake_encode_text(t or "", dim) for t in batch]
+            yield pd.Series(vecs)
+
+    return pandas_udf(encode_iter, returnType="array<float>")
+
+
+def embed_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+    model_path: str | None = None,
+) -> DataFrame:
+    """Attach an embedding column (the reference's _save_collection encode
+    stage as one declarative transform)."""
+    enc = make_encoder_udf(dim=dim, model_path=model_path)
+    return df.withColumn(out_col, enc(F.col(text_col)))
+
+
+def sanitize_text(col: Column) -> Column:
+    """Validity filter + sanitize (reference F4, create_collections.py:349-379):
+    drop nulls upstream, strip characters outside the BMP-safe printable set
+    (the utf-8 ignore round-trip equivalent; surrogates can't survive this)."""
+    return F.regexp_replace(col, r"[\uD800-\uDFFF\x00]", "")

@@ -1,0 +1,157 @@
+"""Pipeline queries: ANN search, recall-vs-exact evaluation, fake-model
+embedding, multimodal feature extraction, snapshot sweep, bounded-stream
+aggregation.
+
+ANN and model inference are genuinely non-SQL-expressible (SURVEY.md §5
+point 1) → oracle=None, rows-only driver check, correctness asserted by the
+recall harness in tests instead (recall ≥ threshold vs the exact oracle —
+the reference's own methodology). Snapshot stats and the streaming tumbling
+window ARE deterministic and get full oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.ann import ivf_ann, ivf_assign, kmeans_centroids, lsh_ann
+from ..operators.embedding import embed_documents
+from ..operators.knn import exact_knn
+from ..operators.multimodal import extract_media_features, with_binary_payload
+from ..operators.recall import recall_at_k
+from ..operators.snapshots import snapshot_stats, with_page_seq
+from . import register
+
+
+def _query_set(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+# -- V3 ANN, LSH path (rows-only: random-hyperplane buckets aren't SQL) ----
+@register("ann_lsh_topk", oracle=None, doc="sign-LSH ANN top-10, L2 re-rank")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = lsh_ann(_query_set(spark, sf_dir), emb, k=10, item_id="vec_id")
+    return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
+
+
+# -- V3 ANN, IVF path ------------------------------------------------------
+@register("ann_ivf_topk", oracle=None, doc="IVF(16 cells, 4 probes) ANN top-10")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, n_cells=16)
+    assigned = ivf_assign(emb, cents)
+    res = ivf_ann(
+        _query_set(spark, sf_dir), assigned, cents, k=10, n_probe=4, item_id="vec_id"
+    )
+    return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
+
+
+# -- V5 over ANN: the reference's recall experiment shape ------------------
+@register(
+    "recall_ann_vs_exact",
+    oracle=None,
+    doc="recall@10 of LSH-ANN against the exact L2 oracle (EP3 shape)",
+)
+def recall_ann_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = _query_set(spark, sf_dir)
+    gt = exact_knn(qs, emb, k=10, item_id="vec_id")
+    ann = lsh_ann(qs, emb, k=10, item_id="vec_id")
+    return recall_at_k(gt, ann, k=10)
+
+
+# -- V1: embedding stage with the deterministic fake encoder ---------------
+@register(
+    "embed_documents_fake",
+    oracle=None,
+    doc="pandas_udf batch encoder (fake model), dim/id-stability checked in tests",
+)
+def embed_documents_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = embed_documents(d, text_col="text", dim=16)
+    return out.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            ),
+            4,
+        ).alias("sq_norm_r"),
+    )
+
+
+# -- Multimodal plumbing ----------------------------------------------------
+@register(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS checksum
+FROM documents
+""",
+    doc="mapInPandas binary decode/feature kernel; byte-level columns oracled",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_media_features(with_binary_payload(d))
+    return feats.select("doc_id", "n_bytes", "checksum")
+
+
+# -- Cumulative snapshot semantics (core reference semantic #2) ------------
+@register(
+    "snapshot_stats",
+    oracle="""
+WITH seq AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (ORDER BY source, doc_id) AS page_seq
+  FROM documents
+),
+ladder AS (SELECT unnest([100, 200, 300, 400, 500]) AS snapshot_size)
+SELECT l.snapshot_size,
+       count(*) AS n_docs,
+       sum(s.n_chars) AS total_chars,
+       count(DISTINCT s.lang) AS n_langs
+FROM seq s JOIN ladder l ON s.page_seq <= l.snapshot_size
+GROUP BY l.snapshot_size
+""",
+)
+def snapshot_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return snapshot_stats(with_page_seq(d), [100, 200, 300, 400, 500])
+
+
+# -- Bounded stream == batch: tumbling window via Structured Streaming -----
+@register(
+    "streaming_hourly",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    doc="readStream(availableNow) + watermark + 1h tumbling window, memory sink",
+)
+def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import (
+        hourly_counts_stream,
+        read_events_stream,
+        run_stream_to_batch,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    res = run_stream_to_batch(hourly_counts_stream(stream), mode="complete")
+    return res.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )

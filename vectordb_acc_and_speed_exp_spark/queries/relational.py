@@ -1,0 +1,304 @@
+"""Relational operator coverage: scans, filters, projections, hash
+aggregations, multi-way joins, windows, sort/limit, and event-time analytics
+(SURVEY.md §2.2 F1-F9, §2.4 A1-A5, §2.5 O1-O4, §2.6 X1-X9).
+
+Determinism strategy for the DuckDB oracle: monetary/metric doubles are
+scaled to exact integer cents *before* aggregation (sum of bigints is
+shuffle-order independent), then divided back at the end — both engines
+perform the identical final double ops, so even unrounded doubles hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from . import register
+
+
+def _cents(col: str):
+    """Exact integer cents for a 2-decimal double column."""
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# Pricing-summary aggregation (TPC-H Q1 shape): filter pushdown + grouped
+# partial/final hash agg. Reference A1/A2 are the same shape over benchmark
+# runs (chromadb_speed_experiment.py:494-508, :540-548).
+# --------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    oracle="""
+WITH l AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty100,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price100,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc100,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax100
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
+SELECT l_returnflag, l_linestatus,
+       sum(qty100) / 100.0 AS sum_qty,
+       sum(price100) / 100.0 AS sum_base_price,
+       sum(price100 * (100 - disc100)) / 10000.0 AS sum_disc_price,
+       sum(price100 * (100 - disc100) * (100 + tax100)) / 1000000.0 AS sum_charge,
+       sum(qty100) / 100.0 / count(*) AS avg_qty,
+       sum(price100) / 100.0 / count(*) AS avg_price,
+       sum(disc100) / 100.0 / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM l GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    l = l.select(
+        "l_returnflag",
+        "l_linestatus",
+        _cents("l_quantity").alias("qty100"),
+        _cents("l_extendedprice").alias("price100"),
+        _cents("l_discount").alias("disc100"),
+        _cents("l_tax").alias("tax100"),
+    )
+    cnt = F.count(F.lit(1))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum("qty100") / 100.0).alias("sum_qty"),
+        (F.sum("price100") / 100.0).alias("sum_base_price"),
+        (F.sum(F.col("price100") * (100 - F.col("disc100"))) / 10000.0).alias(
+            "sum_disc_price"
+        ),
+        (
+            F.sum(
+                F.col("price100") * (100 - F.col("disc100")) * (100 + F.col("tax100"))
+            )
+            / 1000000.0
+        ).alias("sum_charge"),
+        (F.sum("qty100") / 100.0 / cnt).alias("avg_qty"),
+        (F.sum("price100") / 100.0 / cnt).alias("avg_price"),
+        (F.sum("disc100") / 100.0 / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-way star join with small-dimension broadcast (TPC-H Q5 shape).
+# At 100 TB the fact side streams; every dimension here is broadcast so the
+# only shuffle is the final group-by on n_name (25 groups).
+# --------------------------------------------------------------------------
+@register(
+    "revenue_by_nation",
+    oracle="""
+SELECT n.n_name,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
+       count(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+""",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    joined = (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return joined.groupBy("n_name").agg(
+        (F.sum(rev) / 10000.0).alias("revenue"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window top-N per group (reference V4 top-k generalized to relational data;
+# same WindowGroupLimit physical shape as exact_knn).
+# --------------------------------------------------------------------------
+@register(
+    "top_orders_per_customer",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT r.o_custkey, c.c_name, r.o_orderkey, r.o_totalprice, r.rn
+FROM ranked r JOIN customer c ON r.o_custkey = c.c_custkey
+WHERE r.rn <= 3
+""",
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    ranked = o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    return ranked.join(F.broadcast(c), ranked.o_custkey == c.c_custkey).select(
+        "o_custkey", "c_name", "o_orderkey", "o_totalprice", "rn"
+    )
+
+
+# --------------------------------------------------------------------------
+# Anti-join (reference F2/F7: "skip what already exists",
+# download_arxiv.py:50-51) — customers with no orders.
+# --------------------------------------------------------------------------
+@register(
+    "customers_without_orders",
+    oracle="""
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort + limit (reference O1/O2: sorted collections, head limits).
+# TakeOrderedAndProject — no full sort at scale.
+# --------------------------------------------------------------------------
+@register(
+    "largest_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def largest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped counters (reference A5: status tallies, download_arxiv.py:94-107).
+# --------------------------------------------------------------------------
+@register(
+    "order_priority_stats",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 / count(*) AS avg_price
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def order_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cnt = F.count(F.lit(1))
+    return o.groupBy("o_orderpriority").agg(
+        cnt.alias("n_orders"),
+        (F.sum(_cents("o_totalprice")) / 100.0).alias("total_price"),
+        (F.sum(_cents("o_totalprice")) / 100.0 / cnt).alias("avg_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-time tumbling window aggregation (batch form; streaming twin lives
+# in streaming/events.py). Hour buckets are emitted as formatted strings so
+# both engines render identically.
+# --------------------------------------------------------------------------
+@register(
+    "events_hourly",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+""",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(_cents("value")) / 100.0).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization: gap > 30 min starts a new session. lag + running sum —
+# the batch twin of streaming applyInPandasWithState sessionization.
+# Millisecond epochs keep the gap math integer-exact in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "events_sessions",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms,
+         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), numbered AS (
+  SELECT user_id, event_id, ts, ts_ms,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_num
+  FROM flagged
+)
+SELECT user_id, session_num,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       max(ts_ms) - min(ts_ms) AS duration_ms
+FROM numbered GROUP BY user_id, session_num
+""",
+)
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.unix_millis("ts").alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn("prev_ms", F.lag("ts_ms").over(w)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ms").isNull() | (F.col("ts_ms") - F.col("prev_ms") > 1800000),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_num", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return numbered.groupBy("user_id", "session_num").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
+    )

@@ -1,0 +1,377 @@
+"""Text-analysis + deduplication surface over the ``documents`` table
+(north-star LLM-pipeline operators; reference string ops X1-X6 plus the
+near-dup family: exact hash, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Hash functions are the portable md5-derived 60-bit integers from
+``functions.hashing`` so every signature is bit-identical in the DuckDB
+oracle. Hot pure-Spark paths would use xxhash64 instead (see
+operators/dedup.py); the portable family is the verifiable one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+from ..functions.text import norm_text, punct_ratio, token_count, tokens, word_shingles
+from ..io import load_table
+from . import register
+
+# DuckDB-side equivalents of functions/text.py (kept adjacent for parity).
+_NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_TOKENS_SQL = f"string_split({_NORM_SQL}, ' ')"
+_HASH_SQL = "CAST(('0x' || substring(md5({e}), 1, 15)) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# Per-document quality metrics: token count, punctuation ratio, mean token
+# length — the "quality scoring" operator of a training-data pipeline.
+# --------------------------------------------------------------------------
+@register(
+    "text_quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         CASE WHEN len(text) = 0 THEN 0.0
+              ELSE len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0 / len(text)
+         END AS p_ratio
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       round(p_ratio, 4) AS punct_ratio_r,
+       CASE WHEN len(trim(text)) = 0 THEN 0.0
+            ELSE round(len(replace(trim(text), ' ', '')) * 1.0 / greatest(n_tokens, 1), 4)
+       END AS avg_token_len_r,
+       CASE WHEN n_tokens >= 20 AND p_ratio < 0.1 THEN 1 ELSE 0 END AS is_quality
+FROM t
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = token_count(F.col("text"))
+    p_ratio = punct_ratio(F.col("text"))
+    trimmed = F.trim(F.col("text"))
+    avg_tok = (
+        F.length(F.replace(trimmed, F.lit(" "), F.lit(""))).cast("double")
+        / F.greatest(n_tokens, F.lit(1))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.round(p_ratio, 4).alias("punct_ratio_r"),
+        F.when(F.length(trimmed) == 0, F.lit(0.0))
+        .otherwise(F.round(avg_tok, 4))
+        .alias("avg_token_len_r"),
+        F.when((n_tokens >= 20) & (p_ratio < 0.1), 1).otherwise(0).alias("is_quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus profile by language: exact integer sums keep the doubles
+# bit-deterministic across shuffle orders.
+# --------------------------------------------------------------------------
+@register(
+    "lang_profile",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       sum(n_chars) * 1.0 / count(*) AS avg_chars,
+       sum(n_tokens) AS total_tokens,
+       sum(n_tokens) * 1.0 / count(*) AS avg_tokens
+FROM t GROUP BY lang
+""",
+)
+def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("lang", "n_chars", token_count(F.col("text")).alias("n_tokens"))
+    cnt = F.count(F.lit(1))
+    return t.groupBy("lang").agg(
+        cnt.alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars") * 1.0 / cnt).alias("avg_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens") * 1.0 / cnt).alias("avg_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: md5 of the canonical text form.
+# --------------------------------------------------------------------------
+@register(
+    "doc_fingerprint",
+    oracle=f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(norm_text(F.col("text"))).alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# Exact deduplication: group by content hash, keep groups of size > 1.
+# The 100 TB path: hash-shuffle on the fingerprint only (never the text).
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle=f"""
+SELECT md5({_NORM_SQL}) AS fingerprint,
+       count(*) AS n_dups,
+       min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(norm_text(F.col("text"))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures: 16 seeded hash-family members over distinct word
+# 3-gram shingles; signature element = min hash per seed. One narrow shuffle
+# on (doc_id, seed).
+# --------------------------------------------------------------------------
+_N_HASHES = 16
+_BAND_SIZE = 4
+_SHINGLES_SQL = f"""
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len({_TOKENS_SQL}) - 2, 1) + 1),
+           i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i+1] || ' ' || {_TOKENS_SQL}[i+2]
+         ))) AS sh
+  FROM documents
+"""
+# NULL tokens beyond the end can't happen: range caps at len-2; short docs
+# (<3 tokens) produce one shingle 'w1 w2 NULL'-free because greatest(...,1)
+# only fires when len>=1 and list slicing pads — handled identically in
+# functions/text.py::word_shingles via slice().
+_MINHASH_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+seeded AS (
+  SELECT doc_id, seed.range AS seed,
+         min({_HASH_SQL.format(e="CAST(seed.range AS VARCHAR) || chr(31) || sh")}) AS minhash
+  FROM sh, range(0, {_N_HASHES}) seed
+  GROUP BY doc_id, seed.range
+)
+"""
+
+
+@register(
+    "minhash_signatures",
+    oracle=_MINHASH_SQL + "SELECT doc_id, seed, minhash FROM seeded",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("sh"),
+    )
+    seeded = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_HASHES - 1))).alias("seed"),
+    )
+    hashed = seeded.select(
+        "doc_id",
+        "seed",
+        portable_hash64(
+            F.concat(F.col("seed").cast("string"), F.lit("\x1f"), F.col("sh"))
+        ).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH near-dup pairs: band the 16-element signature into 4 bands of
+# 4, bucket-join on (band, band-signature), verify candidates with true
+# Jaccard over the shingle sets, keep pairs >= 0.5. This is the full
+# shingle→minhash→band→bucket-join→verify pipeline, all relational.
+# --------------------------------------------------------------------------
+@register(
+    "minhash_lsh_dup_pairs",
+    oracle=_MINHASH_SQL
+    + f""",
+bands AS (
+  SELECT doc_id, seed // {_BAND_SIZE} AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS sig
+  FROM seeded GROUP BY doc_id, seed // {_BAND_SIZE}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+   AND a.doc_id < b.doc_id
+),
+shs AS (SELECT doc_id, list(sh) AS s FROM ({_SHINGLES_SQL}) GROUP BY doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(x.s, y.s)) * 1.0
+           / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+  FROM cand c JOIN shs x ON c.id_a = x.doc_id JOIN shs y ON c.id_b = y.doc_id
+)
+SELECT id_a, id_b, round(jaccard, 4) AS jaccard_r
+FROM verified WHERE jaccard >= 0.5
+""",
+)
+def minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        n_hashes=_N_HASHES,
+        band_size=_BAND_SIZE,
+        jaccard_threshold=0.5,
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash: 60-bit fingerprint from distinct tokens; bit j of the fingerprint
+# is set iff the sum over tokens of (2*bit_j(hash(tok)) - 1) is positive.
+# --------------------------------------------------------------------------
+@register(
+    "simhash",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+  )
+),
+bits AS (
+  SELECT doc_id, j.range AS j,
+         sum(CASE WHEN ({_HASH_SQL.format(e="tok")} >> CAST(j.range AS INTEGER)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM tok, range(0, 60) j
+  GROUP BY doc_id, j.range
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id
+""",
+)
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(
+        load_table(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup join without MinHash: inverted index on shingles
+# with a document-frequency cap (stop-shingle removal — the standard trick
+# that keeps the candidate blow-up bounded at scale), then exact Jaccard.
+# --------------------------------------------------------------------------
+_DF_CAP = 50
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+rare AS (
+  SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {_DF_CAP}
+),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  JOIN rare r ON a.sh = r.sh
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(c.n_common * 1.0 / (sa.sz + sb.sz - c.n_common), 4) AS jaccard_r
+FROM common c JOIN sizes sa ON c.id_a = sa.doc_id JOIN sizes sb ON c.id_b = sb.doc_id
+WHERE c.n_common * 1.0 / (sa.sz + sb.sz - c.n_common) >= 0.3
+""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_join
+
+    return ngram_jaccard_join(
+        load_table(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.3,
+        df_cap=_DF_CAP,
+    )
+
+
+# --------------------------------------------------------------------------
+# Language identification by stopword-lexicon voting (n-gram-free heuristic
+# that is exactly expressible in SQL — the production version would be a
+# character-n-gram model behind the same interface).
+# --------------------------------------------------------------------------
+_LEXICON = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "que", "pour", "dans"],
+    "es": ["el", "la", "los", "que", "es", "para", "con", "una"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不"],
+}
+
+
+def _lexicon_values_sql() -> str:
+    rows = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in _LEXICON.items() for w in ws
+    )
+    return f"(VALUES {rows}) AS lex(lex_lang, word)"
+
+
+@register(
+    "lang_id_votes",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents),
+votes AS (
+  SELECT t.doc_id, lex.lex_lang, count(*) AS n_hits
+  FROM tok t JOIN {_lexicon_values_sql()} ON t.tok = lex.word
+  GROUP BY t.doc_id, lex.lex_lang
+),
+best AS (
+  SELECT doc_id, lex_lang, n_hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, lex_lang) AS rn
+  FROM votes
+)
+SELECT b.doc_id, b.lex_lang AS predicted_lang, b.n_hits, d.lang AS actual_lang,
+       CASE WHEN b.lex_lang = d.lang THEN 1 ELSE 0 END AS is_correct
+FROM best b JOIN documents d ON b.doc_id = d.doc_id
+WHERE b.rn = 1
+""",
+)
+def lang_id_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    lex = d.sparkSession.createDataFrame(
+        [(lang, w) for lang, ws in _LEXICON.items() for w in ws],
+        "lex_lang string, word string",
+    )
+    tok = d.select("doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("tok"))
+    votes = (
+        tok.join(F.broadcast(lex), tok.tok == lex.word)
+        .groupBy("doc_id", "lex_lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lex_lang"))
+    best = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        F.col("lex_lang").alias("predicted_lang"),
+        "n_hits",
+        F.col("lang").alias("actual_lang"),
+        F.when(F.col("lex_lang") == F.col("lang"), 1).otherwise(0).alias("is_correct"),
+    )

@@ -1,0 +1,223 @@
+"""Vector-search query surface (SURVEY.md §2.3 V2/V4/V5/V7).
+
+The query set mirrors the reference's 5 fixed queries
+(chromadb_speed_experiment.py:651-657): the embeddings rows with vec_id < 5,
+broadcast against the corpus. Distances are computed in double and rounded
+to 4 dp on both engines only in the *emitted* column; ranking happens on the
+unrounded value with an id tie-break (the deterministic form of
+np.argsort stability, chromadb_acc_experiment.py:534).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_sim
+from ..io import load_table
+from ..operators.knn import exact_knn
+from ..operators.recall import recall_at_k
+from . import register
+
+_QUERY_SET_SQL = (
+    "SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+    "FROM embeddings WHERE vec_id < 5"
+)
+_L2_SQL = "sqrt(list_sum(list_transform(range(1, 65), i -> (qv[i] - ev[i]) ^ 2)))"
+_DOT_SQL = "list_sum(list_transform(range(1, 65), i -> qv[i] * ev[i]))"
+_NORM = "sqrt(list_sum(list_transform(range(1, 65), i -> {v}[i] * {v}[i])))"
+_COS_SQL = (
+    f"({_DOT_SQL}) / (({_NORM.format(v='qv')}) * ({_NORM.format(v='ev')}))"
+)
+
+
+def _query_set(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+# --------------------------------------------------------------------------
+# V2+V4: exact brute-force k-NN, L2 (the reference's golden oracle,
+# chromadb_acc_experiment.py:508-537).
+# --------------------------------------------------------------------------
+@register(
+    "knn_exact_l2",
+    oracle=f"""
+WITH q AS ({_QUERY_SET_SQL}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS item_id, CAST(e.embedding AS DOUBLE[]) AS ev, q.qv
+  FROM embeddings e CROSS JOIN q
+), dists AS (
+  SELECT query_id, item_id, {_L2_SQL} AS dist FROM scored
+), ranked AS (
+  SELECT query_id, item_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, item_id) AS rank
+  FROM dists
+)
+SELECT query_id, rank, item_id, round(dist, 4) AS dist_r
+FROM ranked WHERE rank <= 10
+""",
+)
+def knn_exact_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = exact_knn(_query_set(spark, sf_dir), emb, k=10, metric="l2", item_id="vec_id")
+    return res.select(
+        "query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r")
+    )
+
+
+# --------------------------------------------------------------------------
+# V2 cosine variant (similarity ranking; emitted as similarity, ranked by
+# 1 - sim internally).
+# --------------------------------------------------------------------------
+@register(
+    "knn_exact_cosine",
+    oracle=f"""
+WITH q AS ({_QUERY_SET_SQL}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS item_id, CAST(e.embedding AS DOUBLE[]) AS ev, q.qv
+  FROM embeddings e CROSS JOIN q
+), sims AS (
+  SELECT query_id, item_id, 1.0 - ({_COS_SQL}) AS dist FROM scored
+), ranked AS (
+  SELECT query_id, item_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, item_id) AS rank
+  FROM sims
+)
+SELECT query_id, rank, item_id, round(1.0 - dist, 4) AS cos_sim_r
+FROM ranked WHERE rank <= 10
+""",
+)
+def knn_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = exact_knn(
+        _query_set(spark, sf_dir), emb, k=10, metric="cosine", item_id="vec_id"
+    )
+    return res.select(
+        "query_id", "rank", "item_id", F.round(1.0 - F.col("dist"), 4).alias("cos_sim_r")
+    )
+
+
+# --------------------------------------------------------------------------
+# V5: Recall@K evaluator, exercised on two deterministic rankings (cosine
+# top-k evaluated against the L2 ground truth). The definition matches
+# chromadb_acc_experiment.py:553-562 exactly: truncate both to k, intersect
+# id sets, divide by |ground truth|.
+# --------------------------------------------------------------------------
+@register(
+    "recall_cosine_vs_l2",
+    oracle=f"""
+WITH q AS ({_QUERY_SET_SQL}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS item_id, CAST(e.embedding AS DOUBLE[]) AS ev, q.qv
+  FROM embeddings e CROSS JOIN q
+), both_d AS (
+  SELECT query_id, item_id, {_L2_SQL} AS l2, 1.0 - ({_COS_SQL}) AS cosd FROM scored
+), gt AS (
+  SELECT query_id, item_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY l2, item_id) AS rank
+  FROM both_d
+), ret AS (
+  SELECT query_id, item_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosd, item_id) AS rank
+  FROM both_d
+)
+SELECT g.query_id,
+       count(r.item_id) * 1.0 / count(*) AS recall
+FROM (SELECT * FROM gt WHERE rank <= 10) g
+LEFT JOIN (SELECT * FROM ret WHERE rank <= 10) r
+  ON g.query_id = r.query_id AND g.item_id = r.item_id
+GROUP BY g.query_id
+""",
+)
+def recall_cosine_vs_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = _query_set(spark, sf_dir)
+    gt = exact_knn(qs, emb, k=10, metric="l2", item_id="vec_id")
+    ret = exact_knn(qs, emb, k=10, metric="cosine", item_id="vec_id")
+    return recall_at_k(gt, ret, k=10)
+
+
+# --------------------------------------------------------------------------
+# Filtered vector search: top-3 per (query, label) — predicate + vector
+# ranking combined, the "metadata where-clause" surface ChromaDB exposes on
+# query() and the scale pattern for partition-pruned ANN.
+# --------------------------------------------------------------------------
+@register(
+    "knn_per_label",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.label, e.vec_id AS item_id,
+         CAST(e.embedding AS DOUBLE[]) AS ev, q.qv
+  FROM embeddings e CROSS JOIN q
+), dists AS (
+  SELECT query_id, label, item_id, {_L2_SQL} AS dist FROM scored
+), ranked AS (
+  SELECT query_id, label, item_id, dist,
+         row_number() OVER (PARTITION BY query_id, label ORDER BY dist, item_id) AS rank
+  FROM dists
+)
+SELECT query_id, label, rank, item_id, round(dist, 4) AS dist_r
+FROM ranked WHERE rank <= 3
+""",
+)
+def knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..functions.vector import l2_dist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = _query_set(spark, sf_dir, n=3)
+    scored = emb.alias("c").crossJoin(F.broadcast(qs.alias("q"))).select(
+        F.col("q.query_id").alias("query_id"),
+        F.col("c.label").alias("label"),
+        F.col("c.vec_id").alias("item_id"),
+        l2_dist(F.col("q.query_vec"), F.col("c.embedding")).alias("dist"),
+    )
+    w = Window.partitionBy("query_id", "label").orderBy(F.asc("dist"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "label", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
+    )
+
+
+# --------------------------------------------------------------------------
+# V7 [EXT]: embedding-space near-duplicate pairs (cosine threshold self-join).
+# Brute-force pair join here (the corpus side is broadcast-size at test SF);
+# the LSH-bucketed scale path is operators/ann.py::lsh_similarity_join.
+# --------------------------------------------------------------------------
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim_r
+FROM pairs WHERE cos_sim >= 0.4
+""",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    sim = cosine_sim(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+        .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim_r"))
+    )

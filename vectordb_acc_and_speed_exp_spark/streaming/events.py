@@ -1,0 +1,147 @@
+"""Structured Streaming surface over the events table ([EXT]; the reference
+is batch-only — SURVEY.md §2.9 marks streaming absent — but the north-star
+pipeline needs event streams).
+
+Patterns: file-source readStream with ``availableNow`` (bounded replay of
+the parquet events table as a stream), watermark + tumbling window
+aggregation, and stateful sessionization via applyInPandasWithState.
+
+The tumbling aggregation has a batch twin (queries/relational.py::
+events_hourly) — identical results on bounded input, which is what the
+oracle checks.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned from a
+    batch peek — required by readStream). Nanosecond timestamps are read
+    as long and rebuilt at microsecond precision, as in io.catalog."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # The file stream source requires a directory; stage a symlink dir when
+    # the events table is a single parquet file (the shared testdata layout).
+    if os.path.isfile(path):
+        stage = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(path, os.path.join(stage, "part-0.parquet"))
+        path = stage
+    stream = spark.readStream.schema(schema).format("parquet").load(path)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation (1 hour)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+def run_stream_to_batch(result: DataFrame, mode: str = "complete") -> DataFrame:
+    """Execute a streaming aggregation with Trigger.AvailableNow into a
+    memory sink and return the final table (bounded-stream semantics ==
+    batch semantics; used by tests and the oracle-checked entry)."""
+    name = "s" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Stateful sessionization with applyInPandasWithState: per-user state
+    carries (session_start_ms, last_ms, n_events); a gap > gap_minutes
+    closes a session.
+
+    NoTimeout is deliberate: with bounded replay (availableNow) a
+    processing-time timeout leaves the final trigger spinning in
+    "cleaning up state"; instead every batch emits a ``closed=false``
+    snapshot row for each still-open session (dedupe downstream on an
+    unbounded stream; exactly one per session on bounded input).
+
+    Batch twin: queries/relational.py::events_sessions (lag + running sum).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+    out_schema = (
+        "user_id bigint, session_start_ms bigint, session_end_ms bigint, "
+        "n_events bigint, closed boolean"
+    )
+    state_schema = "start_ms bigint, last_ms bigint, n bigint"
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        rows = []
+        ts_ms: list[int] = []
+        for pdf in pdf_iter:
+            ts_ms.extend(
+                (pdf["ts"].astype("int64") // 1_000_000).tolist()
+            )
+        ts_ms.sort()
+        if state.exists:
+            start_ms, last_ms, n = state.get
+        else:
+            start_ms, last_ms, n = ts_ms[0], ts_ms[0], 0
+        for t in ts_ms:
+            if t - last_ms > gap_ms:
+                rows.append(
+                    {
+                        "user_id": user_id,
+                        "session_start_ms": start_ms,
+                        "session_end_ms": last_ms,
+                        "n_events": n,
+                        "closed": True,
+                    }
+                )
+                start_ms, n = t, 0
+            last_ms = t if t > last_ms else last_ms
+            n += 1
+        state.update((start_ms, last_ms, n))
+        rows.append(
+            {
+                "user_id": user_id,
+                "session_start_ms": start_ms,
+                "session_end_ms": last_ms,
+                "n_events": n,
+                "closed": False,
+            }
+        )
+        yield pd.DataFrame(rows)
+
+    return (
+        events.withWatermark("ts", f"{gap_minutes} minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
