@@ -42,20 +42,28 @@ def punct_ratio(text: Column) -> Column:
     )
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """n-word shingles of the normalized token stream, as strings.
+def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """n-word shingles from an already-materialized token array column.
 
-    Expressed with array higher-order functions (no UDF): for each start
-    offset i in [0, len-n], join tokens[i:i+n] with a space. Documents
-    shorter than n tokens produce a single shingle of all tokens so every
-    non-empty document has at least one shingle.
+    For each start offset i in [0, len-n], join tokens[i:i+n] with a space.
+    Documents shorter than n tokens produce a single shingle of all tokens
+    so every non-empty document has at least one shingle.
+
+    ``toks`` MUST be a resolved column, not an inline tokenization
+    expression: Catalyst does not common-subexpression-eliminate inside
+    higher-order-function lambdas, so an inline ``split(regexp_replace(...))``
+    here re-tokenizes once *per shingle* (measured: 9.4 s → 1 s at sf0.1
+    for the shingle table when materialized first).
     """
-    toks = tokens(norm_text(text))
     nshingles = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     idx = F.sequence(F.lit(0), nshingles - 1)
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-word shingles of the normalized token stream (convenience form —
+    see word_shingles_from_tokens for the hot-path variant and why)."""
+    return word_shingles_from_tokens(tokens(norm_text(text)), n)
 
 
 def ngram_shingles(text: Column, n: int = 5) -> Column:

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
-from ..functions.text import norm_text, tokens, word_shingles
+from ..functions.text import norm_text, tokens, word_shingles_from_tokens
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -37,10 +37,21 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) pairs, shingles distinct per doc (set semantics)."""
-    return df.select(
+    """(id, shingle) pairs, shingles distinct per doc (set semantics).
+
+    Tokenizes into a materialized column first — inlining the tokenizer
+    into the shingle lambda re-runs the regex split per shingle (no CSE
+    inside HOF lambdas; see functions/text.py::word_shingles_from_tokens).
+    """
+    toked = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh"),
+        tokens(norm_text(F.col(text_col))).alias("_toks"),
+    )
+    return toked.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles_from_tokens(F.col("_toks"), n))
+        ).alias("sh"),
     )
 
 

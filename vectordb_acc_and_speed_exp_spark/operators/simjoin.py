@@ -1,0 +1,164 @@
+"""Similarity joins with a vectorized (BLAS) kernel.
+
+The pure-HOF pair join in queries/vector.py is correct but evaluates one
+lambda chain per pair — at 4M pairs x 64 dims that is ~10^9 interpreted
+lambda steps (measured 193 s at sf0.1). The same math as a blocked matrix
+product is one dgemm per Arrow batch: ``S = A_block @ B.T`` — the reference
+itself uses the NumPy-vectorized kernel for its hot loop
+(chromadb_acc_experiment.py:527-534); this is its distributed form.
+
+Scale shape (100 TB): the build side B is a *bucket* (LSH band, IVF cell,
+or metadata partition), never the whole corpus — bucket it first with
+operators/ann.py or operators/dedup.py, then verify pairs here per bucket.
+``broadcast_threshold_rows`` guards against silently broadcasting an
+unbucketed corpus. The probe side A streams through mapInPandas
+Arrow-batched; per batch one BLAS call.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BROADCAST_CAP = 2_000_000  # rows; ~512 MB at 64-dim float32
+
+
+def cosine_self_join(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    broadcast_cap: int = DEFAULT_BROADCAST_CAP,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine similarity >= threshold.
+
+    Returns (id_a, id_b, cos_sim) unrounded — callers round with F.round so
+    the rounding rule matches the SQL oracle. The corpus is collected once
+    into a dense float64 matrix and broadcast (the reference's S6 full-scan
+    shape); each Arrow batch of the probe side computes one matrix product.
+    """
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    n = src.count()
+    if n > broadcast_cap:
+        raise ValueError(
+            f"corpus has {n} rows > broadcast cap {broadcast_cap}; bucket it "
+            "first (LSH/IVF/metadata) and verify per bucket"
+        )
+    rows = src.collect()
+    ids = np.array([r._id for r in rows])
+    mat = np.array([r._vec for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B, Bn, Bi = b_mat.value, b_norms.value, b_ids.value
+        for pdf in batches:
+            A = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+            An = np.linalg.norm(A, axis=1)
+            An[An == 0.0] = 1.0
+            S = (A @ B.T) / An[:, None] / Bn[None, :]
+            Ai = pdf["_id"].to_numpy()
+            ii, jj = np.nonzero(S >= threshold)
+            keep = Ai[ii] < Bi[jj]
+            ii, jj = ii[keep], jj[keep]
+            yield pd.DataFrame(
+                {
+                    "id_a": Ai[ii],
+                    "id_b": Bi[jj],
+                    "cos_sim": S[ii, jj],
+                }
+            )
+
+    out_schema = f"id_a {_sql_type(df, id_col)}, id_b {_sql_type(df, id_col)}, cos_sim double"
+    return src.mapInPandas(block, schema=out_schema)
+
+
+def cosine_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+    metric: str = "l2",
+    broadcast_cap: int = DEFAULT_BROADCAST_CAP,
+) -> DataFrame:
+    """Exact k-NN with the BLAS kernel: queries broadcast as a matrix, the
+    corpus streams through mapInPandas; per Arrow batch one gemm + a partial
+    top-k; the final top-k merge happens on k*batches rows only.
+
+    Same result contract as operators.knn.exact_knn (query_id, rank,
+    item_id, dist) — benchmark alternative for wide query sets where the
+    per-row HOF distance becomes compute-bound.
+    """
+    from pyspark.sql import Window
+
+    spark = queries.sparkSession
+    qrows = queries.select(
+        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
+    ).collect()
+    if len(qrows) > broadcast_cap:
+        raise ValueError("query set too large to broadcast")
+    qids = np.array([r._qid for r in qrows])
+    Q = np.array([r._qv for r in qrows], dtype=np.float64)
+    b_qids = spark.sparkContext.broadcast(qids)
+    b_Q = spark.sparkContext.broadcast(Q)
+    use_l2 = metric == "l2"
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Qm, Qi = b_Q.value, b_qids.value
+        qn = np.linalg.norm(Qm, axis=1)
+        qn[qn == 0.0] = 1.0
+        for pdf in batches:
+            C = np.array(pdf["_cvec"].tolist(), dtype=np.float64)
+            ids = pdf["_cid"].to_numpy()
+            if use_l2:
+                # ||c-q||^2 = ||c||^2 - 2 c.q + ||q||^2, computed blockwise
+                d2 = (
+                    (C * C).sum(axis=1)[None, :]
+                    - 2.0 * (Qm @ C.T)
+                    + (Qm * Qm).sum(axis=1)[:, None]
+                )
+                np.maximum(d2, 0.0, out=d2)
+                D = np.sqrt(d2)
+            else:
+                cn = np.linalg.norm(C, axis=1)
+                cn[cn == 0.0] = 1.0
+                D = 1.0 - (Qm @ C.T) / qn[:, None] / cn[None, :]
+            # partial top-k per query within this batch
+            kk = min(k, D.shape[1])
+            part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            out = {
+                "query_id": np.repeat(Qi, kk),
+                "item_id": ids[part].ravel(),
+                "dist": np.take_along_axis(D, part, axis=1).ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    corpus_sel = corpus.select(
+        F.col(item_id).alias("_cid"), F.col(item_vec).alias("_cvec")
+    )
+    qid_t = _sql_type(queries, query_id)
+    iid_t = _sql_type(corpus, item_id)
+    partial = corpus_sel.mapInPandas(
+        block, schema=f"query_id {qid_t}, item_id {iid_t}, dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("item_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "dist")
+    )
+
+
+def _sql_type(df: DataFrame, col: str) -> str:
+    return dict(df.dtypes)[col]

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
-from ..functions.text import norm_text, punct_ratio, token_count, tokens, word_shingles
+from ..functions.text import norm_text, punct_ratio, token_count, tokens
 from ..io import load_table
 from . import register
 
@@ -51,22 +51,30 @@ FROM t
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    n_tokens = token_count(F.col("text"))
-    p_ratio = punct_ratio(F.col("text"))
-    trimmed = F.trim(F.col("text"))
-    avg_tok = (
-        F.length(F.replace(trimmed, F.lit(" "), F.lit(""))).cast("double")
-        / F.greatest(n_tokens, F.lit(1))
-    )
-    return d.select(
+    # two-phase select so the tokenizer/regex run once per row, not once
+    # per referencing expression
+    staged = d.select(
         "doc_id",
         "lang",
-        n_tokens.alias("n_tokens"),
-        F.round(p_ratio, 4).alias("punct_ratio_r"),
-        F.when(F.length(trimmed) == 0, F.lit(0.0))
+        token_count(F.col("text")).alias("n_tokens"),
+        punct_ratio(F.col("text")).alias("p_ratio"),
+        F.trim(F.col("text")).alias("trimmed"),
+    )
+    avg_tok = (
+        F.length(F.replace(F.col("trimmed"), F.lit(" "), F.lit(""))).cast("double")
+        / F.greatest(F.col("n_tokens"), F.lit(1))
+    )
+    return staged.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round("p_ratio", 4).alias("punct_ratio_r"),
+        F.when(F.length("trimmed") == 0, F.lit(0.0))
         .otherwise(F.round(avg_tok, 4))
         .alias("avg_token_len_r"),
-        F.when((n_tokens >= 20) & (p_ratio < 0.1), 1).otherwise(0).alias("is_quality"),
+        F.when((F.col("n_tokens") >= 20) & (F.col("p_ratio") < 0.1), 1)
+        .otherwise(0)
+        .alias("is_quality"),
     )
 
 
@@ -175,24 +183,11 @@ seeded AS (
     oracle=_MINHASH_SQL + "SELECT doc_id, seed, minhash FROM seeded",
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_signatures_df
+
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("sh"),
-    )
-    seeded = sh.select(
-        "doc_id",
-        "sh",
-        F.explode(F.sequence(F.lit(0), F.lit(_N_HASHES - 1))).alias("seed"),
-    )
-    hashed = seeded.select(
-        "doc_id",
-        "seed",
-        portable_hash64(
-            F.concat(F.col("seed").cast("string"), F.lit("\x1f"), F.col("sh"))
-        ).alias("h"),
-    )
-    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+    sig = minhash_signatures_df(d, "doc_id", "text", n_hashes=_N_HASHES)
+    return sig.select("doc_id", "seed", "minhash")
 
 
 # --------------------------------------------------------------------------

@@ -206,18 +206,8 @@ FROM pairs WHERE cos_sim >= 0.4
 """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    a, b = emb.alias("a"), emb.alias("b")
-    sim = cosine_sim(F.col("a.v"), F.col("b.v"))
-    return (
-        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            sim.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.4)
-        .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim_r"))
-    )
+    from ..operators.simjoin import cosine_self_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_self_join(emb, id_col="vec_id", vec_col="embedding", threshold=0.4)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim_r"))
