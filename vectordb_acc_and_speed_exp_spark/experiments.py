@@ -1,0 +1,197 @@
+"""The reference's three entry points (SURVEY.md §3), Spark-first.
+
+EP1 ``build_corpus``  — ingestion: pdf dir → pages → filter/sanitize →
+                        embed → snapshot-partitioned parquet
+                        (create_collections.py main, CC:476-514)
+EP2 ``speed_experiment`` — per-(snapshot × query) search latency with
+                        warm-up + repeated timed runs
+                        (chromadb_speed_experiment.py main, SPD:641-711)
+EP3 ``recall_experiment`` — ANN vs exact-oracle recall@k per snapshot
+                        (chromadb_acc_experiment.py main, ACC:850-909)
+
+The key Spark deviation (SURVEY.md §3 tail note): instead of one driver
+loop per (collection × query × run) issuing single-row searches, each
+measured unit batches the WHOLE query set in one job; per-query cost is
+amortized (BASELINE.md's matched-scale comparison note). Snapshot sweeps
+reuse one cached corpus scan rather than 56 materialized collection copies.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import load_table
+from .operators.ann import lsh_ann
+from .operators.knn import exact_knn
+from .operators.recall import recall_at_k
+from .operators.snapshots import snapshot_sizes
+from .plans.bench_harness import RunStats, save_results_csv, save_results_json
+
+
+def build_corpus(
+    spark: SparkSession,
+    pdf_dir: str,
+    out_path: str,
+    embed_dim: int = 64,
+    snapshot_step: int = 1000,
+    model_path: str | None = None,
+) -> DataFrame:
+    """EP1: binaryFile scan → mapInPandas page extraction → filters →
+    pandas_udf embedding → snapshot-partitioned parquet."""
+    from .operators.embedding import embed_documents
+    from .sources.checkpoint import write_documents
+    from .sources.pdf import extract_pages, page_records, scan_pdf_dir
+
+    pages = page_records(extract_pages(scan_pdf_dir(spark, pdf_dir)))
+    embedded = embed_documents(pages, text_col="text", dim=embed_dim, model_path=model_path)
+    write_documents(embedded, out_path, snapshot_step=snapshot_step)
+    return spark.read.parquet(out_path)
+
+
+def _query_set(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def speed_experiment(
+    spark: SparkSession,
+    sf_dir: str,
+    step: int = 500,
+    k: int = 5,
+    num_runs: int = 5,
+    out_prefix: str | None = None,
+) -> list[RunStats]:
+    """EP2: for each cumulative snapshot (vec_id < size — the embeddings
+    table's monotonic id is its page_seq), run the batched exact top-k with
+    one warm-up and ``num_runs`` timed repetitions (B1/B2), rolled up
+    mean/median/σ (A1). Writes results.json + results_summary.csv
+    (S9/S10) when ``out_prefix`` is given."""
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    total = emb.count()
+    queries = _query_set(spark, sf_dir)
+    results = []
+    for size in snapshot_sizes(total, step):
+        snap = emb.filter(F.col("vec_id") < size)
+        stats = RunStats(name=f"snapshot_{size:06d}")
+        res = exact_knn(queries, snap, k=k, item_id="vec_id")
+        stats.n_rows = res.count()  # warm-up (B1)
+        for _ in range(num_runs):
+            t0 = time.perf_counter()
+            exact_knn(queries, snap, k=k, item_id="vec_id").count()
+            stats.runs_sec.append(time.perf_counter() - t0)
+        results.append(stats)
+    if out_prefix:
+        save_results_json(
+            results, out_prefix + "_results.json",
+            meta={"sf_dir": sf_dir, "k": k, "num_runs": num_runs, "step": step},
+        )
+        save_results_csv(results, out_prefix + "_summary.csv")
+    emb.unpersist()
+    return results
+
+
+def recall_experiment(
+    spark: SparkSession,
+    sf_dir: str,
+    step: int = 500,
+    k: int = 10,
+    out_prefix: str | None = None,
+) -> DataFrame:
+    """EP3: per snapshot, exact brute-force ground truth vs LSH-ANN, joined
+    into per-query recall@5/@10 and rolled up (A3). Returns the metrics
+    DataFrame (snapshot_size, mean_recall_5, mean_recall_10)."""
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    total = emb.count()
+    queries = _query_set(spark, sf_dir)
+    rows = []
+    for size in snapshot_sizes(total, step):
+        snap = emb.filter(F.col("vec_id") < size)
+        gt = exact_knn(queries, snap, k=k, item_id="vec_id").cache()
+        ann = lsh_ann(queries, snap, k=k, item_id="vec_id").cache()
+        r5 = recall_at_k(gt, ann, k=5).agg(F.avg("recall")).first()[0]
+        r10 = recall_at_k(gt, ann, k=min(10, k)).agg(F.avg("recall")).first()[0]
+        rows.append((size, float(r5 or 0.0), float(r10 or 0.0)))
+        gt.unpersist()
+        ann.unpersist()
+    out = spark.createDataFrame(
+        rows, "snapshot_size long, mean_recall_5 double, mean_recall_10 double"
+    )
+    if out_prefix:
+        out.toPandas().to_csv(out_prefix + "_recall_summary.csv", index=False)
+        out.toPandas().to_json(out_prefix + "_recall_results.json", orient="records")
+    emb.unpersist()
+    return out
+
+
+def plot_results(results: list[RunStats], path: str) -> bool:
+    """Latency-vs-size chart (S11, SPD:520-591). matplotlib is import-gated;
+    returns False when unavailable (headless CI)."""
+    try:  # pragma: no cover - matplotlib optional
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return False
+    sizes = [int(r.name.rsplit("_", 1)[-1]) for r in results]
+    means = [r.mean * 1000 for r in results]
+    fig, ax = plt.subplots(figsize=(8, 4.5))
+    ax.plot(sizes, means, marker="o")
+    ax.set_xlabel("snapshot size (vectors)")
+    ax.set_ylabel("batched top-k latency (ms)")
+    ax.set_title("exact k-NN latency vs corpus size")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return True
+
+
+def main(argv: list[str]) -> int:
+    """CLI mode switch (reference B5, chromadb_acc_experiment.py:912-921):
+    ``create`` / ``speed`` / ``recall``."""
+    import argparse
+
+    from .session import get_spark
+
+    p = argparse.ArgumentParser(prog="vectordb_acc_and_speed_exp_spark")
+    p.add_argument("mode", choices=["create", "speed", "recall"])
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--pdf-dir")
+    p.add_argument("--out", default="./experiment_out")
+    p.add_argument("--step", type=int, default=500)
+    p.add_argument("--k", type=int, default=None)
+    p.add_argument("--num-runs", type=int, default=5)
+    args = p.parse_args(argv)
+
+    spark = get_spark("experiments")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.mode == "create":
+        if not args.pdf_dir:
+            p.error("create mode requires --pdf-dir")
+        df = build_corpus(spark, args.pdf_dir, args.out)
+        print(f"built corpus: {df.count()} pages at {args.out}")
+    elif args.mode == "speed":
+        results = speed_experiment(
+            spark, args.sf_dir, step=args.step, k=args.k or 5,
+            num_runs=args.num_runs, out_prefix=args.out,
+        )
+        plot_results(results, args.out + "_latency.png")
+        for r in results:
+            print(f"{r.name}: mean={r.mean*1000:.1f}ms median={r.median*1000:.1f}ms")
+    else:
+        out = recall_experiment(
+            spark, args.sf_dir, step=args.step, k=args.k or 10, out_prefix=args.out
+        )
+        out.show(100, False)
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    import sys
+
+    raise SystemExit(main(sys.argv[1:]))

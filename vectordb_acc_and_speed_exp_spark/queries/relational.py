@@ -116,8 +116,11 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(
         F.col("r_name").isin("ASIA", "EUROPE")
     )
+    # orders is a fact table: lineitem⋈orders is a shuffle join on the
+    # order key (AQE may still broadcast at small SF); only the true
+    # dimensions (customer/nation/region) get explicit broadcast hints.
     joined = (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -301,4 +304,120 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact distribution statistics (reference A1/A3/X9: mean/median/σ of run
+# metrics, chromadb_speed_experiment.py:494-508, np.std at ACC:648-653).
+# σ and the median are computed from exact scaled-integer sums so the
+# doubles are bit-identical in both engines (population σ — the NumPy
+# default, SURVEY.md §5 note).
+# --------------------------------------------------------------------------
+@register(
+    "value_stats_by_type",
+    oracle="""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v100 FROM events
+)
+SELECT event_type,
+       count(*) AS n,
+       sum(v100) / 100.0 AS total_value,
+       sum(v100) / 100.0 / count(*) AS mean_value,
+       sqrt(sum(v100 * v100) / count(*) - pow(sum(v100) / count(*), 2)) / 100.0
+         AS stddev_pop_value,
+       quantile_cont(v100, 0.5) / 100.0 AS median_value,
+       min(v100) / 100.0 AS min_value,
+       max(v100) / 100.0 AS max_value
+FROM v GROUP BY event_type
+""",
+)
+def value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", _cents("value").alias("v100")
+    )
+    cnt = F.count(F.lit(1))
+    return e.groupBy("event_type").agg(
+        cnt.alias("n"),
+        (F.sum("v100") / 100.0).alias("total_value"),
+        (F.sum("v100") / 100.0 / cnt).alias("mean_value"),
+        (
+            F.sqrt(
+                F.sum(F.col("v100") * F.col("v100")) / cnt
+                - F.pow(F.sum("v100") / cnt, F.lit(2))
+            )
+            / 100.0
+        ).alias("stddev_pop_value"),
+        (F.percentile("v100", F.lit(0.5)) / 100.0).alias("median_value"),
+        (F.min("v100") / 100.0).alias("min_value"),
+        (F.max("v100") / 100.0).alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE aggregation ([EXT] — grouping sets are absent from the reference,
+# SURVEY.md §2.9; the rollup surface a metrics pipeline needs).
+# --------------------------------------------------------------------------
+@register(
+    "sales_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS total_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", _cents("l_extendedprice").alias("p100")
+    )
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (F.sum("p100") / 100.0).alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations ([EXT], absent from reference — SURVEY.md §2.9): customer
+# retention between two order years via INTERSECT / EXCEPT.
+# --------------------------------------------------------------------------
+@register(
+    "customer_retention",
+    oracle="""
+WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate < TIMESTAMP '1997-01-01'),
+y97 AS (SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01')
+SELECT 'retained' AS cohort, o_custkey FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+UNION ALL
+SELECT 'churned' AS cohort, o_custkey FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+UNION ALL
+SELECT 'new' AS cohort, o_custkey FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y96)
+""",
+)
+def customer_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_keys(y: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96, y97 = year_keys(1996), year_keys(1997)
+    return (
+        y96.intersect(y97).select(F.lit("retained").alias("cohort"), "o_custkey")
+        .unionByName(
+            y96.subtract(y97).select(F.lit("churned").alias("cohort"), "o_custkey")
+        )
+        .unionByName(
+            y97.subtract(y96).select(F.lit("new").alias("cohort"), "o_custkey")
+        )
     )

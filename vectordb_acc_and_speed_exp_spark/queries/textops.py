@@ -370,3 +370,75 @@ def lang_id_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("actual_lang"),
         F.when(F.col("lex_lang") == F.col("lang"), 1).otherwise(0).alias("is_correct"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish regex token counting (north-star text analysis: whitespace tokens
+# vs subword-ish regex tokens — alpha runs, digit runs, single symbols).
+# --------------------------------------------------------------------------
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "bpe_token_stats",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens,
+         len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens
+  FROM documents
+)
+SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+       CASE WHEN n_ws_tokens = 0 THEN 0.0
+            ELSE round(n_bpe_tokens * 1.0 / n_ws_tokens, 4) END AS bpe_per_word_r
+FROM t
+""",
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+    return staged.select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        F.when(F.col("n_ws_tokens") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_bpe_tokens") * 1.0 / F.col("n_ws_tokens"), 4))
+        .alias("bpe_per_word_r"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar string-function coverage (reference X2-X5: translate, concat,
+# split-index, regexp number extraction — download_arxiv.py:46,56-57,
+# create_collections.py:180-196).
+# --------------------------------------------------------------------------
+@register(
+    "source_normalize",
+    oracle=r"""
+SELECT doc_id,
+       CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) AS src_num,
+       upper(translate(source, 'src', 'SRC')) AS src_upper,
+       concat(lang, '-', lpad(regexp_extract(source, '(\d+)', 1), 4, '0')) AS corpus_tag,
+       string_split_regex(trim(text), '\s+')[1] AS first_word,
+       split_part(source, 'c', 1) AS src_prefix
+FROM documents
+""",
+)
+def source_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    num = F.regexp_extract(F.col("source"), r"(\d+)", 1)
+    return d.select(
+        "doc_id",
+        num.cast("int").alias("src_num"),
+        F.upper(F.translate(F.col("source"), "src", "SRC")).alias("src_upper"),
+        F.concat(F.col("lang"), F.lit("-"), F.lpad(num, 4, "0")).alias("corpus_tag"),
+        F.split(F.trim(F.col("text")), r"\s+").getItem(0).alias("first_word"),
+        F.split(F.col("source"), "c").getItem(0).alias("src_prefix"),
+    )

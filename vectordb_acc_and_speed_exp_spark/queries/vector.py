@@ -211,3 +211,62 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = cosine_self_join(emb, id_col="vec_id", vec_col="embedding", threshold=0.4)
     return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim_r"))
+
+
+# --------------------------------------------------------------------------
+# The reference's central experiment shape in ONE job: exact top-k per
+# query per cumulative snapshot (56 collections → one ladder-tagged scan;
+# distance computed once per (query, item) pair, reused by every snapshot
+# that contains the item — vs the reference's per-collection re-scan,
+# chromadb_speed_experiment.py:438-442).
+# --------------------------------------------------------------------------
+@register(
+    "knn_snapshot_sweep",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id AS item_id, CAST(e.embedding AS DOUBLE[]) AS ev, q.qv
+  FROM embeddings e CROSS JOIN q
+), dists AS (
+  SELECT query_id, item_id, {_L2_SQL} AS dist FROM scored
+), tagged AS (
+  SELECT d.query_id, d.item_id, d.dist, l.snapshot_size
+  FROM dists d JOIN (SELECT unnest([100, 300, 500]) AS snapshot_size) l
+    ON d.item_id < l.snapshot_size
+), ranked AS (
+  SELECT query_id, snapshot_size, item_id, dist,
+         row_number() OVER (PARTITION BY query_id, snapshot_size
+                            ORDER BY dist, item_id) AS rank
+  FROM tagged
+)
+SELECT query_id, snapshot_size, rank, item_id, round(dist, 4) AS dist_r
+FROM ranked WHERE rank <= 3
+""",
+)
+def knn_snapshot_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..functions.vector import l2_dist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = _query_set(spark, sf_dir, n=3)
+    ladder = spark.createDataFrame([(100,), (300,), (500,)], "snapshot_size int")
+    scored = emb.alias("c").crossJoin(F.broadcast(qs.alias("q"))).select(
+        F.col("q.query_id").alias("query_id"),
+        F.col("c.vec_id").alias("item_id"),
+        l2_dist(F.col("q.query_vec"), F.col("c.embedding")).alias("dist"),
+    )
+    tagged = scored.join(
+        F.broadcast(ladder), F.col("item_id") < F.col("snapshot_size")
+    )
+    w = Window.partitionBy("query_id", "snapshot_size").orderBy(
+        F.asc("dist"), F.asc("item_id")
+    )
+    return (
+        tagged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "snapshot_size", "rank", "item_id",
+            F.round("dist", 4).alias("dist_r"),
+        )
+    )
