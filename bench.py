@@ -36,6 +36,12 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
     "snapshot_stats",
+    "knn_snapshot_sweep",
+    "value_stats_by_type",
+    "sales_cube",
+    "purchase_attribution",
+    "events_json_props",
+    "label_centroids",
 ]
 
 

@@ -155,3 +155,69 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+# -- applyInPandas grouped-map: per-label centroid statistics --------------
+@register(
+    "label_centroids",
+    oracle="""
+WITH dims AS (
+  SELECT e.label, i.range AS i, avg(CAST(e.embedding[i.range] AS DOUBLE)) AS dim_mean
+  FROM embeddings e, range(1, 65) i
+  GROUP BY e.label, i.range
+),
+cents AS (
+  SELECT label, sqrt(sum(dim_mean * dim_mean)) AS centroid_norm FROM dims GROUP BY label
+),
+counts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+SELECT c.label, counts.n, round(c.centroid_norm, 4) AS centroid_norm_r
+FROM cents c JOIN counts ON c.label = counts.label
+""",
+    doc="applyInPandas grouped-map (numpy column means per label group)",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n": [len(pdf)],
+                "centroid_norm_r": [
+                    round(float(np.linalg.norm(mat.mean(axis=0))), 4)
+                ],
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        centroid, schema="label int, n long, centroid_norm_r double"
+    )
+
+
+# -- V6: the reference's query shape — NL text → encode → search -----------
+@register(
+    "text_query_search",
+    oracle=None,
+    doc="query-text encode (fake model) + exact search, the EP2 inner loop",
+)
+def text_query_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.embedding import embed_documents
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qtexts = spark.createDataFrame(
+        [
+            (1, "vector database benchmark latency"),
+            (2, "approximate nearest neighbor recall"),
+            (3, "document embedding pipeline"),
+        ],
+        "query_id int, query_text string",
+    )
+    qvecs = embed_documents(qtexts, text_col="query_text", dim=64).select(
+        "query_id", F.col("embedding").alias("query_vec")
+    )
+    res = exact_knn(qvecs, emb, k=5, item_id="vec_id")
+    return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))

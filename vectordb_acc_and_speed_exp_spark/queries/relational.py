@@ -421,3 +421,80 @@ def customer_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             y97.subtract(y96).select(F.lit("new").alias("cohort"), "o_custkey")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# JSON property extraction ([EXT] — the reference only writes JSON as a
+# sink, SURVEY.md §2.9; pipelines also need it as data).
+# --------------------------------------------------------------------------
+@register(
+    "events_json_props",
+    oracle="""
+WITH p AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n, count(k) AS n_with_k,
+       sum(k) AS sum_k, sum(k) * 1.0 / count(k) AS avg_k
+FROM p GROUP BY event_type
+""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k"),
+    )
+    cnt = F.count(F.lit(1))
+    return e.groupBy("event_type").agg(
+        cnt.alias("n"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        (F.sum("k") * 1.0 / F.count("k")).alias("avg_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join ([EXT]; named in the north star as a custom operator Spark
+# lacks): for every purchase event, the most recent click by the same user
+# strictly before it. Expressed as a running last-non-null over the
+# user-time-ordered event stream — one shuffle on user_id, no range
+# explosion; the identical window formulation runs on both engines.
+# --------------------------------------------------------------------------
+@register(
+    "purchase_attribution",
+    oracle="""
+WITH ordered AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+         last_value(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ms
+  FROM events
+)
+SELECT event_id, user_id, ts_ms AS purchase_ms, last_click_ms,
+       ts_ms - last_click_ms AS gap_ms
+FROM ordered WHERE event_type = 'purchase'
+""",
+)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_millis("ts").alias("ts_ms"), "ts"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts_ms")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("last_click_ms", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts_ms").alias("purchase_ms"),
+            "last_click_ms",
+            (F.col("ts_ms") - F.col("last_click_ms")).alias("gap_ms"),
+        )
+    )
