@@ -74,3 +74,30 @@ def test_ivf_full_probe_equals_exact(query_set, embeddings, ground_truth):
     ann = ivf_ann(query_set, assigned, cents, k=10, n_probe=4, item_id="vec_id")
     r = mean_recall(recall_at_k(ground_truth, ann, k=10)).first().mean_recall
     assert r == 1.0
+
+
+def test_ivf_pruned_storage_matches_inmemory(spark, query_set, embeddings, tmp_path):
+    """Cell-partitioned parquet layout: results identical to the in-memory
+    IVF path, and the scan actually prunes to the probed partitions."""
+    from vectordb_acc_and_speed_exp_spark.operators.ann import (
+        ivf_ann_pruned,
+        write_ivf_corpus,
+    )
+
+    cents = kmeans_centroids(embeddings, n_cells=8)
+    assigned = ivf_assign(embeddings, cents)
+    path = str(tmp_path / "ivf_corpus")
+    write_ivf_corpus(assigned, path)
+
+    mem = ivf_ann(query_set, assigned, cents, k=10, n_probe=3, item_id="vec_id")
+    disk = ivf_ann_pruned(
+        query_set, spark, path, cents, k=10, n_probe=3, item_id="vec_id"
+    )
+    mem_rows = sorted((r.query_id, r.rank, r.item_id) for r in mem.collect())
+    disk_rows = sorted((r.query_id, r.rank, r.item_id) for r in disk.collect())
+    assert mem_rows == disk_rows
+
+    import os
+
+    cells = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert len(cells) >= 2  # layout really is partitioned

@@ -56,3 +56,34 @@ def test_stateful_sessionize_counts(spark, sf_dir):
     for r in rows:
         assert r.session_end_ms >= r.session_start_ms
         assert r.n_events >= 1
+
+
+def test_streaming_dedup(spark, sf_dir):
+    from vectordb_acc_and_speed_exp_spark.streaming.events import dedup_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    got = run_stream_to_batch(dedup_stream(stream), mode="append")
+    n = got.count()
+    from vectordb_acc_and_speed_exp_spark.io import load_table
+
+    expect = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert n == expect
+
+
+def test_stream_to_parquet_sink(spark, sf_dir, tmp_path):
+    from vectordb_acc_and_speed_exp_spark.streaming.events import (
+        hourly_counts_stream,
+        stream_to_parquet,
+    )
+
+    out = str(tmp_path / "hourly_parquet")
+    stream = read_events_stream(spark, sf_dir)
+    stream_to_parquet(
+        hourly_counts_stream(stream), out, mode="complete"
+    )
+    written = spark.read.parquet(out)
+    batch = run_stream_to_batch(
+        hourly_counts_stream(read_events_stream(spark, sf_dir)), mode="complete"
+    )
+    assert written.count() == batch.count()
+    assert set(written.columns) == {"win", "event_type", "n_events", "sum_value"}

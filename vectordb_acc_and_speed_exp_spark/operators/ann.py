@@ -205,3 +205,57 @@ def ivf_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "item_id", "dist")
     )
+
+
+def write_ivf_corpus(corpus_assigned: DataFrame, path: str) -> None:
+    """Persist an IVF-assigned corpus partitioned by cell — the storage
+    layout that turns ANN probing into parquet partition pruning: a query
+    touching n_probe of n_cells reads only those directories. This is the
+    Spark-native analogue of an ANN index structure (SURVEY.md §4: the
+    HNSW replacement strategy)."""
+    corpus_assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_ann_pruned(
+    queries: DataFrame,
+    spark,
+    corpus_path: str,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> DataFrame:
+    """IVF search against a cell-partitioned corpus on disk. The probed
+    cell set is resolved first (tiny centroid kNN), then pushed into the
+    scan as a partition filter — `.explain` shows PartitionFilters with
+    `cell IN (...)` and only n_probe directories are read."""
+    from pyspark.sql import functions as F
+
+    qcells = exact_knn(
+        queries,
+        centroids,
+        k=n_probe,
+        query_id=query_id,
+        query_vec=query_vec,
+        item_id="cell",
+        item_vec="centroid",
+    ).select(F.col("query_id"), F.col("item_id").alias("cell"))
+    probed = sorted({r.cell for r in qcells.collect()})
+    corpus = spark.read.parquet(corpus_path).filter(F.col("cell").isin(probed))
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec")
+    ).join(qcells, "query_id")
+    cand = q.join(corpus, "cell").select(
+        "query_id",
+        F.col(item_id).alias("item_id"),
+        l2_dist(F.col("_qvec"), F.col(item_vec)).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("item_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "dist")
+    )

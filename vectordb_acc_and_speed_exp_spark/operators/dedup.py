@@ -64,7 +64,12 @@ def minhash_signatures_df(
 ) -> DataFrame:
     """(doc_id, seed, minhash): seed-th signature element = min over the
     doc's shingle set of the seeded portable hash."""
-    sh = _shingle_table(df, id_col, text_col, shingle_words)
+    return _minhash_from_shingles(
+        _shingle_table(df, id_col, text_col, shingle_words), n_hashes
+    )
+
+
+def _minhash_from_shingles(sh: DataFrame, n_hashes: int) -> DataFrame:
     seeded = sh.select(
         "doc_id",
         "sh",
@@ -121,7 +126,11 @@ def minhash_lsh_pairs(
     """Full MinHash-LSH near-dup pipeline:
     shingle → minhash(n_hashes) → band(n_hashes/band_size) → bucket-join →
     exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard_r)."""
-    sig = minhash_signatures_df(df, id_col, text_col, n_hashes)
+    # the shingle table feeds three consumers (signatures, sizes, verify
+    # join x2) — without persist the whole tokenize+shingle pipeline would
+    # re-run per consumer (6 scans of the source observed in the plan)
+    shingles = _shingle_table(df, id_col, text_col).persist()
+    sig = _minhash_from_shingles(shingles, n_hashes)
     # band signature: ordered concat of the band's minhashes
     bands = (
         sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
@@ -149,7 +158,6 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    shingles = _shingle_table(df, id_col, text_col)
     return _jaccard_verify(cand, shingles, jaccard_threshold)
 
 

@@ -145,3 +145,32 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    the streaming twin of operators/dedup.py::exact_dedup (state bounded
+    by the watermark; duplicate late arrivals beyond it are dropped by
+    the watermark itself)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def stream_to_parquet(
+    result: DataFrame, out_dir: str, mode: str = "append"
+) -> None:
+    """foreachBatch parquet writer (streaming form of the collection
+    writer S7): each micro-batch appends atomically; the batch id gives
+    exactly-once semantics for idempotent sinks."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sink_")
+    q = (
+        result.writeStream.foreachBatch(write_batch)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
