@@ -66,6 +66,35 @@ def main() -> None:
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # Brute-force throughput at BASELINE-comparable corpus size: the
+    # embeddings table replicated 50x (deterministic id offsets) -> ~100k
+    # vectors; 5-query batch, top-10, both kernels. BASELINE.md's BF column
+    # is 4014 ms/query at 58k x 768-dim single-node NumPy.
+    import pyspark.sql.functions as F
+
+    from vectordb_acc_and_speed_exp_spark.io import load_table
+    from vectordb_acc_and_speed_exp_spark.operators.knn import exact_knn
+    from vectordb_acc_and_speed_exp_spark.operators.simjoin import cosine_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    big = (
+        emb.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(49))))
+        .select((F.col("vec_id") * 50 + F.col("r")).alias("vec_id"), "embedding")
+        .cache()
+    )
+    big.count()
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cosine_knn_join(qs, big, k=10, item_id="vec_id", metric="l2").count()  # warm
+    t0 = time.perf_counter()
+    cosine_knn_join(qs, big, k=10, item_id="vec_id", metric="l2").count()
+    timings["bf_replicated100k_5q_blas"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    exact_knn(qs, big, k=10, item_id="vec_id").count()
+    timings["bf_replicated100k_5q_codegen"] = round(time.perf_counter() - t0, 4)
+    big.unpersist()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
