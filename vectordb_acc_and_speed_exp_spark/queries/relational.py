@@ -498,3 +498,36 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts_ms") - F.col("last_click_ms")).alias("gap_ms"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Pure filter-aggregate (TPC-H Q6 shape): the canonical pushdown-everything
+# query — one scan, zero joins, one scalar out.
+# --------------------------------------------------------------------------
+@register(
+    "forecast_revenue",
+    oracle="""
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        (
+            F.sum(_cents("l_extendedprice") * _cents("l_discount")) / 10000.0
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

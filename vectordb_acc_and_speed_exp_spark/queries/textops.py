@@ -442,3 +442,58 @@ def source_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.trim(F.col("text")), r"\s+").getItem(0).alias("first_word"),
         F.split(F.col("source"), "c").getItem(0).alias("src_prefix"),
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs: pigeonhole blocking on 4 x 15-bit chunks, exact
+# Hamming verify — the full simhash dedup pipeline, oracle-checked.
+# --------------------------------------------------------------------------
+_SIMHASH_BASE_SQL = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+  )
+),
+bits AS (
+  SELECT doc_id, j.range AS j,
+         sum(CASE WHEN ({_HASH_SQL.format(e="tok")} >> CAST(j.range AS INTEGER)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM tok, range(0, 60) j
+  GROUP BY doc_id, j.range
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "simhash_neardup",
+    oracle=_SIMHASH_BASE_SQL
+    + """,
+chunks AS (
+  SELECT doc_id, simhash, c.range AS chunk,
+         (simhash >> CAST(c.range * 15 AS INTEGER)) & 32767 AS chunk_val
+  FROM fp, range(0, 4) c
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sh_a,
+                  b.doc_id AS id_b, b.simhash AS sh_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2
+""",
+    doc="simhash is candidate GENERATION here: distinct-token simhash over a "
+    "small shared vocabulary collides aggressively (hamming 0 != identical "
+    "text), so downstream must jaccard-verify — see minhash_lsh_dup_pairs",
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=2
+    )
