@@ -167,12 +167,18 @@ _SHINGLES_SQL = f"""
 # (<3 tokens) produce one shingle 'w1 w2 NULL'-free because greatest(...,1)
 # only fires when len>=1 and list slicing pads — handled identically in
 # functions/text.py::word_shingles via slice().
+# affine minhash family over one base hash (mirrors operators/dedup.py::
+# _minhash_from_shingles exactly — see its docstring for the constants)
 _MINHASH_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL}),
+based AS (
+  SELECT doc_id, {_HASH_SQL.format(e="sh")} % 1073741824 AS h30 FROM sh
+),
 seeded AS (
   SELECT doc_id, seed.range AS seed,
-         min({_HASH_SQL.format(e="CAST(seed.range AS VARCHAR) || chr(31) || sh")}) AS minhash
-  FROM sh, range(0, {_N_HASHES}) seed
+         min((CAST(((1103515245 * seed.range + 12345) % 1073741824) | 1 AS BIGINT) * h30
+              + (12345 * seed.range + 1103515245) % 1073741824) % 2147483647) AS minhash
+  FROM based, range(0, {_N_HASHES}) seed
   GROUP BY doc_id, seed.range
 )
 """
