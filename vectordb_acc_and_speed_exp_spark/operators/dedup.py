@@ -187,7 +187,9 @@ def ngram_jaccard_join(
     Note: n_common is counted over *capped* shingles but sizes over all —
     matching the oracle; with a generous cap the rare-shingle intersection
     equals the true intersection for near-dup pairs."""
-    shingles = _shingle_table(df, id_col, text_col, shingle_words)
+    # three consumers (df-cap, pair join x2, sizes) — persist, as in
+    # minhash_lsh_pairs
+    shingles = _shingle_table(df, id_col, text_col, shingle_words).persist()
     rare = (
         shingles.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
