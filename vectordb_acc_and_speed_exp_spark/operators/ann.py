@@ -121,7 +121,7 @@ def lsh_ann(
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("item_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "item_id", "dist")
     )
@@ -201,7 +201,7 @@ def ivf_ann(
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("item_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "item_id", "dist")
     )
@@ -255,7 +255,7 @@ def ivf_ann_pruned(
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("item_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "item_id", "dist")
     )

@@ -267,7 +267,7 @@ def simhash_neardup_pairs(
         )
         .distinct()
     )
-    hamming = F.expr("bit_count(sh_a ^ sh_b)")
+    hamming = F.expr("bigint(bit_count(sh_a ^ sh_b))")
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

@@ -58,7 +58,7 @@ def exact_knn(
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("item_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "item_id", "dist")
     )

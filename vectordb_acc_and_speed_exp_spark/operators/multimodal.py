@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
-    "doc_id bigint, n_bytes int, checksum string, width int, height int, "
+    "doc_id bigint, n_bytes bigint, checksum string, width int, height int, "
     "n_frames int, feature array<float>"
 )
 

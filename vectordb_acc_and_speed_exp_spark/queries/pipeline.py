@@ -117,7 +117,7 @@ WITH seq AS (
 ladder AS (SELECT unnest([100, 200, 300, 400, 500]) AS snapshot_size)
 SELECT l.snapshot_size,
        count(*) AS n_docs,
-       sum(s.n_chars) AS total_chars,
+       CAST(sum(s.n_chars) AS BIGINT) AS total_chars,
        count(DISTINCT s.lang) AS n_langs
 FROM seq s JOIN ladder l ON s.page_seq <= l.snapshot_size
 GROUP BY l.snapshot_size

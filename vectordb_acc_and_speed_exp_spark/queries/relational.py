@@ -156,7 +156,7 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
-    ranked = o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    ranked = o.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(F.col("rn") <= 3)
     return ranked.join(F.broadcast(c), ranked.o_custkey == c.c_custkey).select(
         "o_custkey", "c_name", "o_orderkey", "o_totalprice", "rn"
     )
@@ -274,8 +274,8 @@ WITH ordered AS (
   FROM ordered
 ), numbered AS (
   SELECT user_id, event_id, ts, ts_ms,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_num
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
   FROM flagged
 )
 SELECT user_id, session_num,
@@ -435,7 +435,7 @@ WITH p AS (
   FROM events
 )
 SELECT event_type, count(*) AS n, count(k) AS n_with_k,
-       sum(k) AS sum_k, sum(k) * 1.0 / count(k) AS avg_k
+       CAST(sum(k) AS BIGINT) AS sum_k, sum(k) * 1.0 / count(k) AS avg_k
 FROM p GROUP BY event_type
 """,
 )

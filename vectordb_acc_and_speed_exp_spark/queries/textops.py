@@ -56,7 +56,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = d.select(
         "doc_id",
         "lang",
-        token_count(F.col("text")).alias("n_tokens"),
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
         punct_ratio(F.col("text")).alias("p_ratio"),
         F.trim(F.col("text")).alias("trimmed"),
     )
@@ -92,9 +92,9 @@ WITH t AS (
   FROM documents
 )
 SELECT lang, count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        sum(n_chars) * 1.0 / count(*) AS avg_chars,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        sum(n_tokens) * 1.0 / count(*) AS avg_tokens
 FROM t GROUP BY lang
 """,
@@ -193,7 +193,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures_df(d, "doc_id", "text", n_hashes=_N_HASHES)
-    return sig.select("doc_id", "seed", "minhash")
+    return sig.select("doc_id", F.col("seed").cast("bigint").alias("seed"), "minhash")
 
 
 # --------------------------------------------------------------------------
@@ -260,7 +260,7 @@ bits AS (
   GROUP BY doc_id, j.range
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """,
 )
@@ -405,10 +405,10 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     staged = d.select(
         "doc_id",
-        token_count(F.col("text")).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)).alias(
-            "n_bpe_tokens"
-        ),
+        token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
     )
     return staged.select(
         "doc_id",
@@ -469,7 +469,7 @@ bits AS (
 ),
 fp AS (
   SELECT doc_id,
-         sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
+         CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
   FROM bits GROUP BY doc_id
 )
 """
@@ -490,7 +490,7 @@ cand AS (
   FROM chunks a JOIN chunks b
     ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
 )
-SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2
 """,
     doc="simhash is candidate GENERATION here: distinct-token simhash over a "

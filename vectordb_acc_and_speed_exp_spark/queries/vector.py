@@ -179,7 +179,7 @@ def knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id", "label").orderBy(F.asc("dist"), F.asc("item_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 3)
         .select("query_id", "label", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
     )
@@ -263,7 +263,7 @@ def knn_snapshot_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.asc("dist"), F.asc("item_id")
     )
     return (
-        tagged.withColumn("rank", F.row_number().over(w))
+        tagged.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 3)
         .select(
             "query_id", "snapshot_size", "rank", "item_id",
