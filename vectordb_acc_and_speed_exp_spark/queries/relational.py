@@ -531,3 +531,48 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# --------------------------------------------------------------------------
+# Native session_window sessionization ([EXT]): Spark's built-in gap-merge
+# session windows, oracled against the explicit lag/cumsum construction
+# (identical gap semantics; exact-boundary ties are measure-zero with
+# microsecond timestamps).
+# --------------------------------------------------------------------------
+@register(
+    "events_session_window",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms,
+         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_num
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_num
+""",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # session_window.start == first event ts of the merged session, which is
+    # exactly the lag/cumsum oracle's min(ts)
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )

@@ -503,3 +503,57 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=2
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document — classic text analytics as pure relational
+# algebra (tf = in-doc count, idf = ln((N+1)/(df+1)) + 1, smooth), no MLlib
+# fit state, so the whole thing is oracle-checkable.
+# --------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln((n.n_docs + 1) * 1.0 / (df.df + 1)) + 1.0) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, round(score, 4) AS score_r
+FROM ranked WHERE rank <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) * 1.0 / (F.col("df") + 1)) + 1.0)
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", F.round("score", 4).alias("score_r"))
+    )
