@@ -221,3 +221,20 @@ def text_query_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = exact_knn(qvecs, emb, k=5, item_id="vec_id")
     return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
+
+
+# -- V3 ANN, PQ path: compressed-domain ADC short-list + exact re-rank -----
+@register(
+    "ann_pq_topk",
+    oracle=None,
+    doc="PQ(8x16) ADC short-list (64x compressed scan) + exact re-rank top-10",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_encode, pq_search_rerank, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = _query_set(spark, sf_dir)
+    books = pq_train(emb, m=8, k=16)
+    enc = pq_encode(emb, books, item_id="vec_id")
+    res = pq_search_rerank(qs, emb, enc, books, k=10, shortlist=100, item_id="vec_id")
+    return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
