@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import portable_hash64
+
 from ..functions.text import norm_text, punct_ratio, token_count, tokens
 from ..io import load_table
 from . import register

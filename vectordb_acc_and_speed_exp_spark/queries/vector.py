@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_sim
+
 from ..io import load_table
 from ..operators.knn import exact_knn
 from ..operators.recall import recall_at_k
