@@ -9,11 +9,18 @@ from SURVEY.md §2 via the registry in
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from vectordb_acc_and_speed_exp_spark.queries import load_all
+# make the package importable regardless of the caller's CWD
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from vectordb_acc_and_speed_exp_spark.queries import load_all  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
