@@ -42,6 +42,8 @@ HEADLINE = [
     "purchase_attribution",
     "events_json_props",
     "label_centroids",
+    "embed_documents_fake",
+    "char_ngram_stats",
 ]
 
 

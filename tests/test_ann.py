@@ -146,3 +146,21 @@ def test_pq_candidate_coverage_and_rerank(spark, query_set, embeddings, ground_t
 
     r = mean_recall(recall_at_k(ground_truth, reranked, k=10)).first().mean_recall
     assert abs(r - c100) < 1e-9  # rerank recall == shortlist coverage
+
+
+def test_lsh_pruned_storage_matches_inmemory(spark, query_set, embeddings, tmp_path):
+    from vectordb_acc_and_speed_exp_spark.operators.ann import (
+        lsh_ann_pruned,
+        write_lsh_corpus,
+    )
+
+    path = str(tmp_path / "lsh_corpus")
+    write_lsh_corpus(embeddings.select("vec_id", "embedding"), path)
+    mem = lsh_ann(query_set, embeddings, k=10, item_id="vec_id")
+    disk = lsh_ann_pruned(query_set, spark, path, k=10, item_id="vec_id")
+    assert sorted((r.query_id, r.rank, r.item_id) for r in mem.collect()) == sorted(
+        (r.query_id, r.rank, r.item_id) for r in disk.collect()
+    )
+    import os
+
+    assert len([d for d in os.listdir(path) if d.startswith("bucket=")]) >= 4

@@ -259,3 +259,70 @@ def ivf_ann_pruned(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "item_id", "dist")
     )
+
+
+def write_lsh_corpus(
+    corpus: DataFrame,
+    path: str,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    item_vec: str = "embedding",
+) -> None:
+    """Persist the corpus partitioned by LSH bucket (sign signature) — the
+    storage twin of write_ivf_corpus: multiprobe reads become partition-
+    pruned scans over the probed bucket directories."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    corpus.withColumn("bucket", _signature(F.col(item_vec), planes)).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+
+
+def lsh_ann_pruned(
+    queries: DataFrame,
+    spark,
+    corpus_path: str,
+    k: int = 10,
+    n_planes: int = 6,
+    n_probe_bits: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> DataFrame:
+    """Multiprobe LSH against a bucket-partitioned corpus on disk: resolve
+    the probe set driver-side (tiny), push `bucket IN (...)` into the scan
+    (partition pruning), exact re-rank the candidates."""
+    import itertools
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    q0 = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("_qvec"),
+        _signature(F.col(query_vec), planes).alias("sig"),
+    )
+    probes = [F.col("sig")]
+    for r in range(1, n_probe_bits + 1):
+        for bits in itertools.combinations(range(n_planes), r):
+            mask = 0
+            for b in bits:
+                mask |= 1 << b
+            probes.append(F.expr(f"int(sig ^ {mask})"))
+    q = q0.select(
+        "query_id", "_qvec", F.explode(F.array(*probes)).alias("bucket")
+    ).dropDuplicates(["query_id", "bucket"])
+    probed = sorted({r.bucket for r in q.select("bucket").distinct().collect()})
+    corpus = spark.read.parquet(corpus_path).filter(F.col("bucket").isin(probed))
+    cand = q.join(corpus, "bucket").select(
+        "query_id",
+        F.col(item_id).alias("item_id"),
+        l2_dist(F.col("_qvec"), F.col(item_vec)).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("item_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "dist")
+    )

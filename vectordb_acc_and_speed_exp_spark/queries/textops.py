@@ -557,3 +557,44 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "rank", "term", F.round("score", 4).alias("score_r"))
     )
+
+
+# --------------------------------------------------------------------------
+# Character n-gram profile (the char-shingle dedup feature space).
+# --------------------------------------------------------------------------
+@register(
+    "char_ngram_stats",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(nt) - 4, 1) + 1),
+           i -> substring(nt, CAST(i AS INTEGER), 5)
+         )) AS gs,
+         len(nt) AS n_chars_norm
+  FROM t
+)
+SELECT doc_id, n_chars_norm,
+       CAST(len(gs) AS BIGINT) AS n_distinct_5grams,
+       round(len(gs) * 1.0 / greatest(n_chars_norm - 4, 1), 4) AS uniqueness_r
+FROM grams
+""",
+)
+def char_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import ngram_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        F.length(norm_text(F.col("text"))).alias("n_chars_norm"),
+        F.array_distinct(ngram_shingles(F.col("text"), 5)).alias("gs"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_chars_norm",
+        F.size("gs").cast("bigint").alias("n_distinct_5grams"),
+        F.round(
+            F.size("gs") * 1.0 / F.greatest(F.col("n_chars_norm") - 4, F.lit(1)), 4
+        ).alias("uniqueness_r"),
+    )
