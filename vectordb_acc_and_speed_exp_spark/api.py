@@ -1,0 +1,134 @@
+"""Collection-style client facade — the user-facing surface a reference
+user would switch to (ChromaDB client semantics: create_collection / add /
+query / count / list_collections / delete_collection, SURVEY.md §2.1 S7/S8,
+create_collections.py:74-77, :245-263, :451-468).
+
+A collection is a parquet directory under ``root`` holding
+(id string, text string, embedding array<float>, ...metadata columns).
+Query modes map to the engine's search operators:
+
+    exact   operators.knn.exact_knn        (brute-force oracle, V2)
+    blas    operators.simjoin.cosine_knn_join (gemm kernel)
+    lsh     operators.ann.lsh_ann          (multiprobe sign-LSH, V3)
+
+Text queries are encoded with the same (pluggable) encoder used at add
+time (V1/V6). Unlike ChromaDB — where every collection owns a private HNSW
+index rebuilt per collection — adds are parquet appends and search scans
+prune columns; the cumulative-snapshot workflow therefore doesn't need 56
+physical copies (operators/snapshots.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.embedding import DEFAULT_DIM, embed_documents
+from .operators.knn import exact_knn
+
+
+class VectorStore:
+    """Minimal collection catalog over a parquet root."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        dim: int = DEFAULT_DIM,
+        model_path: str | None = None,
+    ):
+        self.spark = spark
+        self.root = root
+        self.dim = dim
+        self.model_path = model_path
+        os.makedirs(root, exist_ok=True)
+
+    # -- catalog ops (S8) --------------------------------------------------
+    def _path(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"bad collection name {name!r}")
+        return os.path.join(self.root, name)
+
+    def list_collections(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def delete_collection(self, name: str) -> None:
+        shutil.rmtree(self._path(name), ignore_errors=True)
+
+    def count(self, name: str) -> int:
+        return self.get(name).count()
+
+    def get(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(name))
+
+    # -- writes (S7) -------------------------------------------------------
+    def create_collection(
+        self, name: str, docs: DataFrame, id_col: str = "id", text_col: str = "text"
+    ) -> None:
+        """Embed (if no embedding column) and persist. Overwrites —
+        mirroring the reference's delete+create (CC:255-263)."""
+        self._write(name, docs, id_col, text_col, mode="overwrite")
+
+    def add(
+        self, name: str, docs: DataFrame, id_col: str = "id", text_col: str = "text"
+    ) -> None:
+        """Append records (the reference's batched collection.add)."""
+        self._write(name, docs, id_col, text_col, mode="append")
+
+    def _write(self, name, docs, id_col, text_col, mode):
+        if "embedding" not in docs.columns:
+            docs = embed_documents(
+                docs, text_col=text_col, dim=self.dim, model_path=self.model_path
+            )
+        docs = docs.withColumnRenamed(id_col, "id") if id_col != "id" else docs
+        docs.write.mode(mode).parquet(self._path(name))
+
+    # -- search (V2/V3/V6) -------------------------------------------------
+    def query(
+        self,
+        name: str,
+        query_texts: list[str] | None = None,
+        query_vecs: list[list[float]] | None = None,
+        k: int = 10,
+        mode: str = "exact",
+    ) -> DataFrame:
+        """Top-k search. Returns (query_id, rank, item_id, dist); query_id
+        is the position in the input list."""
+        if (query_texts is None) == (query_vecs is None):
+            raise ValueError("provide exactly one of query_texts / query_vecs")
+        if query_texts is not None:
+            qdf = self.spark.createDataFrame(
+                list(enumerate(query_texts)), "query_id bigint, text string"
+            )
+            qdf = embed_documents(
+                qdf, text_col="text", dim=self.dim, model_path=self.model_path
+            ).select("query_id", F.col("embedding").alias("query_vec"))
+        else:
+            qdf = self.spark.createDataFrame(
+                [(i, [float(x) for x in v]) for i, v in enumerate(query_vecs)],
+                "query_id bigint, query_vec array<float>",
+            )
+        corpus = self.get(name)
+        if mode == "exact":
+            return exact_knn(qdf, corpus, k=k, item_id="id", item_vec="embedding")
+        if mode == "blas":
+            from .operators.simjoin import cosine_knn_join
+
+            return cosine_knn_join(
+                qdf, corpus, k=k, item_id="id", item_vec="embedding", metric="l2"
+            )
+        if mode == "lsh":
+            from .operators.ann import lsh_ann
+
+            return lsh_ann(
+                qdf, corpus, k=k, dim=self.dim, n_probe_bits=3,
+                item_id="id", item_vec="embedding",
+            )
+        raise ValueError(f"unknown mode {mode!r}; one of exact/blas/lsh")
