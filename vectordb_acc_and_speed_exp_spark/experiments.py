@@ -74,6 +74,19 @@ def speed_experiment(
     emb = load_table(spark, sf_dir, "embeddings").cache()
     total = emb.count()
     queries = _query_set(spark, sf_dir)
+    # phase split (B3, chromadb_speed_experiment.py:469-481): time the query
+    # encode stage separately from search — here a one-off on the (tiny)
+    # query set with the pluggable encoder, reported as meta
+    from .operators.embedding import embed_documents
+
+    qtexts = spark.createDataFrame(
+        [(i, f"query {i}") for i in range(5)], "query_id int, text string"
+    )
+    embed_documents(qtexts, text_col="text", dim=64).count()  # warm
+    t0 = time.perf_counter()
+    embed_documents(qtexts, text_col="text", dim=64).count()
+    embed_sec = time.perf_counter() - t0
+
     results = []
     for size in snapshot_sizes(total, step):
         snap = emb.filter(F.col("vec_id") < size)
@@ -88,7 +101,10 @@ def speed_experiment(
     if out_prefix:
         save_results_json(
             results, out_prefix + "_results.json",
-            meta={"sf_dir": sf_dir, "k": k, "num_runs": num_runs, "step": step},
+            meta={
+                "sf_dir": sf_dir, "k": k, "num_runs": num_runs, "step": step,
+                "query_embed_sec_batch5": round(embed_sec, 4),
+            },
         )
         save_results_csv(results, out_prefix + "_summary.csv")
     emb.unpersist()
