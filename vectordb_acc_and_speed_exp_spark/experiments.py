@@ -128,7 +128,7 @@ def recall_experiment(
     for size in snapshot_sizes(total, step):
         snap = emb.filter(F.col("vec_id") < size)
         gt = exact_knn(queries, snap, k=k, item_id="vec_id").cache()
-        ann = lsh_ann(queries, snap, k=k, item_id="vec_id").cache()
+        ann = lsh_ann(queries, snap, k=k, n_probe_bits=3, item_id="vec_id").cache()
         r5 = recall_at_k(gt, ann, k=5).agg(F.avg("recall")).first()[0]
         r10 = recall_at_k(gt, ann, k=min(10, k)).agg(F.avg("recall")).first()[0]
         rows.append((size, float(r5 or 0.0), float(r10 or 0.0)))

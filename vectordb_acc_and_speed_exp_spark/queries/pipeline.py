@@ -243,3 +243,27 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = pq_encode(emb, books, item_id="vec_id")
     res = pq_search_rerank(qs, emb, enc, books, k=10, shortlist=100, item_id="vec_id")
     return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
+
+
+# -- ANN tuning curve: recall vs probe depth (the EP3 analysis axis) -------
+@register(
+    "lsh_probe_recall_curve",
+    oracle=None,
+    doc="recall@10 per multiprobe depth 0..3 — the accuracy/cost tuning "
+    "curve of the LSH path (probe fraction of 2^6 buckets: .016/.11/.34/.66)",
+)
+def lsh_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = _query_set(spark, sf_dir)
+    gt = exact_knn(qs, emb, k=10, item_id="vec_id")
+    parts = []
+    for bits in range(4):
+        ann = lsh_ann(qs, emb, k=10, n_probe_bits=bits, item_id="vec_id")
+        parts.append(
+            recall_at_k(gt, ann, k=10)
+            .agg(F.avg("recall").alias("mean_recall"))
+            .select(F.lit(bits).alias("probe_bits"), "mean_recall")
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
