@@ -598,3 +598,42 @@ def char_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("gs") * 1.0 / F.greatest(F.col("n_chars_norm") - 4, F.lit(1)), 4
         ).alias("uniqueness_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# Polynomial rolling-hash fingerprint (north-star "document fingerprinting
+# (rolling hash)"): fold over the normalized character stream,
+# h = (h * 257 + code) mod (2^31 - 1). Left-to-right fold is identical in
+# both engines (Spark aggregate / DuckDB list_reduce), so exact-verified.
+# Unlike md5 it supports incremental/windowed updates at ingest time.
+# --------------------------------------------------------------------------
+@register(
+    "rolling_hash_fingerprint",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents)
+SELECT doc_id,
+       CASE WHEN len(nt) = 0 THEN 0
+            ELSE list_reduce(
+              list_prepend(CAST(0 AS BIGINT), list_transform(
+                range(1, len(nt) + 1),
+                i -> CAST(ascii(substring(nt, CAST(i AS INTEGER), 1)) AS BIGINT))),
+              (acc, c) -> (acc * 257 + c) % 2147483647)
+       END AS rolling_hash
+FROM t
+""",
+)
+def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    nt = norm_text(F.col("text"))
+    staged = d.select("doc_id", F.split(nt, "").alias("chars"))
+    h = F.aggregate(
+        F.transform(F.col("chars"), lambda c: F.ascii(c).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 257 + c) % 2147483647,
+    )
+    return staged.select(
+        "doc_id",
+        F.when(F.size("chars") == 0, F.lit(0).cast("bigint"))
+        .otherwise(h)
+        .alias("rolling_hash"),
+    )
