@@ -86,4 +86,29 @@ def test_stream_to_parquet_sink(spark, sf_dir, tmp_path):
         hourly_counts_stream(read_events_stream(spark, sf_dir)), mode="complete"
     )
     assert written.count() == batch.count()
-    assert set(written.columns) == {"win", "event_type", "n_events", "sum_value"}
+    # batch_id is the sink's idempotence partition key
+    assert set(written.columns) == {
+        "win", "event_type", "n_events", "sum_value", "batch_id"
+    }
+
+
+def test_stream_to_parquet_replay_idempotent(spark, sf_dir, tmp_path):
+    """A replayed micro-batch (same batch_id, as after a failure/restart)
+    overwrites its own partition instead of appending duplicates."""
+    from vectordb_acc_and_speed_exp_spark.streaming.events import (
+        hourly_counts_stream,
+        stream_to_parquet,
+    )
+
+    out = str(tmp_path / "hourly_parquet")
+    stream_to_parquet(
+        hourly_counts_stream(read_events_stream(spark, sf_dir)), out, mode="complete"
+    )
+    n_once = spark.read.parquet(out).count()
+    # simulate the failure-recovery replay: run the same bounded stream again
+    # into the same sink dir (availableNow reprocesses everything -> same
+    # batch ids -> same partition dirs get overwritten)
+    stream_to_parquet(
+        hourly_counts_stream(read_events_stream(spark, sf_dir)), out, mode="complete"
+    )
+    assert spark.read.parquet(out).count() == n_once

@@ -255,9 +255,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # cache the corpus (5 scans otherwise: gt + 4 probe depths) and the
+    # ground-truth ranks (joined against 4 times by recall_at_k)
+    emb = load_table(spark, sf_dir, "embeddings").cache()
     qs = _query_set(spark, sf_dir)
-    gt = exact_knn(qs, emb, k=10, item_id="vec_id")
+    gt = exact_knn(qs, emb, k=10, item_id="vec_id").cache()
     parts = []
     for bits in range(4):
         ann = lsh_ann(qs, emb, k=10, n_probe_bits=bits, item_id="vec_id")

@@ -535,9 +535,9 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Native session_window sessionization ([EXT]): Spark's built-in gap-merge
-# session windows, oracled against the explicit lag/cumsum construction
-# (identical gap semantics; exact-boundary ties are measure-zero with
-# microsecond timestamps).
+# session windows, oracled against the explicit lag/cumsum construction.
+# Spark's session interval is half-open — a gap of EXACTLY 30 minutes starts
+# a new session — so the oracle's new-session predicate is >= 1800000, not >.
 # --------------------------------------------------------------------------
 @register(
     "events_session_window",
@@ -547,7 +547,7 @@ WITH ordered AS (
          lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
   FROM events
 ), flagged AS (
-  SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS is_new
+  SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms >= 1800000 THEN 1 ELSE 0 END AS is_new
   FROM ordered
 ), numbered AS (
   SELECT user_id, ts,

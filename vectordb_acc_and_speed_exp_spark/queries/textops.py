@@ -159,14 +159,14 @@ _SHINGLES_SQL = f"""
   SELECT doc_id,
          unnest(list_distinct(list_transform(
            range(1, greatest(len({_TOKENS_SQL}) - 2, 1) + 1),
-           i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i+1] || ' ' || {_TOKENS_SQL}[i+2]
+           i -> array_to_string(list_slice({_TOKENS_SQL}, i, i + 2), ' ')
          ))) AS sh
   FROM documents
 """
-# NULL tokens beyond the end can't happen: range caps at len-2; short docs
-# (<3 tokens) produce one shingle 'w1 w2 NULL'-free because greatest(...,1)
-# only fires when len>=1 and list slicing pads — handled identically in
-# functions/text.py::word_shingles via slice().
+# array_to_string(list_slice(...)) is the exact DuckDB twin of Spark's
+# concat_ws(' ', slice(toks, i, 3)): a <3-token doc yields one partial
+# shingle of all its tokens on BOTH engines (the earlier `t[i]||' '||t[i+1]`
+# form NULL-propagated out-of-range indexes and silently dropped short docs).
 # affine minhash family over one base hash (mirrors operators/dedup.py::
 # _minhash_from_shingles exactly — see its docstring for the constants)
 _MINHASH_SQL = f"""

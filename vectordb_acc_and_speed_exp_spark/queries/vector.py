@@ -16,7 +16,6 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.knn import exact_knn
-from ..operators.recall import recall_at_k
 from . import register
 
 _QUERY_SET_SQL = (
@@ -133,11 +132,38 @@ GROUP BY g.query_id
 """,
 )
 def recall_cosine_vs_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single corpus pass: both distances in one projection (like the oracle's
+    # both_d CTE), two row_number windows over the SAME query_id exchange,
+    # then recall as a conditional aggregate — no second scan, no join.
+    # Because both rankings score the same (query, item) rows, the top-k set
+    # intersection is exactly "gt_rank <= k AND ret_rank <= k".
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_sim, l2_dist
+
+    k = 10
     emb = load_table(spark, sf_dir, "embeddings")
     qs = _query_set(spark, sf_dir)
-    gt = exact_knn(qs, emb, k=10, metric="l2", item_id="vec_id")
-    ret = exact_knn(qs, emb, k=10, metric="cosine", item_id="vec_id")
-    return recall_at_k(gt, ret, k=10)
+    scored = emb.alias("c").crossJoin(F.broadcast(qs.alias("q"))).select(
+        F.col("q.query_id").alias("query_id"),
+        F.col("c.vec_id").alias("item_id"),
+        l2_dist(F.col("q.query_vec"), F.col("c.embedding")).alias("l2"),
+        (1.0 - cosine_sim(F.col("q.query_vec"), F.col("c.embedding"))).alias("cosd"),
+    )
+    wg = Window.partitionBy("query_id").orderBy(F.asc("l2"), F.asc("item_id"))
+    wr = Window.partitionBy("query_id").orderBy(F.asc("cosd"), F.asc("item_id"))
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(wg).alias("gt_rank"),
+        F.row_number().over(wr).alias("ret_rank"),
+    )
+    hit = (F.col("gt_rank") <= k) & (F.col("ret_rank") <= k)
+    return ranked.groupBy("query_id").agg(
+        (
+            F.sum(F.when(hit, 1).otherwise(0)).cast("double")
+            / F.sum(F.when(F.col("gt_rank") <= k, 1).otherwise(0))
+        ).alias("recall")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -188,7 +214,8 @@ def knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # V7 [EXT]: embedding-space near-duplicate pairs (cosine threshold self-join).
 # Brute-force pair join here (the corpus side is broadcast-size at test SF);
-# the LSH-bucketed scale path is operators/ann.py::lsh_similarity_join.
+# the LSH-bucketed scale path is operators/simjoin.py::cosine_self_join_bucketed
+# (bucket via operators/ann.py signatures, BLAS-verify per bucket).
 # --------------------------------------------------------------------------
 @register(
     "embedding_neardup_pairs",

@@ -159,11 +159,15 @@ def stream_to_parquet(
     result: DataFrame, out_dir: str, mode: str = "append"
 ) -> None:
     """foreachBatch parquet writer (streaming form of the collection
-    writer S7): each micro-batch appends atomically; the batch id gives
-    exactly-once semantics for idempotent sinks."""
+    writer S7). Each micro-batch lands in its own ``batch_id=N`` partition
+    directory written with overwrite mode, so a batch replayed after a
+    failure overwrites its own directory instead of appending duplicates —
+    that batch-id keying is what upgrades foreachBatch's at-least-once
+    delivery to exactly-once for this sink. Readers see ``batch_id`` as a
+    normal partition column on ``spark.read.parquet(out_dir)``."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     ckpt = tempfile.mkdtemp(prefix="ckpt_sink_")
     q = (
