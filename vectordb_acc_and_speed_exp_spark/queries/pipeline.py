@@ -245,6 +245,45 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
 
 
+# -- V3 ANN, multi-table query-directed LSH (the high-recall path) ---------
+@register(
+    "mt_lsh_ann_topk",
+    oracle=None,
+    doc="multi-table query-directed LSH (Lv et al. VLDB'07 probing over L "
+    "Indyk-Motwani tables) top-10 — recall@10 0.94 at 64-bucket budget on "
+    "the 500-doc gate corpus; >=0.9 under 20% scan at 20k+ docs (see "
+    "mt_lsh_recall_scan_curve and EP3_MTLSH.md)",
+)
+def mt_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mtlsh import multitable_lsh_ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = multitable_lsh_ann(
+        _query_set(spark, sf_dir), emb, k=10, n_probe_buckets=64,
+        item_id="vec_id", item_vec="embedding",
+    )
+    return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
+
+
+@register(
+    "mt_lsh_recall_scan_curve",
+    oracle=None,
+    doc="recall@10 + scanned fraction per probe budget (32..256) — the "
+    "multi-table accuracy/cost curve; signatures computed once, re-probed "
+    "per budget",
+)
+def mt_lsh_recall_scan_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mtlsh import mt_lsh_budget_curve
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    qs = _query_set(spark, sf_dir)
+    gt = exact_knn(qs, emb, k=10, item_id="vec_id")
+    return mt_lsh_budget_curve(
+        qs, emb, gt, budgets=[32, 64, 128, 256],
+        item_id="vec_id", item_vec="embedding",
+    )
+
+
 # -- ANN tuning curve: recall vs probe depth (the EP3 analysis axis) -------
 @register(
     "lsh_probe_recall_curve",
