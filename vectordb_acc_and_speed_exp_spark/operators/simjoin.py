@@ -24,7 +24,21 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DEFAULT_BROADCAST_CAP = 2_000_000  # rows; ~512 MB at 64-dim float32
+# byte-true driver guard: the collected matrix is float64, so the admissible
+# row count depends on the vector dimension — a row cap that ignores dim
+# admits ~12 GB at 768-dim while "meaning" 512 MB at 64-dim.
+DEFAULT_BROADCAST_CAP_BYTES = 512 << 20  # 512 MiB of float64 matrix
+
+
+def _check_matrix_bytes(n: int, dim: int, cap_bytes: int, side: str) -> None:
+    need = n * dim * 8  # float64
+    if need > cap_bytes:
+        raise ValueError(
+            f"{side} matrix would be {need / 2**20:.0f} MiB "
+            f"({n} rows x {dim} dims x 8 B) > cap {cap_bytes / 2**20:.0f} MiB; "
+            "bucket it first (LSH/IVF/metadata) and verify per bucket — "
+            "see cosine_self_join_bucketed"
+        )
 
 
 def cosine_self_join(
@@ -32,23 +46,22 @@ def cosine_self_join(
     id_col: str,
     vec_col: str,
     threshold: float,
-    broadcast_cap: int = DEFAULT_BROADCAST_CAP,
+    broadcast_cap_bytes: int = DEFAULT_BROADCAST_CAP_BYTES,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine similarity >= threshold.
 
     Returns (id_a, id_b, cos_sim) unrounded — callers round with F.round so
     the rounding rule matches the SQL oracle. The corpus is collected once
     into a dense float64 matrix and broadcast (the reference's S6 full-scan
-    shape); each Arrow batch of the probe side computes one matrix product.
+    shape); the cap is checked in BYTES (rows x dim x 8) with a probed dim
+    BEFORE collecting, so a high-dim corpus cannot OOM the driver. Beyond
+    the cap, use ``cosine_self_join_bucketed`` (fully distributed).
     """
     spark = df.sparkSession
     src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
     n = src.count()
-    if n > broadcast_cap:
-        raise ValueError(
-            f"corpus has {n} rows > broadcast cap {broadcast_cap}; bucket it "
-            "first (LSH/IVF/metadata) and verify per bucket"
-        )
+    dim = len(src.select("_vec").first()[0])
+    _check_matrix_bytes(n, dim, broadcast_cap_bytes, "corpus")
     rows = src.collect()
     ids = np.array([r._id for r in rows])
     mat = np.array([r._vec for r in rows], dtype=np.float64)
@@ -90,7 +103,7 @@ def cosine_knn_join(
     item_id: str = "item_id",
     item_vec: str = "embedding",
     metric: str = "l2",
-    broadcast_cap: int = DEFAULT_BROADCAST_CAP,
+    broadcast_cap_bytes: int = DEFAULT_BROADCAST_CAP_BYTES,
 ) -> DataFrame:
     """Exact k-NN with the BLAS kernel: queries broadcast as a matrix, the
     corpus streams through mapInPandas; per Arrow batch one gemm + a partial
@@ -98,16 +111,17 @@ def cosine_knn_join(
 
     Same result contract as operators.knn.exact_knn (query_id, rank,
     item_id, dist) — benchmark alternative for wide query sets where the
-    per-row HOF distance becomes compute-bound.
+    per-row HOF distance becomes compute-bound. The byte cap is checked
+    (count + probed dim) BEFORE the query set is collected.
     """
     from pyspark.sql import Window
 
     spark = queries.sparkSession
-    qrows = queries.select(
-        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
-    ).collect()
-    if len(qrows) > broadcast_cap:
-        raise ValueError("query set too large to broadcast")
+    qsel = queries.select(F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv"))
+    n_q = qsel.count()
+    qdim = len(qsel.select("_qv").first()[0])
+    _check_matrix_bytes(n_q, qdim, broadcast_cap_bytes, "query")
+    qrows = qsel.collect()
     qids = np.array([r._qid for r in qrows])
     Q = np.array([r._qv for r in qrows], dtype=np.float64)
     b_qids = spark.sparkContext.broadcast(qids)
@@ -157,6 +171,67 @@ def cosine_knn_join(
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "item_id", "dist")
+    )
+
+
+def cosine_self_join_bucketed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int = 4,
+    n_tables: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold — fully distributed.
+
+    The SCALE.md vector-search composition, wired: sign-LSH signatures over
+    ``n_tables`` independent ``n_planes``-bit tables (one gemm per Arrow
+    batch, mtlsh.corpus_signatures), candidate pairs from an equi-join on
+    (table, bucket) — a narrow-key shuffle, never an all-pairs product —
+    then one exact JVM-side cosine per *candidate* pair. Nothing is ever
+    collected to the driver, so there is no byte cap: this is the path past
+    ``cosine_self_join``'s broadcast guard.
+
+    Recall: a pair at cosine s collides per table w.p. (1-θ/π)^b (θ =
+    arccos s), missed by all L tables w.p. (1-p)^L. At the defaults
+    (b=4, L=64) a threshold-0.4 pair is missed w.p. ~1.6e-5 — the
+    metamorphic test asserts exact equality with the brute-force join on
+    the fixed test corpus. Raise b (and lower L) for higher thresholds:
+    near-dup at 0.9 is cheap (b=8, L=16 misses ~4e-3 of borderline pairs,
+    far less above the threshold).
+    """
+    from ..functions.vector import cosine_sim
+    from .mtlsh import corpus_signatures, mt_planes
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    dim = len(src.select("_vec").first()[0])
+    planes = mt_planes(dim, n_planes, n_tables, seed)
+    sig = corpus_signatures(
+        src, planes, n_tables, n_planes, item_id="_id", item_vec="_vec"
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.item_id") < F.col("b.item_id")),
+        )
+        .select(F.col("a.item_id").alias("id_a"), F.col("b.item_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = src.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"))
+    vb = src.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_sim(F.col("_va"), F.col("_vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 

@@ -214,12 +214,11 @@ def knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # V7 [EXT]: embedding-space near-duplicate pairs (cosine threshold self-join).
 # Brute-force pair join here (the corpus side is broadcast-size at test SF);
-# the LSH-bucketed scale path is operators/simjoin.py::cosine_self_join_bucketed
-# (bucket via operators/ann.py signatures, BLAS-verify per bucket).
+# the LSH-bucketed scale path is embedding_neardup_bucketed below — same
+# oracle, so the gate hash-match PROVES the bucketed composition returns
+# the identical pair set.
 # --------------------------------------------------------------------------
-@register(
-    "embedding_neardup_pairs",
-    oracle=f"""
+_NEARDUP_ORACLE = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -230,13 +229,33 @@ pairs AS (
 )
 SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim_r
 FROM pairs WHERE cos_sim >= 0.4
-""",
-)
+"""
+
+
+@register("embedding_neardup_pairs", oracle=_NEARDUP_ORACLE)
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.simjoin import cosine_self_join
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = cosine_self_join(emb, id_col="vec_id", vec_col="embedding", threshold=0.4)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim_r"))
+
+
+@register(
+    "embedding_neardup_bucketed",
+    oracle=_NEARDUP_ORACLE,
+    doc="LSH-bucketed near-dup pairs (b=4, L=64 sign tables -> candidate "
+    "equi-join on (table, bucket) -> exact cosine on candidates only) — "
+    "the fully-distributed scale path past the broadcast cap; same oracle "
+    "as embedding_neardup_pairs, so hash-match == equality with brute force",
+)
+def embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.simjoin import cosine_self_join_bucketed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_self_join_bucketed(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4
+    )
     return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim_r"))
 
 
