@@ -164,3 +164,38 @@ def test_lsh_pruned_storage_matches_inmemory(spark, query_set, embeddings, tmp_p
     import os
 
     assert len([d for d in os.listdir(path) if d.startswith("bucket=")]) >= 4
+
+
+def test_sampled_training_shapes_and_determinism(embeddings):
+    """Build-time trainers accept a seeded sample (the 100 TB train/serve
+    split): same seed -> same centroids; shapes unchanged."""
+    from vectordb_acc_and_speed_exp_spark.operators.pq import pq_train
+
+    c1 = kmeans_centroids(embeddings, n_cells=8, sample_fraction=0.5)
+    c2 = kmeans_centroids(embeddings, n_cells=8, sample_fraction=0.5)
+    assert c1.count() == 8
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+    books = pq_train(embeddings, m=8, k=16, sample_fraction=0.5)
+    assert books.shape == (8, 16, 8)
+
+
+def test_gate_search_entries_reuse_built_index(spark, sf_dir):
+    """ann_ivf_topk / ann_pq_topk are search-only: after the first build,
+    re-running them must not rewrite the index (marker mtime unchanged)."""
+    import os
+
+    from vectordb_acc_and_speed_exp_spark.queries.pipeline import (
+        _index_root,
+        ann_ivf_topk,
+        ann_pq_topk,
+    )
+
+    ann_ivf_topk(spark, sf_dir).count()
+    ann_pq_topk(spark, sf_dir).count()
+    root = _index_root(sf_dir)
+    m1 = os.path.getmtime(os.path.join(root, "ivf._DONE"))
+    m2 = os.path.getmtime(os.path.join(root, "pq._DONE"))
+    assert ann_ivf_topk(spark, sf_dir).count() == 50
+    assert ann_pq_topk(spark, sf_dir).count() == 50
+    assert os.path.getmtime(os.path.join(root, "ivf._DONE")) == m1
+    assert os.path.getmtime(os.path.join(root, "pq._DONE")) == m2

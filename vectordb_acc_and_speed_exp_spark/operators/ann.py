@@ -155,13 +155,23 @@ def kmeans_centroids(
     item_vec: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Coarse-quantizer centroids via MLlib KMeans (seeded → deterministic).
-    Returns (cell int, centroid array<double>)."""
+    Returns (cell int, centroid array<double>).
+
+    ``sample_fraction`` trains on a seeded sample — at 100 TB the coarse
+    quantizer needs ~256 points per cell, not the corpus: training is a
+    BUILD-time job on a sample, never part of the search path (the gate
+    entries build once via queries/pipeline._get_or_build_ivf and search
+    the written layout)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    vecs = corpus.select(array_to_vector(F.col(item_vec)).alias("features"))
+    src = corpus
+    if sample_fraction is not None and sample_fraction < 1.0:
+        src = corpus.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
+    vecs = src.select(array_to_vector(F.col(item_vec)).alias("features"))
     model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(vecs)
     spark = corpus.sparkSession
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]

@@ -32,14 +32,23 @@ def pq_train(
     k: int = 16,
     seed: int = 42,
     max_iter: int = 10,
+    sample_fraction: float | None = None,
 ) -> np.ndarray:
-    """Train per-sub-space codebooks. Returns array (m, k, dim//m)."""
+    """Train per-sub-space codebooks. Returns array (m, k, dim//m).
+
+    ``sample_fraction`` trains each sub-space KMeans on a seeded sample:
+    codebook quality saturates at ~100k points, so at scale training is a
+    build-time job over a sample, never repeated at query time."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     dim = len(corpus.select(item_vec).first()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    if sample_fraction is not None and sample_fraction < 1.0:
+        corpus = corpus.sample(
+            withReplacement=False, fraction=sample_fraction, seed=seed
+        )
     dsub = dim // m
     books = []
     for s in range(m):
