@@ -23,6 +23,14 @@ HEADLINE = [
     "knn_exact_cosine",
     "recall_cosine_vs_l2",
     "ann_lsh_topk",
+    # embedding_neardup_bucketed is gate-checked (equality proof vs brute
+    # force) but not benched: at threshold 0.4 on an isotropic corpus ~78%
+    # of ALL pairs collide in >=1 of the 96 tables, so the bucketed path
+    # can't prune — its value is the driver-free shape (no n x dim matrix
+    # on the driver) and high-threshold dedup, not low-threshold speed.
+    "mt_lsh_ann_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
     "pricing_summary",
     "revenue_by_nation",
     "top_orders_per_customer",
@@ -58,8 +66,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
 
-    # Warm-up (reference B1): JVM/codegen/Arrow paths, untimed.
+    # Warm-up (reference B1), untimed: JVM/codegen path AND a pandas-UDF
+    # query (Python worker + Arrow spin-up costs ~2 s once per session and
+    # belongs to neither query), plus the IVF/PQ index builds so the
+    # search-only entries time search, not a one-off build.
     registry["knn_exact_l2"].fn(spark, sf_dir).count()
+    registry["ann_lsh_topk"].fn(spark, sf_dir).count()
+    registry["ivf_build_stats"].fn(spark, sf_dir).count()
+    registry["pq_build_stats"].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -95,6 +109,27 @@ def main() -> None:
     t0 = time.perf_counter()
     exact_knn(qs, big, k=10, item_id="vec_id").count()
     timings["bf_replicated100k_5q_codegen"] = round(time.perf_counter() - t0, 4)
+
+    # Disk-index serving path at the same 100k scale: write the multi-table
+    # LSH index once (untimed build), then time the partition-pruned search
+    # — the actual 100 TB query shape (ids-only index scan + candidate-only
+    # vector re-rank).
+    import shutil
+    import tempfile
+
+    from vectordb_acc_and_speed_exp_spark.operators.mtlsh import (
+        mt_lsh_ann_pruned,
+        write_mt_lsh_index,
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="bench_mtlsh_") + "/idx"
+    write_mt_lsh_index(big.select("vec_id", "embedding"), idx_dir, item_id="vec_id")
+    args = dict(k=10, n_probe_buckets=256, item_id="vec_id", item_vec="embedding")
+    mt_lsh_ann_pruned(qs, spark, idx_dir, big, **args).count()  # warm
+    t0 = time.perf_counter()
+    mt_lsh_ann_pruned(qs, spark, idx_dir, big, **args).count()
+    timings["mtlsh_pruned_100k_5q"] = round(time.perf_counter() - t0, 4)
+    shutil.rmtree(os.path.dirname(idx_dir), ignore_errors=True)
     big.unpersist()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

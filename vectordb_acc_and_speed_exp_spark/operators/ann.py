@@ -73,6 +73,41 @@ def _signature(vec_col: Column, planes: list[list[float]]) -> Column:
     return sig.cast("int")
 
 
+def signature_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Append the bit-packed sign signature as ``bucket_col`` — the
+    vectorized twin of the ``_signature`` expression: per Arrow batch ONE
+    float64 gemm against the (b × dim) plane matrix replaces b interpreted
+    HOF dot-product folds per row (VERDICT r1 next-round #5; the
+    simjoin.py kernel pattern). Both paths compute the same float64 dots;
+    they could disagree only on a |dot| ≲ 1e-13 knife-edge, which the
+    cross-path equality test (pruned-storage == in-memory) guards."""
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    P = np.array(planes, dtype=np.float64)
+    pw = (1 << np.arange(P.shape[0])).astype(np.int64)
+    # copy the field list: .add() would mutate the DataFrame's cached schema
+    schema = StructType(
+        list(df.schema.fields) + [StructField(bucket_col, IntegerType())]
+    )
+
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            pdf[bucket_col] = (((V @ P.T) >= 0) @ pw).astype(np.int32)
+            yield pdf
+
+    return df.mapInPandas(kern, schema)
+
+
 def lsh_ann(
     queries: DataFrame,
     corpus: DataFrame,
@@ -88,21 +123,28 @@ def lsh_ann(
 ) -> DataFrame:
     """Sign-LSH ANN: bucket corpus by signature; probe the query's bucket and
     every bucket within ``n_probe_bits`` bit-flips; exact re-rank candidates.
-    Returns (query_id, rank, item_id, dist)."""
+    Returns (query_id, rank, item_id, dist). Signatures on both sides use
+    the vectorized kernel (one gemm per Arrow batch)."""
     import itertools
 
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(item_id).alias("item_id"),
-        F.col(item_vec).alias("_ivec"),
-        _signature(F.col(item_vec), planes).alias("bucket"),
+    c = signature_buckets(
+        corpus.select(
+            F.col(item_id).alias("item_id"), F.col(item_vec).alias("_ivec")
+        ),
+        planes,
+        "_ivec",
+        bucket_col="bucket",
     )
     # multi-probe set: the query signature with every subset of up to
     # n_probe_bits bits flipped (probe fraction = sum_{r<=b} C(n,r) / 2^n)
-    q0 = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(query_vec).alias("_qvec"),
-        _signature(F.col(query_vec), planes).alias("sig"),
+    q0 = signature_buckets(
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec")
+        ),
+        planes,
+        "_qvec",
+        bucket_col="sig",
     )
     probes = [F.col("sig")]
     for r in range(1, n_probe_bits + 1):

@@ -179,8 +179,8 @@ def cosine_self_join_bucketed(
     id_col: str,
     vec_col: str,
     threshold: float,
-    n_planes: int = 4,
-    n_tables: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 96,
     seed: int = 42,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold — fully distributed.
@@ -195,11 +195,12 @@ def cosine_self_join_bucketed(
 
     Recall: a pair at cosine s collides per table w.p. (1-θ/π)^b (θ =
     arccos s), missed by all L tables w.p. (1-p)^L. At the defaults
-    (b=4, L=64) a threshold-0.4 pair is missed w.p. ~1.6e-5 — the
-    metamorphic test asserts exact equality with the brute-force join on
-    the fixed test corpus. Raise b (and lower L) for higher thresholds:
-    near-dup at 0.9 is cheap (b=8, L=16 misses ~4e-3 of borderline pairs,
-    far less above the threshold).
+    (b=6, L=96) a threshold-0.4 pair is missed w.p. ~2e-3 at the 0.4
+    boundary and far less above it — the metamorphic test (and the shared
+    gate oracle) assert exact equality with the brute-force join on all
+    three fixed test corpora. Raise b (and lower L) for higher
+    thresholds: near-dup at 0.9 is cheap (b=8, L=16 misses ~4e-3 of
+    exactly-boundary pairs).
     """
     from ..functions.vector import cosine_sim
     from .mtlsh import corpus_signatures, mt_planes
@@ -207,9 +208,11 @@ def cosine_self_join_bucketed(
     src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
     dim = len(src.select("_vec").first()[0])
     planes = mt_planes(dim, n_planes, n_tables, seed)
+    # cache the narrow (id, table, bucket) table: it is self-joined, and
+    # recomputing it means two Python-worker signature scans
     sig = corpus_signatures(
         src, planes, n_tables, n_planes, item_id="_id", item_vec="_vec"
-    )
+    ).cache()
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(
