@@ -41,3 +41,33 @@ def test_recall_experiment_rollup(spark, sf_dir, tmp_path):
         assert 0.0 <= r.mean_recall_10 <= 1.0
         assert 0.0 <= r.mean_recall_5 <= 1.0
     assert (tmp_path / "rec_recall_summary.csv").exists()
+
+
+def test_plot_sinks_write_all_four_charts(tmp_path):
+    """S11 parity: the four reference charts (search_speed_by_pages,
+    search_speed_by_collection, recall_by_pages, recall_by_collection)
+    are emitted as well-formed SVG."""
+    import xml.etree.ElementTree as ET
+
+    from vectordb_acc_and_speed_exp_spark.experiments import (
+        plot_recall_charts,
+        plot_speed_charts,
+    )
+    from vectordb_acc_and_speed_exp_spark.plans.bench_harness import RunStats
+
+    results = []
+    for size, ms in ((100, 0.4), (200, 0.35)):
+        s = RunStats(name=f"snapshot_{size:06d}")
+        s.runs_sec = [ms, ms * 1.1]
+        results.append(s)
+    speed = plot_speed_charts(results, str(tmp_path), embed_sec=0.05)
+    recall = plot_recall_charts([(100, 0.7, 0.68), (200, 0.84, 0.8)], str(tmp_path))
+    names = {p.rsplit("/", 1)[-1] for p in speed + recall}
+    assert names == {
+        "search_speed_by_pages.svg",
+        "search_speed_by_collection.svg",
+        "recall_by_pages.svg",
+        "recall_by_collection.svg",
+    }
+    for p in speed + recall:
+        ET.parse(p)  # well-formed

@@ -144,27 +144,67 @@ def recall_experiment(
     return out
 
 
-def plot_results(results: list[RunStats], path: str) -> bool:
-    """Latency-vs-size chart (S11, SPD:520-591). matplotlib is import-gated;
-    returns False when unavailable (headless CI)."""
-    try:  # pragma: no cover - matplotlib optional
-        import matplotlib
+def plot_speed_charts(
+    results: list[RunStats], out_dir: str, embed_sec: float = 0.0
+) -> list[str]:
+    """S11 speed charts, mirroring the reference's
+    search_speed_by_pages.png (search ms + total ms vs page count,
+    SPD:540-569) and search_speed_by_collection.png (per-collection mean,
+    SPD:571-588) — emitted as SVG (plans/svgplot, no matplotlib in env)."""
+    import os
 
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-    except ImportError:
-        return False
+    from .plans.svgplot import bar_chart, line_chart
+
+    os.makedirs(out_dir, exist_ok=True)
     sizes = [int(r.name.rsplit("_", 1)[-1]) for r in results]
     means = [r.mean * 1000 for r in results]
-    fig, ax = plt.subplots(figsize=(8, 4.5))
-    ax.plot(sizes, means, marker="o")
-    ax.set_xlabel("snapshot size (vectors)")
-    ax.set_ylabel("batched top-k latency (ms)")
-    ax.set_title("exact k-NN latency vs corpus size")
-    fig.tight_layout()
-    fig.savefig(path, dpi=120)
-    plt.close(fig)
-    return True
+    totals = [m + embed_sec * 1000 for m in means]
+    p1 = line_chart(
+        {"search (batched top-k)": list(zip(sizes, means)),
+         "total (embed + search)": list(zip(sizes, totals))},
+        os.path.join(out_dir, "search_speed_by_pages.svg"),
+        title="search latency vs corpus size (5-query batch)",
+        xlabel="corpus size (vectors)", ylabel="mean latency (ms)",
+    )
+    p2 = bar_chart(
+        [r.name.rsplit("_", 1)[-1].lstrip("0") for r in results],
+        {"mean ms": means, "median ms": [r.median * 1000 for r in results]},
+        os.path.join(out_dir, "search_speed_by_collection.svg"),
+        title="search latency by snapshot collection",
+        xlabel="collection (vectors)", ylabel="latency (ms)",
+    )
+    return [p1, p2]
+
+
+def plot_recall_charts(
+    rows: list[tuple[int, float, float]], out_dir: str
+) -> list[str]:
+    """S11 recall charts, mirroring the reference's recall_by_pages.png
+    (R@5 and R@10 vs page count, ACC:695-723) and recall_by_collection.png
+    (grouped bars per collection, ACC:725-753).
+    ``rows`` = [(snapshot_size, mean_recall_5, mean_recall_10), ...]."""
+    import os
+
+    from .plans.svgplot import bar_chart, line_chart
+
+    os.makedirs(out_dir, exist_ok=True)
+    p1 = line_chart(
+        {"recall@5": [(n, r5) for n, r5, _ in rows],
+         "recall@10": [(n, r10) for n, _, r10 in rows]},
+        os.path.join(out_dir, "recall_by_pages.svg"),
+        title="ANN recall vs corpus size (exact oracle ground truth)",
+        xlabel="corpus size (vectors)", ylabel="mean recall@k",
+        y_range=(0.0, 1.05),
+    )
+    p2 = bar_chart(
+        [str(n) for n, _, _ in rows],
+        {"recall@5": [r5 for _, r5, _ in rows],
+         "recall@10": [r10 for _, _, r10 in rows]},
+        os.path.join(out_dir, "recall_by_collection.svg"),
+        title="recall@k by snapshot collection (LSH-ANN vs brute force)",
+        xlabel="collection (vectors)", ylabel="recall",
+    )
+    return [p1, p2]
 
 
 def main(argv: list[str]) -> int:
@@ -192,17 +232,33 @@ def main(argv: list[str]) -> int:
         df = build_corpus(spark, args.pdf_dir, args.out)
         print(f"built corpus: {df.count()} pages at {args.out}")
     elif args.mode == "speed":
+        import json
+        import os
+
         results = speed_experiment(
             spark, args.sf_dir, step=args.step, k=args.k or 5,
             num_runs=args.num_runs, out_prefix=args.out,
         )
-        plot_results(results, args.out + "_latency.png")
+        with open(args.out + "_results.json") as f:
+            embed_sec = json.load(f)["meta"]["query_embed_sec_batch5"]
+        charts = plot_speed_charts(
+            results, os.path.dirname(args.out) or ".", embed_sec=embed_sec
+        )
+        print("charts:", ", ".join(charts))
         for r in results:
             print(f"{r.name}: mean={r.mean*1000:.1f}ms median={r.median*1000:.1f}ms")
     else:
+        import os
+
         out = recall_experiment(
             spark, args.sf_dir, step=args.step, k=args.k or 10, out_prefix=args.out
         )
+        rows = [
+            (r.snapshot_size, r.mean_recall_5, r.mean_recall_10)
+            for r in out.orderBy("snapshot_size").collect()
+        ]
+        charts = plot_recall_charts(rows, os.path.dirname(args.out) or ".")
+        print("charts:", ", ".join(charts))
         out.show(100, False)
     return 0
 

@@ -125,3 +125,84 @@ def line_chart(
     with open(path, "w") as f:
         f.write("\n".join(e))
     return path
+
+
+def bar_chart(
+    categories: list[str],
+    series: dict[str, list[float]],
+    path: str,
+    title: str = "",
+    xlabel: str = "",
+    ylabel: str = "",
+) -> str:
+    """Grouped vertical bars: one group per category, one bar per series
+    (the reference's by-collection comparison charts)."""
+    ys = [v for vs in series.values() for v in vs] or [1.0]
+    y_lo, y_hi = min(0.0, min(ys)), max(ys)
+    if y_hi == y_lo:
+        y_hi = y_lo + 1
+    pw, ph = _W - _ML - _MR, _H - _MT - _MB
+    n_cat, n_ser = max(len(categories), 1), max(len(series), 1)
+    group_w = pw / n_cat
+    bar_w = group_w * 0.8 / n_ser
+
+    def Y(y: float) -> float:
+        return _MT + ph - (y - y_lo) / (y_hi - y_lo) * ph
+
+    e: list[str] = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{_W}" height="{_H}" '
+        f'viewBox="0 0 {_W} {_H}" font-family="sans-serif">',
+        f'<rect width="{_W}" height="{_H}" fill="white"/>',
+        f'<text x="{_ML}" y="24" font-size="15" font-weight="bold">{title}</text>',
+    ]
+    for t in _ticks(y_lo, y_hi):
+        y = Y(t)
+        e.append(
+            f'<line x1="{_ML}" y1="{y:.1f}" x2="{_W - _MR}" y2="{y:.1f}" '
+            f'stroke="#e0e0e0"/>'
+        )
+        e.append(
+            f'<text x="{_ML - 8}" y="{y + 4:.1f}" font-size="11" '
+            f'text-anchor="end" fill="#555">{_fmt(t)}</text>'
+        )
+    for ci, cat in enumerate(categories):
+        cx = _ML + group_w * (ci + 0.5)
+        e.append(
+            f'<text x="{cx:.1f}" y="{_MT + ph + 18}" font-size="10" '
+            f'text-anchor="middle" fill="#555">{cat}</text>'
+        )
+        for si, (label, vals) in enumerate(series.items()):
+            if ci >= len(vals):
+                continue
+            color = _COLORS[si % len(_COLORS)]
+            x0 = cx - group_w * 0.4 + si * bar_w
+            y0 = Y(vals[ci])
+            e.append(
+                f'<rect x="{x0:.1f}" y="{y0:.1f}" width="{bar_w:.1f}" '
+                f'height="{_MT + ph - y0:.1f}" fill="{color}"/>'
+            )
+    e.append(
+        f'<line x1="{_ML}" y1="{_MT + ph}" x2="{_W - _MR}" y2="{_MT + ph}" '
+        f'stroke="#333"/>'
+    )
+    e.append(f'<line x1="{_ML}" y1="{_MT}" x2="{_ML}" y2="{_MT + ph}" stroke="#333"/>')
+    e.append(
+        f'<text x="{_ML + pw / 2:.1f}" y="{_H - 12}" font-size="12" '
+        f'text-anchor="middle">{xlabel}</text>'
+    )
+    e.append(
+        f'<text x="18" y="{_MT + ph / 2:.1f}" font-size="12" text-anchor="middle" '
+        f'transform="rotate(-90 18 {_MT + ph / 2:.1f})">{ylabel}</text>'
+    )
+    for i, label in enumerate(series):
+        color = _COLORS[i % len(_COLORS)]
+        ly = _MT + 14 + i * 18
+        e.append(
+            f'<rect x="{_W - _MR + 10}" y="{ly - 10}" width="12" height="12" '
+            f'fill="{color}"/>'
+        )
+        e.append(f'<text x="{_W - _MR + 28}" y="{ly}" font-size="11">{label}</text>')
+    e.append("</svg>")
+    with open(path, "w") as f:
+        f.write("\n".join(e))
+    return path
