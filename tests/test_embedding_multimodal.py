@@ -51,3 +51,73 @@ def test_multimodal_features_schema_and_checksum(documents):
         assert r.checksum == hashlib.md5(payload).hexdigest()
         assert len(r.feature) == 8
         assert 64 <= r.width < 576 and 64 <= r.height < 576
+
+
+class _MockSBERT:
+    """Stands in for sentence_transformers.SentenceTransformer: batch
+    encode returns dim-2 vectors; texts containing 'poison' make the BATCH
+    call fail (exercising the per-item fallback), and the poison item
+    itself fails per-item too (exercising zero-vector alignment)."""
+
+    n_loads = 0
+
+    def __init__(self, path):
+        _MockSBERT.n_loads += 1
+        self.path = path
+
+    def encode(self, texts):
+        import numpy as np
+
+        if any("poison" in t for t in texts):
+            if len(texts) > 1:
+                raise RuntimeError("batch failed")
+            raise RuntimeError("item failed")
+        return np.array([[float(len(t)), 1.0] for t in texts])
+
+
+def test_real_model_branch_with_mock_sbert(monkeypatch):
+    """Covers the import-gated SentenceTransformer branch without torch:
+    model loads once per iterator (not per batch), healthy batches use the
+    batch call, a failing batch falls back per item, and the failing item
+    becomes an aligned zero vector (create_collections.py:420-434)."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    from vectordb_acc_and_speed_exp_spark.operators.embedding import (
+        make_encode_iter,
+    )
+
+    mod = types.ModuleType("sentence_transformers")
+    mod.SentenceTransformer = _MockSBERT
+    monkeypatch.setitem(sys.modules, "sentence_transformers", mod)
+    _MockSBERT.n_loads = 0
+
+    batches = [
+        pd.Series(["ok", "fine"]),
+        pd.Series(["good", "has poison inside", "also ok"]),
+    ]
+    out = list(make_encode_iter(dim=2, model_path="mock-model")(iter(batches)))
+    assert _MockSBERT.n_loads == 1  # load-once per worker, not per batch
+    assert [len(s) for s in out] == [2, 3]  # alignment preserved
+    assert out[0].tolist() == [[2.0, 1.0], [4.0, 1.0]]
+    good, poison, also = out[1].tolist()
+    assert good == [4.0, 1.0] and also == [7.0, 1.0]
+    assert poison == [0.0, 0.0]  # failed item -> zero vector, not dropped
+
+
+def test_missing_model_package_falls_back_to_fake():
+    """model_path set but sentence_transformers unimportable -> the
+    deterministic fake encoder, same as model_path=None."""
+    import pandas as pd
+
+    from vectordb_acc_and_speed_exp_spark.operators.embedding import (
+        fake_encode_text,
+        make_encode_iter,
+    )
+
+    out = list(
+        make_encode_iter(dim=4, model_path="no-such-model")(iter([pd.Series(["x"])]))
+    )
+    assert out[0].tolist() == [fake_encode_text("x", 4)]

@@ -44,22 +44,26 @@ def fake_encode_text(text: str, dim: int = DEFAULT_DIM) -> list[float]:
     return [x / n for x in out]
 
 
-def make_encoder_udf(dim: int = DEFAULT_DIM, model_path: str | None = None):
-    """Build the encode pandas_udf. ``model_path`` selects a real
-    SentenceTransformer when available (import-gated); otherwise the
-    deterministic fake is used."""
+def make_encode_iter(dim: int = DEFAULT_DIM, model_path: str | None = None):
+    """The raw ``Iterator[pd.Series] -> Iterator[pd.Series]`` encode
+    generator — separated from the pandas_udf wrapper so the real-model
+    branch (load-once, batch encode, per-item fallback, zero-vector
+    alignment) is unit-testable with an injected mock
+    ``sentence_transformers`` module (torch absent in this container)."""
 
     def encode_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         model = None
         if model_path is not None:
-            try:  # pragma: no cover - torch not in the test container
+            try:
                 from sentence_transformers import SentenceTransformer
 
+                # load ONCE per worker process (reference CC:69-71),
+                # amortized over every Arrow batch this iterator sees
                 model = SentenceTransformer(model_path)
             except ImportError:
                 model = None
         for batch in batches:
-            if model is not None:  # pragma: no cover
+            if model is not None:
                 try:
                     vecs = model.encode(batch.fillna("").tolist()).tolist()
                 except Exception:
@@ -74,7 +78,16 @@ def make_encoder_udf(dim: int = DEFAULT_DIM, model_path: str | None = None):
                 vecs = [fake_encode_text(t or "", dim) for t in batch]
             yield pd.Series(vecs)
 
-    return pandas_udf(encode_iter, returnType="array<float>")
+    return encode_iter
+
+
+def make_encoder_udf(dim: int = DEFAULT_DIM, model_path: str | None = None):
+    """Build the encode pandas_udf. ``model_path`` selects a real
+    SentenceTransformer when available (import-gated); otherwise the
+    deterministic fake is used."""
+    return pandas_udf(
+        make_encode_iter(dim=dim, model_path=model_path), returnType="array<float>"
+    )
 
 
 def embed_documents(
