@@ -31,6 +31,7 @@ HEADLINE = [
     "mt_lsh_ann_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "graph_ann_topk",
     "pricing_summary",
     "revenue_by_nation",
     "top_orders_per_customer",
@@ -74,6 +75,7 @@ def main() -> None:
     registry["ann_lsh_topk"].fn(spark, sf_dir).count()
     registry["ivf_build_stats"].fn(spark, sf_dir).count()
     registry["pq_build_stats"].fn(spark, sf_dir).count()
+    registry["graph_build_stats"].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

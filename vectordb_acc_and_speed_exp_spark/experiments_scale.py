@@ -157,6 +157,25 @@ def mtlsh_recall_sweep(
             rows.append(
                 (n, f"mtlsh_b{r.budget}", r.mean_recall, r.scan_fraction)
             )
+        # partition-local NSW graph (the HNSW analogue): recall + the
+        # fraction of nodes the beam actually visits (its "scan")
+        from .operators.graphann import (
+            build_graph_index,
+            graph_ann,
+            graph_ann_visited_stats,
+        )
+
+        idx = build_graph_index(snap, item_id="vec_id").cache()
+        r_g = mean_recall(
+            recall_at_k(gt, graph_ann(queries, idx, k=k, ef_search=48), k=k)
+        ).first().mean_recall
+        vs = graph_ann_visited_stats(queries, idx, ef_search=48).agg(
+            F.sum("n_visited").alias("v"), F.sum("shard_size").alias("s")
+        ).first()
+        rows.append(
+            (n, "graph_ef48", round(float(r_g), 4), round(vs.v / (vs.s or 1), 4))
+        )
+        idx.unpersist()
         gt.unpersist()
         snap.unpersist()
     expanded.unpersist()

@@ -382,6 +382,60 @@ def mt_lsh_recall_scan_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- V3 ANN, partition-local graph path (the HNSW analogue) ----------------
+def _get_or_build_graph(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent NSW build: per-shard graphs via applyInPandas, persisted
+    shard-partitioned. Returns the index path."""
+    import os
+
+    from ..operators.graphann import build_graph_index, write_graph_index
+
+    root = _index_root(sf_dir)
+    path = os.path.join(root, "graph_index")
+    done = os.path.join(root, "graph._DONE")
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_graph_index(build_graph_index(emb, item_id="vec_id"), path)
+        open(done, "w").close()
+    return path
+
+
+@register(
+    "graph_ann_topk",
+    oracle=None,
+    doc="partition-local NSW graph ANN (HNSW layer-0 per shard via "
+    "applyInPandas, scatter-gather + global top-k merge) — recall@10 1.00 "
+    "at ef=48 on the gate corpus; search-only, reads the written "
+    "shard-partitioned graph",
+)
+def graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graphann import graph_ann_pruned
+
+    path = _get_or_build_graph(spark, sf_dir)
+    res = graph_ann_pruned(_query_set(spark, sf_dir), spark, path, k=10)
+    return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
+
+
+@register(
+    "graph_build_stats",
+    oracle=None,
+    doc="graph build stage: per-shard node count + mean out-degree of the "
+    "NSW adjacency (build-time artifact)",
+)
+def graph_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _get_or_build_graph(spark, sf_dir)
+    idx = spark.read.parquet(path)
+    return (
+        idx.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.round(F.avg(F.size("neighbors")), 2).alias("mean_degree"),
+        )
+        .orderBy("shard")
+    )
+
+
 # -- ANN tuning curve: recall vs probe depth (the EP3 analysis axis) -------
 @register(
     "lsh_probe_recall_curve",
