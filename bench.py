@@ -32,6 +32,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_pq_topk",
     "graph_ann_topk",
+    "graph_ivf_ann_topk",
     "pricing_summary",
     "revenue_by_nation",
     "top_orders_per_customer",
@@ -76,6 +77,7 @@ def main() -> None:
     registry["ivf_build_stats"].fn(spark, sf_dir).count()
     registry["pq_build_stats"].fn(spark, sf_dir).count()
     registry["graph_build_stats"].fn(spark, sf_dir).count()
+    registry["graph_ivf_ann_topk"].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -103,6 +103,65 @@ def test_visited_stats_shape(query_set, index):
     assert all(0 < r.n_visited <= r.shard_size for r in rows)
 
 
+@pytest.fixture(scope="module")
+def cell_index(spark, embeddings, tmp_path_factory):
+    """SPANN-style shards: IVF cells (8) instead of hash shards, written
+    cell-partitioned; returns (index_path, centroids)."""
+    from vectordb_acc_and_speed_exp_spark.operators.ann import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(embeddings, n_cells=8)
+    assigned = ivf_assign(embeddings, cents)
+    idx = build_graph_index(assigned, item_id="vec_id", shard_col="cell")
+    path = str(tmp_path_factory.mktemp("graph") / "cell_idx")
+    write_graph_index(idx, path)
+    return path, cents
+
+
+def test_cell_probed_full_probe_matches_scatter(spark, query_set, cell_index):
+    """n_probe = n_cells degenerates to the full scatter-gather over the
+    same index — the pruning must only ever REMOVE shards, never change
+    per-shard results."""
+    from vectordb_acc_and_speed_exp_spark.operators.graphann import (
+        graph_ann_cell_probed,
+    )
+
+    path, cents = cell_index
+    full = graph_ann_cell_probed(query_set, spark, path, cents, k=10, n_probe=8)
+    scatter = graph_ann(query_set, spark.read.parquet(path), k=10)
+    assert sorted((r.query_id, r.rank, r.item_id) for r in full.collect()) == sorted(
+        (r.query_id, r.rank, r.item_id) for r in scatter.collect()
+    )
+
+
+def test_cell_probed_recall_and_pruning(spark, query_set, cell_index, ground_truth):
+    """Probing 3 of 8 cells: results come only from probed cells; with
+    ef=48 saturating 60-node shards the graph is near-exact inside each
+    probed cell, so recall == IVF cell-coverage recall — measured 0.84 on
+    the weak-structure 500-doc corpus (max pairwise cosine ~0.51 ⇒ true
+    neighbors scatter across cells; cf. the plain-IVF floor 0.6 at 4/16).
+    On clustered real data coverage, and hence recall, is far higher."""
+    from vectordb_acc_and_speed_exp_spark.operators.graphann import (
+        graph_ann_cell_probed,
+        query_probe_map,
+    )
+
+    path, cents = cell_index
+    res = graph_ann_cell_probed(query_set, spark, path, cents, k=10, n_probe=3).cache()
+    pm = query_probe_map(query_set, cents, n_probe=3)
+    assert all(len(v) == 3 for v in pm.values())
+    # every result row's item lives in a cell its query probed
+    idx = spark.read.parquet(path).select(
+        F.col("item_id"), F.col("shard").cast("bigint").alias("shard")
+    )
+    for r in res.join(idx, "item_id").collect():
+        assert r.shard in pm[r.query_id], (r.query_id, r.item_id, r.shard)
+    r10 = mean_recall(recall_at_k(ground_truth, res, k=10)).first().mean_recall
+    assert r10 >= 0.8, f"cell-probed graph recall@10 too low: {r10}"
+
+
 def test_pruned_storage_matches_inmemory(spark, query_set, index, tmp_path):
     path = str(tmp_path / "graph_idx")
     write_graph_index(index, path)
@@ -112,3 +171,55 @@ def test_pruned_storage_matches_inmemory(spark, query_set, index, tmp_path):
         (r.query_id, r.rank, r.item_id) for r in disk.collect()
     )
     assert len([d for d in os.listdir(path) if d.startswith("shard=")]) == 8
+
+
+def _index_rows(df):
+    return sorted(
+        (int(r.shard), int(r.item_id), tuple(r.neighbors)) for r in df.collect()
+    )
+
+
+def test_upsert_equals_full_rebuild(spark, embeddings, tmp_path):
+    """upsert(build(A), B) == build(A ∪ B) bit-for-bit, and shards B never
+    touches keep their exact files (dynamic partition overwrite)."""
+    from vectordb_acc_and_speed_exp_spark.operators.graphann import (
+        graph_index_upsert,
+    )
+
+    shard = (F.crc32(F.col("vec_id").cast("string")) % 8).alias("_s")
+    tagged = embeddings.select("vec_id", "embedding", shard).cache()
+    late = tagged.filter(F.col("_s").isin(1, 3) & (F.col("vec_id") >= 300))
+    initial = tagged.join(late.select("vec_id"), "vec_id", "left_anti")
+
+    path = str(tmp_path / "upsert_idx")
+    write_graph_index(build_graph_index(initial, item_id="vec_id"), path)
+    files_before = {
+        d: sorted(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path)
+        if d.startswith("shard=")
+    }
+
+    rebuilt = graph_index_upsert(spark, path, late, item_id="vec_id")
+    assert rebuilt == [1, 3]
+
+    full = build_graph_index(embeddings, item_id="vec_id")
+    assert _index_rows(spark.read.parquet(path)) == _index_rows(full)
+    # untouched shard directories: identical file listing
+    for d, files in files_before.items():
+        if d not in ("shard=1", "shard=3"):
+            assert sorted(os.listdir(os.path.join(path, d))) == files
+
+
+def test_upsert_replaces_existing_ids(spark, embeddings, tmp_path):
+    from vectordb_acc_and_speed_exp_spark.operators.graphann import (
+        graph_index_upsert,
+    )
+
+    path = str(tmp_path / "replace_idx")
+    write_graph_index(build_graph_index(embeddings, item_id="vec_id"), path)
+    n = embeddings.count()
+    redo = embeddings.filter(F.col("vec_id") < 20).select("vec_id", "embedding")
+    graph_index_upsert(spark, path, redo, item_id="vec_id")
+    after = spark.read.parquet(path)
+    assert after.count() == n  # replaced, not duplicated
+    assert after.select("item_id").distinct().count() == n

@@ -176,6 +176,30 @@ def mtlsh_recall_sweep(
             (n, "graph_ef48", round(float(r_g), 4), round(vs.v / (vs.s or 1), 4))
         )
         idx.unpersist()
+        # SPANN-style cell-pruned graph: shards = IVF cells, each query
+        # probes its 4-of-16 nearest cells only — scan = visited nodes in
+        # probed cells over the WHOLE corpus (the full-scatter graph above
+        # pays every shard; this path doesn't)
+        from .operators.ann import ivf_assign, kmeans_centroids
+        from .operators.graphann import query_probe_map
+
+        cents = kmeans_centroids(snap, n_cells=16, sample_fraction=0.5)
+        cidx = build_graph_index(
+            ivf_assign(snap, cents), item_id="vec_id", shard_col="cell"
+        ).cache()
+        pm = query_probe_map(queries, cents, n_probe=4)
+        r_cg = mean_recall(
+            recall_at_k(
+                gt, graph_ann(queries, cidx, k=k, ef_search=48, probe_map=pm), k=k
+            )
+        ).first().mean_recall
+        v_cg = graph_ann_visited_stats(
+            queries, cidx, ef_search=48, probe_map=pm
+        ).agg(F.sum("n_visited").alias("v")).first().v
+        rows.append(
+            (n, "graph_ivf_p4", round(float(r_cg), 4), round(v_cg / (len(pm) * n), 4))
+        )
+        cidx.unpersist()
         gt.unpersist()
         snap.unpersist()
     expanded.unpersist()

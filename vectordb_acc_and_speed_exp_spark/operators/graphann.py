@@ -108,15 +108,41 @@ def build_graph_index(
     ef_build: int = DEFAULT_EF_BUILD,
     item_id: str = "item_id",
     item_vec: str = "embedding",
+    shard_col: str | None = None,
 ) -> DataFrame:
     """(shard, item_id, embedding, neighbors array<bigint>) — one NSW per
     shard, built in parallel with applyInPandas; ``neighbors`` holds item
     ids (not positions), so the table is self-contained and joinable.
 
     Shard = crc32(id) % n_shards — deterministic and partition-independent.
-    At scale, persist with ``write_graph_index`` (partitioned by shard).
-    """
+    Pass ``shard_col`` (e.g. the ``cell`` from ivf_assign) to shard by
+    CLUSTER instead of by hash: hash shards force a full scatter at search
+    time, cluster shards make shards prunable (see graph_ann_cell_probed —
+    the SPANN-style composition of IVF partition pruning with graph
+    search). At scale, persist with ``write_graph_index`` (partitioned by
+    shard)."""
     id_t = dict(corpus.dtypes)[item_id]
+    shard_expr = (
+        (F.crc32(F.col(item_id).cast("string")) % n_shards)
+        if shard_col is None
+        else F.col(shard_col).cast("bigint")
+    )
+    src = corpus.select(
+        F.col(item_id).alias("item_id"),
+        F.col(item_vec).alias("embedding"),
+        shard_expr.alias("shard"),
+    )
+    return _build_sharded(src, id_t, M=M, ef_build=ef_build)
+
+
+def _build_sharded(
+    src: DataFrame, id_t: str, M: int = DEFAULT_M, ef_build: int = DEFAULT_EF_BUILD
+) -> DataFrame:
+    """One NSW per shard of a (item_id, embedding, shard) frame. Rows are
+    sorted by item_id before insertion, so a shard's graph depends only on
+    its row SET — rebuilding a shard from the same rows is bit-identical
+    regardless of arrival order (the property graph_index_upsert relies
+    on)."""
 
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("item_id").reset_index(drop=True)
@@ -132,11 +158,6 @@ def build_graph_index(
             }
         )
 
-    src = corpus.select(
-        F.col(item_id).alias("item_id"),
-        F.col(item_vec).alias("embedding"),
-        (F.crc32(F.col(item_id).cast("string")) % n_shards).alias("shard"),
-    )
     return src.groupBy("shard").applyInPandas(
         build_shard,
         schema=f"shard bigint, item_id {id_t}, embedding array<double>, "
@@ -151,10 +172,14 @@ def graph_ann(
     ef_search: int = DEFAULT_EF_SEARCH,
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    probe_map: dict | None = None,
 ) -> DataFrame:
     """Scatter-gather ANN over a graph index: every shard runs the beam
     search for every query (applyInPandas per shard, queries broadcast),
     emits its local top-k, and one global window merges P*k rows.
+    With ``probe_map`` ({query_id -> set of shard ids}), each shard only
+    searches the queries that probe it — the gather side of cell-pruned
+    search (graph_ann_cell_probed prunes the scatter side too).
     Returns (query_id, rank, item_id, dist)."""
     spark = queries.sparkSession
     qrows = queries.select(
@@ -163,6 +188,7 @@ def graph_ann(
     b_q = spark.sparkContext.broadcast(
         [(r._qid, np.array(r._qv, dtype=np.float64)) for r in qrows]
     )
+    b_pm = spark.sparkContext.broadcast(probe_map)
     qid_t = dict(queries.dtypes)[query_id]
 
     def search_shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -174,8 +200,12 @@ def graph_ann(
             np.array([pos[int(v)] for v in nbrs], dtype=np.int64)
             for nbrs in pdf["neighbors"]
         ]
+        shard = int(pdf["shard"].iloc[0])
+        pm = b_pm.value
         out_q, out_i, out_d = [], [], []
         for qid, qv in b_q.value:
+            if pm is not None and shard not in pm.get(qid, ()):
+                continue
             found, _ = _nsw_search(V, adj, qv, ef_search, entry=0)
             for d, p in found[:k]:
                 out_q.append(qid)
@@ -201,10 +231,12 @@ def graph_ann_visited_stats(
     ef_search: int = DEFAULT_EF_SEARCH,
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    probe_map: dict | None = None,
 ) -> DataFrame:
     """(query_id, shard, n_visited, shard_size) — how many nodes the beam
     actually touched per (query, shard): the graph path's analogue of the
     LSH scanned fraction (sum(n_visited)/sum(shard_size) per query).
+    With ``probe_map``, stats cover only the probed (query, shard) pairs.
     Runs the same deterministic search, instrumented."""
     spark = queries.sparkSession
     qrows = queries.select(
@@ -213,6 +245,7 @@ def graph_ann_visited_stats(
     b_q = spark.sparkContext.broadcast(
         [(r._qid, np.array(r._qv, dtype=np.float64)) for r in qrows]
     )
+    b_pm = spark.sparkContext.broadcast(probe_map)
     qid_t = dict(queries.dtypes)[query_id]
 
     def stat_shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -225,8 +258,11 @@ def graph_ann_visited_stats(
             for nbrs in pdf["neighbors"]
         ]
         shard = int(pdf["shard"].iloc[0])
+        pm = b_pm.value
         rows = []
         for qid, qv in b_q.value:
+            if pm is not None and shard not in pm.get(qid, ()):
+                continue
             _, n_visited = _nsw_search(V, adj, qv, ef_search, 0)
             rows.append((qid, shard, n_visited, len(ids)))
         return pd.DataFrame(
@@ -253,6 +289,67 @@ def write_graph_index(index: DataFrame, path: str) -> None:
     )
 
 
+def graph_index_upsert(
+    spark: SparkSession,
+    index_path: str,
+    new_rows: DataFrame,
+    n_shards: int = DEFAULT_N_SHARDS,
+    M: int = DEFAULT_M,
+    ef_build: int = DEFAULT_EF_BUILD,
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+    shard_col: str | None = None,
+) -> list[int]:
+    """Incremental maintenance of a written graph index: new (or changed)
+    rows rebuild ONLY the shards they land in; every other shard directory
+    is untouched bytes. Returns the rebuilt shard ids.
+
+    Because _build_sharded sorts by item_id before inserting, a rebuilt
+    shard is bit-identical to what a from-scratch build of the full corpus
+    would produce for that shard — upsert(build(A), B) == build(A ∪ B)
+    exactly (tested). Rows in ``new_rows`` whose item_id already exists
+    REPLACE the old rows (same id ⇒ same shard, so the replacement is
+    complete).
+
+    Pass the same sharding the index was built with: ``n_shards`` for hash
+    shards, or ``shard_col`` when ``new_rows`` carries a cell assignment
+    (ivf_assign with the index's centroids). The write uses dynamic
+    partition overwrite — only the rebuilt ``shard=`` directories are
+    replaced. At 100 TB this is the ingest path: a micro-batch touching
+    f of P shards costs f/P of a full rebuild, embarrassingly parallel."""
+    id_t = dict(new_rows.dtypes)[item_id]
+    shard_expr = (
+        (F.crc32(F.col(item_id).cast("string")) % n_shards)
+        if shard_col is None
+        else F.col(shard_col).cast("bigint")
+    )
+    src = new_rows.select(
+        F.col(item_id).alias("item_id"),
+        F.col(item_vec).alias("embedding"),
+        shard_expr.alias("shard"),
+    )
+    affected = sorted(r.shard for r in src.select("shard").distinct().collect())
+    # localCheckpoint breaks the lineage back to index_path so the dynamic
+    # overwrite below isn't a read-from/write-to-same-path conflict
+    old = (
+        spark.read.parquet(index_path)
+        .filter(F.col("shard").isin(affected))
+        .select("item_id", "embedding", F.col("shard").cast("bigint").alias("shard"))
+        .join(src.select("item_id"), "item_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    rebuilt = _build_sharded(old.unionByName(src), id_t, M=M, ef_build=ef_build)
+    (
+        rebuilt.repartition("shard")
+        .sortWithinPartitions("item_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .parquet(index_path)
+    )
+    return [int(s) for s in affected]
+
+
 def graph_ann_pruned(
     queries: DataFrame,
     spark: SparkSession,
@@ -270,4 +367,71 @@ def graph_ann_pruned(
         ef_search=ef_search,
         query_id=query_id,
         query_vec=query_vec,
+    )
+
+
+def query_probe_map(
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> dict:
+    """{query_id -> set of cell/shard ids}: each query's n_probe nearest
+    coarse-quantizer cells (tiny centroid kNN — n_cells rows per query,
+    centroids broadcast). The collected map is O(n_queries × n_probe) —
+    bytes, independent of corpus size."""
+    from .knn import exact_knn
+
+    qcells = exact_knn(
+        queries,
+        centroids,
+        k=n_probe,
+        query_id=query_id,
+        query_vec=query_vec,
+        item_id="cell",
+        item_vec="centroid",
+    ).select("query_id", F.col("item_id").alias("shard"))
+    probe_map: dict = {}
+    for r in qcells.collect():
+        probe_map.setdefault(r.query_id, set()).add(int(r.shard))
+    return probe_map
+
+
+def graph_ann_cell_probed(
+    queries: DataFrame,
+    spark: SparkSession,
+    index_path: str,
+    centroids: DataFrame,
+    k: int = 10,
+    ef_search: int = DEFAULT_EF_SEARCH,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """SPANN-style cell-pruned graph search: the index was built with
+    shard = IVF cell (build_graph_index(shard_col="cell")), so a query
+    needs only its n_probe nearest cells — resolved by a tiny centroid
+    kNN, pushed into the parquet scan as a partition filter (only those
+    shard directories are read), and then each probed shard runs the beam
+    search for exactly the queries that probe it.
+
+    This composes the two pruning mechanisms: IVF partition pruning cuts
+    WHICH shards are touched (n_probe/n_cells of the data), the graph cuts
+    how much of each touched shard is VISITED (ef·M·log(n/P), not n/P).
+    At 1000 executors the hash-sharded scatter-gather touches all 1000
+    graphs per query; this path touches n_probe of them."""
+    probe_map = query_probe_map(
+        queries, centroids, n_probe, query_id=query_id, query_vec=query_vec
+    )
+    probed = sorted(set().union(*probe_map.values())) if probe_map else []
+    idx = spark.read.parquet(index_path).filter(F.col("shard").isin(probed))
+    return graph_ann(
+        queries,
+        idx,
+        k=k,
+        ef_search=ef_search,
+        query_id=query_id,
+        query_vec=query_vec,
+        probe_map=probe_map,
     )

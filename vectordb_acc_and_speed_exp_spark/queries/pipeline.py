@@ -436,6 +436,45 @@ def graph_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _get_or_build_cell_graph(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
+    """Idempotent SPANN-style build: reuse the IVF assignment (cells are the
+    shards), one NSW per cell, written partitioned by shard. Returns
+    (index_path, centroids)."""
+    import os
+
+    from ..operators.graphann import build_graph_index, write_graph_index
+
+    corpus_path, cents = _get_or_build_ivf(spark, sf_dir)
+    root = _index_root(sf_dir)
+    path = os.path.join(root, "cell_graph_index")
+    done = os.path.join(root, "cell_graph._DONE")
+    if not os.path.exists(done):
+        assigned = spark.read.parquet(corpus_path)
+        write_graph_index(
+            build_graph_index(assigned, item_id="vec_id", shard_col="cell"), path
+        )
+        open(done, "w").close()
+    return path, cents
+
+
+@register(
+    "graph_ivf_ann_topk",
+    oracle=None,
+    doc="SPANN-style cell-pruned graph ANN: IVF cells are the graph shards "
+    "(partition-pruned scan reads only each query's 4-of-16 probed cells), "
+    "beam search runs inside probed cells only — IVF prunes which shards "
+    "are touched, the graph prunes how much of each is visited",
+)
+def graph_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graphann import graph_ann_cell_probed
+
+    path, cents = _get_or_build_cell_graph(spark, sf_dir)
+    res = graph_ann_cell_probed(
+        _query_set(spark, sf_dir), spark, path, cents, k=10, n_probe=4
+    )
+    return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
+
+
 # -- ANN tuning curve: recall vs probe depth (the EP3 analysis axis) -------
 @register(
     "lsh_probe_recall_curve",
