@@ -40,10 +40,30 @@ def test_query_by_text_finds_itself(store, documents):
 def test_query_modes_agree_on_top1(store, documents):
     texts = [documents.limit(1).first().text]
     tops = {}
-    for mode in ("exact", "blas", "lsh"):
+    for mode in ("exact", "blas", "lsh", "graph"):
         r = store.query("papers", query_texts=texts, k=3, mode=mode).collect()
         tops[mode] = [x.item_id for x in sorted(r, key=lambda x: x.rank)][0]
     assert len(set(tops.values())) == 1, tops
+
+
+def test_graph_index_incremental_add(store, documents):
+    """The first graph query built the index (test above); add() must keep
+    it fresh via shard upsert — a doc added AFTER the build is found as its
+    own top-1 without any rebuild-from-scratch."""
+    import os
+
+    idx_dir = os.path.join(store.root, ".graph_index", "papers")
+    assert os.path.exists(idx_dir)  # built lazily by the graph query
+    assert store.list_collections() == ["papers"]  # dot-dir hidden
+    extra = documents.limit(140).subtract(documents.limit(120)).selectExpr(
+        "cast(doc_id as string) as id", "text"
+    )
+    store.add("papers", extra)
+    assert store.count("papers") == 140
+    probe = extra.limit(1).collect()[0]
+    r = store.query("papers", query_texts=[probe.text], k=3, mode="graph").collect()
+    top1 = [x for x in r if x.rank == 1][0]
+    assert top1.item_id == probe.id and top1.dist < 1e-6
 
 
 def test_query_validation_and_delete(store, spark):

@@ -112,3 +112,45 @@ def test_stream_to_parquet_replay_idempotent(spark, sf_dir, tmp_path):
         hourly_counts_stream(read_events_stream(spark, sf_dir)), out, mode="complete"
     )
     assert spark.read.parquet(out).count() == n_once
+
+
+def test_stream_maintains_graph_index(spark, tmp_path):
+    """Micro-batches of embeddings upsert the graph index shard-by-shard;
+    after the stream drains, the index is bit-identical to a from-scratch
+    batch build over all rows (the idempotent-rebuild property end-to-end
+    through foreachBatch)."""
+    from vectordb_acc_and_speed_exp_spark.io import load_table
+    from vectordb_acc_and_speed_exp_spark.operators.graphann import (
+        build_graph_index,
+    )
+    from vectordb_acc_and_speed_exp_spark.streaming.index_maintenance import (
+        stream_upsert_graph_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # three arrival waves -> three source files -> one micro-batch each
+    src_dir = tmp_path / "arrivals"
+    for lo, hi in ((0, 150), (150, 300), (300, 10**9)):
+        emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(str(src_dir))
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    idx_path = str(tmp_path / "stream_graph_idx")
+    stream_upsert_graph_index(stream, idx_path, item_id="vec_id")
+
+    got = sorted(
+        (int(r.shard), int(r.item_id), tuple(r.neighbors))
+        for r in spark.read.parquet(idx_path).collect()
+    )
+    want = sorted(
+        (int(r.shard), int(r.item_id), tuple(r.neighbors))
+        for r in build_graph_index(emb, item_id="vec_id").collect()
+    )
+    assert got == want

@@ -10,6 +10,9 @@ Query modes map to the engine's search operators:
     exact   operators.knn.exact_knn        (brute-force oracle, V2)
     blas    operators.simjoin.cosine_knn_join (gemm kernel)
     lsh     operators.ann.lsh_ann          (multiprobe sign-LSH, V3)
+    graph   operators.graphann             (per-collection NSW index — the
+            closest analogue to ChromaDB's per-collection HNSW; built on
+            first graph query, kept fresh incrementally by add())
 
 Text queries are encoded with the same (pluggable) encoder used at add
 time (V1/V6). Unlike ChromaDB — where every collection owns a private HNSW
@@ -56,11 +59,12 @@ class VectorStore:
         return sorted(
             d
             for d in os.listdir(self.root)
-            if os.path.isdir(os.path.join(self.root, d))
+            if os.path.isdir(os.path.join(self.root, d)) and not d.startswith(".")
         )
 
     def delete_collection(self, name: str) -> None:
         shutil.rmtree(self._path(name), ignore_errors=True)
+        shutil.rmtree(os.path.join(self.root, ".graph_index", name), ignore_errors=True)
 
     def count(self, name: str) -> int:
         return self.get(name).count()
@@ -79,16 +83,50 @@ class VectorStore:
     def add(
         self, name: str, docs: DataFrame, id_col: str = "id", text_col: str = "text"
     ) -> None:
-        """Append records (the reference's batched collection.add)."""
-        self._write(name, docs, id_col, text_col, mode="append")
+        """Append records (the reference's batched collection.add). If the
+        collection has a graph index (a prior mode="graph" query built one),
+        the new rows are upserted into it — only the shards they land in
+        rebuild, so adds stay O(batch), not O(collection)."""
+        docs = self._write(name, docs, id_col, text_col, mode="append")
+        if os.path.exists(self._graph_path(name)):
+            from .operators.graphann import graph_index_upsert
 
-    def _write(self, name, docs, id_col, text_col, mode):
+            graph_index_upsert(
+                self.spark,
+                self._graph_path(name),
+                docs.select("id", "embedding"),
+                item_id="id",
+            )
+
+    def _write(self, name, docs, id_col, text_col, mode) -> DataFrame:
         if "embedding" not in docs.columns:
             docs = embed_documents(
                 docs, text_col=text_col, dim=self.dim, model_path=self.model_path
             )
         docs = docs.withColumnRenamed(id_col, "id") if id_col != "id" else docs
         docs.write.mode(mode).parquet(self._path(name))
+        if mode == "overwrite":
+            shutil.rmtree(self._graph_path(name), ignore_errors=True)
+        return docs
+
+    # -- graph index (V3, per-collection HNSW analogue) --------------------
+    def _graph_path(self, name: str) -> str:
+        # dot-prefixed root: invisible to list_collections, invalid as a
+        # collection name, so it can never clash with user data
+        return os.path.join(self.root, ".graph_index", name)
+
+    def _ensure_graph_index(self, name: str) -> str:
+        path = self._graph_path(name)
+        if not os.path.exists(path):
+            from .operators.graphann import build_graph_index, write_graph_index
+
+            write_graph_index(
+                build_graph_index(
+                    self.get(name).select("id", "embedding"), item_id="id"
+                ),
+                path,
+            )
+        return path
 
     # -- search (V2/V3/V6) -------------------------------------------------
     def query(
@@ -131,4 +169,14 @@ class VectorStore:
                 qdf, corpus, k=k, dim=self.dim, n_probe_bits=3,
                 item_id="id", item_vec="embedding",
             )
-        raise ValueError(f"unknown mode {mode!r}; one of exact/blas/lsh")
+        if mode == "graph":
+            from .operators.graphann import graph_ann_pruned
+
+            # builds the collection's NSW index on first use; add() keeps
+            # it fresh incrementally (graph_index_upsert)
+            path = self._ensure_graph_index(name)
+            return graph_ann_pruned(
+                qdf.select("query_id", F.col("query_vec").cast("array<double>").alias("query_vec")),
+                self.spark, path, k=k,
+            )
+        raise ValueError(f"unknown mode {mode!r}; one of exact/blas/lsh/graph")

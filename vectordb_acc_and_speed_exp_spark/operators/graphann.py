@@ -110,7 +110,7 @@ def build_graph_index(
     item_vec: str = "embedding",
     shard_col: str | None = None,
 ) -> DataFrame:
-    """(shard, item_id, embedding, neighbors array<bigint>) — one NSW per
+    """(shard, item_id, embedding, neighbors array<id type>) — one NSW per
     shard, built in parallel with applyInPandas; ``neighbors`` holds item
     ids (not positions), so the table is self-contained and joinable.
 
@@ -129,7 +129,7 @@ def build_graph_index(
     )
     src = corpus.select(
         F.col(item_id).alias("item_id"),
-        F.col(item_vec).alias("embedding"),
+        F.col(item_vec).cast("array<double>").alias("embedding"),
         shard_expr.alias("shard"),
     )
     return _build_sharded(src, id_t, M=M, ef_build=ef_build)
@@ -161,7 +161,7 @@ def _build_sharded(
     return src.groupBy("shard").applyInPandas(
         build_shard,
         schema=f"shard bigint, item_id {id_t}, embedding array<double>, "
-        "neighbors array<bigint>",
+        f"neighbors array<{id_t}>",
     )
 
 
@@ -195,9 +195,9 @@ def graph_ann(
         pdf = pdf.sort_values("item_id").reset_index(drop=True)
         V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
         ids = pdf["item_id"].to_numpy()
-        pos = {int(i): p for p, i in enumerate(ids)}
+        pos = {i: p for p, i in enumerate(ids)}
         adj = [
-            np.array([pos[int(v)] for v in nbrs], dtype=np.int64)
+            np.array([pos[v] for v in nbrs], dtype=np.int64)
             for nbrs in pdf["neighbors"]
         ]
         shard = int(pdf["shard"].iloc[0])
@@ -252,9 +252,9 @@ def graph_ann_visited_stats(
         pdf = pdf.sort_values("item_id").reset_index(drop=True)
         V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
         ids = pdf["item_id"].to_numpy()
-        pos = {int(i): p for p, i in enumerate(ids)}
+        pos = {i: p for p, i in enumerate(ids)}
         adj = [
-            np.array([pos[int(v)] for v in nbrs], dtype=np.int64)
+            np.array([pos[v] for v in nbrs], dtype=np.int64)
             for nbrs in pdf["neighbors"]
         ]
         shard = int(pdf["shard"].iloc[0])
@@ -325,7 +325,7 @@ def graph_index_upsert(
     )
     src = new_rows.select(
         F.col(item_id).alias("item_id"),
-        F.col(item_vec).alias("embedding"),
+        F.col(item_vec).cast("array<double>").alias("embedding"),
         shard_expr.alias("shard"),
     )
     affected = sorted(r.shard for r in src.select("shard").distinct().collect())

@@ -1,0 +1,79 @@
+"""Streaming ANN-index maintenance: a Structured Streaming source of
+(id, embedding) rows keeps a written graph index fresh via foreachBatch →
+graph_index_upsert (the streaming twin of the reference's collection.add
+loop, create_collections.py:245-263, which re-adds documents to ChromaDB's
+per-collection HNSW).
+
+Each micro-batch rebuilds ONLY the shards its rows land in (dynamic
+partition overwrite, operators/graphann.py::graph_index_upsert), so the
+per-batch cost is O(batch ∪ touched-shard rows), not O(index). Because a
+shard rebuild is a pure function of its final row SET (insertion order =
+sorted ids) and same-id rows replace, the upsert is IDEMPOTENT: a
+micro-batch replayed after a failure converges to the same bytes —
+foreachBatch's at-least-once delivery is exactly-once for this sink
+without any batch-id bookkeeping.
+
+At 100 TB this is the ingest path: embeddings stream in (Kafka/files),
+the coarse structure (hash shards or IVF cells) routes each batch to a
+small set of partition directories, and queries keep reading a consistent
+index (parquet readers never see half-written files)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame
+
+from ..operators.graphann import (
+    DEFAULT_EF_BUILD,
+    DEFAULT_M,
+    DEFAULT_N_SHARDS,
+    build_graph_index,
+    graph_index_upsert,
+    write_graph_index,
+)
+
+
+def stream_upsert_graph_index(
+    embeddings_stream: DataFrame,
+    index_path: str,
+    n_shards: int = DEFAULT_N_SHARDS,
+    M: int = DEFAULT_M,
+    ef_build: int = DEFAULT_EF_BUILD,
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> None:
+    """Run the stream to completion (availableNow) upserting every
+    micro-batch into the graph index at ``index_path``. The first batch
+    bootstraps the index if none exists; later batches rebuild only their
+    touched shards."""
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not os.path.exists(index_path):
+            write_graph_index(
+                build_graph_index(
+                    batch_df, n_shards=n_shards, M=M, ef_build=ef_build,
+                    item_id=item_id, item_vec=item_vec,
+                ),
+                index_path,
+            )
+        else:
+            graph_index_upsert(
+                spark, index_path, batch_df,
+                n_shards=n_shards, M=M, ef_build=ef_build,
+                item_id=item_id, item_vec=item_vec,
+            )
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_graphidx_")
+    q = (
+        embeddings_stream.writeStream.foreachBatch(upsert_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
