@@ -165,6 +165,26 @@ def _build_sharded(
     )
 
 
+def _collect_queries(
+    queries: "DataFrame", query_id: str, query_vec: str
+) -> list[tuple]:
+    """Collect the query batch for broadcast, guarded byte-true the same
+    way simjoin guards its corpus collect: the admissible batch size
+    depends on dim, not just rows. Past the cap, split the query batch —
+    the corpus side never reaches the driver in any graph path."""
+    from .simjoin import DEFAULT_BROADCAST_CAP_BYTES, _check_matrix_bytes
+
+    qsel = queries.select(
+        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
+    )
+    n_q = qsel.count()
+    dim = len(qsel.select("_qv").first()[0])
+    _check_matrix_bytes(n_q, dim, DEFAULT_BROADCAST_CAP_BYTES, "query")
+    return [
+        (r._qid, np.array(r._qv, dtype=np.float64)) for r in qsel.collect()
+    ]
+
+
 def graph_ann(
     queries: DataFrame,
     index: DataFrame,
@@ -182,11 +202,8 @@ def graph_ann(
     search (graph_ann_cell_probed prunes the scatter side too).
     Returns (query_id, rank, item_id, dist)."""
     spark = queries.sparkSession
-    qrows = queries.select(
-        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
-    ).collect()
     b_q = spark.sparkContext.broadcast(
-        [(r._qid, np.array(r._qv, dtype=np.float64)) for r in qrows]
+        _collect_queries(queries, query_id, query_vec)
     )
     b_pm = spark.sparkContext.broadcast(probe_map)
     qid_t = dict(queries.dtypes)[query_id]
@@ -239,11 +256,8 @@ def graph_ann_visited_stats(
     With ``probe_map``, stats cover only the probed (query, shard) pairs.
     Runs the same deterministic search, instrumented."""
     spark = queries.sparkSession
-    qrows = queries.select(
-        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
-    ).collect()
     b_q = spark.sparkContext.broadcast(
-        [(r._qid, np.array(r._qv, dtype=np.float64)) for r in qrows]
+        _collect_queries(queries, query_id, query_vec)
     )
     b_pm = spark.sparkContext.broadcast(probe_map)
     qid_t = dict(queries.dtypes)[query_id]
