@@ -42,6 +42,7 @@ HEADLINE = [
     "lang_profile",
     "dedup_exact",
     "minhash_lsh_dup_pairs",
+    "dedup_clusters",
     "simhash",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",

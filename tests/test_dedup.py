@@ -76,3 +76,20 @@ def test_simhash_neardup_pairs(with_planted):
     pairs = simhash_neardup_pairs(with_planted, "doc_id", "text", max_hamming=8)
     got = {(p.id_a, p.id_b): p.hamming for p in pairs.collect()}
     assert got.get((0, 90001)) == 0
+
+
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3 (diameter 2, needs >1 propagation round), triangle
+    10-11-12, isolated pair (20,21): labels = component minimum."""
+    from vectordb_acc_and_speed_exp_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        r.node: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

@@ -273,3 +273,55 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
+    by iterative min-label propagation. Returns (node, cluster_id) where
+    cluster_id is the component's minimum node id — the canonical-document
+    choice rule (keep cluster_id, drop the rest) is then a trivial filter.
+
+    Each round is one narrow shuffle (join edges→labels on node + groupBy
+    min) and converges in graph-diameter rounds; near-dup components are
+    shallow (a dup cluster's diameter is rarely > 3), so 3-5 rounds settle
+    real corpora. The driver only ever sees one integer per round (the
+    changed-label count that detects convergence) — labels and edges stay
+    distributed. At extreme scale the same join pattern rearranged as
+    alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce") cuts rounds to O(log log n); the propagation
+    form is kept here for determinism and plan simplicity.
+
+    Iterative by nature (SURVEY.md §5 point 1), yet still oracled: DuckDB
+    expresses the same fixpoint as a recursive CTE (see dedup_clusters).
+    """
+    fwd = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = fwd.union(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = edges.select("u").distinct().withColumn("lbl", F.col("u")).persist()
+    for _ in range(max_iter):
+        # each node offers its label to every neighbour; keep the minimum
+        # of (own label, offered labels)
+        offered = edges.join(labels, "u").select(
+            F.col("v").alias("u"), F.col("lbl")
+        )
+        new = (
+            labels.union(offered).groupBy("u").agg(F.min("lbl").alias("lbl"))
+        ).persist()
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("u").alias("node"), F.col("lbl").alias("cluster_id"))

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import norm_text, punct_ratio, token_count, tokens
 from ..io import load_table
-from . import register
+from . import REGISTRY, register
 
 # DuckDB-side equivalents of functions/text.py (kept adjacent for parity).
 _NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
@@ -237,6 +237,63 @@ def minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=_N_HASHES,
         band_size=_BAND_SIZE,
         jaccard_threshold=0.5,
+    )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster resolution: the step AFTER pair mining — connected
+# components over the near-dup pair graph, canonical doc = min id per
+# cluster. Spark side is iterative min-label propagation (driver sees only
+# a per-round changed-count); the oracle expresses the same fixpoint as a
+# DuckDB recursive CTE (transitive closure → min reachable id).
+# --------------------------------------------------------------------------
+_DEDUP_CLUSTERS_ORACLE = (
+    REGISTRY["minhash_lsh_dup_pairs"].oracle.replace(
+        "WITH sh AS", "WITH RECURSIVE sh AS", 1
+    ).rsplit("SELECT id_a, id_b,", 1)[0]
+    + """,
+pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id,
+       LEAST(u, MIN(v)) AS cluster_id,
+       CAST(u = LEAST(u, MIN(v)) AS INT) AS is_canonical
+FROM reach GROUP BY u
+"""
+)
+
+
+@register(
+    "dedup_clusters",
+    oracle=_DEDUP_CLUSTERS_ORACLE,
+    doc="connected components over the MinHash-LSH near-dup pair graph — "
+    "min-label propagation (diameter rounds, one narrow shuffle each) vs "
+    "a recursive-CTE closure oracle; canonical doc = min id per cluster",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        n_hashes=_N_HASHES,
+        band_size=_BAND_SIZE,
+        jaccard_threshold=0.5,
+    )
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("cluster_id"),
+        (F.col("node") == F.col("cluster_id")).cast("int").alias("is_canonical"),
     )
 
 
