@@ -93,3 +93,18 @@ def test_connected_components_known_graph(spark):
         r.node: r.cluster_id for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_string_ids(spark):
+    """Non-numeric ids exercise the changed-count convergence fallback."""
+    from vectordb_acc_and_speed_exp_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("x", "y")], "id_a string, id_b string"
+    )
+    got = {
+        r.node: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == {"b": "b", "c": "b", "d": "b", "x": "x", "y": "x"}

@@ -289,21 +289,29 @@ def connected_components(
     Each round is one narrow shuffle (join edges→labels on node + groupBy
     min) and converges in graph-diameter rounds; near-dup components are
     shallow (a dup cluster's diameter is rarely > 3), so 3-5 rounds settle
-    real corpora. The driver only ever sees one integer per round (the
-    changed-label count that detects convergence) — labels and edges stay
-    distributed. At extreme scale the same join pattern rearranged as
-    alternating large-star/small-star (Kiveris et al., "Connected
-    Components in MapReduce") cuts rounds to O(log log n); the propagation
-    form is kept here for determinism and plan simplicity.
+    real corpora. Labels and edges stay distributed: the edge list is
+    localCheckpoint'ed once (truncating the pair-mining lineage so rounds
+    never re-mine), and for numeric ids convergence is detected by one
+    scalar aggregate per round — min-label propagation only ever DECREASES
+    a label, so sum(lbl) strictly decreases iff any label changed; equal
+    sums == fixpoint, exactly, with no comparison join. Non-numeric ids
+    fall back to a changed-row count join. At extreme scale the same join
+    pattern rearranged as alternating large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce") cuts rounds to O(log log n);
+    the propagation form is kept here for determinism and plan simplicity.
 
     Iterative by nature (SURVEY.md §5 point 1), yet still oracled: DuckDB
     expresses the same fixpoint as a recursive CTE (see dedup_clusters).
     """
+    from pyspark.sql.types import NumericType
+
     fwd = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     edges = fwd.union(
         fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    ).localCheckpoint(eager=True)
+    numeric = isinstance(edges.schema["u"].dataType, NumericType)
     labels = edges.select("u").distinct().withColumn("lbl", F.col("u")).persist()
+    prev_sum = None
     for _ in range(max_iter):
         # each node offers its label to every neighbour; keep the minimum
         # of (own label, offered labels)
@@ -313,15 +321,23 @@ def connected_components(
         new = (
             labels.union(offered).groupBy("u").agg(F.min("lbl").alias("lbl"))
         ).persist()
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        if numeric:
+            # decimal(38,0) so the sum can't overflow under ANSI mode
+            cur_sum = new.agg(
+                F.sum(F.col("lbl").cast("decimal(38,0)"))
+            ).first()[0]
+            converged = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            converged = (
+                new.alias("n")
+                .join(labels.alias("o"), "u")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .count()
+                == 0
+            )
         labels.unpersist()
         labels = new
-        if changed == 0:
+        if converged:
             break
-    edges.unpersist()
     return labels.select(F.col("u").alias("node"), F.col("lbl").alias("cluster_id"))
