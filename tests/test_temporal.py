@@ -1,0 +1,90 @@
+"""asof_join / interval_join vs hand-computed and naive-join answers."""
+
+from pyspark.sql import functions as F
+
+from vectordb_acc_and_speed_exp_spark.operators.temporal import (
+    asof_join,
+    interval_join,
+)
+
+
+def _trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [(1, "A", 100), (2, "A", 205), (3, "A", 50), (4, "B", 100), (5, "C", 10)],
+        "trade_id bigint, sym string, tms bigint",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 90, 1.0), ("A", 100, 2.0), ("A", 200, 3.0), ("B", 150, 4.0)],
+        "sym string, qms bigint, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_join_inner(spark):
+    trades, quotes = _trades_quotes(spark)
+    got = {
+        r.trade_id: (r.qms, r.px)
+        for r in asof_join(
+            trades, quotes, "sym", "tms", "qms", ["qms", "px"]
+        ).collect()
+    }
+    # trade 2: quote at 200 (not 100); trade 3: nothing <= 50; trade 4:
+    # quote 150 > 100 -> no match; trade 5: key C absent.
+    # trade 1: tie at exactly 100 matches (<= semantics).
+    assert got == {1: (100, 2.0), 2: (200, 3.0)}
+
+
+def test_asof_join_left_and_tolerance(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = asof_join(
+        trades, quotes, "sym", "tms", "qms", ["px"], tolerance_ms=5, how="left"
+    )
+    got = {r.trade_id: r.px for r in out.collect()}
+    # tolerance 5: trade 1 gap 0 ok; trade 2 gap 5 ok; others unmatched
+    assert got == {1: 2.0, 2: 3.0, 3: None, 4: None, 5: None}
+    assert out.count() == 5
+
+
+def test_asof_join_null_payload_field(spark):
+    """A null payload FIELD in the true match must not fall back to an
+    older row (struct transport, not per-column last)."""
+    trades = spark.createDataFrame([(1, "A", 100)], "trade_id bigint, sym string, tms bigint")
+    quotes = spark.createDataFrame(
+        [("A", 10, 1.0), ("A", 90, None)], "sym string, qms bigint, px double"
+    )
+    [row] = asof_join(trades, quotes, "sym", "tms", "qms", ["qms", "px"]).collect()
+    assert (row.qms, row.px) == (90, None)
+
+
+def test_interval_join_matches_naive_cross(spark):
+    iv = spark.createDataFrame(
+        [(1, 95, 210), (2, 300, 310), (3, 0, 50)],
+        "iv_id bigint, start_ms bigint, end_ms bigint",
+    )
+    pts = spark.createDataFrame(
+        [(10, 95), (11, 209), (12, 210), (13, 305), (14, 49), (15, 50)],
+        "pt_id bigint, ms bigint",
+    )
+    got = {
+        (r.iv_id, r.pt_id)
+        for r in interval_join(iv, pts, "start_ms", "end_ms", "ms", 100).collect()
+    }
+    naive = {
+        (r.iv_id, r.pt_id)
+        for r in iv.crossJoin(pts)
+        .filter((F.col("ms") >= F.col("start_ms")) & (F.col("ms") < F.col("end_ms")))
+        .collect()
+    }
+    assert got == naive == {(1, 10), (1, 11), (2, 13), (3, 14)}
+
+
+def test_interval_join_no_duplicate_on_multi_bin(spark):
+    """An interval spanning several bins must emit each matching point
+    exactly once."""
+    iv = spark.createDataFrame([(1, 0, 1000)], "iv_id bigint, s bigint, e bigint")
+    pts = spark.createDataFrame(
+        [(i, i * 100) for i in range(10)], "pt_id bigint, ms bigint"
+    )
+    out = interval_join(iv, pts, "s", "e", "ms", 100)
+    assert out.count() == 10
+    assert out.select("pt_id").distinct().count() == 10

@@ -40,6 +40,6 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY)."""
-    from . import relational, textops, vector, pipeline  # noqa: F401
+    from . import relational, textops, vector, pipeline, temporal  # noqa: F401
 
     return REGISTRY
