@@ -43,6 +43,11 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_dup_pairs",
     "dedup_clusters",
+    "curated_corpus",
+    "purchase_click_asof",
+    "purchase_window_surge",
+    "sequence_packing",
+    "corpus_split",
     "simhash",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",

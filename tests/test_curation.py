@@ -1,0 +1,93 @@
+"""Invariants of the curation queries (stratified sample, hash split,
+sequence packing, curated corpus). Value-level correctness is covered by
+the DuckDB oracle gate; these check the structural properties a pipeline
+relies on."""
+
+from pyspark.sql import functions as F
+
+from vectordb_acc_and_speed_exp_spark.queries import load_all
+
+
+def test_corpus_split_partitions_the_corpus(spark, sf_dir, documents):
+    reg = load_all()
+    out = reg["corpus_split"].fn(spark, sf_dir).collect()
+    assert {r.split for r in out} <= {"train", "val", "test"}
+    assert sum(r.n_docs for r in out) == documents.count()
+    frac = sum(r.n_docs for r in out if r.split == "train") / documents.count()
+    assert 0.6 < frac < 0.95  # ~0.8, hash-bucketed
+
+
+def test_corpus_split_stable_under_append(spark, sf_dir, documents):
+    """Membership is a pure function of doc_id: recomputing on a PREFIX of
+    the corpus assigns every shared doc the same split."""
+    from vectordb_acc_and_speed_exp_spark.queries.curation import _SEED
+    from vectordb_acc_and_speed_exp_spark.functions.hashing import (
+        portable_hash64_seeded,
+    )
+
+    bucket = (
+        portable_hash64_seeded(F.col("doc_id").cast("string"), _SEED) % 100
+    )
+    full = documents.select("doc_id", bucket.alias("b"))
+    prefix = documents.filter(F.col("doc_id") < 100).select(
+        "doc_id", bucket.alias("b")
+    )
+    diff = full.join(prefix, "doc_id").filter(
+        full["b"] != prefix["b"]
+    )
+    assert diff.count() == 0
+
+
+def test_stratified_sample_k_per_stratum(spark, sf_dir):
+    reg = load_all()
+    out = reg["stratified_sample"].fn(spark, sf_dir)
+    per = out.groupBy("lang").count().collect()
+    assert all(r["count"] <= 20 for r in per)
+    # deterministic: two runs identical
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, reg["stratified_sample"].fn(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_sequence_packing_conserves_tokens(spark, sf_dir, documents):
+    from vectordb_acc_and_speed_exp_spark.functions.text import token_count
+
+    reg = load_all()
+    out = reg["sequence_packing"].fn(spark, sf_dir)
+    packed = {
+        r.source: r.tot
+        for r in out.groupBy("source")
+        .agg(F.sum("bin_tokens").alias("tot"))
+        .collect()
+    }
+    truth = {
+        r.source: r.tot
+        for r in documents.groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).alias("tot"))
+        .collect()
+    }
+    assert packed == truth
+    # bins are contiguous from 0 per source
+    for src in packed:
+        bins = sorted(
+            r.bin_id for r in out.filter(F.col("source") == src).collect()
+        )
+        assert bins == list(range(len(bins)))
+
+
+def test_curated_corpus_never_exceeds_quality_counts(spark, sf_dir):
+    reg = load_all()
+    curated = {
+        r.lang: r.n_docs for r in reg["curated_corpus"].fn(spark, sf_dir).collect()
+    }
+    quality = {
+        r.lang: r.cnt
+        for r in reg["text_quality"].fn(spark, sf_dir)
+        .filter(F.col("is_quality") == 1)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert curated
+    for lang, n in curated.items():
+        assert n <= quality[lang]

@@ -40,6 +40,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY)."""
-    from . import relational, textops, vector, pipeline, temporal  # noqa: F401
+    from . import (  # noqa: F401
+        curation,
+        pipeline,
+        relational,
+        temporal,
+        textops,
+        vector,
+    )
 
     return REGISTRY

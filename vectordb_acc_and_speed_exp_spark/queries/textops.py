@@ -247,7 +247,9 @@ def minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a per-round changed-count); the oracle expresses the same fixpoint as a
 # DuckDB recursive CTE (transitive closure → min reachable id).
 # --------------------------------------------------------------------------
-_DEDUP_CLUSTERS_ORACLE = (
+# shared CTE prefix (shingles ... verified pairs ... transitive closure);
+# reused verbatim by curated_corpus below
+_DEDUP_CLUSTERS_CTES = (
     REGISTRY["minhash_lsh_dup_pairs"].oracle.replace(
         "WITH sh AS", "WITH RECURSIVE sh AS", 1
     ).rsplit("SELECT id_a, id_b,", 1)[0]
@@ -263,6 +265,12 @@ reach(u, v) AS (
   UNION
   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
 )
+"""
+)
+
+_DEDUP_CLUSTERS_ORACLE = (
+    _DEDUP_CLUSTERS_CTES
+    + """
 SELECT u AS doc_id,
        LEAST(u, MIN(v)) AS cluster_id,
        CAST(u = LEAST(u, MIN(v)) AS INT) AS is_canonical
@@ -294,6 +302,64 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("cluster_id"),
         (F.col("node") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation: the whole cleaning funnel in one plan — quality
+# gate (text_quality's rule) AND near-dup removal keeping one canonical
+# doc per cluster — rolled up per lang. This is the query a pipeline runs
+# LAST, and it composes two already-oracled stages, so its oracle is the
+# same composition: quality CTE + the recursive-closure CTEs + an anti
+# NOT IN on the non-canonical set.
+# --------------------------------------------------------------------------
+_CURATED_ORACLE = (
+    _DEDUP_CLUSTERS_CTES
+    + """,
+dropped AS (
+  SELECT u FROM reach GROUP BY u HAVING u != LEAST(u, MIN(v))
+),
+q AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         CASE WHEN len(text) = 0 THEN 0.0
+              ELSE len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0 / len(text)
+         END AS p_ratio
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM q
+WHERE n_tokens >= 20 AND p_ratio < 0.1
+  AND doc_id NOT IN (SELECT u FROM dropped)
+GROUP BY lang
+"""
+)
+
+
+@register(
+    "curated_corpus",
+    oracle=_CURATED_ORACLE,
+    doc="end-to-end curation funnel: quality gate + near-dup removal "
+    "(keep the canonical doc per cluster) -> per-lang doc/token counts; "
+    "composes text_quality and dedup_clusters in one plan",
+)
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quality = REGISTRY["text_quality"].fn(spark, sf_dir)
+    non_canonical = (
+        REGISTRY["dedup_clusters"].fn(spark, sf_dir)
+        .filter(F.col("is_canonical") == 0)
+        .select("doc_id")
+    )
+    return (
+        quality.filter(F.col("is_quality") == 1)
+        .join(non_canonical, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
     )
 
 
