@@ -143,8 +143,15 @@ def minhash_lsh_pairs(
     # re-run per consumer (6 scans of the source observed in the plan)
     shingles = _shingle_table(df, id_col, text_col).persist()
     sig = _minhash_from_shingles(shingles, n_hashes)
-    # band signature: ordered concat of the band's minhashes
-    bands = (
+    bands = _band_table(sig, band_size)
+    cand = _band_collisions(bands, bands)
+    return _jaccard_verify(cand, shingles, jaccard_threshold)
+
+
+def _band_table(sig: DataFrame, band_size: int) -> DataFrame:
+    """(doc_id, band, sig): band signature = ordered concat of the band's
+    minhashes — the LSH bucket key."""
+    return (
         sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
         .groupBy("doc_id", "band")
         .agg(
@@ -157,10 +164,14 @@ def minhash_lsh_pairs(
             ).alias("sig")
         )
     )
-    cand = (
-        bands.alias("a")
+
+
+def _band_collisions(bands_a: DataFrame, bands_b: DataFrame) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one band bucket."""
+    return (
+        bands_a.alias("a")
         .join(
-            bands.alias("b"),
+            bands_b.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -170,7 +181,35 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    return _jaccard_verify(cand, shingles, jaccard_threshold)
+
+
+def signature_estimate(
+    candidates: DataFrame, sig_a: DataFrame, sig_b: DataFrame, n_hashes: int
+) -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of agreeing
+    minhash slots (the textbook unbiased estimator). Needs only the
+    SIGNATURES of both sides — no shingle sets, no raw text — which is
+    what makes it the verify step an INCREMENTAL index can afford: old
+    documents are represented by n_hashes bigints forever.
+    """
+    a = sig_a.select(
+        F.col("doc_id").alias("id_a"), "seed", F.col("minhash").alias("mh_a")
+    )
+    b = sig_b.select(
+        F.col("doc_id").alias("id_b"), "seed", F.col("minhash").alias("mh_b")
+    )
+    return (
+        candidates.join(a, "id_a")
+        .join(b, ["id_b", "seed"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.round(
+                F.sum((F.col("mh_a") == F.col("mh_b")).cast("int"))
+                / F.lit(float(n_hashes)),
+                4,
+            ).alias("est_jaccard_r")
+        )
+    )
 
 
 def ngram_jaccard_join(
