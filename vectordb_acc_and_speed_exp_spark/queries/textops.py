@@ -241,6 +241,64 @@ def minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Signature-only variant: same band-collision candidates, but "verified"
+# with the signature-agreement Jaccard estimator (matching slots / 16)
+# instead of exact shingle Jaccard. This is the EXACT computation the
+# incremental streaming index performs per micro-batch
+# (streaming/dedup_maintenance.py) — old docs exist only as signatures
+# there — so gating it here ties the streaming verify step to DuckDB.
+# --------------------------------------------------------------------------
+@register(
+    "minhash_est_pairs",
+    oracle=_MINHASH_SQL
+    + f""",
+bands AS (
+  SELECT doc_id, seed // {_BAND_SIZE} AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS sig
+  FROM seeded GROUP BY doc_id, seed // {_BAND_SIZE}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+   AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) * 1.0
+           / {_N_HASHES} AS est
+  FROM cand c
+  JOIN seeded sa ON sa.doc_id = c.id_a
+  JOIN seeded sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, round(est, 4) AS est_jaccard_r FROM est WHERE est >= 0.5
+""",
+    doc="near-dup pairs verified by the signature-agreement estimator "
+    "(the streaming incremental index's verify step, which retains only "
+    "signatures for old docs) — band collisions + matching-slot fraction",
+)
+def minhash_est_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        _band_collisions,
+        _band_table,
+        minhash_signatures_df,
+        signature_estimate,
+    )
+
+    sig = minhash_signatures_df(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n_hashes=_N_HASHES,
+    ).persist()
+    bands = _band_table(sig, _BAND_SIZE)
+    est = signature_estimate(
+        _band_collisions(bands, bands), sig, sig, _N_HASHES
+    )
+    return est.filter(F.col("est_jaccard_r") >= 0.5)
+
+
+# --------------------------------------------------------------------------
 # Duplicate-cluster resolution: the step AFTER pair mining — connected
 # components over the near-dup pair graph, canonical doc = min id per
 # cluster. Spark side is iterative min-label propagation (driver sees only
