@@ -98,6 +98,51 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK = 500
+_STRIDE = 400
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+SELECT doc_id, k AS chunk_id,
+       k * {_STRIDE} + 1 AS chunk_start,
+       substring(text, CAST(k * {_STRIDE} + 1 AS INT), {_CHUNK}) AS chunk,
+       len(substring(text, CAST(k * {_STRIDE} + 1 AS INT), {_CHUNK})) AS chunk_len
+FROM documents,
+     unnest(generate_series(0,
+       CAST(greatest(floor((n_chars - 1) / {_STRIDE}.0), 0) AS BIGINT))) t(k)
+""",
+    doc="overlapping fixed-window chunking ({}-char chunks, {}-char "
+    "stride) with 1-based char offsets — the context-window prep step; "
+    "pure explode+substring, rows stay with their doc partition".format(
+        _CHUNK, _STRIDE
+    ),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # empty docs still yield one (empty) chunk: greatest(..., 0) — DuckDB's
+    # generate_series(0,-1) is empty but Spark's sequence(0,-1) DESCENDS
+    k_max = F.greatest(
+        F.floor((F.col("n_chars") - 1) / F.lit(_STRIDE)), F.lit(0)
+    ).cast("bigint")
+    return (
+        d.withColumn("chunk_id", F.explode(F.sequence(F.lit(0).cast("bigint"), k_max)))
+        .withColumn("chunk_start", F.col("chunk_id") * _STRIDE + 1)
+        .withColumn(
+            "chunk",
+            F.expr(f"substring(text, CAST(chunk_start AS INT), {_CHUNK})"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "chunk_start",
+            "chunk",
+            F.length("chunk").cast("bigint").alias("chunk_len"),
+        )
+    )
+
+
 @register(
     "sequence_packing",
     oracle=f"""

@@ -355,6 +355,43 @@ def value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Tail-latency-style profiling: exact interpolated percentiles per group.
+# Same scaled-integer trick as value_stats_by_type — interpolation runs on
+# exact ints, only the final /100.0 + round(4) touches floats, so both
+# engines land on the same bits.
+# --------------------------------------------------------------------------
+@register(
+    "value_percentiles",
+    oracle="""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v100 FROM events
+)
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(v100, 0.50) / 100.0, 4) AS p50_r,
+       round(quantile_cont(v100, 0.90) / 100.0, 4) AS p90_r,
+       round(quantile_cont(v100, 0.95) / 100.0, 4) AS p95_r,
+       round(quantile_cont(v100, 0.99) / 100.0, 4) AS p99_r
+FROM v GROUP BY event_type
+""",
+    doc="exact linear-interpolated percentile profile per event type "
+    "(data profiling / SLA tails); percentile() on scaled ints matches "
+    "DuckDB quantile_cont bit-for-bit after round(4)",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", _cents("value").alias("v100")
+    )
+    p = lambda q: F.round(F.percentile("v100", F.lit(q)) / 100.0, 4)  # noqa: E731
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        p(0.50).alias("p50_r"),
+        p(0.90).alias("p90_r"),
+        p(0.95).alias("p95_r"),
+        p(0.99).alias("p99_r"),
+    )
+
+
+# --------------------------------------------------------------------------
 # CUBE aggregation ([EXT] — grouping sets are absent from the reference,
 # SURVEY.md §2.9; the rollup surface a metrics pipeline needs).
 # --------------------------------------------------------------------------
