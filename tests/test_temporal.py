@@ -78,6 +78,22 @@ def test_interval_join_matches_naive_cross(spark):
     assert got == naive == {(1, 10), (1, 11), (2, 13), (3, 14)}
 
 
+def test_asof_join_single_shuffle_plan(spark):
+    """The union+window formulation must cost exactly ONE exchange on the
+    join key — the property that makes it an equi-join at scale. A
+    regression to a range join would show up as extra exchanges or a
+    nested-loop join."""
+    trades, quotes = _trades_quotes(spark)
+    plan = (
+        asof_join(trades, quotes, "sym", "tms", "qms", ["px"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 def test_interval_join_no_duplicate_on_multi_bin(spark):
     """An interval spanning several bins must emit each matching point
     exactly once."""
