@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import csv
 import json
 
@@ -71,3 +72,25 @@ def test_plot_sinks_write_all_four_charts(tmp_path):
     }
     for p in speed + recall:
         ET.parse(p)  # well-formed
+
+
+def test_curation_experiment_funnel(spark, sf_dir, tmp_path):
+    """EP4: funnel stages shrink monotonically, splits partition the
+    curated set, packing conserves the train tokens, artifacts written."""
+    from vectordb_acc_and_speed_exp_spark.experiments import curation_experiment
+
+    out = str(tmp_path / "ep4")
+    rows = {
+        r.stage: r
+        for r in curation_experiment(spark, sf_dir, out_prefix=out).collect()
+    }
+    assert (
+        rows["raw"].n_docs >= rows["quality"].n_docs >= rows["dedup"].n_docs > 0
+    )
+    splits = [v for k, v in rows.items() if k.startswith("split:")]
+    assert sum(s.n_docs for s in splits) == rows["dedup"].n_docs
+    train = rows["split:train"]
+    packed = next(v for k, v in rows.items() if k.startswith("packed_bins"))
+    assert packed.n_tokens == train.n_tokens
+    for suffix in ("_funnel.csv", "_funnel.json", "_funnel.svg"):
+        assert os.path.exists(out + suffix)

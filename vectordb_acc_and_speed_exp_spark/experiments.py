@@ -144,6 +144,120 @@ def recall_experiment(
     return out
 
 
+def curation_experiment(
+    spark: SparkSession,
+    sf_dir: str,
+    pack_budget: int = 2048,
+    out_prefix: str | None = None,
+) -> DataFrame:
+    """EP4 (extension beyond the reference): the training-data curation
+    funnel end-to-end — raw → quality gate → near-dup removal → hash
+    split → sequence packing — with per-stage doc/token counts and
+    wall-clock. Every stage is a registered, DuckDB-oracled query; this
+    runner just sequences them and persists the funnel as an artifact
+    (JSON + CSV + SVG), the way EP2/EP3 persist theirs."""
+    from .queries import load_all
+
+    reg = load_all()
+    rows: list[tuple[str, int, int, float]] = []
+
+    t = time.time()
+    quality = reg["text_quality"].fn(spark, sf_dir).cache()
+    raw = quality.agg(
+        F.count(F.lit(1)), F.sum("n_tokens")
+    ).first()
+    rows.append(("raw", int(raw[0]), int(raw[1]), round(time.time() - t, 3)))
+
+    t = time.time()
+    passed = quality.filter(F.col("is_quality") == 1).cache()
+    qc = passed.agg(F.count(F.lit(1)), F.sum("n_tokens")).first()
+    rows.append(("quality", int(qc[0]), int(qc[1]), round(time.time() - t, 3)))
+
+    t = time.time()
+    non_canonical = (
+        reg["dedup_clusters"].fn(spark, sf_dir)
+        .filter(F.col("is_canonical") == 0)
+        .select("doc_id")
+    )
+    curated = passed.join(non_canonical, "doc_id", "left_anti").cache()
+    cc = curated.agg(F.count(F.lit(1)), F.sum("n_tokens")).first()
+    rows.append(("dedup", int(cc[0]), int(cc[1]), round(time.time() - t, 3)))
+
+    # hash split of the CURATED set (same pure-hash rule as corpus_split)
+    from .functions.hashing import portable_hash64_seeded
+    from .queries.curation import _SEED
+
+    t = time.time()
+    bucket = portable_hash64_seeded(F.col("doc_id").cast("string"), _SEED) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    split_rows = (
+        curated.withColumn("split", split)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("tok"))
+        .collect()
+    )
+    sec = round(time.time() - t, 3)
+    for r in sorted(split_rows, key=lambda r: r.split):
+        rows.append((f"split:{r.split}", int(r.n), int(r.tok), sec))
+
+    # pack the curated train split into fixed token bins (per-source windows)
+    t = time.time()
+    from pyspark.sql import Window
+
+    train = curated.withColumn("split", split).filter(F.col("split") == "train")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        train.join(docs, "doc_id")
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .withColumn(
+            "bin_id", F.floor(F.col("cum_before") / F.lit(pack_budget))
+        )
+        .groupBy("source", "bin_id")
+        .agg(F.sum("n_tokens").alias("bin_tokens"))
+    )
+    pk = packed.agg(
+        F.count(F.lit(1)), F.sum("bin_tokens")
+    ).first()
+    rows.append(
+        (f"packed_bins(train,{pack_budget})", int(pk[0]), int(pk[1]),
+         round(time.time() - t, 3))
+    )
+
+    out = spark.createDataFrame(
+        rows, "stage string, n_docs long, n_tokens long, sec double"
+    )
+    if out_prefix:
+        pdf = out.toPandas()
+        pdf.to_csv(out_prefix + "_funnel.csv", index=False)
+        pdf.to_json(out_prefix + "_funnel.json", orient="records")
+        from .plans.svgplot import bar_chart
+
+        funnel = [r for r in rows if not r[0].startswith(("split:", "packed"))]
+        bar_chart(
+            [r[0] for r in funnel],
+            {"docs": [float(r[1]) for r in funnel],
+             "tokens/100": [r[2] / 100.0 for r in funnel]},
+            out_prefix + "_funnel.svg",
+            title=f"Curation funnel ({sf_dir.rsplit('/', 1)[-1]})",
+            ylabel="count",
+        )
+    quality.unpersist()
+    passed.unpersist()
+    curated.unpersist()
+    return out
+
+
 def plot_speed_charts(
     results: list[RunStats], out_dir: str, embed_sec: float = 0.0
 ) -> list[str]:
@@ -215,7 +329,7 @@ def main(argv: list[str]) -> int:
     from .session import get_spark
 
     p = argparse.ArgumentParser(prog="vectordb_acc_and_speed_exp_spark")
-    p.add_argument("mode", choices=["create", "speed", "recall"])
+    p.add_argument("mode", choices=["create", "speed", "recall", "curate"])
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p.add_argument("--pdf-dir")
     p.add_argument("--out", default="./experiment_out")
@@ -247,6 +361,9 @@ def main(argv: list[str]) -> int:
         print("charts:", ", ".join(charts))
         for r in results:
             print(f"{r.name}: mean={r.mean*1000:.1f}ms median={r.median*1000:.1f}ms")
+    elif args.mode == "curate":
+        out = curation_experiment(spark, args.sf_dir, out_prefix=args.out)
+        out.show(100, False)
     else:
         import os
 
