@@ -355,6 +355,69 @@ def value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Conversion funnel: ordered step sequencing per user — a user counts for
+# step k only if their first occurrence of step k follows their first
+# occurrence of step k-1. One scan + one groupBy(user); the step logic is
+# a conditional min-timestamp cascade, no joins and no window.
+# --------------------------------------------------------------------------
+@register(
+    "conversion_funnel",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) AS t_signup,
+         min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS t_view,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+f AS (
+  SELECT user_id,
+         CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END AS s1,
+         CASE WHEN t_signup IS NOT NULL AND t_view > t_signup THEN 1 ELSE 0 END AS s2,
+         CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                   AND t_purchase > t_view THEN 1 ELSE 0 END AS s3
+  FROM u
+)
+SELECT CAST(sum(s1) AS BIGINT) AS n_signup,
+       CAST(sum(s2) AS BIGINT) AS n_signup_view,
+       CAST(sum(s3) AS BIGINT) AS n_signup_view_purchase,
+       round(sum(s3) * 1.0 / greatest(sum(s1), 1), 4) AS conversion_r
+FROM f
+""",
+    doc="ordered conversion funnel signup -> view -> purchase per user: "
+    "conditional-min cascade, one scan + one groupBy, no joins/windows",
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("tms")
+    )
+    first = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("tms"))
+    )
+    u = e.groupBy("user_id").agg(
+        first("signup").alias("t_signup"),
+        first("view").alias("t_view"),
+        first("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_view") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_view"))
+    f = u.select(
+        s1.cast("int").alias("s1"),
+        s2.cast("int").alias("s2"),
+        s3.cast("int").alias("s3"),
+    )
+    return f.agg(
+        F.sum("s1").alias("n_signup"),
+        F.sum("s2").alias("n_signup_view"),
+        F.sum("s3").alias("n_signup_view_purchase"),
+        F.round(
+            F.sum("s3") * 1.0 / F.greatest(F.sum("s1"), F.lit(1)), 4
+        ).alias("conversion_r"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Tail-latency-style profiling: exact interpolated percentiles per group.
 # Same scaled-integer trick as value_stats_by_type — interpolation runs on
 # exact ints, only the final /100.0 + round(4) touches floats, so both
