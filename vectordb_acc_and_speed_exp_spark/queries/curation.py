@@ -17,10 +17,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
+    portable_hash64,
     portable_hash64_seeded,
     portable_hash64_seeded_sql,
+    portable_hash64_sql,
 )
-from ..functions.text import token_count
+from ..functions.text import norm_text, token_count, tokens
 from ..io import load_table
 from . import register
 
@@ -34,6 +36,9 @@ _NTOK_SQL = (
     "CASE WHEN trim(text) = '' THEN 0 "
     "ELSE len(string_split_regex(trim(text), '\\s+')) END"
 )
+# identical normalized-token formulation to textops (functions/text.py parity)
+_NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_TOKENS_SQL = f"string_split({_NORM_SQL}, ' ')"
 
 
 @register(
@@ -190,4 +195,177 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "fill_r"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: which train-split documents share long n-gram
+# runs with the held-out test split (the GPT-3-style 8-gram collision
+# check). Strict 8-grams only (no partial shingles — both engines emit
+# nothing for docs under 8 tokens), distinct per doc, joined on the
+# portable 60-bit gram hash. A doc-frequency cap on the train side drops
+# stop-grams before the join — the same bounded-blowup guard as
+# ngram_jaccard_pairs — so the join fan-out is capped per gram at scale.
+# --------------------------------------------------------------------------
+_DECON_N = 8
+_DECON_MIN_SHARED = 10
+_DECON_DF_CAP = 100
+
+_DECON_GRAMS_SQL = f"""
+  SELECT doc_id, split, gh FROM (
+    SELECT doc_id, split,
+           {portable_hash64_sql("gram")} AS gh
+    FROM (
+      SELECT doc_id, split,
+             unnest(list_transform(
+               generate_series(1, len(t) - {_DECON_N - 1}),
+               i -> list_aggregate(t[i:i+{_DECON_N - 1}], 'string_agg', ' ')
+             )) AS gram
+      FROM (
+        SELECT doc_id,
+               CASE WHEN ({_HASH_SQL}) % 100 < 80 THEN 'train'
+                    WHEN ({_HASH_SQL}) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               {_TOKENS_SQL} AS t
+        FROM documents
+      ) WHERE len(t) >= {_DECON_N} AND split <> 'val'
+    )
+  ) GROUP BY ALL
+"""
+
+
+@register(
+    "decontaminate",
+    oracle=f"""
+WITH g AS ({_DECON_GRAMS_SQL}),
+tr AS (
+  SELECT doc_id, gh FROM g WHERE split = 'train'
+  QUALIFY count(*) OVER (PARTITION BY gh) <= {_DECON_DF_CAP}
+),
+te AS (SELECT doc_id AS test_doc_id, gh FROM g WHERE split = 'test'),
+tot AS (SELECT test_doc_id, count(*) AS n_test_grams FROM te GROUP BY 1),
+j AS (
+  SELECT tr.doc_id AS train_doc_id, te.test_doc_id, count(*) AS n_shared
+  FROM tr JOIN te USING (gh) GROUP BY 1, 2
+)
+SELECT j.train_doc_id, j.test_doc_id, j.n_shared,
+       round(j.n_shared * 1.0 / tot.n_test_grams, 4) AS contam_r
+FROM j JOIN tot USING (test_doc_id)
+WHERE j.n_shared >= {_DECON_MIN_SHARED}
+""",
+    doc="train/test 8-gram collision decontamination: distinct strict "
+    "8-grams per doc, df-capped on the train side, hash-keyed join — "
+    "flags train docs that leak held-out content",
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash64_seeded(F.col("doc_id").cast("string"), _SEED) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return _decontaminate_frame(d.withColumn("split", split))
+
+
+def _decontaminate_frame(d: DataFrame) -> DataFrame:
+    """Core of ``decontaminate`` over a frame with (doc_id, text, split) —
+    split is precomputed so tests can pin membership explicitly."""
+    toks = d.select(
+        "doc_id", "split", tokens(norm_text(F.col("text"))).alias("t")
+    ).filter((F.col("split") != "val") & (F.size("t") >= _DECON_N))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - _DECON_N),
+        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, _DECON_N)),
+    )
+    # distinct (doc, gram-hash) pairs feed three consumers (train side,
+    # test side, per-test-doc totals) — persist so the explode runs once
+    g = (
+        toks.select("doc_id", "split", F.explode(grams).alias("gram"))
+        .select("doc_id", "split", portable_hash64(F.col("gram")).alias("gh"))
+        .distinct()
+        .persist()
+    )
+    freq_w = Window.partitionBy("gh")
+    tr = (
+        g.filter(F.col("split") == "train")
+        .withColumn("df", F.count(F.lit(1)).over(freq_w))
+        .filter(F.col("df") <= _DECON_DF_CAP)
+        .select(F.col("doc_id").alias("train_doc_id"), "gh")
+    )
+    te = g.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc_id"), "gh"
+    )
+    tot = te.groupBy("test_doc_id").agg(F.count(F.lit(1)).alias("n_test_grams"))
+    j = (
+        tr.join(te, "gh")
+        .groupBy("train_doc_id", "test_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _DECON_MIN_SHARED)
+    )
+    return j.join(tot, "test_doc_id").select(
+        "train_doc_id",
+        "test_doc_id",
+        "n_shared",
+        F.round(F.col("n_shared") * 1.0 / F.col("n_test_grams"), 4).alias(
+            "contam_r"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Domain mixing: temperature-scaled sampling weights per source shard
+# (the multinomial-alpha rebalancing step of multi-source pretraining —
+# alpha < 1 upweights small domains). Pure relational: one groupBy to a
+# handful of rows, then unpartitioned window sums over that tiny frame
+# (post-aggregation, so the single-partition window is a few rows, never
+# the corpus).
+# --------------------------------------------------------------------------
+_MIX_ALPHA = 0.3
+
+
+@register(
+    "source_mix_weights",
+    oracle=f"""
+WITH t AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum({_NTOK_SQL}) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source
+),
+p AS (
+  SELECT *, total_tokens * 1.0 / sum(total_tokens) OVER () AS p_raw,
+         pow(total_tokens * 1.0 / sum(total_tokens) OVER (), {_MIX_ALPHA}) AS w_raw
+  FROM t
+)
+SELECT source, n_docs, total_tokens,
+       round(p_raw, 4) AS p_r,
+       round(w_raw / sum(w_raw) OVER (), 4) AS w_r,
+       round((w_raw / sum(w_raw) OVER ()) / p_raw, 4) AS boost_r
+FROM p
+""",
+    doc="temperature-based source mixing weights (alpha={}) — natural "
+    "share p, alpha-scaled sampling weight w, and the implied "
+    "upsampling boost per source".format(_MIX_ALPHA),
+)
+def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    t = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    w_all = Window.partitionBy()
+    p_raw = F.col("total_tokens") * 1.0 / F.sum("total_tokens").over(w_all)
+    p = t.withColumn("p_raw", p_raw).withColumn(
+        "w_raw", F.pow(F.col("p_raw"), F.lit(_MIX_ALPHA))
+    )
+    w_norm = F.col("w_raw") / F.sum("w_raw").over(w_all)
+    return p.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round("p_raw", 4).alias("p_r"),
+        F.round(w_norm, 4).alias("w_r"),
+        F.round(w_norm / F.col("p_raw"), 4).alias("boost_r"),
     )

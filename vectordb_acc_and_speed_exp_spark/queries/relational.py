@@ -388,7 +388,13 @@ FROM f
     "conditional-min cascade, one scan + one groupBy, no joins/windows",
 )
 def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").select(
+    return _funnel_frame(load_table(spark, sf_dir, "events"))
+
+
+def _funnel_frame(events: DataFrame) -> DataFrame:
+    """Core of ``conversion_funnel`` over any (user_id, event_type, ts)
+    frame — exposed so tests can pin the ordered-step semantics."""
+    e = events.select(
         "user_id", "event_type", F.unix_millis("ts").alias("tms")
     )
     first = lambda t: F.min(  # noqa: E731

@@ -818,3 +818,198 @@ def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(h)
         .alias("rolling_hash"),
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition profile: duplicate n-gram fraction per document (the Gopher-
+# rules repetition signal — high duplicate-n-gram mass means boilerplate /
+# degenerate text). Strict n-grams; fraction = 1 - distinct/total over
+# n-gram occurrences; docs shorter than n tokens score 0. Pure HOF
+# codegen — the token array is materialized once and both n-gram arrays
+# derive from it inside one projection.
+# --------------------------------------------------------------------------
+def _strict_ngrams_col(toks, n: int):
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _dup_frac_col(grams):
+    return F.when(
+        F.size(grams) > 0,
+        F.round(
+            1.0
+            - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def _strict_ngrams_sql(n: int) -> str:
+    return (
+        f"CASE WHEN len(t) >= {n} THEN list_transform("
+        f"generate_series(1, len(t) - {n - 1}), "
+        f"i -> list_aggregate(t[i:i+{n - 1}], 'string_agg', ' ')) "
+        f"ELSE [] END"
+    )
+
+
+_DUP_FRAC_SQL = (
+    "CASE WHEN len({g}) > 0 THEN "
+    "round(1.0 - len(list_distinct({g})) * 1.0 / len({g}), 4) "
+    "ELSE 0.0 END"
+)
+
+
+@register(
+    "repetition_profile",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+g AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         {_strict_ngrams_sql(2)} AS g2,
+         {_strict_ngrams_sql(3)} AS g3
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       {_DUP_FRAC_SQL.format(g="g2")} AS dup_2gram_r,
+       {_DUP_FRAC_SQL.format(g="g3")} AS dup_3gram_r,
+       CASE WHEN {_DUP_FRAC_SQL.format(g="g3")} > 0.05 THEN 1 ELSE 0 END
+         AS is_repetitive
+FROM g
+""",
+    doc="Gopher-style repetition signal: duplicate 2-/3-gram occurrence "
+    "fraction per doc, strict n-grams, flag at dup_3gram_r > 0.05",
+)
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", tokens(norm_text(F.col("text"))).alias("t")
+    ).select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        _strict_ngrams_col(F.col("t"), 2).alias("g2"),
+        _strict_ngrams_col(F.col("t"), 3).alias("g3"),
+    )
+    d3 = _dup_frac_col(F.col("g3"))
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        _dup_frac_col(F.col("g2")).alias("dup_2gram_r"),
+        d3.alias("dup_3gram_r"),
+        F.when(d3 > 0.05, 1).otherwise(0).alias("is_repetitive"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrub: regex redaction of emails / phone-like / IP-like substrings
+# with per-doc redaction counts and a signature of the scrubbed text. The
+# synthetic corpus contains no PII, so the query deterministically injects
+# PII-shaped suffixes (a pure function of doc_id, computed identically in
+# both engines) and then scrubs them — the *redaction machinery* is what's
+# hash-verified. Patterns stay in the Java-regex ∩ RE2 common subset.
+# --------------------------------------------------------------------------
+_PAT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PAT_PHONE = r"\b555-[0-9]{4}\b"
+_PAT_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+_INJECT_SQL = """
+  text
+  || CASE WHEN doc_id % 3 = 0
+          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+          ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+          THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+          THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+               || CAST(doc_id % 250 AS VARCHAR)
+          ELSE '' END
+"""
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+WITH inj AS (SELECT doc_id, ({_INJECT_SQL}) AS raw FROM documents),
+red AS (
+  SELECT doc_id, raw,
+         regexp_replace(regexp_replace(regexp_replace(raw,
+           '{_PAT_EMAIL}', '<EMAIL>', 'g'),
+           '{_PAT_PHONE}', '<PHONE>', 'g'),
+           '{_PAT_IP}', '<IP>', 'g') AS redacted
+  FROM inj
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{_PAT_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{_PAT_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(raw, '{_PAT_IP}')) AS BIGINT) AS n_ips,
+       CAST(len(redacted) AS BIGINT) AS redacted_len,
+       substring(md5(redacted), 1, 16) AS redacted_sig
+FROM red
+""",
+    doc="regex PII scrub (email/phone/IP -> typed placeholders) with "
+    "per-doc counts; PII is injected as a pure function of doc_id since "
+    "the synthetic corpus has none — redaction output is hash-verified",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    frag = lambda mod, col: F.when(  # noqa: E731
+        F.col("doc_id") % mod == 0, col
+    ).otherwise(F.lit(""))
+    raw = F.concat(
+        F.col("text"),
+        frag(
+            3,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ),
+        frag(
+            5,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ),
+        frag(
+            7,
+            F.concat(
+                F.lit(" host 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 250).cast("string"),
+            ),
+        ),
+    )
+    staged = d.select("doc_id", raw.alias("raw"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _PAT_EMAIL, "<EMAIL>"),
+            _PAT_PHONE,
+            "<PHONE>",
+        ),
+        _PAT_IP,
+        "<IP>",
+    )
+    staged = staged.select("doc_id", "raw", redacted.alias("redacted"))
+    return staged.select(
+        "doc_id",
+        F.regexp_count(F.col("raw"), F.lit(_PAT_EMAIL))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.regexp_count(F.col("raw"), F.lit(_PAT_PHONE))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.regexp_count(F.col("raw"), F.lit(_PAT_IP))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.length("redacted").cast("bigint").alias("redacted_len"),
+        F.substring(F.md5("redacted"), 1, 16).alias("redacted_sig"),
+    )
