@@ -60,6 +60,12 @@ HEADLINE = [
     "label_centroids",
     "embed_documents_fake",
     "char_ngram_stats",
+    "repetition_profile",
+    "pii_scrub",
+    "decontaminate",
+    "token_importance_weights",
+    "domain_rebalanced_sample",
+    "embedding_dim_stats",
 ]
 
 

@@ -194,3 +194,109 @@ class TestConversionFunnel:
             1,
         )
         assert r["conversion_r"] == pytest.approx(0.5, abs=1e-9)
+
+
+class TestEmbeddingDimStats:
+    def test_crafted_vectors(self, spark):
+        from vectordb_acc_and_speed_exp_spark.queries.vector import (
+            _dim_stats_frame,
+        )
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, -2.0]), (1, [3.0, -4.0])],
+            "vec_id bigint, embedding array<float>",
+        )
+        out = {r["dim"]: r for r in _dim_stats_frame(emb).collect()}
+        # dim 1: values 1e6, 3e6 -> mean 2e6, pop std 1.0, min/max exact
+        assert out[1]["mean_s6"] == 2_000_000
+        assert out[1]["std_r"] == pytest.approx(1.0, abs=1e-4)
+        assert (out[1]["min_s6"], out[1]["max_s6"]) == (1_000_000, 3_000_000)
+        # dim 2: values -2e6, -4e6 -> mean -3e6 (floor exact on negatives)
+        assert out[2]["mean_s6"] == -3_000_000
+        assert (out[2]["min_s6"], out[2]["max_s6"]) == (-4_000_000, -2_000_000)
+
+    def test_gate_query_shape(self, spark, sf_dir):
+        from vectordb_acc_and_speed_exp_spark.queries import load_all
+
+        rows = load_all()["embedding_dim_stats"].fn(spark, sf_dir).collect()
+        assert len(rows) == 64  # one row per coordinate
+        assert all(r["std_r"] >= 0.0 for r in rows)
+        assert all(r["min_s6"] <= r["mean_s6"] <= r["max_s6"] for r in rows)
+
+
+class TestDomainRebalancedSample:
+    def test_small_source_upweighted(self, spark):
+        from vectordb_acc_and_speed_exp_spark.queries.curation import (
+            _rebalance_frame,
+        )
+
+        # 'big' has 9x the token mass of 'small'; alpha=0.3 compresses the
+        # gap, so small's keep rate must exceed big's
+        rows = [(i, "tok " * 9, "en", "big", 36) for i in range(90)] + [
+            (i, "tok " * 9, "en", "small", 36) for i in range(90, 100)
+        ]
+        d = _docs(spark, rows)
+        out = _rebalance_frame(d)
+        rates = {
+            r["source"]: r["rate_bp"]
+            for r in out.select("source", "rate_bp").distinct().collect()
+        }
+        assert rates["small"] > rates["big"]
+        # rate formula pinned: p_small=0.1, w ~ p^0.3 normalized
+        p_s, p_b = 0.1, 0.9
+        w_s, w_b = p_s**0.3, p_b**0.3
+        exp_s = min(10000, int(10000 * 0.5 * (w_s / (w_s + w_b)) / p_s))
+        exp_b = min(10000, int(10000 * 0.5 * (w_b / (w_b + w_s)) / p_b))
+        assert rates == {"small": exp_s, "big": exp_b}
+
+    def test_membership_stable_under_append(self, spark):
+        from vectordb_acc_and_speed_exp_spark.queries.curation import (
+            _rebalance_frame,
+        )
+
+        rows = [(i, "tok " * 9, "en", f"src{i % 2}", 36) for i in range(80)]
+        base = _docs(spark, rows)
+        kept_before = {
+            r["doc_id"]
+            for r in _rebalance_frame(base).collect()
+        }
+        # appending docs to an EXISTING source at the same mix keeps the
+        # rates identical, so prior members never flip (hash membership)
+        extra = _docs(spark, [(i, "tok " * 9, "en", f"src{i % 2}", 36) for i in range(80, 120)])
+        kept_after = {
+            r["doc_id"]
+            for r in _rebalance_frame(base.unionByName(extra)).collect()
+        }
+        assert kept_before <= kept_after
+
+
+class TestTokenImportanceWeights:
+    def test_boost_arithmetic(self, spark):
+        from vectordb_acc_and_speed_exp_spark.queries.curation import (
+            _importance_frame,
+        )
+
+        rows = [
+            (1, "hello hello world", "en", "s", 17),
+            (2, "bonjour monde hello", "fr", "s", 19),
+        ]
+        out = {
+            r["doc_id"]: r for r in _importance_frame(_docs(spark, rows)).collect()
+        }
+        # corpus: hello=3, world=1, bonjour=1, monde=1 (N_c=6); target(en):
+        # hello=2, world=1 (N_t=3). boost(hello)=(2*6)/(3*3)=4/3,
+        # boost(world)=(1*6)/(1*3)=2, boost(bonjour)=boost(monde)=0.
+        b_hello = (1_000_000 * 2 * 6) // (3 * 3)
+        b_world = (1_000_000 * 1 * 6) // (1 * 3)
+        assert out[1]["imp_s6"] == (2 * b_hello + b_world) // 3
+        assert out[2]["imp_s6"] == b_hello // 3  # bonjour+monde contribute 0
+        assert out[1]["imp_s6"] > out[2]["imp_s6"]
+
+    def test_gate_target_docs_score_higher_on_average(self, spark, sf_dir):
+        from vectordb_acc_and_speed_exp_spark.queries import load_all
+
+        rows = load_all()["token_importance_weights"].fn(spark, sf_dir).collect()
+        en = [r["imp_s6"] for r in rows if r["lang"] == "en"]
+        rest = [r["imp_s6"] for r in rows if r["lang"] != "en"]
+        assert en and rest
+        assert sum(en) / len(en) > sum(rest) / len(rest)

@@ -369,3 +369,183 @@ def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w_norm, 4).alias("w_r"),
         F.round(w_norm / F.col("p_raw"), 4).alias("boost_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-rebalanced corpus materialization: the resampling step that
+# turns source_mix_weights into an actual kept-document set. Per-source
+# keep rate (in basis points, floor — floor has no rounding ties) targets
+# TARGET of total tokens redistributed by the alpha-scaled weights; a doc
+# survives iff its seeded portable hash lands under the rate. The big
+# side is touched once: scan -> broadcast-join the ~|sources|-row rate
+# frame -> hash filter. No shuffle of the corpus, membership independent
+# of partitioning/append order — the 100 TB shape.
+# --------------------------------------------------------------------------
+_RESAMPLE_TARGET = 0.5
+_RESAMPLE_SEED = 7
+_KEEP_HASH_SQL = portable_hash64_seeded_sql(
+    "CAST(doc_id AS VARCHAR)", _RESAMPLE_SEED
+)
+
+_RATES_SQL = f"""
+  SELECT source, CAST(least(10000, floor(
+           10000 * {_RESAMPLE_TARGET}
+           * (w_raw / sum(w_raw) OVER ()) / p_raw)) AS BIGINT) AS rate_bp
+  FROM (
+    SELECT source,
+           total_tokens * 1.0 / sum(total_tokens) OVER () AS p_raw,
+           pow(total_tokens * 1.0 / sum(total_tokens) OVER (),
+               {_MIX_ALPHA}) AS w_raw
+    FROM (
+      SELECT source, CAST(sum({_NTOK_SQL}) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source
+    )
+  )
+"""
+
+
+@register(
+    "domain_rebalanced_sample",
+    oracle=f"""
+WITH rates AS ({_RATES_SQL})
+SELECT d.doc_id, d.source, r.rate_bp
+FROM documents d JOIN rates r USING (source)
+WHERE ({_KEEP_HASH_SQL}) % 10000 < r.rate_bp
+""",
+    doc="materialize the temperature-rebalanced corpus: per-source keep "
+    "rate (basis points) from the alpha-mix weights, deterministic "
+    "hash-Bernoulli per doc, broadcast-joined — one corpus scan, no "
+    "corpus shuffle",
+)
+def domain_rebalanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rebalance_frame(load_table(spark, sf_dir, "documents"))
+
+
+def _rebalance_frame(d: DataFrame) -> DataFrame:
+    """Core of ``domain_rebalanced_sample`` over any (doc_id, text, source)
+    frame — exposed so tests can pin the rate formula on crafted mixes."""
+    t = d.select(
+        "source", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    ).groupBy("source").agg(F.sum("n_tokens").alias("total_tokens"))
+    w_all = Window.partitionBy()
+    p_raw = F.col("total_tokens") * 1.0 / F.sum("total_tokens").over(w_all)
+    w = t.withColumn("p_raw", p_raw).withColumn(
+        "w_raw", F.pow(F.col("p_raw"), F.lit(_MIX_ALPHA))
+    )
+    rate = F.least(
+        F.lit(10000).cast("bigint"),
+        F.floor(
+            10000
+            * _RESAMPLE_TARGET
+            * (F.col("w_raw") / F.sum("w_raw").over(w_all))
+            / F.col("p_raw")
+        ),
+    )
+    rates = w.select("source", rate.cast("bigint").alias("rate_bp"))
+    keep_h = (
+        portable_hash64_seeded(F.col("doc_id").cast("string"), _RESAMPLE_SEED)
+        % 10000
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(keep_h < F.col("rate_bp"))
+        .select("doc_id", "source", "rate_bp")
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-level importance weighting (the DSIR-style data-selection signal,
+# linear-ratio form): score each document by the mean relative-frequency
+# boost of its tokens in a target slice (lang = 'en') vs the whole
+# corpus. boost(t) = freq_target(t) / freq_corpus(t), computed entirely
+# on exact integer counts (cnt * N products stay < 2^53 so the double
+# division is bit-identical across engines) and floored onto a 1e6 grid
+# per *token type* before the per-doc sum — integer sums are
+# shuffle-order-exact. One token explode feeds corpus counts, target
+# counts, and the per-doc rollup (persisted); the vocab-level boost
+# frame is broadcast back onto the token stream. At 100 TB the count
+# products overflow the double-exact range — move the ratio to log-space
+# (the DSIR formulation) or DECIMAL; noted here.
+# --------------------------------------------------------------------------
+_IMP_TARGET_LANG = "en"
+
+
+@register(
+    "token_importance_weights",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS tok
+  FROM documents WHERE len(trim(text)) > 0
+),
+corpus AS (SELECT tok, count(*) AS cnt_c FROM tok GROUP BY tok),
+target AS (SELECT tok, count(*) AS cnt_t FROM tok
+           WHERE lang = '{_IMP_TARGET_LANG}' GROUP BY tok),
+totals AS (
+  SELECT (SELECT sum(cnt_c) FROM corpus) AS n_c,
+         (SELECT coalesce(sum(cnt_t), 0) FROM target) AS n_t
+),
+boost AS (
+  SELECT c.tok,
+         CAST(floor(1000000.0 * coalesce(t.cnt_t, 0) * tt.n_c
+                    / (c.cnt_c * tt.n_t)) AS BIGINT) AS b6
+  FROM corpus c LEFT JOIN target t USING (tok) CROSS JOIN totals tt
+)
+SELECT tok.doc_id, tok.lang, count(*) AS n_toks,
+       CAST(floor(sum(b.b6) * 1.0 / count(*)) AS BIGINT) AS imp_s6
+FROM tok JOIN boost b USING (tok)
+GROUP BY tok.doc_id, tok.lang
+""",
+    doc="DSIR-style importance weights (linear-ratio form): per-doc mean "
+    "token boost freq_target/freq_corpus on a 1e6 int grid, target = "
+    "lang-'{}' slice; exact-int arithmetic end to end".format(
+        _IMP_TARGET_LANG
+    ),
+)
+def token_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _importance_frame(load_table(spark, sf_dir, "documents"))
+
+
+def _importance_frame(d: DataFrame) -> DataFrame:
+    """Core of ``token_importance_weights`` over any (doc_id, text, lang)
+    frame — exposed so tests can pin the boost arithmetic exactly."""
+    tok = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id", "lang", F.explode(tokens(norm_text(F.col("text")))).alias("tok")
+        )
+        .persist()
+    )
+    corpus = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt_c"))
+    target = (
+        tok.filter(F.col("lang") == _IMP_TARGET_LANG)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt_t"))
+    )
+    totals = corpus.agg(F.sum("cnt_c").alias("n_c")).crossJoin(
+        target.agg(F.coalesce(F.sum("cnt_t"), F.lit(0)).alias("n_t"))
+    )
+    boost = (
+        corpus.join(target, "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            F.floor(
+                1000000.0
+                * F.coalesce(F.col("cnt_t"), F.lit(0))
+                * F.col("n_c")
+                / (F.col("cnt_c") * F.col("n_t"))
+            )
+            .cast("bigint")
+            .alias("b6"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(boost), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.floor(F.sum("b6") * 1.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("imp_s6"),
+        )
+    )

@@ -316,3 +316,63 @@ def knn_snapshot_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("dist", 4).alias("dist_r"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Per-dimension corpus statistics ([EXT]): the normalization profile an
+# embedding pipeline computes before whitening / scaling — mean, std, min,
+# max per coordinate. Values are scaled to 1e6 ints per element before
+# any cross-partition aggregation so the sums are shuffle-order-exact
+# (float sums are not associative; integer sums are). Mean/min/max are
+# EMITTED on the scaled-int grid too: a 1e6-scaled value divided back out
+# terminates at 6 decimals, which makes round(·, 4) hit exact half-way
+# ties constantly — and Spark rounds the shortest decimal repr while
+# DuckDB rounds the binary double, so ties diverge. floor() has no ties.
+# std is an irrational (sqrt), so round(4) is safe there. At sf0.1 the
+# scaled squares peak ~1e15 per partial sum — inside bigint; at 1e9+ rows
+# the square-sum column should move to DECIMAL(38,0), noted for scale.
+# --------------------------------------------------------------------------
+@register(
+    "embedding_dim_stats",
+    oracle="""
+WITH e AS (
+  SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS s
+  FROM embeddings
+)
+SELECT dim, count(*) AS n,
+       CAST(floor(sum(s) * 1.0 / count(*)) AS BIGINT) AS mean_s6,
+       round(sqrt((sum(s * s) * 1.0 / count(*)
+              - (sum(s) * 1.0 / count(*)) ^ 2) / 1e12), 4) AS std_r,
+       min(s) AS min_s6,
+       max(s) AS max_s6
+FROM e GROUP BY dim
+""",
+    doc="per-dimension embedding normalization stats (mean/std/min/max) "
+    "on 1e6-scaled ints — population std via the sum-of-squares identity, "
+    "deterministic under any partitioning; mean/min/max stay on the "
+    "int grid (µ-units) to dodge terminating-decimal rounding ties",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dim_stats_frame(load_table(spark, sf_dir, "embeddings"))
+
+
+def _dim_stats_frame(emb: DataFrame) -> DataFrame:
+    """Core of ``embedding_dim_stats`` over any frame with an
+    array ``embedding`` column — exposed for crafted-vector tests."""
+    e = emb.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.round(F.col("v").cast("double") * 1000000).cast("bigint").alias("s"),
+    )
+    n = F.count(F.lit(1))
+    mean = F.sum("s") * 1.0 / n
+    var = (F.sum(F.col("s") * F.col("s")) * 1.0 / n - mean * mean) / 1e12
+    return e.groupBy("dim").agg(
+        n.alias("n"),
+        F.floor(mean).cast("bigint").alias("mean_s6"),
+        F.round(F.sqrt(var), 4).alias("std_r"),
+        F.min("s").alias("min_s6"),
+        F.max("s").alias("max_s6"),
+    )
