@@ -33,6 +33,7 @@ HEADLINE = [
     "ann_pq_topk",
     "graph_ann_topk",
     "graph_ivf_ann_topk",
+    "ann_ivfpq_topk",
     "pricing_summary",
     "revenue_by_nation",
     "top_orders_per_customer",
@@ -90,6 +91,7 @@ def main() -> None:
     registry["pq_build_stats"].fn(spark, sf_dir).count()
     registry["graph_build_stats"].fn(spark, sf_dir).count()
     registry["graph_ivf_ann_topk"].fn(spark, sf_dir).count()
+    registry["ivfpq_build_stats"].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

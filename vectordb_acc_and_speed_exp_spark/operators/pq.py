@@ -67,9 +67,13 @@ def pq_encode(
     codebooks: np.ndarray,
     item_id: str = "item_id",
     item_vec: str = "embedding",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<int>): nearest centroid per sub-space. One numpy
-    argmin per Arrow batch per sub-space."""
+    """(id, codes array<int>[, passthrough...]): nearest centroid per
+    sub-space. One numpy argmin per Arrow batch per sub-space.
+    ``passthrough`` columns (e.g. an IVF ``cell``) are carried through the
+    kernel unchanged so the codes can be written cell-partitioned without a
+    post-encode join."""
     spark = corpus.sparkSession
     b_books = spark.sparkContext.broadcast(codebooks)
     m, k, dsub = codebooks.shape
@@ -84,13 +88,19 @@ def pq_encode(
                 # (n, k) distances to this sub-space's centroids
                 d = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
                 codes[:, s] = np.argmin(d, axis=1)
-            yield pd.DataFrame(
-                {"item_id": pdf["_id"], "codes": list(codes.tolist())}
-            )
+            out = {"item_id": pdf["_id"], "codes": list(codes.tolist())}
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    src = corpus.select(F.col(item_id).alias("_id"), F.col(item_vec).alias("_vec"))
-    id_type = dict(corpus.dtypes)[item_id]
-    return src.mapInPandas(encode, schema=f"item_id {id_type}, codes array<int>")
+    keep = [F.col(item_id).alias("_id"), F.col(item_vec).alias("_vec")]
+    keep += [F.col(c) for c in passthrough]
+    src = corpus.select(*keep)
+    dtypes = dict(corpus.dtypes)
+    schema = f"item_id {dtypes[item_id]}, codes array<int>"
+    for c in passthrough:
+        schema += f", {c} {dtypes[c]}"
+    return src.mapInPandas(encode, schema=schema)
 
 
 def pq_search(
@@ -177,6 +187,154 @@ def pq_search_rerank(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec")
     )
     vecs = corpus.select(F.col(item_id).alias("item_id"), F.col(item_vec).alias("_cvec"))
+    scored = (
+        cand.join(vecs, "item_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "item_id", l2_dist(F.col("_qvec"), F.col("_cvec")).alias("dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "dist")
+    )
+
+
+def write_ivfpq_codes(
+    corpus_assigned: DataFrame,
+    codebooks: np.ndarray,
+    path: str,
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> None:
+    """Encode an IVF-assigned corpus (must carry ``cell``) to PQ codes and
+    persist them partitioned by cell — the IVF-PQ index layout (FAISS
+    IVFPQ / SPANN-family storage): the coarse quantizer prunes directories,
+    the fine quantizer shrinks the bytes scanned inside each directory.
+    At 768-dim float32 this is n_probe/n_cells of the corpus x ~700x fewer
+    bytes per row before any float vector is touched."""
+    pq_encode(
+        corpus_assigned, codebooks, item_id=item_id, item_vec=item_vec,
+        passthrough=("cell",),
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    spark,
+    codes_path: str,
+    corpus_path: str,
+    centroids: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> DataFrame:
+    """Composed IVF-PQ search — the production large-corpus configuration:
+
+    1. coarse probe: each query's ``n_probe`` nearest cells (tiny centroid
+       kNN, driver-resolved) → ``cell IN (...)`` partition filter on BOTH
+       the codes scan and the re-rank vector fetch;
+    2. ADC scan of only the probed cells' codes, per-query cell masks keep
+       strict IVF semantics (a row is scored only for queries that probed
+       its cell) → per-query short-list of ``shortlist`` candidates;
+    3. exact re-rank: join the short-list ids to the cell-partitioned
+       vector layout (same pruned directories) and compute true L2.
+
+    Full probe (n_probe = n_cells) with shortlist >= corpus is exact —
+    the metamorphic identity the tests pin."""
+    from ..functions.vector import l2_dist
+    from .knn import exact_knn
+
+    m, kcent, dsub = codebooks.shape
+    qcells = exact_knn(
+        queries, centroids, k=n_probe,
+        query_id=query_id, query_vec=query_vec,
+        item_id="cell", item_vec="centroid",
+    ).select(F.col("query_id"), F.col("item_id").alias("cell"))
+    probe_rows = qcells.collect()
+    probed = sorted({r.cell for r in probe_rows})
+    allowed: dict = {}
+    for r in probe_rows:
+        allowed.setdefault(r.query_id, set()).add(r.cell)
+
+    qrows = queries.select(
+        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
+    ).collect()
+    qids = np.array([r._qid for r in qrows])
+    Q = np.array([r._qv for r in qrows], dtype=np.float64)
+    luts = np.empty((len(qids), m, kcent), dtype=np.float64)
+    for s in range(m):
+        qsub = Q[:, s * dsub : (s + 1) * dsub]
+        luts[:, s, :] = ((qsub[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(
+            axis=2
+        )
+    b_luts = spark.sparkContext.broadcast(luts)
+    b_qids = spark.sparkContext.broadcast(qids)
+    b_allowed = spark.sparkContext.broadcast(
+        {q: np.array(sorted(cs)) for q, cs in allowed.items()}
+    )
+
+    codes = spark.read.parquet(codes_path).filter(F.col("cell").isin(probed))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        L, Qi, allow = b_luts.value, b_qids.value, b_allowed.value
+        sub_idx = np.arange(m)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            ids = pdf["item_id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            D = L[:, sub_idx, C].sum(axis=2)  # (nq, n)
+            out_q, out_i, out_d = [], [], []
+            for qi, qid in enumerate(Qi):
+                mask = np.isin(cells, allow.get(qid, np.empty(0)))
+                if not mask.any():
+                    continue
+                d = D[qi][mask]
+                idm = ids[mask]
+                kk = min(shortlist, len(d))
+                part = np.argpartition(d, kk - 1)[:kk] if kk < len(d) else np.arange(len(d))
+                out_q.append(np.full(len(part), qid))
+                out_i.append(idm[part])
+                out_d.append(np.sqrt(d[part]))
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "item_id": np.concatenate(out_i),
+                    "adc_dist": np.concatenate(out_d),
+                }
+            )
+
+    qid_t = dict(queries.dtypes)[query_id]
+    iid_t = dict(codes.dtypes)["item_id"]
+    partial = codes.mapInPandas(
+        scan, schema=f"query_id {qid_t}, item_id {iid_t}, adc_dist double"
+    )
+    wsl = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("item_id"))
+    cand = (
+        partial.withColumn("_rn", F.row_number().over(wsl))
+        .filter(F.col("_rn") <= shortlist)
+        .select("query_id", "item_id")
+    )
+
+    vecs = (
+        spark.read.parquet(corpus_path)
+        .filter(F.col("cell").isin(probed))
+        .select(F.col(item_id).alias("item_id"), F.col(item_vec).alias("_cvec"))
+    )
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec")
+    )
     scored = (
         cand.join(vecs, "item_id")
         .join(F.broadcast(qv), "query_id")

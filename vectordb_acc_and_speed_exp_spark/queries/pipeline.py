@@ -343,6 +343,66 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
 
 
+def _get_or_build_ivfpq(spark: SparkSession, sf_dir: str):
+    """Idempotent IVF-PQ build: reuses the IVF layout's cell assignment and
+    the PQ codebooks, encodes codes WITH the cell column (kernel
+    passthrough, no post-encode join) and writes them cell-partitioned.
+    Returns (codes_path, corpus_path, centroids, codebooks)."""
+    import os
+
+    import numpy as np
+
+    from ..operators.pq import write_ivfpq_codes
+
+    root = _index_root(sf_dir)
+    codes_path = os.path.join(root, "ivfpq_codes")
+    done = os.path.join(root, "ivfpq._DONE")
+    corpus_path, cents = _get_or_build_ivf(spark, sf_dir)
+    _, books = _get_or_build_pq(spark, sf_dir)
+    if not os.path.exists(done):
+        assigned = spark.read.parquet(corpus_path).select(
+            F.col("vec_id"), F.col("embedding"), F.col("cell")
+        )
+        write_ivfpq_codes(assigned, books, codes_path, item_id="vec_id")
+        open(done, "w").close()
+    return codes_path, corpus_path, cents, books
+
+
+@register(
+    "ivfpq_build_stats",
+    oracle=None,
+    doc="IVF-PQ build stage: cell-partitioned PQ codes (coarse quantizer "
+    "prunes directories, fine quantizer shrinks bytes/row ~700x at 768-dim); "
+    "returns per-cell code-row occupancy",
+)
+def ivfpq_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes_path, _, _, _ = _get_or_build_ivfpq(spark, sf_dir)
+    return (
+        spark.read.parquet(codes_path)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_codes"))
+        .orderBy("cell")
+    )
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=None,
+    doc="composed IVF-PQ(16 cells/4 probes, 8x16 ADC, shortlist 100, exact "
+    "re-rank) top-10 — the FAISS-IVFPQ production shape: partition-pruned "
+    "codes scan, per-query cell masks, re-rank reads only probed cells",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivfpq_search
+
+    codes_path, corpus_path, cents, books = _get_or_build_ivfpq(spark, sf_dir)
+    res = ivfpq_search(
+        _query_set(spark, sf_dir), spark, codes_path, corpus_path, cents, books,
+        k=10, n_probe=4, shortlist=100, item_id="vec_id",
+    )
+    return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
+
+
 # -- V3 ANN, multi-table query-directed LSH (the high-recall path) ---------
 @register(
     "mt_lsh_ann_topk",
