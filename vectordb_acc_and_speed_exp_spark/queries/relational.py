@@ -682,3 +682,42 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter semi-join (operators/bloom.py): the shuffle-volume reducer
+# for selective joins. The bloom probe is k broadcast joins + bit tests (no
+# shuffle of lineitem); the exact verify semi-join makes the result
+# bit-identical to a plain semi-join, which is exactly what the oracle runs.
+# --------------------------------------------------------------------------
+@register(
+    "lineitem_bloom_semi",
+    oracle="""
+WITH premium AS (
+  SELECT p_partkey FROM part WHERE p_size >= 45
+)
+SELECT l_returnflag,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM premium)
+GROUP BY l_returnflag
+""",
+    doc="bloom-prefiltered semi-join: lineitems of premium parts — bloom "
+    "probe (no big-side shuffle) + exact verify; result == plain semi-join",
+)
+def lineitem_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    premium = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") >= 45
+    )
+    hits = bloom_semi_join(li, premium, "l_partkey", "p_partkey")
+    return hits.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "revenue_cents"
+        ),
+    )
