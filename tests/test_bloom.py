@@ -37,14 +37,20 @@ def test_prefilter_is_superset_and_prunes(spark, sf_dir):
     bloom = build_bloom(keys, "l_partkey")
     pre = bloom_prefilter(li, bloom, "l_partkey").cache()
 
-    true_matches = li.join(keys.distinct(), "l_partkey", "left_semi")
-    n_li, n_true, n_pre = li.count(), true_matches.count(), pre.count()
-    cols = sorted(li.columns)
-    assert true_matches.select(*cols).exceptAll(pre.select(*cols)).count() == 0
-    # survivors = true matches + false positives; demand real pruning
-    assert n_true <= n_pre < n_true + 0.1 * (n_li - n_true), (
-        f"bloom passed {n_pre} of {n_li} rows ({n_true} true)"
-    )
+    try:
+        true_matches = li.join(keys.distinct(), "l_partkey", "left_semi")
+        n_li, n_true, n_pre = li.count(), true_matches.count(), pre.count()
+        cols = sorted(li.columns)
+        assert true_matches.select(*cols).exceptAll(pre.select(*cols)).count() == 0
+        # survivors = true matches + false positives; demand real pruning
+        assert n_true <= n_pre < n_true + 0.1 * (n_li - n_true), (
+            f"bloom passed {n_pre} of {n_li} rows ({n_true} true)"
+        )
+    finally:
+        # an identical logical plan in a later test would otherwise hit this
+        # cache and see an InMemoryTableScan wrapping the cached AQE plan,
+        # breaking plan-shape assertions
+        pre.unpersist()
 
 
 def test_disjoint_keys_filtered_near_fully(spark):
@@ -63,8 +69,9 @@ def test_disjoint_keys_filtered_near_fully(spark):
 
 
 def test_probe_plan_has_no_bigside_shuffle(spark, sf_dir):
-    """The bloom probe must be broadcast joins only — the big side reaches
-    the bit tests without an Exchange (the whole point of the operator)."""
+    """The bloom probe must be a pure literal-array filter — the big side
+    reaches the bit tests with no Exchange and no join of any kind (the
+    whole point of the operator: the filter is injected, not joined)."""
     from vectordb_acc_and_speed_exp_spark.io import load_table
     from vectordb_acc_and_speed_exp_spark.operators.bloom import (
         bloom_prefilter,
@@ -79,11 +86,7 @@ def test_probe_plan_has_no_bigside_shuffle(spark, sf_dir):
     )
     pre = bloom_prefilter(li, build_bloom(keys, "l_partkey"), "l_partkey")
     plan = pre._jdf.queryExecution().executedPlan().toString()
-    probe_joins = plan.count("BroadcastHashJoin")
-    assert probe_joins >= 3, plan[:2000]
-    # the only exchanges allowed are broadcast exchanges + the bloom build's
-    # own tiny aggregation shuffle; the lineitem scan side must not shuffle
-    import re
-
-    non_broadcast_exchanges = len(re.findall(r"Exchange (?!SinglePartition)hashpartitioning", plan))
-    assert non_broadcast_exchanges <= 1, plan[:2000]
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    # and the filter actually fires: k bit-tests in one codegen filter
+    assert plan.count("shiftright") >= 3, plan[:2000]
