@@ -33,18 +33,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     full pushdown/pruning freedom (reference S6 is a full materialize,
     chromadb_acc_experiment.py:521-527 — here it stays lazy).
 
-    The events table carries TIMESTAMP(NANOS) which Spark's vectorized
-    parquet reader rejects; it is read nanos-as-long and rebuilt as a
-    microsecond timestamp (floor division — matching how DuckDB/pyarrow
-    truncate nanos to micros)."""
+    The events table's ``ts`` column has shipped as TIMESTAMP(NANOS) (which
+    Spark's vectorized parquet reader rejects) and as TIMESTAMP(MICROS)
+    without timezone (which Spark reads as TIMESTAMP_NTZ — rejected by
+    ``unix_millis`` / watermarks / ``session_window``). Both are normalized
+    here to a plain TIMESTAMP whose epoch value equals the stored wall-clock
+    read as UTC — exactly how DuckDB's ``epoch_ms`` treats naive timestamps —
+    so downstream epoch math is oracle-stable regardless of which physical
+    type the corpus carries or the session's timezone."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # NTZ -> LTZ cast goes through the session timezone; pin UTC so
+            # the epoch value equals the naive wall-clock (DuckDB semantics)
+            # even under a driver-provided session with a local timezone.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -35,8 +35,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(path, os.path.join(stage, "part-0.parquet"))
         path = stage
     stream = spark.readStream.schema(schema).format("parquet").load(path)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Same normalization as io.catalog.load_table: watermarks/windows
+        # need TIMESTAMP, and a UTC session tz keeps the epoch equal to the
+        # stored naive wall-clock (DuckDB semantics).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
