@@ -67,6 +67,10 @@ HEADLINE = [
     "token_importance_weights",
     "domain_rebalanced_sample",
     "embedding_dim_stats",
+    "bm25_topk",
+    "hybrid_rrf",
+    "radius_search",
+    "parent_doc_retrieval",
 ]
 
 

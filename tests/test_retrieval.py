@@ -1,0 +1,120 @@
+"""Retrieval surface: BM25, hybrid RRF fusion, radius search, parent-doc
+retrieval. Correctness vs the DuckDB oracle is the gate's job; these tests
+pin the retrieval *semantics* (ranking invariants, fusion bounds, radius
+containment) and the plan shape of the BM25 postings path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_acc_and_speed_exp_spark.queries.retrieval import (
+    _BM25_QUERIES,
+    _RADIUS,
+    _RRF_K,
+    bm25_topk,
+    hybrid_rrf,
+    parent_doc_retrieval,
+    radius_search,
+)
+
+
+@pytest.fixture(scope="module")
+def bm25_rows(spark, sf_dir):
+    return bm25_topk(spark, sf_dir).collect()
+
+
+def test_bm25_rank_invariants(bm25_rows):
+    by_q = {}
+    for r in bm25_rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {q for q, _ in _BM25_QUERIES}
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        # scores non-increasing in rank
+        scores = [r.bm25_r for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+
+
+def test_bm25_rare_term_dominates(bm25_rows, documents):
+    """Query 1 contains 'dup' (df≈5% of docs) — every top-3 hit must contain
+    it: one rare-term match outweighs common-term matches under idf."""
+    top3 = [r.doc_id for r in bm25_rows if r.query_id == 1 and r.rank <= 3]
+    texts = {
+        r.doc_id: r.text
+        for r in documents.filter(F.col("doc_id").isin(top3)).collect()
+    }
+    assert len(texts) == 3
+    assert all(" dup " in f" {t} " for t in texts.values())
+
+
+def test_bm25_postings_filter_pushed(spark, sf_dir):
+    """The query-term isin filter must reach the documents scan side (i.e.
+    apply before the tf aggregation), so only query-term postings shuffle."""
+    plan = (
+        bm25_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the literal term list appears in a Filter over the token explode,
+    # below the partial aggregate (optimizer keeps it adjacent to Generate)
+    assert "spark" in plan and "dup" in plan
+    assert plan.index("Aggregate") < plan.index("Generate")
+
+
+def test_hybrid_rrf_bounds_and_fusion(spark, sf_dir):
+    rows = hybrid_rrf(spark, sf_dir).collect()
+    assert {r.query_id for r in rows} == {q for q, _ in _BM25_QUERIES}
+    hi = 2.0 / (_RRF_K + 1)
+    for r in rows:
+        assert 0.0 < r.rrf_r <= round(hi, 6) + 1e-9
+    # the dense channel ranks the query vector itself first => doc_id ==
+    # query_id gets 1/(k+1) from the dense side and must appear in top-10
+    for qid, _ in _BM25_QUERIES:
+        docs = [r.doc_id for r in rows if r.query_id == qid]
+        assert qid in docs
+
+
+def test_radius_search_containment(spark, sf_dir, embeddings):
+    rows = radius_search(spark, sf_dir).collect()
+    assert rows, "radius 1.2 must capture some neighbours"
+    for r in rows:
+        assert r.dist_r <= _RADIUS + 1e-9
+        assert r.item_id != r.query_id
+    # cross-check one pair against a direct distance computation
+    r0 = rows[0]
+    vecs = {
+        row.vec_id: row.embedding
+        for row in embeddings.filter(
+            F.col("vec_id").isin([r0.query_id, r0.item_id])
+        ).collect()
+    }
+    import math
+
+    d = math.sqrt(
+        sum(
+            (a - b) ** 2
+            for a, b in zip(vecs[r0.query_id], vecs[r0.item_id])
+        )
+    )
+    assert abs(d - r0.dist_r) < 1e-3
+
+
+def test_parent_doc_retrieval_rollup(spark, sf_dir):
+    rows = parent_doc_retrieval(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows_q in by_q.values():
+        rows_q.sort(key=lambda r: r.rank)
+        scores = [r.best_chunk_bm25_r for r in rows_q]
+        assert scores == sorted(scores, reverse=True)
+        # a parent appears at most once per query (the rollup collapsed
+        # chunk-level hits)
+        ids = [r.doc_id for r in rows_q]
+        assert len(ids) == len(set(ids))
+        assert all(r.n_hit_chunks >= 1 for r in rows_q)

@@ -44,6 +44,7 @@ def load_all() -> dict[str, QuerySpec]:
         curation,
         pipeline,
         relational,
+        retrieval,
         temporal,
         textops,
         vector,

@@ -1,0 +1,450 @@
+"""Retrieval-quality query surface: BM25 lexical ranking, hybrid
+lexical+dense fusion (reciprocal-rank fusion), radius search, and
+parent-document retrieval.
+
+The reference is a pure-vector retrieval benchmark (ChromaDB top-k,
+chromadb_speed_experiment.py:651-657); production retrieval over the same
+corpus adds a lexical channel and fusion — these queries provide that
+surface Spark-first, all of it oracle-checkable relational algebra.
+
+Scale notes (100 TB):
+- BM25 keeps only *query-term postings* past the tokenize stage: the term
+  filter is an ``isin`` over a literal list, pushed below the tf groupBy, so
+  the per-query shuffle carries |terms| × n_docs rows max, never the corpus
+  token stream. Doc-length stats (dl/avgdl) are corpus-wide aggregates a
+  real deployment precomputes once per corpus version (cheap: one narrow
+  groupBy over doc_id).
+- Per-(query,doc) BM25 contributions are summed as exact scaled integers
+  (repo convention) so shuffle order can never change a bit.
+- RRF fusion is a full-outer join of two tiny top-k lists (k ≤ 50 per
+  query) — driver-sized, broadcast-joined.
+- Radius search is the same single corpus pass as exact kNN with the
+  range predicate applied before the (tiny) emit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import norm_text, tokens
+from ..io import load_table
+from . import register
+from .textops import _TOKENS_SQL
+from .vector import _COS_SQL, _L2_SQL, _QUERY_SET_SQL
+
+# Fixed query set: 5 multi-term queries over the corpus vocabulary, aligned
+# with the dense query ids (embeddings vec_id < 5) so the hybrid query can
+# fuse both channels per query_id. One out-of-vocabulary term ("shuffle")
+# exercises the df=0 path (no postings -> contributes nothing).
+_BM25_QUERIES: list[tuple[int, tuple[str, ...]]] = [
+    (0, ("spark", "join", "window")),
+    (1, ("fast", "scan", "dup")),
+    (2, ("slow", "query", "sort")),
+    (3, ("hash", "group", "merge")),
+    (4, ("vector", "stream", "shuffle")),
+]
+_K1, _B = 1.2, 0.75
+_RRF_K = 60
+
+_QT_VALUES_SQL = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in _BM25_QUERIES for t in ts
+)
+
+# Shared CTE prefix: query terms, postings (tf), doc lengths, corpus stats,
+# and exact scaled-integer BM25 contributions. ln() in double + one final
+# round mirrors the tfidf_top_terms precedent that hash-passes across
+# engines; the sum over terms runs on bigints so order cannot matter.
+_QT_SQL = (
+    f"SELECT CAST(query_id AS BIGINT) AS query_id, term "
+    f"FROM (VALUES {_QT_VALUES_SQL}) AS v(query_id, term)"
+)
+
+_BM25_CONTRIB_SQL = f"""
+qt AS ({_QT_SQL}),
+tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(round(
+           ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf * ({_K1} + 1.0))
+           / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))
+           * 1000000) AS BIGINT) AS c6
+  FROM qt
+  JOIN tf ON qt.term = tf.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+),
+bm25 AS (
+  SELECT query_id, doc_id, sum(c6) AS s6 FROM contrib
+  GROUP BY query_id, doc_id
+)
+"""
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, s6) — BM25 score × 1e6 as an exact bigint."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = sorted({t for _, ts in _BM25_QUERIES for t in ts})
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
+        "query_id long, term string",
+    )
+    tok = d.select(
+        "doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    # Only query-term postings survive into the tf shuffle (literal isin —
+    # Catalyst pushes it below the aggregation and into the scan).
+    tf = (
+        tok.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfnorm = (F.col("tf") * (_K1 + 1.0)) / (
+        F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * tfnorm * 1_000_000).cast("bigint").alias("c6"),
+        )
+    )
+    return contrib.groupBy("query_id", "doc_id").agg(F.sum("c6").alias("s6"))
+
+
+def _topk(scored: DataFrame, order, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= k)
+
+
+# --------------------------------------------------------------------------
+# BM25 top-k: the lexical retrieval channel on its own.
+# --------------------------------------------------------------------------
+@register(
+    "bm25_topk",
+    oracle=f"""
+WITH {_BM25_CONTRIB_SQL},
+ranked AS (
+  SELECT query_id, doc_id, s6,
+         row_number() OVER (PARTITION BY query_id ORDER BY s6 DESC, doc_id)
+           AS rank
+  FROM bm25
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       round(s6 / 1000000.0, 4) AS bm25_r
+FROM ranked WHERE rank <= 10
+""",
+    doc="Okapi BM25 (k1=1.2, b=0.75) top-10 per query; query-term postings "
+    "only past the scan; exact scaled-int contribution sums",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bm25_scored(spark, sf_dir)
+    return _topk(scored, [F.desc("s6"), F.asc("doc_id")], 10).select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.round(F.col("s6") / 1_000_000.0, 4).alias("bm25_r"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the BM25 channel with the
+# dense cosine channel (dense query = embeddings vec_id == query_id, dense
+# candidates = docs that have an embedding, doc_id == vec_id). RRF is the
+# standard score-free fusion: sum of 1/(60+rank) over channels.
+# --------------------------------------------------------------------------
+@register(
+    "hybrid_rrf",
+    oracle=f"""
+WITH {_BM25_CONTRIB_SQL},
+lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s6 DESC, doc_id)
+           AS rank
+  FROM bm25
+),
+q AS ({_QUERY_SET_SQL}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS doc_id, CAST(e.embedding AS DOUBLE[]) AS ev,
+         q.qv
+  FROM embeddings e CROSS JOIN q
+),
+dsims AS (
+  SELECT query_id, doc_id, 1.0 - ({_COS_SQL}) AS dist FROM scored
+),
+den AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, doc_id)
+           AS rank
+  FROM dsims
+),
+fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         COALESCE(1.0 / ({_RRF_K} + l.rank), 0.0)
+           + COALESCE(1.0 / ({_RRF_K} + d.rank), 0.0) AS rrf
+  FROM (SELECT * FROM lex WHERE rank <= 50) l
+  FULL OUTER JOIN (SELECT * FROM den WHERE rank <= 50) d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id)
+           AS rank
+  FROM fused
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       round(rrf, 6) AS rrf_r
+FROM ranked WHERE rank <= 10
+""",
+    doc="reciprocal-rank fusion (k=60) of BM25 top-50 and exact-cosine "
+    "top-50; rank reciprocals are exact IEEE divisions on both engines",
+)
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.knn import exact_knn
+    from .vector import _query_set
+
+    lex = _topk(
+        _bm25_scored(spark, sf_dir), [F.desc("s6"), F.asc("doc_id")], 50
+    ).select("query_id", F.col("doc_id"), F.col("rank").alias("lex_rank"))
+    den = (
+        exact_knn(
+            _query_set(spark, sf_dir),
+            load_table(spark, sf_dir, "embeddings"),
+            k=50,
+            metric="cosine",
+            item_id="vec_id",
+        )
+        .select(
+            "query_id",
+            F.col("item_id").alias("doc_id"),
+            F.col("rank").alias("den_rank"),
+        )
+    )
+    fused = (
+        lex.join(den, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("den_rank")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return _topk(fused, [F.desc("rrf"), F.asc("doc_id")], 10).select(
+        "query_id", "rank", "doc_id", F.round("rrf", 6).alias("rrf_r")
+    )
+
+
+# --------------------------------------------------------------------------
+# Radius (range) search: all neighbors within a fixed L2 radius — the
+# range-query dual of top-k (ChromaDB exposes only top-k; range search is
+# the standard companion, e.g. for dedup thresholds). Same single corpus
+# pass as exact kNN; the range predicate prunes before the emit.
+# --------------------------------------------------------------------------
+_RADIUS = 1.2
+
+
+@register(
+    "radius_search",
+    oracle=f"""
+WITH q AS ({_QUERY_SET_SQL}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS item_id, CAST(e.embedding AS DOUBLE[]) AS ev,
+         q.qv
+  FROM embeddings e CROSS JOIN q
+),
+dists AS (SELECT query_id, item_id, {_L2_SQL} AS dist FROM scored)
+SELECT query_id, item_id, round(dist, 4) AS dist_r
+FROM dists WHERE dist <= {_RADIUS} AND item_id != query_id
+""",
+    doc=f"all neighbors within L2 radius {_RADIUS} (≈1% of corpus per "
+    "query); one corpus pass, predicate before emit",
+)
+def radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import l2_dist
+    from .vector import _query_set
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_set(spark, sf_dir)
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("item_id"),
+            l2_dist(F.col("query_vec"), F.col("embedding")).alias("dist"),
+        )
+        .filter((F.col("dist") <= _RADIUS) & (F.col("item_id") != F.col("query_id")))
+        .select("query_id", "item_id", F.round("dist", 4).alias("dist_r"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Parent-document retrieval: score at chunk granularity, return parent
+# documents (max chunk score per parent — the "small-to-big" retrieval
+# pattern). Chunks are the deterministic fixed windows of chunk_documents;
+# each chunk is BM25-scored against the query terms with the PARENT corpus
+# statistics (chunk-level tf/dl, corpus-level df/avgdl over chunks).
+# --------------------------------------------------------------------------
+_PCHUNK, _PSTRIDE = 200, 150
+
+
+@register(
+    "parent_doc_retrieval",
+    oracle=f"""
+WITH qt AS ({_QT_SQL}),
+ck AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CAST(greatest(ceil((len(text) - {_PCHUNK})
+           * 1.0 / {_PSTRIDE}), 0) AS BIGINT))) AS chunk_id
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         substring(text, CAST(chunk_id * {_PSTRIDE} + 1 AS INT), {_PCHUNK})
+           AS chunk
+  FROM ck
+),
+tok AS (
+  SELECT doc_id, chunk_id,
+         unnest(string_split(lower(regexp_replace(trim(chunk), '\\s+', ' ', 'g')), ' '))
+           AS term
+  FROM chunks WHERE trim(chunk) != ''
+),
+dl AS (SELECT doc_id, chunk_id, count(*) AS dl FROM tok GROUP BY doc_id, chunk_id),
+stats AS (SELECT count(*) AS n_chunks, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, chunk_id, term, count(*) AS tf FROM tok
+  WHERE term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY doc_id, chunk_id, term
+),
+dft AS (SELECT term, count(DISTINCT (doc_id, chunk_id)) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id, tf.chunk_id,
+         CAST(round(
+           ln(1.0 + (s.n_chunks - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf * ({_K1} + 1.0))
+           / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))
+           * 1000000) AS BIGINT) AS c6
+  FROM qt
+  JOIN tf ON qt.term = tf.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id AND tf.chunk_id = dl.chunk_id
+  CROSS JOIN stats s
+),
+chunk_scores AS (
+  SELECT query_id, doc_id, chunk_id, sum(c6) AS s6 FROM contrib
+  GROUP BY query_id, doc_id, chunk_id
+),
+parent AS (
+  SELECT query_id, doc_id, max(s6) AS best6, count(*) AS n_hit_chunks
+  FROM chunk_scores GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, best6, n_hit_chunks,
+         row_number() OVER (PARTITION BY query_id ORDER BY best6 DESC, doc_id)
+           AS rank
+  FROM parent
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       round(best6 / 1000000.0, 4) AS best_chunk_bm25_r, n_hit_chunks
+FROM ranked WHERE rank <= 10
+""",
+    doc="small-to-big retrieval: BM25 at chunk granularity, max-score "
+    "rollup to the parent document, top-10 parents per query",
+)
+def parent_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    terms = sorted({t for _, ts in _BM25_QUERIES for t in ts})
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
+        "query_id long, term string",
+    )
+    k_max = F.greatest(
+        F.ceil((F.length("text") - _PCHUNK) * 1.0 / _PSTRIDE), F.lit(0)
+    ).cast("bigint")
+    chunks = (
+        d.withColumn("chunk_id", F.explode(F.sequence(F.lit(0).cast("bigint"), k_max)))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.expr(
+                f"substring(text, CAST(chunk_id * {_PSTRIDE} + 1 AS INT), {_PCHUNK})"
+            ).alias("chunk"),
+        )
+        .filter(F.trim(F.col("chunk")) != "")
+    )
+    tok = chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.explode(tokens(norm_text(F.col("chunk")))).alias("term"),
+    )
+    dl = tok.groupBy("doc_id", "chunk_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "chunk_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_chunks") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfnorm = (F.col("tf") * (_K1 + 1.0)) / (
+        F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+    )
+    chunk_scores = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, ["doc_id", "chunk_id"])
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            "chunk_id",
+            F.round(idf * tfnorm * 1_000_000).cast("bigint").alias("c6"),
+        )
+        .groupBy("query_id", "doc_id", "chunk_id")
+        .agg(F.sum("c6").alias("s6"))
+    )
+    parent = chunk_scores.groupBy("query_id", "doc_id").agg(
+        F.max("s6").alias("best6"), F.count(F.lit(1)).alias("n_hit_chunks")
+    )
+    return _topk(parent, [F.desc("best6"), F.asc("doc_id")], 10).select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.round(F.col("best6") / 1_000_000.0, 4).alias("best_chunk_bm25_r"),
+        "n_hit_chunks",
+    )
