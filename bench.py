@@ -67,6 +67,8 @@ HEADLINE = [
     "token_importance_weights",
     "domain_rebalanced_sample",
     "embedding_dim_stats",
+    "knn_filtered_exact",
+    "ann_ivf_filtered",
     "bm25_topk",
     "hybrid_rrf",
     "radius_search",

@@ -199,3 +199,50 @@ def test_gate_search_entries_reuse_built_index(spark, sf_dir):
     assert ann_pq_topk(spark, sf_dir).count() == 50
     assert os.path.getmtime(os.path.join(root, "ivf._DONE")) == m1
     assert os.path.getmtime(os.path.join(root, "pq._DONE")) == m2
+
+
+def test_filtered_ann_full_probe_equals_filtered_exact(
+    spark, query_set, embeddings, tmp_path
+):
+    """Filtered ANN with every cell probed == exact kNN over the filtered
+    corpus (pre-filter semantics: exactly k results from the eligible set),
+    and the predicate reaches the pruned scan as a pushed data filter."""
+    from vectordb_acc_and_speed_exp_spark.operators.ann import (
+        ivf_ann_pruned,
+        write_ivf_corpus,
+    )
+
+    cents = kmeans_centroids(embeddings, n_cells=8)
+    path = str(tmp_path / "ivf_corpus_filtered")
+    write_ivf_corpus(ivf_assign(embeddings, cents), path)
+
+    pred = "label < 3"
+    ann = ivf_ann_pruned(
+        query_set, spark, path, cents, k=10, n_probe=8, item_id="vec_id",
+        predicate=pred,
+    )
+    gt = exact_knn(query_set, embeddings.filter(pred), k=10, item_id="vec_id")
+    assert sorted((r.query_id, r.rank, r.item_id) for r in ann.collect()) == sorted(
+        (r.query_id, r.rank, r.item_id) for r in gt.collect()
+    )
+    # every survivor satisfies the predicate; the scan carries both the
+    # partition filter (cell) and the pushed data filter (label)
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "PushedFilters" in plan and "label" in plan, plan[:3000]
+
+
+def test_filtered_ann_recall_at_normal_probe(spark, query_set, embeddings, sf_dir):
+    """The gate entry's configuration (6 of 16 probes, label<3) keeps
+    recall ≥ 0.5 against the filtered exact ground truth."""
+    from vectordb_acc_and_speed_exp_spark.queries.pipeline import ann_ivf_filtered
+    from vectordb_acc_and_speed_exp_spark.queries.vector import knn_filtered_exact
+
+    ann = ann_ivf_filtered(spark, sf_dir).select(
+        "query_id", "rank", "item_id", F.col("dist_r").alias("dist")
+    )
+    gt = knn_filtered_exact(spark, sf_dir).select(
+        "query_id", "rank", "item_id", F.col("dist_r").alias("dist")
+    )
+    r = mean_recall(recall_at_k(gt, ann, k=10)).first().mean_recall
+    assert r >= 0.5, f"filtered-ANN recall@10 too low: {r}"

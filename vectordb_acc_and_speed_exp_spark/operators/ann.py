@@ -279,11 +279,20 @@ def ivf_ann_pruned(
     query_vec: str = "query_vec",
     item_id: str = "item_id",
     item_vec: str = "embedding",
+    predicate: Column | str | None = None,
 ) -> DataFrame:
     """IVF search against a cell-partitioned corpus on disk. The probed
     cell set is resolved first (tiny centroid kNN), then pushed into the
     scan as a partition filter — `.explain` shows PartitionFilters with
-    `cell IN (...)` and only n_probe directories are read."""
+    `cell IN (...)` and only n_probe directories are read.
+
+    ``predicate`` is an optional metadata filter (filtered ANN, the
+    vector-DB ``where=`` clause) applied as a PRE-filter: it lands on the
+    pruned scan itself (``PushedFilters`` in the plan, next to the
+    partition filter), so candidates are restricted *before* any distance
+    is computed and the returned top-k is exactly the top-k of the
+    filtered corpus within the probed cells — never fewer than k survivors
+    post-hoc, the failure mode of post-filtering."""
     from pyspark.sql import functions as F
 
     qcells = exact_knn(
@@ -297,6 +306,8 @@ def ivf_ann_pruned(
     ).select(F.col("query_id"), F.col("item_id").alias("cell"))
     probed = sorted({r.cell for r in qcells.collect()})
     corpus = spark.read.parquet(corpus_path).filter(F.col("cell").isin(probed))
+    if predicate is not None:
+        corpus = corpus.filter(predicate)
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec")
     ).join(qcells, "query_id")

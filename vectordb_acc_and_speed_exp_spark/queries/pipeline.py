@@ -110,6 +110,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
 
 
+@register(
+    "ann_ivf_filtered",
+    oracle=None,
+    doc="filtered ANN (where label < 3): metadata predicate lands on the "
+    "cell-pruned scan as a pushed data filter (pre-filter semantics) — "
+    "6 probes compensate the 70% candidate loss; ground truth is the "
+    "oracled knn_filtered_exact",
+)
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import ivf_ann_pruned
+
+    corpus_path, cents = _get_or_build_ivf(spark, sf_dir)
+    res = ivf_ann_pruned(
+        _query_set(spark, sf_dir), spark, corpus_path, cents,
+        k=10, n_probe=6, item_id="vec_id", predicate="label < 3",
+    )
+    return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
+
+
 # -- V5 over ANN: the reference's recall experiment shape ------------------
 @register(
     "recall_ann_vs_exact",

@@ -212,6 +212,45 @@ def knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Filtered exact kNN: the vector-DB `where=` clause (metadata predicate +
+# top-k). Pre-filter semantics: the predicate restricts the corpus BEFORE
+# ranking, so exactly k results come from the eligible set. Doubles as the
+# ground truth for the filtered-ANN query (ann_ivf_filtered).
+# --------------------------------------------------------------------------
+_FILTER_SQL = "label < 3"
+
+
+@register(
+    "knn_filtered_exact",
+    oracle=f"""
+WITH q AS ({_QUERY_SET_SQL}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS item_id, CAST(e.embedding AS DOUBLE[]) AS ev,
+         q.qv
+  FROM embeddings e CROSS JOIN q
+  WHERE e.{_FILTER_SQL}
+), dists AS (
+  SELECT query_id, item_id, {_L2_SQL} AS dist FROM scored
+), ranked AS (
+  SELECT query_id, item_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, item_id) AS rank
+  FROM dists
+)
+SELECT query_id, rank, item_id, round(dist, 4) AS dist_r
+FROM ranked WHERE rank <= 10
+""",
+    doc="metadata-filtered exact kNN (pre-filter: predicate before ranking, "
+    "pushed into the scan)",
+)
+def knn_filtered_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(_FILTER_SQL)
+    res = exact_knn(_query_set(spark, sf_dir), emb, k=10, metric="l2", item_id="vec_id")
+    return res.select(
+        "query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r")
+    )
+
+
+# --------------------------------------------------------------------------
 # V7 [EXT]: embedding-space near-duplicate pairs (cosine threshold self-join).
 # Brute-force pair join here (the corpus side is broadcast-size at test SF);
 # the LSH-bucketed scale path is embedding_neardup_bucketed below — same
