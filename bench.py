@@ -67,6 +67,7 @@ HEADLINE = [
     "token_importance_weights",
     "domain_rebalanced_sample",
     "embedding_dim_stats",
+    "ann_sq_topk",
     "knn_filtered_exact",
     "ann_ivf_filtered",
     "bm25_topk",

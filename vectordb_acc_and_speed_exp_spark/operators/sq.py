@@ -1,0 +1,186 @@
+"""Scalar quantization (SQ8) — int8-compressed approximate search.
+
+The third compression point between raw floats and PQ: per-dimension affine
+quantization ``code = round((x - vmin_d) / scale_d)`` with 256 levels. A
+64-dim float32 vector (256 B) becomes 64 bytes — 4× smaller scans with far
+better fidelity than PQ (max per-dim error = scale/2), which is why engines
+(FAISS SQ8, Lucene/Elasticsearch int8_hnsw, Milvus SQ8) default to it
+before reaching for PQ.
+
+Spark-first shape:
+- train: per-dimension min/max as ONE aggregate of 2×dim codegen
+  expressions (map-side combined, no shuffle of vectors; at 100 TB this is
+  a single cheap stats pass, or a seeded sample);
+- encode: pure JVM-side HOF projection (``zip_with`` chains — no Python in
+  the write path), codes stored as ``array<smallint>`` (Spark has no
+  unsigned byte; 0..255 fits smallint, parquet dictionary/RLE shrinks it);
+- search: asymmetric — the query stays float; codes are decoded
+  ``x̂ = vmin + code·scale`` inside a numpy/BLAS mapInPandas kernel
+  (gemm per Arrow batch, the operators/simjoin.py pattern) with per-batch
+  partial top-k + one global window merge;
+- rerank: exact L2 on the short-list only (same contract as
+  pq_search_rerank).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sq_train(
+    corpus: DataFrame,
+    item_vec: str = "embedding",
+    dim: int | None = None,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (vmin, scale) with scale = (vmax - vmin) / 255.
+
+    One aggregate job of 2×dim min/max expressions — whole-stage codegen,
+    map-side partial aggregation, only 2×dim doubles cross the wire.
+    Constant dimensions get scale=0 and always encode/decode to vmin."""
+    if dim is None:
+        dim = len(corpus.select(item_vec).first()[0])
+    if sample_fraction is not None and sample_fraction < 1.0:
+        corpus = corpus.sample(
+            withReplacement=False, fraction=sample_fraction, seed=seed
+        )
+    v = F.col(item_vec)
+    aggs = [F.min(F.element_at(v, i + 1)).alias(f"mn{i}") for i in range(dim)]
+    aggs += [F.max(F.element_at(v, i + 1)).alias(f"mx{i}") for i in range(dim)]
+    row = corpus.agg(*aggs).first()
+    vmin = np.array([row[f"mn{i}"] for i in range(dim)], dtype=np.float64)
+    vmax = np.array([row[f"mx{i}"] for i in range(dim)], dtype=np.float64)
+    return vmin, (vmax - vmin) / 255.0
+
+
+def sq_encode(
+    corpus: DataFrame,
+    vmin: np.ndarray,
+    scale: np.ndarray,
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, codes array<smallint>[, passthrough...]) — pure codegen HOFs,
+    no Python in the encode path. code = clip(round((x - vmin)/scale), 0,
+    255); scale=0 dims encode to 0."""
+    mn = F.lit([float(x) for x in vmin])
+    sc = F.lit([float(x) for x in scale])
+    shifted = F.zip_with(F.col(item_vec), mn, lambda x, m: x - m)
+    codes = F.zip_with(
+        shifted,
+        sc,
+        lambda d, s: F.least(
+            F.greatest(
+                F.when(s == 0.0, F.lit(0.0)).otherwise(F.round(d / s)),
+                F.lit(0.0),
+            ),
+            F.lit(255.0),
+        ).cast("smallint"),
+    )
+    keep = [F.col(item_id).alias("item_id"), codes.alias("codes")]
+    keep += [F.col(c) for c in passthrough]
+    return corpus.select(*keep)
+
+
+def sq_search(
+    queries: DataFrame,
+    encoded: DataFrame,
+    vmin: np.ndarray,
+    scale: np.ndarray,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Asymmetric SQ scan: decode codes to x̂ = vmin + code·scale inside the
+    kernel, distances via one gemm per Arrow batch (||q||² − 2q·x̂ + ||x̂||²),
+    per-batch partial top-k, global window merge. Returns (query_id, rank,
+    item_id, sq_dist)."""
+    spark = queries.sparkSession
+    qrows = queries.select(
+        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
+    ).collect()
+    qids = np.array([r._qid for r in qrows])
+    Q = np.array([r._qv for r in qrows], dtype=np.float64)
+    b = spark.sparkContext.broadcast((qids, Q, vmin, scale))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qi, q, mn, sc = b.value
+        qsq = (q * q).sum(axis=1)[:, None]
+        for pdf in batches:
+            C = np.array(pdf["codes"].tolist(), dtype=np.float64)
+            X = mn[None, :] + C * sc[None, :]  # decode (n, dim)
+            ids = pdf["item_id"].to_numpy()
+            D = qsq - 2.0 * (q @ X.T) + (X * X).sum(axis=1)[None, :]
+            np.maximum(D, 0.0, out=D)
+            kk = min(k, D.shape[1])
+            part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qi, kk),
+                    "item_id": ids[part].ravel(),
+                    "sq_dist": np.sqrt(np.take_along_axis(D, part, axis=1)).ravel(),
+                }
+            )
+
+    qid_t = dict(queries.dtypes)[query_id]
+    iid_t = dict(encoded.dtypes)["item_id"]
+    partial = encoded.mapInPandas(
+        scan, schema=f"query_id {qid_t}, item_id {iid_t}, sq_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("sq_dist"), F.asc("item_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "sq_dist")
+    )
+
+
+def sq_search_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    encoded: DataFrame,
+    vmin: np.ndarray,
+    scale: np.ndarray,
+    k: int = 10,
+    shortlist: int = 100,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> DataFrame:
+    """Compressed scan → exact re-rank of the short-list (the production
+    pattern; same contract as pq_search_rerank)."""
+    from ..functions.vector import l2_dist
+
+    cand = sq_search(
+        queries, encoded, vmin, scale, k=shortlist,
+        query_id=query_id, query_vec=query_vec,
+    ).select("query_id", "item_id")
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec")
+    )
+    vecs = corpus.select(
+        F.col(item_id).alias("item_id"), F.col(item_vec).alias("_cvec")
+    )
+    scored = (
+        cand.join(vecs, "item_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "item_id",
+            l2_dist(F.col("_qvec"), F.col("_cvec")).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "dist")
+    )

@@ -362,6 +362,96 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
 
 
+# -- V3 ANN, SQ8 path: BUILD (per-dim affine params + int8 codes) / SEARCH -
+def _get_or_build_sq(spark: SparkSession, sf_dir: str):
+    """Idempotent SQ8 build: per-dim (min, max) stats pass → affine params,
+    pure-HOF encode, codes + params written to parquet. Returns
+    (codes DataFrame, vmin ndarray, scale ndarray)."""
+    import os
+
+    import numpy as np
+
+    from ..operators.sq import sq_encode, sq_train
+
+    root = _index_root(sf_dir)
+    codes_path = os.path.join(root, "sq_codes")
+    params_path = os.path.join(root, "sq_params")
+    done = os.path.join(root, "sq._DONE")
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        emb = load_table(spark, sf_dir, "embeddings")
+        vmin, scale = sq_train(emb, item_vec="embedding")
+        rows = [
+            (i + 1, float(vmin[i]), float(scale[i]))
+            for i in range(len(vmin))
+        ]
+        spark.createDataFrame(
+            rows, "dim int, vmin double, scale double"
+        ).write.mode("overwrite").parquet(params_path)
+        sq_encode(emb, vmin, scale, item_id="vec_id").write.mode(
+            "overwrite"
+        ).parquet(codes_path)
+        open(done, "w").close()
+    params = {
+        r.dim: (r.vmin, r.scale)
+        for r in spark.read.parquet(params_path).collect()
+    }
+    dim = max(params)
+    vmin = np.array([params[i + 1][0] for i in range(dim)])
+    scale = np.array([params[i + 1][1] for i in range(dim)])
+    return spark.read.parquet(codes_path), vmin, scale
+
+
+@register(
+    "sq_build_stats",
+    oracle="""
+WITH x AS (
+  SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim
+  FROM embeddings
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+       round(min(v), 6) AS vmin_r,
+       round((max(v) - min(v)) / 255.0, 6) AS scale_r
+FROM x GROUP BY dim
+""",
+    doc="SQ8 build stage: per-dim affine quantization params from one "
+    "min/max stats pass — ORACLED (min/max are exact; scale is one IEEE "
+    "division)",
+)
+def sq_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _get_or_build_sq(spark, sf_dir)
+    import os
+
+    params_path = os.path.join(_index_root(sf_dir), "sq_params")
+    return spark.read.parquet(params_path).select(
+        "dim",
+        F.round("vmin", 6).alias("vmin_r"),
+        F.round("scale", 6).alias("scale_r"),
+    )
+
+
+@register(
+    "ann_sq_topk",
+    oracle=None,
+    doc="SQ8 (4x-compressed, max per-dim error scale/2) asymmetric scan "
+    "short-list + exact re-rank top-10 — search-only: reads written int8 "
+    "codes + params, no stats pass in the query path",
+)
+def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sq import sq_search_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = _query_set(spark, sf_dir)
+    enc, vmin, scale = _get_or_build_sq(spark, sf_dir)
+    res = sq_search_rerank(
+        qs, emb, enc, vmin, scale, k=10, shortlist=50, item_id="vec_id"
+    )
+    return res.select(
+        "query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r")
+    )
+
+
 def _get_or_build_ivfpq(spark: SparkSession, sf_dir: str):
     """Idempotent IVF-PQ build: reuses the IVF layout's cell assignment and
     the PQ codebooks, encodes codes WITH the cell column (kernel
