@@ -362,6 +362,30 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
 
 
+@register(
+    "mmr_rerank_topk",
+    oracle=None,
+    doc="MMR diversity re-rank (λ=0.5) of the exact-cosine top-50 "
+    "short-list down to 10 per query; greedy loop runs per-query inside "
+    "applyInPandas (queries parallelize, nothing corpus-sized on the "
+    "driver); λ=1 degenerates to plain top-k (tested)",
+)
+def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.knn import exact_knn
+    from ..operators.rerank import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = _query_set(spark, sf_dir)
+    cand = exact_knn(qs, emb, k=50, metric="cosine", item_id="vec_id").select(
+        "query_id", "item_id"
+    )
+    res = mmr_rerank(cand, emb.select(F.col("vec_id").alias("item_id"), "embedding"),
+                     qs, k=10, lam=0.5, item_id="item_id")
+    return res.select(
+        "query_id", "mmr_rank", "item_id", F.round("mmr_score", 4).alias("mmr_score_r")
+    )
+
+
 # -- V3 ANN, SQ8 path: BUILD (per-dim affine params + int8 codes) / SEARCH -
 def _get_or_build_sq(spark: SparkSession, sf_dir: str):
     """Idempotent SQ8 build: per-dim (min, max) stats pass → affine params,
