@@ -114,10 +114,23 @@ def _attach_jaccard(common: DataFrame, sizes: DataFrame, threshold: float) -> Da
 def _jaccard_verify(
     candidates: DataFrame, shingles: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact Jaccard for candidate (id_a, id_b) pairs over the shingle table."""
+    """Exact Jaccard for candidate (id_a, id_b) pairs over the shingle table.
+
+    Both shingle sides are semi-filtered to the candidate doc ids first:
+    LSH candidates are a vanishing fraction of the corpus, so the wide
+    (id, sh) verify shuffle carries only candidate documents' shingles —
+    the full corpus never re-shuffles past the bucket join. (The id
+    shuffles of the semi joins are narrow; at scale this is the difference
+    between re-shuffling the corpus and re-shuffling the duplicates.)"""
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sa = shingles.select(F.col("doc_id").alias("id_a"), "sh")
-    sb = shingles.select(F.col("doc_id").alias("id_b"), "sh")
+    a_ids = candidates.select(F.col("id_a").alias("doc_id")).distinct()
+    b_ids = candidates.select(F.col("id_b").alias("doc_id")).distinct()
+    sa = shingles.join(a_ids, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("id_a"), "sh"
+    )
+    sb = shingles.join(b_ids, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("id_b"), "sh"
+    )
     common = (
         candidates.join(sa, "id_a")
         .join(sb, ["id_b", "sh"])
@@ -140,11 +153,16 @@ def minhash_lsh_pairs(
     exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard_r)."""
     # the shingle table feeds three consumers (signatures, sizes, verify
     # join x2) — without persist the whole tokenize+shingle pipeline would
-    # re-run per consumer (6 scans of the source observed in the plan)
+    # re-run per consumer (6 scans of the source observed in the plan).
+    # bands likewise: the self-join consumes it twice, and without persist
+    # each side re-runs shingle→minhash→band (measured 3.4 s of the 4 s
+    # collision stage at sf0.1 was the double recompute).
     shingles = _shingle_table(df, id_col, text_col).persist()
     sig = _minhash_from_shingles(shingles, n_hashes)
-    bands = _band_table(sig, band_size)
-    cand = _band_collisions(bands, bands)
+    bands = _band_table(sig, band_size).persist()
+    # cand feeds three consumers in the verify (two semi-filters + the
+    # pair join) — persist so the bucket self-join runs once
+    cand = _band_collisions(bands, bands).persist()
     return _jaccard_verify(cand, shingles, jaccard_threshold)
 
 
@@ -348,6 +366,13 @@ def connected_components(
     edges = fwd.union(
         fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
+    # Near-dup edge lists are output-sized, not corpus-sized: when the
+    # checkpointed set is small, per-round scheduling overhead (32-way
+    # shuffles over a few KB) dominates — collapse to one partition and
+    # every round becomes a single-task job. Large edge sets keep their
+    # partitioning; the count is one cheap job over checkpointed data.
+    if edges.count() <= 250_000:
+        edges = edges.coalesce(1)
     numeric = isinstance(edges.schema["u"].dataType, NumericType)
     labels = edges.select("u").distinct().withColumn("lbl", F.col("u")).persist()
     prev_sum = None
