@@ -58,3 +58,28 @@ def test_sweep_writes_artifacts_and_monotone_budget(spark, sf_dir, tmp_path):
         assert rows[(n, "mtlsh_b256")].recall_10 >= rows[(n, "mtlsh_b64")].recall_10 - 1e-9
     data = json.load(open(prefix + "_results.json"))
     assert len(data) == len(out)
+
+
+def test_compression_sweep_shapes_and_ordering(spark, sf_dir, tmp_path):
+    from vectordb_acc_and_speed_exp_spark.experiments_scale import (
+        compression_fidelity_sweep,
+    )
+
+    out = compression_fidelity_sweep(
+        spark, sf_dir, sizes=(300, 600),
+        out_prefix=str(tmp_path / "ep5"),
+    )
+    rows = {(r.corpus_size, r.method): r for r in out.collect()}
+    sizes = sorted({s for s, _ in rows})
+    assert len(sizes) == 2
+    for n in sizes:
+        assert rows[(n, "f32")].recall_10 == 1.0
+        # re-rank can only help, and sq8 dominates pq at equal-or-better
+        # recall (4 B vs 64 B is the tradeoff)
+        assert rows[(n, "pq_rerank")].recall_10 >= rows[(n, "pq_adc")].recall_10 - 1e-9
+        assert rows[(n, "sq8_rerank")].recall_10 >= rows[(n, "sq8_scan")].recall_10 - 1e-9
+        assert rows[(n, "sq8_scan")].recall_10 >= 0.9
+    import os
+
+    for suffix in ("_results.json", "_summary.csv", "_recall.svg"):
+        assert os.path.exists(str(tmp_path / "ep5") + suffix)

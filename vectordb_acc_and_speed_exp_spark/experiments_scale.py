@@ -233,24 +233,160 @@ def mtlsh_recall_sweep(
     return out
 
 
+def compression_fidelity_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    sizes: tuple[int, ...] = (1000, 5000, 20000, 58000),
+    k: int = 10,
+    lam: float = 1.5,
+    out_prefix: str | None = None,
+) -> DataFrame:
+    """EP5: the compression axis of the reference's degradation study.
+
+    The reference varies corpus SIZE under a fixed index; production
+    engines also vary the BYTES each scanned vector costs. This sweep
+    measures recall@k per (snapshot size × storage format):
+
+    - ``f32``        — exact scan of raw vectors: 4·dim B/vec, recall 1.
+    - ``sq8_scan``   — int8 scan, no re-rank: dim B/vec (4×).
+    - ``sq8_rerank`` — int8 short-list(5k) + exact re-rank of it.
+    - ``pq_adc``     — PQ(8×16) ADC scan, no re-rank: 4 B/vec (64×).
+    - ``pq_rerank``  — ADC short-list(100) + exact re-rank.
+
+    The expected result (and what FAISS/Lucene document): SQ8 is
+    near-lossless at every size; raw PQ fidelity is poor in the
+    hard-regime corpus and the re-rank recovers exactly its short-list
+    coverage. Quantizers retrain per snapshot (seeded samples) — the
+    honest per-size build, like the reference's per-collection index.
+    Artifacts: ``{out_prefix}_results.json`` / ``_summary.csv`` /
+    ``_recall.svg`` mirroring ACC:758-809.
+
+    Measured (sf0.1, lam=1.5, 1k→58k, experiment_results/ep5_*): SQ8 is
+    LOSSLESS here — recall@10 = 1.0 at every size even without re-rank, at
+    4× compression (the hard-regime corpus stresses neighbourhood
+    structure, not per-dim precision). PQ ADC alone degrades 0.56 → 0.24
+    as the corpus grows — the same falling-fidelity shape as the
+    reference's HNSW 1.00 → 0.70 — and the exact re-rank recovers to its
+    short-list coverage (1.00 at 1k, 0.74 at 58k with shortlist=100).
+    The engine answer at 100 TB: scan SQ8 (or IVF+PQ for colder data),
+    re-rank exact, size the short-list to the recall target.
+    """
+    from .operators.pq import pq_encode, pq_search, pq_search_rerank, pq_train
+    from .operators.sq import sq_encode, sq_search, sq_search_rerank, sq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    expanded, factor = expand_embeddings(emb, max(sizes), lam=lam)
+    expanded = expanded.cache()
+    expanded.count()
+    queries = expanded.filter(
+        (F.col("vec_id") % factor == 0) & (F.col("vec_id") < 5 * factor)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dim = len(emb.select("embedding").first()[0])
+    rows: list[tuple[int, str, float, float]] = []
+    for size in sizes:
+        snap = expanded.filter(F.col("vec_id") < size).cache()
+        n = snap.count()
+        gt = exact_knn(queries, snap, k=k, item_id="vec_id").cache()
+        rows.append((n, "f32", 1.0, float(4 * dim)))
+
+        vmin, scale = sq_train(snap, item_vec="embedding")
+        enc = sq_encode(snap, vmin, scale, item_id="vec_id").cache()
+        r_sq = mean_recall(
+            recall_at_k(gt, sq_search(queries, enc, vmin, scale, k=k), k=k)
+        ).first().mean_recall
+        rows.append((n, "sq8_scan", round(float(r_sq), 4), float(dim)))
+        r_sqr = mean_recall(
+            recall_at_k(
+                gt,
+                sq_search_rerank(
+                    queries, snap, enc, vmin, scale, k=k,
+                    shortlist=min(n, 5000), item_id="vec_id",
+                ),
+                k=k,
+            )
+        ).first().mean_recall
+        rows.append((n, "sq8_rerank", round(float(r_sqr), 4), float(dim)))
+        enc.unpersist()
+
+        books = pq_train(snap, m=8, k=16, sample_fraction=min(1.0, 20000 / n))
+        penc = pq_encode(snap, books, item_id="vec_id").cache()
+        r_pq = mean_recall(
+            recall_at_k(gt, pq_search(queries, penc, books, k=k), k=k)
+        ).first().mean_recall
+        rows.append((n, "pq_adc", round(float(r_pq), 4), 4.0))
+        r_pqr = mean_recall(
+            recall_at_k(
+                gt,
+                pq_search_rerank(
+                    queries, snap, penc, books, k=k, shortlist=100,
+                    item_id="vec_id",
+                ),
+                k=k,
+            )
+        ).first().mean_recall
+        rows.append((n, "pq_rerank", round(float(r_pqr), 4), 4.0))
+        penc.unpersist()
+        gt.unpersist()
+        snap.unpersist()
+    expanded.unpersist()
+    out = spark.createDataFrame(
+        rows,
+        "corpus_size long, method string, recall_10 double, bytes_per_vec double",
+    )
+    if out_prefix:
+        os.makedirs(os.path.dirname(out_prefix) or ".", exist_ok=True)
+        pdf = out.toPandas()
+        pdf.to_json(out_prefix + "_results.json", orient="records", indent=2)
+        pdf.to_csv(out_prefix + "_summary.csv", index=False)
+        from .plans.svgplot import line_chart
+
+        by_method: dict[str, list[tuple[float, float]]] = {}
+        for r in rows:
+            by_method.setdefault(r[1], []).append((r[0], r[2]))
+        line_chart(
+            by_method, out_prefix + "_recall.svg",
+            title=f"recall@{k} vs corpus size by storage format "
+            f"(f32=256B, sq8=64B, pq=4B per vector)",
+            xlabel="corpus size (vectors)", ylabel=f"mean recall@{k}",
+            y_range=(0.0, 1.05),
+        )
+    return out
+
+
 def main(argv: list[str]) -> int:
     import argparse
 
     from .session import get_spark
 
     p = argparse.ArgumentParser(prog="experiments_scale")
+    p.add_argument("mode", nargs="?", default="mtlsh",
+                   choices=["mtlsh", "compression"])
     p.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    p.add_argument("--out", default="experiment_results/mtlsh_sweep")
-    p.add_argument("--sizes", default=",".join(map(str, DEFAULT_SIZES)))
+    p.add_argument("--out", default=None)
+    p.add_argument("--sizes", default=None)
     p.add_argument("--lam", type=float, default=1.5)
     args = p.parse_args(argv)
     spark = get_spark("recall-scale")
     spark.sparkContext.setLogLevel("ERROR")
-    out = mtlsh_recall_sweep(
-        spark, args.sf_dir,
-        sizes=tuple(int(s) for s in args.sizes.split(",")),
-        lam=args.lam, out_prefix=args.out,
-    )
+    if args.mode == "compression":
+        sizes = tuple(
+            int(s) for s in (args.sizes or "1000,5000,20000,58000").split(",")
+        )
+        out = compression_fidelity_sweep(
+            spark, args.sf_dir, sizes=sizes, lam=args.lam,
+            out_prefix=args.out or "experiment_results/ep5_compression",
+        )
+    else:
+        sizes = tuple(
+            int(s)
+            for s in (args.sizes or ",".join(map(str, DEFAULT_SIZES))).split(",")
+        )
+        out = mtlsh_recall_sweep(
+            spark, args.sf_dir, sizes=sizes, lam=args.lam,
+            out_prefix=args.out or "experiment_results/mtlsh_sweep",
+        )
     out.orderBy("corpus_size", "method").show(100, False)
     return 0
 
