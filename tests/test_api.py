@@ -66,6 +66,40 @@ def test_graph_index_incremental_add(store, documents):
     assert top1.item_id == probe.id and top1.dist < 1e-6
 
 
+def test_query_where_prefilter(store, documents):
+    """where= restricts the eligible set BEFORE ranking: every hit
+    satisfies the predicate and equals exact search on the filtered
+    corpus; graph mode re-plans to the same answer."""
+    probe = documents.limit(2).collect()
+    texts = [r.text for r in probe]
+    pred = "cast(id as bigint) % 2 = 0"
+    got = store.query("papers", query_texts=texts, k=5, where=pred).collect()
+    assert got
+    for r in got:
+        assert int(r.item_id) % 2 == 0
+    g = store.query(
+        "papers", query_texts=texts, k=5, where=pred, mode="graph"
+    ).collect()
+    assert sorted((r.query_id, r.rank, r.item_id) for r in g) == sorted(
+        (r.query_id, r.rank, r.item_id) for r in got
+    )
+
+
+def test_query_mmr_mode(store, documents):
+    probe = documents.limit(2).collect()
+    res = store.query(
+        "papers", query_texts=[r.text for r in probe], k=5, mode="mmr"
+    ).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        # rank 1 = pure relevance = the identical-text document
+        assert rows[0].item_id == str(probe[qid].doc_id)
+
 def test_query_validation_and_delete(store, spark):
     with pytest.raises(ValueError):
         store.query("papers")
@@ -75,3 +109,4 @@ def test_query_validation_and_delete(store, spark):
         store._path("../escape")
     store.delete_collection("papers")
     assert store.list_collections() == []
+

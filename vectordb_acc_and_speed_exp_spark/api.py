@@ -136,9 +136,24 @@ class VectorStore:
         query_vecs: list[list[float]] | None = None,
         k: int = 10,
         mode: str = "exact",
+        where: str | None = None,
+        mmr_lambda: float = 0.5,
     ) -> DataFrame:
         """Top-k search. Returns (query_id, rank, item_id, dist); query_id
-        is the position in the input list."""
+        is the position in the input list.
+
+        ``where`` is the ChromaDB-style metadata filter (a SQL predicate
+        string over the collection's columns) with PRE-filter semantics:
+        the predicate restricts the corpus before ranking, so exactly k
+        results come from the eligible set. exact/blas/lsh push it into
+        the corpus scan; the graph index carries no metadata, so
+        where+graph deliberately re-plans to the filtered exact scan
+        (predictable and correct) rather than post-filtering a traversal
+        to fewer than k rows.
+
+        ``mode="mmr"`` adds diversity: exact-cosine 4k-shortlist, then
+        greedy MMR selection at ``mmr_lambda`` (operators/rerank.py);
+        returns (query_id, rank, item_id, mmr_score)."""
         if (query_texts is None) == (query_vecs is None):
             raise ValueError("provide exactly one of query_texts / query_vecs")
         if query_texts is not None:
@@ -154,6 +169,26 @@ class VectorStore:
                 "query_id bigint, query_vec array<float>",
             )
         corpus = self.get(name)
+        if where is not None:
+            corpus = corpus.filter(where)
+            if mode == "graph":
+                mode = "exact"  # re-plan: the graph shards index the full
+                # corpus; a filtered search is served exactly (see docstring)
+        if mode == "mmr":
+            from .operators.rerank import mmr_rerank
+
+            cand = exact_knn(
+                qdf, corpus, k=4 * k, metric="cosine",
+                item_id="id", item_vec="embedding",
+            ).select("query_id", "item_id")
+            return mmr_rerank(
+                cand,
+                corpus.select(F.col("id").alias("item_id"), "embedding"),
+                qdf, k=k, lam=mmr_lambda,
+            ).select(
+                "query_id", F.col("mmr_rank").alias("rank"),
+                "item_id", "mmr_score",
+            )
         if mode == "exact":
             return exact_knn(qdf, corpus, k=k, item_id="id", item_vec="embedding")
         if mode == "blas":
@@ -179,4 +214,6 @@ class VectorStore:
                 qdf.select("query_id", F.col("query_vec").cast("array<double>").alias("query_vec")),
                 self.spark, path, k=k,
             )
-        raise ValueError(f"unknown mode {mode!r}; one of exact/blas/lsh/graph")
+        raise ValueError(
+            f"unknown mode {mode!r}; one of exact/blas/lsh/graph/mmr"
+        )
