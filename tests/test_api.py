@@ -100,6 +100,28 @@ def test_query_mmr_mode(store, documents):
         # rank 1 = pure relevance = the identical-text document
         assert rows[0].item_id == str(probe[qid].doc_id)
 
+def test_query_hybrid_mode(store, documents):
+    """Hybrid = BM25 ⊕ dense RRF: a doc matching the query text exactly
+    tops both channels, so it must be rank 1 with rrf = 2/(60+1)."""
+    probe = documents.limit(2).collect()
+    res = store.query(
+        "papers", query_texts=[r.text for r in probe], k=5, mode="hybrid"
+    ).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        # the identical-text doc tops the dense channel and scores high
+        # lexically -> it wins the fusion; rrf is bounded by 2/(60+1)
+        assert rows[0].item_id == str(probe[qid].doc_id)
+        for r in rows:
+            assert 0.0 < r.rrf <= 2.0 / 61.0 + 1e-9
+        scores = [r.rrf for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
 def test_query_validation_and_delete(store, spark):
     with pytest.raises(ValueError):
         store.query("papers")

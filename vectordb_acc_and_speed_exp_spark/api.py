@@ -153,7 +153,13 @@ class VectorStore:
 
         ``mode="mmr"`` adds diversity: exact-cosine 4k-shortlist, then
         greedy MMR selection at ``mmr_lambda`` (operators/rerank.py);
-        returns (query_id, rank, item_id, mmr_score)."""
+        returns (query_id, rank, item_id, mmr_score).
+
+        ``mode="hybrid"`` (query_texts only) fuses the BM25 lexical
+        channel over the collection's text with the dense cosine channel
+        by reciprocal-rank fusion (operators/bm25.py), the
+        Weaviate/Qdrant-style hybrid search; returns (query_id, rank,
+        item_id, rrf)."""
         if (query_texts is None) == (query_vecs is None):
             raise ValueError("provide exactly one of query_texts / query_vecs")
         if query_texts is not None:
@@ -174,6 +180,27 @@ class VectorStore:
             if mode == "graph":
                 mode = "exact"  # re-plan: the graph shards index the full
                 # corpus; a filtered search is served exactly (see docstring)
+        if mode == "hybrid":
+            if query_texts is None:
+                raise ValueError("hybrid mode needs query_texts")
+            from .operators.bm25 import bm25_topk, rrf_fuse
+
+            qt = self.spark.createDataFrame(
+                [
+                    (qid, t)
+                    for qid, text in enumerate(query_texts)
+                    for t in dict.fromkeys(text.lower().split())
+                ],
+                "query_id bigint, term string",
+            )
+            lex = bm25_topk(corpus, qt, k=5 * k, id_col="id").select(
+                "query_id", F.col("doc_id").alias("item_id"), "rank"
+            )
+            den = exact_knn(
+                qdf, corpus, k=5 * k, metric="cosine",
+                item_id="id", item_vec="embedding",
+            ).select("query_id", "item_id", "rank")
+            return rrf_fuse(lex, den, k=k, id_col="item_id")
         if mode == "mmr":
             from .operators.rerank import mmr_rerank
 
@@ -215,5 +242,5 @@ class VectorStore:
                 self.spark, path, k=k,
             )
         raise ValueError(
-            f"unknown mode {mode!r}; one of exact/blas/lsh/graph/mmr"
+            f"unknown mode {mode!r}; one of exact/blas/lsh/graph/mmr/hybrid"
         )

@@ -1,0 +1,115 @@
+"""Okapi BM25 as a reusable operator (the lexical retrieval channel).
+
+Generalizes queries/retrieval.py's fixed-query-set formulation to an
+arbitrary (query_id, term) frame, so the VectorStore facade can serve
+user-supplied text queries hybrid (BM25 ⊕ dense RRF) the way production
+vector stores do (Weaviate/Qdrant/Elasticsearch hybrid search).
+
+Scale contract (same as the oracled query): only query-term postings pass
+the corpus scan — the term filter is a literal ``isin`` (query vocabulary
+is user-input-sized, collected once on the driver by design), pushed below
+the tf aggregate; dl/avgdl are one narrow groupBy; contributions sum on an
+exact 1e6 integer grid so shuffle order cannot change a bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import norm_text, tokens
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(query_id, doc_id, s6): BM25 score × 1e6 as an exact bigint, for
+    every (query, doc) sharing at least one term. ``queries`` is a
+    (query_id, term) frame — terms should be pre-normalized (lowercase)."""
+    qt = queries.select(
+        F.col(query_id).alias("query_id"), F.col(term_col).alias("term")
+    )
+    terms = sorted({r.term for r in qt.select("term").distinct().collect()})
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(norm_text(F.col(text_col)))).alias("term"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfnorm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * tfnorm * 1_000_000).cast("bigint").alias("c6"),
+        )
+    )
+    return contrib.groupBy("query_id", "doc_id").agg(F.sum("c6").alias("s6"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """(query_id, rank, doc_id, s6) — BM25 top-k per query, rank 1..k by
+    (score desc, doc_id)."""
+    scored = bm25_scores(docs, queries, **kwargs)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("s6"), F.asc("doc_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= k)
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two (query_id, rank, <id>) rank lists:
+    score = Σ 1/(rrf_k + rank) over the channels a doc appears in. Exact
+    IEEE divisions, deterministic (doc-id tie-break)."""
+    ra = a.select("query_id", F.col(id_col), F.col("rank").alias("_ra"))
+    rb = b.select("query_id", F.col(id_col), F.col("rank").alias("_rb"))
+    fused = ra.join(rb, ["query_id", id_col], "full_outer").select(
+        "query_id",
+        id_col,
+        (
+            F.coalesce(1.0 / (rrf_k + F.col("_ra")), F.lit(0.0))
+            + F.coalesce(1.0 / (rrf_k + F.col("_rb")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc(id_col))
+    return fused.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= k)

@@ -94,47 +94,17 @@ bm25 AS (
 
 
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, doc_id, s6) — BM25 score × 1e6 as an exact bigint."""
+    """(query_id, doc_id, s6) — BM25 score × 1e6 as an exact bigint.
+    Delegates to the reusable operator (operators/bm25.py) with the fixed
+    query set; the isin pushdown / exact-int-sum contract lives there."""
+    from ..operators.bm25 import bm25_scores
+
     d = load_table(spark, sf_dir, "documents")
-    terms = sorted({t for _, ts in _BM25_QUERIES for t in ts})
     qt = spark.createDataFrame(
         [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
         "query_id long, term string",
     )
-    tok = d.select(
-        "doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("term")
-    )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
-    )
-    # Only query-term postings survive into the tf shuffle (literal isin —
-    # Catalyst pushes it below the aggregation and into the scan).
-    tf = (
-        tok.filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tfnorm = (F.col("tf") * (_K1 + 1.0)) / (
-        F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
-    )
-    contrib = (
-        tf.join(F.broadcast(qt), "term")
-        .join(F.broadcast(dft), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(idf * tfnorm * 1_000_000).cast("bigint").alias("c6"),
-        )
-    )
-    return contrib.groupBy("query_id", "doc_id").agg(F.sum("c6").alias("s6"))
+    return bm25_scores(d, qt, k1=_K1, b=_B)
 
 
 def _topk(scored: DataFrame, order, k: int) -> DataFrame:
