@@ -129,6 +129,87 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
 
 
+# -- Full-fidelity ANN degenerations: ORACLED --------------------------------
+# Probing every cell / re-ranking a corpus-sized short-list makes the ANN
+# machinery exactly equal to brute force — so these entries carry the exact
+# kNN oracle SQL and the gate HASH-VERIFIES the index paths end-to-end
+# (build, layout, probe, merge), not just "rows came back". The pytest
+# metamorphic tests assert the same identity in-process; this puts it in
+# the cross-engine gate.
+def _exact_l2_oracle() -> str:
+    from .vector import _L2_SQL, _QUERY_SET_SQL
+
+    return f"""
+WITH q AS ({_QUERY_SET_SQL}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS item_id, CAST(e.embedding AS DOUBLE[]) AS ev, q.qv
+  FROM embeddings e CROSS JOIN q
+), dists AS (
+  SELECT query_id, item_id, {_L2_SQL} AS dist FROM scored
+), ranked AS (
+  SELECT query_id, item_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, item_id) AS rank
+  FROM dists
+)
+SELECT query_id, rank, item_id, round(dist, 4) AS dist_r
+FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "ann_ivf_fullprobe",
+    oracle=None,  # replaced below — needs the lazy vector-module import
+    doc="IVF probing ALL 16 cells == exact kNN; hash-checked against the "
+    "brute-force oracle — gate-proves the partitioned layout + probe + "
+    "merge lose nothing",
+)
+def ann_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import ivf_ann_pruned
+
+    corpus_path, cents = _get_or_build_ivf(spark, sf_dir)
+    res = ivf_ann_pruned(
+        _query_set(spark, sf_dir), spark, corpus_path, cents,
+        k=10, n_probe=16, item_id="vec_id",
+    )
+    return res.select(
+        "query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r")
+    )
+
+
+@register(
+    "ann_sq_fullrerank",
+    oracle=None,  # replaced below
+    doc="SQ8 scan with a corpus-sized short-list + exact re-rank == exact "
+    "kNN; hash-checked against the brute-force oracle — gate-proves the "
+    "int8 encode/decode/scan/re-rank chain loses nothing",
+)
+def ann_sq_fullrerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sq import sq_search_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = _query_set(spark, sf_dir)
+    enc, vmin, scale = _get_or_build_sq(spark, sf_dir)
+    n = emb.count()
+    res = sq_search_rerank(
+        qs, emb, enc, vmin, scale, k=10, shortlist=n, item_id="vec_id"
+    )
+    return res.select(
+        "query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r")
+    )
+
+
+def _attach_fullfidelity_oracles() -> None:
+    from . import REGISTRY, QuerySpec
+
+    sql = _exact_l2_oracle()
+    for name in ("ann_ivf_fullprobe", "ann_sq_fullrerank"):
+        spec = REGISTRY[name]
+        REGISTRY[name] = QuerySpec(fn=spec.fn, oracle=sql, doc=spec.doc)
+
+
+_attach_fullfidelity_oracles()
+
+
 # -- V5 over ANN: the reference's recall experiment shape ------------------
 @register(
     "recall_ann_vs_exact",
