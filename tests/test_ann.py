@@ -246,3 +246,56 @@ def test_filtered_ann_recall_at_normal_probe(spark, query_set, embeddings, sf_di
     )
     r = mean_recall(recall_at_k(gt, ann, k=10)).first().mean_recall
     assert r >= 0.5, f"filtered-ANN recall@10 too low: {r}"
+
+
+def test_ivf_upsert_equals_full_rebuild(spark, embeddings, tmp_path):
+    """upsert(write(A), B) == write(A ∪ B) row-for-row under the same
+    centroids, replayed batches converge (exactly-once), and only the
+    touched cell directories change."""
+    import os
+
+    from vectordb_acc_and_speed_exp_spark.operators.ann import (
+        ivf_index_upsert,
+        write_ivf_corpus,
+    )
+
+    cents = kmeans_centroids(embeddings, n_cells=8)
+    a = embeddings.filter(F.col("vec_id") < 400)
+    b = embeddings.filter(F.col("vec_id") >= 400)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    write_ivf_corpus(ivf_assign(a, cents), inc_path)
+    pre = {
+        d: os.path.getmtime(os.path.join(inc_path, d))
+        for d in os.listdir(inc_path) if d.startswith("cell=")
+    }
+    touched = ivf_index_upsert(
+        spark, inc_path, b, cents, item_id="vec_id"
+    )
+    assert touched
+    post = {
+        d: os.path.getmtime(os.path.join(inc_path, d))
+        for d in os.listdir(inc_path) if d.startswith("cell=")
+    }
+    untouched = [d for d in pre if int(d.split("=")[1]) not in touched]
+    assert all(pre[d] == post[d] for d in untouched)
+
+    full_path = str(tmp_path / "ivf_full")
+    write_ivf_corpus(ivf_assign(embeddings, cents), full_path)
+    inc_rows = sorted(
+        map(tuple, spark.read.parquet(inc_path)
+            .select("vec_id", "cell").collect())
+    )
+    full_rows = sorted(
+        map(tuple, spark.read.parquet(full_path)
+            .select("vec_id", "cell").collect())
+    )
+    assert inc_rows == full_rows
+
+    # replay the same batch: layout must not change (idempotent)
+    ivf_index_upsert(spark, inc_path, b, cents, item_id="vec_id")
+    replay_rows = sorted(
+        map(tuple, spark.read.parquet(inc_path)
+            .select("vec_id", "cell").collect())
+    )
+    assert replay_rows == full_rows

@@ -154,3 +154,48 @@ def test_stream_maintains_graph_index(spark, tmp_path):
         for r in build_graph_index(emb, item_id="vec_id").collect()
     )
     assert got == want
+
+
+def test_stream_maintains_ivf_layout(spark, tmp_path):
+    """Micro-batches upsert the IVF layout cell-by-cell; after the stream
+    drains, the layout row set equals a from-scratch batch write of all
+    rows under the same centroids."""
+    from vectordb_acc_and_speed_exp_spark.io import load_table
+    from vectordb_acc_and_speed_exp_spark.operators.ann import (
+        ivf_assign,
+        kmeans_centroids,
+        write_ivf_corpus,
+    )
+    from vectordb_acc_and_speed_exp_spark.streaming.index_maintenance import (
+        stream_upsert_ivf_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_centroids(emb, n_cells=8)
+    src_dir = tmp_path / "ivf_arrivals"
+    for lo, hi in ((0, 200), (200, 10**9)):
+        emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(str(src_dir))
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    layout_path = str(tmp_path / "stream_ivf_layout")
+    stream_upsert_ivf_index(stream, layout_path, cents, item_id="vec_id")
+
+    got = sorted(
+        (int(r.vec_id), int(r.cell))
+        for r in spark.read.parquet(layout_path).collect()
+    )
+    full_path = str(tmp_path / "batch_ivf_layout")
+    write_ivf_corpus(ivf_assign(emb, cents), full_path)
+    want = sorted(
+        (int(r.vec_id), int(r.cell))
+        for r in spark.read.parquet(full_path).collect()
+    )
+    assert got == want

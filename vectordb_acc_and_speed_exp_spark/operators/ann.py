@@ -268,6 +268,56 @@ def write_ivf_corpus(corpus_assigned: DataFrame, path: str) -> None:
     corpus_assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
+def ivf_index_upsert(
+    spark,
+    corpus_path: str,
+    new_rows: DataFrame,
+    centroids: DataFrame,
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> list[int]:
+    """Incremental maintenance of a written IVF layout: assign new (or
+    changed) rows with the index's EXISTING centroids and rewrite only the
+    cell directories they land in (dynamic partition overwrite — every
+    other cell is untouched bytes). Returns the rewritten cell ids.
+
+    Rows whose id already exists REPLACE the old rows (same centroids ⇒
+    same cell, so the replacement is complete), which makes a replayed
+    micro-batch converge to the same layout — at-least-once delivery is
+    exactly-once for this sink, the streaming/index_maintenance.py
+    contract. Centroids intentionally do NOT move here: re-training is an
+    offline build job (kmeans_centroids on a fresh sample + full
+    write_ivf_corpus); serving-time assignment drift is the standard
+    IVF operational model (FAISS add() does the same).
+
+    At 100 TB: a micro-batch touching f of n_cells directories costs f/n
+    of a full rebuild, and the rewrite parallelizes per cell."""
+    # keep ALL of new_rows' columns — the layout may carry metadata
+    # (e.g. the label column filtered ANN pushes down on)
+    assigned = ivf_assign(new_rows, centroids, item_vec=item_vec)
+    affected = sorted(
+        r.cell for r in assigned.select("cell").distinct().collect()
+    )
+    # localCheckpoint breaks lineage to corpus_path so the dynamic
+    # overwrite isn't a read-from/write-to-same-path conflict
+    old = (
+        spark.read.parquet(corpus_path)
+        .filter(F.col("cell").isin(affected))
+        .join(assigned.select(item_id), item_id, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    (
+        old.unionByName(assigned)
+        .repartition("cell")
+        .sortWithinPartitions(item_id)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(corpus_path)
+    )
+    return [int(c) for c in affected]
+
+
 def ivf_ann_pruned(
     queries: DataFrame,
     spark,

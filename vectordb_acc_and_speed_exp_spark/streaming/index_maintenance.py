@@ -77,3 +77,45 @@ def stream_upsert_graph_index(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_upsert_ivf_index(
+    embeddings_stream: DataFrame,
+    corpus_path: str,
+    centroids: DataFrame,
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> None:
+    """Streaming twin for the IVF layout: every micro-batch is assigned
+    with the index's FROZEN centroids and rewrites only the cell
+    directories it lands in (operators/ann.py::ivf_index_upsert). Same
+    idempotence contract as the graph sink — same-id rows replace and the
+    layout is a pure function of the final row set, so replayed batches
+    converge and at-least-once delivery is exactly-once. Centroid
+    re-training stays an offline build job (the FAISS add() model)."""
+    from ..operators.ann import ivf_assign, ivf_index_upsert, write_ivf_corpus
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not os.path.exists(corpus_path):
+            write_ivf_corpus(
+                ivf_assign(batch_df, centroids, item_vec=item_vec),
+                corpus_path,
+            )
+        else:
+            ivf_index_upsert(
+                spark, corpus_path, batch_df, centroids,
+                item_id=item_id, item_vec=item_vec,
+            )
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ivfidx_")
+    q = (
+        embeddings_stream.writeStream.foreachBatch(upsert_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
