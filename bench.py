@@ -68,6 +68,7 @@ HEADLINE = [
     "domain_rebalanced_sample",
     "embedding_dim_stats",
     "ann_sq_topk",
+    "ann_ivfsq_topk",
     "mmr_rerank_topk",
     "knn_filtered_exact",
     "ann_ivf_filtered",

@@ -102,3 +102,68 @@ def test_gate_entry_reuses_built_index(spark, sf_dir):
     m1 = os.path.getmtime(marker)
     assert ann_sq_topk(spark, sf_dir).count() == 50
     assert os.path.getmtime(marker) == m1
+
+
+def test_ivfsq_fullprobe_equals_exact(spark, query_set, embeddings, sq_params, tmp_path):
+    """IVF-SQ with every cell probed and a corpus-sized short-list == exact
+    kNN (the composed metamorphic identity), and the codes layout is
+    really cell-partitioned."""
+    import os
+
+    from vectordb_acc_and_speed_exp_spark.operators.ann import (
+        ivf_assign,
+        kmeans_centroids,
+        write_ivf_corpus,
+    )
+    from vectordb_acc_and_speed_exp_spark.operators.sq import (
+        ivfsq_search,
+        write_ivfsq_codes,
+    )
+
+    vmin, scale = sq_params
+    cents = kmeans_centroids(embeddings, n_cells=8)
+    assigned = ivf_assign(embeddings, cents)
+    corpus_path = str(tmp_path / "ivfsq_corpus")
+    codes_path = str(tmp_path / "ivfsq_codes")
+    write_ivf_corpus(assigned, corpus_path)
+    write_ivfsq_codes(assigned, vmin, scale, codes_path, item_id="vec_id")
+    assert len([d for d in os.listdir(codes_path) if d.startswith("cell=")]) >= 2
+
+    n = embeddings.count()
+    got = ivfsq_search(
+        query_set, spark, codes_path, corpus_path, cents, vmin, scale,
+        k=10, n_probe=8, shortlist=n, item_id="vec_id",
+    )
+    gt = exact_knn(query_set, embeddings, k=10, item_id="vec_id")
+    assert sorted((r.query_id, r.rank, r.item_id) for r in got.collect()) == sorted(
+        (r.query_id, r.rank, r.item_id) for r in gt.collect()
+    )
+
+
+def test_ivfsq_pruned_recall(spark, query_set, embeddings, sq_params, tmp_path):
+    """The production config (4 of 8 cells, shortlist 100) keeps recall@10
+    ≥ 0.6 (IVF cell coverage is the binding constraint, not SQ fidelity)."""
+    from vectordb_acc_and_speed_exp_spark.operators.ann import (
+        ivf_assign,
+        kmeans_centroids,
+        write_ivf_corpus,
+    )
+    from vectordb_acc_and_speed_exp_spark.operators.sq import (
+        ivfsq_search,
+        write_ivfsq_codes,
+    )
+
+    vmin, scale = sq_params
+    cents = kmeans_centroids(embeddings, n_cells=8)
+    assigned = ivf_assign(embeddings, cents)
+    corpus_path = str(tmp_path / "p_corpus")
+    codes_path = str(tmp_path / "p_codes")
+    write_ivf_corpus(assigned, corpus_path)
+    write_ivfsq_codes(assigned, vmin, scale, codes_path, item_id="vec_id")
+    ann = ivfsq_search(
+        query_set, spark, codes_path, corpus_path, cents, vmin, scale,
+        k=10, n_probe=4, shortlist=100, item_id="vec_id",
+    )
+    gt = exact_knn(query_set, embeddings, k=10, item_id="vec_id")
+    r = mean_recall(recall_at_k(gt, ann, k=10)).first().mean_recall
+    assert r >= 0.6, f"IVF-SQ recall too low: {r}"

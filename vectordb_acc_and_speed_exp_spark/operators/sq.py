@@ -184,3 +184,150 @@ def sq_search_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "item_id", "dist")
     )
+
+
+def write_ivfsq_codes(
+    corpus_assigned: DataFrame,
+    vmin: np.ndarray,
+    scale: np.ndarray,
+    path: str,
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> None:
+    """Encode an IVF-assigned corpus (must carry ``cell``) to int8 codes
+    and persist them partitioned by cell — the IVF-SQ layout (FAISS
+    IVFScalarQuantizer): directory pruning from the coarse quantizer, 4×
+    fewer bytes inside each directory, near-lossless fidelity (EP5). The
+    encode is the same pure-HOF projection; ``cell`` rides through as a
+    passthrough column."""
+    sq_encode(
+        corpus_assigned, vmin, scale, item_id=item_id, item_vec=item_vec,
+        passthrough=("cell",),
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivfsq_search(
+    queries: DataFrame,
+    spark,
+    codes_path: str,
+    corpus_path: str,
+    centroids: DataFrame,
+    vmin: np.ndarray,
+    scale: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> DataFrame:
+    """Composed IVF-SQ search (the EP5 'hot data' recipe):
+
+    1. coarse probe: n_probe nearest cells per query → ``cell IN (...)``
+       partition filter on the codes scan AND the re-rank vector fetch;
+    2. asymmetric int8 scan of only the probed cells' codes (decode inside
+       the gemm kernel), per-query cell masks keep strict IVF semantics;
+    3. exact re-rank of the short-list against the same pruned
+       directories.
+
+    Full probe with shortlist ≥ corpus is exact (tested — the same
+    metamorphic identity as IVF-PQ)."""
+    from ..functions.vector import l2_dist
+    from .knn import exact_knn
+
+    qcells = exact_knn(
+        queries, centroids, k=n_probe,
+        query_id=query_id, query_vec=query_vec,
+        item_id="cell", item_vec="centroid",
+    ).select(F.col("query_id"), F.col("item_id").alias("cell"))
+    probe_rows = qcells.collect()
+    probed = sorted({r.cell for r in probe_rows})
+    allowed: dict = {}
+    for r in probe_rows:
+        allowed.setdefault(r.query_id, set()).add(r.cell)
+
+    qrows = queries.select(
+        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
+    ).collect()
+    qids = np.array([r._qid for r in qrows])
+    Q = np.array([r._qv for r in qrows], dtype=np.float64)
+    b = spark.sparkContext.broadcast(
+        (qids, Q, vmin, scale, {q: np.array(sorted(cs)) for q, cs in allowed.items()})
+    )
+
+    codes = spark.read.parquet(codes_path).filter(F.col("cell").isin(probed))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qi, q, mn, sc, allow = b.value
+        qsq = (q * q).sum(axis=1)[:, None]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(pdf["codes"].tolist(), dtype=np.float64)
+            X = mn[None, :] + C * sc[None, :]
+            ids = pdf["item_id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            D = qsq - 2.0 * (q @ X.T) + (X * X).sum(axis=1)[None, :]
+            np.maximum(D, 0.0, out=D)
+            out_q, out_i, out_d = [], [], []
+            for idx, qid in enumerate(qi):
+                mask = np.isin(cells, allow.get(qid, np.empty(0)))
+                if not mask.any():
+                    continue
+                d = D[idx][mask]
+                idm = ids[mask]
+                kk = min(shortlist, len(d))
+                part = (
+                    np.argpartition(d, kk - 1)[:kk]
+                    if kk < len(d)
+                    else np.arange(len(d))
+                )
+                out_q.append(np.full(len(part), qid))
+                out_i.append(idm[part])
+                out_d.append(np.sqrt(d[part]))
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "item_id": np.concatenate(out_i),
+                    "sq_dist": np.concatenate(out_d),
+                }
+            )
+
+    qid_t = dict(queries.dtypes)[query_id]
+    iid_t = dict(codes.dtypes)["item_id"]
+    partial = codes.mapInPandas(
+        scan, schema=f"query_id {qid_t}, item_id {iid_t}, sq_dist double"
+    )
+    wsl = Window.partitionBy("query_id").orderBy(
+        F.asc("sq_dist"), F.asc("item_id")
+    )
+    cand = (
+        partial.withColumn("_rn", F.row_number().over(wsl))
+        .filter(F.col("_rn") <= shortlist)
+        .select("query_id", "item_id")
+    )
+    vecs = (
+        spark.read.parquet(corpus_path)
+        .filter(F.col("cell").isin(probed))
+        .select(F.col(item_id).alias("item_id"), F.col(item_vec).alias("_cvec"))
+    )
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec")
+    )
+    scored = (
+        cand.join(vecs, "item_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "item_id",
+            l2_dist(F.col("_qvec"), F.col("_cvec")).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "dist")
+    )

@@ -202,12 +202,16 @@ def _attach_fullfidelity_oracles() -> None:
     from . import REGISTRY, QuerySpec
 
     sql = _exact_l2_oracle()
-    for name in ("ann_ivf_fullprobe", "ann_sq_fullrerank"):
+    for name in (
+        "ann_ivf_fullprobe",
+        "ann_sq_fullrerank",
+        "ann_ivfsq_fullprobe",
+    ):
         spec = REGISTRY[name]
         REGISTRY[name] = QuerySpec(fn=spec.fn, oracle=sql, doc=spec.doc)
 
 
-_attach_fullfidelity_oracles()
+# (called at module END so every full-fidelity entry is registered first)
 
 
 # -- V5 over ANN: the reference's recall experiment shape ------------------
@@ -557,6 +561,72 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _get_or_build_ivfsq(spark: SparkSession, sf_dir: str):
+    """Idempotent IVF-SQ build: reuses the IVF layout's cell assignment
+    and the SQ8 affine params, writes int8 codes cell-partitioned.
+    Returns (codes_path, corpus_path, centroids, vmin, scale)."""
+    import os
+
+    from ..operators.sq import write_ivfsq_codes
+
+    root = _index_root(sf_dir)
+    codes_path = os.path.join(root, "ivfsq_codes")
+    done = os.path.join(root, "ivfsq._DONE")
+    corpus_path, cents = _get_or_build_ivf(spark, sf_dir)
+    _, vmin, scale = _get_or_build_sq(spark, sf_dir)
+    if not os.path.exists(done):
+        assigned = spark.read.parquet(corpus_path)
+        write_ivfsq_codes(
+            assigned, vmin, scale, codes_path, item_id="vec_id"
+        )
+        open(done, "w").close()
+    return codes_path, corpus_path, cents, vmin, scale
+
+
+@register(
+    "ann_ivfsq_topk",
+    oracle=None,
+    doc="composed IVF-SQ (4 of 16 cells, int8 codes, shortlist=100 exact "
+    "re-rank) — the EP5 hot-data layout: partition-pruned directories × "
+    "4× fewer scanned bytes; search-only",
+)
+def ann_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sq import ivfsq_search
+
+    codes_path, corpus_path, cents, vmin, scale = _get_or_build_ivfsq(
+        spark, sf_dir
+    )
+    res = ivfsq_search(
+        _query_set(spark, sf_dir), spark, codes_path, corpus_path, cents,
+        vmin, scale, k=10, n_probe=4, shortlist=100, item_id="vec_id",
+    )
+    return res.select(
+        "query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r")
+    )
+
+
+@register(
+    "ann_ivfsq_fullprobe",
+    oracle=None,  # exact-kNN oracle attached below with the others
+    doc="IVF-SQ probing ALL cells with a corpus-sized short-list == exact "
+    "kNN; hash-checked against the brute-force oracle",
+)
+def ann_ivfsq_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sq import ivfsq_search
+
+    codes_path, corpus_path, cents, vmin, scale = _get_or_build_ivfsq(
+        spark, sf_dir
+    )
+    n = load_table(spark, sf_dir, "embeddings").count()
+    res = ivfsq_search(
+        _query_set(spark, sf_dir), spark, codes_path, corpus_path, cents,
+        vmin, scale, k=10, n_probe=16, shortlist=n, item_id="vec_id",
+    )
+    return res.select(
+        "query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r")
+    )
+
+
 def _get_or_build_ivfpq(spark: SparkSession, sf_dir: str):
     """Idempotent IVF-PQ build: reuses the IVF layout's cell assignment and
     the PQ codebooks, encodes codes WITH the cell column (kernel
@@ -773,3 +843,6 @@ def lsh_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(bits).alias("probe_bits"), "mean_recall")
         )
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+_attach_fullfidelity_oracles()
