@@ -76,6 +76,7 @@ HEADLINE = [
     "hybrid_rrf",
     "radius_search",
     "parent_doc_retrieval",
+    "rerank_cross_encoder",
 ]
 
 

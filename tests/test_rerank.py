@@ -81,3 +81,78 @@ def test_deterministic(query_set, cand50, item_vecs):
     a = mmr_rerank(cand50, item_vecs, query_set, k=10, lam=0.5).collect()
     b = mmr_rerank(cand50, item_vecs, query_set, k=10, lam=0.5).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_cross_encoder_fake_and_mock_real_branch(spark, documents):
+    """Fake branch: identical text is the top pair; real branch: a mock
+    sentence_transformers module exercises load-once + batch predict."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    from vectordb_acc_and_speed_exp_spark.operators.crossencoder import (
+        cross_encoder_rerank,
+        fake_pair_score,
+        make_pair_score_iter,
+    )
+
+    probe = documents.limit(3).collect()
+    cand = spark.createDataFrame(
+        [
+            (q.doc_id, q.text, d.doc_id, d.text)
+            for q in probe
+            for d in probe
+        ],
+        "query_id long, query_text string, item_id long, doc_text string",
+    )
+    res = cross_encoder_rerank(cand, k=3).collect()
+    top1 = {r.query_id: r.item_id for r in res if r.ce_rank == 1}
+    assert top1 == {q.doc_id: q.doc_id for q in probe}
+    # score sanity: identical text maximizes the fake
+    assert fake_pair_score("a b c", "a b c") > fake_pair_score("a b c", "a x y")
+
+    # mock real-model branch (torch absent -> inject a fake module)
+    calls = []
+
+    class _MockCE:
+        def __init__(self, path):
+            calls.append(("load", path))
+
+        def predict(self, pairs):
+            calls.append(("predict", len(pairs)))
+            return [float(len(q) + len(d)) for q, d in pairs]
+
+    mod = types.ModuleType("sentence_transformers")
+    mod.CrossEncoder = _MockCE
+    old = sys.modules.get("sentence_transformers")
+    sys.modules["sentence_transformers"] = mod
+    try:
+        it = make_pair_score_iter(model_path="mock-model")
+        out = list(
+            it(iter([(pd.Series(["ab", "c"]), pd.Series(["d", "ef"]))]))
+        )
+        assert out[0].tolist() == [3.0, 3.0]
+        assert calls[0] == ("load", "mock-model")
+        assert ("predict", 2) in calls
+    finally:
+        if old is None:
+            del sys.modules["sentence_transformers"]
+        else:
+            sys.modules["sentence_transformers"] = old
+
+
+def test_rerank_cross_encoder_gate_entry(spark, sf_dir):
+    from vectordb_acc_and_speed_exp_spark.queries.retrieval import (
+        rerank_cross_encoder,
+    )
+
+    rows = rerank_cross_encoder(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows_q in by_q.values():
+        rows_q.sort(key=lambda r: r.rank)
+        scores = [r.ce_score_r for r in rows_q]
+        assert scores == sorted(scores, reverse=True)
+        assert len({r.doc_id for r in rows_q}) == len(rows_q)

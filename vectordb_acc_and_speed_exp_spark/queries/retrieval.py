@@ -278,6 +278,46 @@ def radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Cross-encoder re-rank of the BM25 short-list — the retrieve→rerank
+# two-stage stack. Rows-only (the scorer is a model swap point: real
+# CrossEncoder when importable, deterministic lexical fake otherwise —
+# the embed_documents_fake precedent).
+# --------------------------------------------------------------------------
+@register(
+    "rerank_cross_encoder",
+    oracle=None,
+    doc="two-stage retrieval: BM25 top-20 short-list → cross-encoder "
+    "pair scoring (Iterator pandas_udf, model-gated with deterministic "
+    "fake) → top-10; per-query work is |short-list| model calls, never "
+    "corpus work",
+)
+def rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.crossencoder import cross_encoder_rerank
+
+    d = load_table(spark, sf_dir, "documents")
+    qtexts = spark.createDataFrame(
+        [(qid, " ".join(ts)) for qid, ts in _BM25_QUERIES],
+        "query_id long, query_text string",
+    )
+    cand = (
+        _topk(_bm25_scored(spark, sf_dir), [F.desc("s6"), F.asc("doc_id")], 20)
+        .select("query_id", "doc_id")
+        .join(F.broadcast(qtexts), "query_id")
+        .join(d.select("doc_id", F.col("text").alias("doc_text")), "doc_id")
+    )
+    res = cross_encoder_rerank(
+        cand, k=10, item_id="doc_id", query_text="query_text",
+        doc_text="doc_text",
+    )
+    return res.select(
+        "query_id",
+        F.col("ce_rank").alias("rank"),
+        F.col("item_id").alias("doc_id"),
+        F.round("ce_score", 4).alias("ce_score_r"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Parent-document retrieval: score at chunk granularity, return parent
 # documents (max chunk score per parent — the "small-to-big" retrieval
 # pattern). Chunks are the deterministic fixed windows of chunk_documents;
