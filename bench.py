@@ -77,6 +77,7 @@ HEADLINE = [
     "radius_search",
     "parent_doc_retrieval",
     "rerank_cross_encoder",
+    "corpus_version_diff",
 ]
 
 

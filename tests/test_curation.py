@@ -91,3 +91,24 @@ def test_curated_corpus_never_exceeds_quality_counts(spark, sf_dir):
     assert curated
     for lang, n in curated.items():
         assert n <= quality[lang]
+
+
+def test_corpus_version_diff_statuses(spark, sf_dir):
+    """All three statuses occur and each id classifies correctly:
+    %41==0 & %43!=0 -> added; %43==0 & %41!=0 -> removed;
+    %37==0 surviving in both -> changed."""
+    from vectordb_acc_and_speed_exp_spark.queries.curation import (
+        corpus_version_diff,
+    )
+
+    rows = {r.doc_id: r.status for r in corpus_version_diff(spark, sf_dir).collect()}
+    assert set(rows.values()) == {"added", "removed", "changed"}
+    for doc_id, status in rows.items():
+        in_v1 = doc_id % 41 != 0
+        in_v2 = doc_id % 43 != 0
+        if not in_v1:
+            assert status == "added" and in_v2
+        elif not in_v2:
+            assert status == "removed"
+        else:
+            assert status == "changed" and doc_id % 37 == 0

@@ -549,3 +549,75 @@ def _importance_frame(d: DataFrame) -> DataFrame:
             .alias("imp_s6"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-version diff (data versioning without a table format): given two
+# corpus versions, classify every doc as added / removed / changed by
+# content fingerprint — the incremental-reprocessing primitive (only
+# 'added'+'changed' docs re-enter the pipeline; 'removed' ids tombstone).
+# Versions are synthesized deterministically from the one documents table:
+# v1 = docs with doc_id % 41 != 0 (some docs don't exist yet);
+# v2 = docs with doc_id % 43 != 0 (some v1 docs were deleted), text
+#      revised for doc_id % 37 == 0 — all three statuses occur.
+# One full-outer join on doc_id, fingerprints compared only on the overlap.
+# At 100 TB: fingerprints are 32-byte md5s computed in the scan projection,
+# the join shuffles (id, fingerprint) pairs — never text.
+# --------------------------------------------------------------------------
+_V1_FP_SQL = f"md5({{norm}})".format(norm="lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")
+_V2_TEXT_SQL = "CASE WHEN doc_id % 37 = 0 THEN text || ' rev2' ELSE text END"
+
+
+@register(
+    "corpus_version_diff",
+    oracle=f"""
+WITH v1 AS (
+  SELECT doc_id, {_V1_FP_SQL} AS fp FROM documents WHERE doc_id % 41 != 0
+),
+v2 AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim({_V2_TEXT_SQL}), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 43 != 0
+),
+j AS (
+  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+         v1.fp AS fp1, v2.fp AS fp2
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT doc_id,
+       CASE WHEN fp1 IS NULL THEN 'added'
+            WHEN fp2 IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM j
+WHERE fp1 IS NULL OR fp2 IS NULL OR fp1 != fp2
+""",
+    doc="corpus-version diff by content fingerprint: added/removed/changed "
+    "via one full-outer join of (id, md5) pairs — text never shuffles",
+)
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import norm_text
+
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 41 != 0).select(
+        "doc_id", F.md5(norm_text(F.col("text"))).alias("fp1")
+    )
+    v2_text = F.when(
+        F.col("doc_id") % 37 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+    ).otherwise(F.col("text"))
+    v2 = d.filter(F.col("doc_id") % 43 != 0).select(
+        "doc_id", F.md5(norm_text(v2_text)).alias("fp2")
+    )
+    j = v1.join(v2, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp1").isNull(), F.lit("added"))
+        .when(F.col("fp2").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.filter(
+            F.col("fp1").isNull()
+            | F.col("fp2").isNull()
+            | (F.col("fp1") != F.col("fp2"))
+        )
+        .select("doc_id", status.alias("status"))
+    )
