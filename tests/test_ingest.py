@@ -96,3 +96,47 @@ def test_build_corpus_end_to_end(spark, pdf_dir, tmp_path):
     assert "snapshot" in df.columns
     part_dirs = [p for p in os.listdir(out) if p.startswith("snapshot=")]
     assert len(part_dirs) >= 2
+
+
+def test_jsonl_roundtrip_sharded(spark, documents, tmp_path):
+    """JSONL sink: nested columns round-trip, maxRecordsPerFile bounds
+    shard size, partition_by routes shards into directories."""
+    import glob
+    import json
+
+    from vectordb_acc_and_speed_exp_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+    from pyspark.sql import functions as F
+
+    src = documents.limit(100).select(
+        "doc_id", "text", "lang", "source",
+        F.array(F.length("text"), F.col("n_chars")).alias("feats"),
+    )
+    path = str(tmp_path / "shards")
+    write_jsonl(
+        src, path, max_records_per_file=20, partition_by=("source",)
+    )
+    # partition directories exist and no shard exceeds the record bound
+    parts = glob.glob(path + "/source=*/*.json")
+    assert parts and all(
+        sum(1 for _ in open(p)) <= 20 for p in parts
+    )
+    # every line is valid standalone JSON
+    with open(parts[0]) as fh:
+        json.loads(next(iter(fh)))
+
+    back = read_jsonl(
+        spark, path,
+        schema="doc_id bigint, text string, lang string, feats array<bigint>, source string",
+    )
+    a = sorted(
+        (r.doc_id, r.text, r.lang, r.source, tuple(r.feats))
+        for r in src.collect()
+    )
+    b = sorted(
+        (r.doc_id, r.text, r.lang, r.source, tuple(r.feats))
+        for r in back.collect()
+    )
+    assert a == b
