@@ -78,6 +78,7 @@ HEADLINE = [
     "parent_doc_retrieval",
     "rerank_cross_encoder",
     "corpus_version_diff",
+    "events_salted_join",
 ]
 
 

@@ -721,3 +721,59 @@ def lineitem_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_cents"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-salted join, hash-verified: the events table has FIVE event_type
+# keys over the whole fact side — the pathological-skew regime where a
+# plain shuffle join puts ~20% of the table on one reducer. salted_join
+# spreads each hot key over (key, salt) reducers; the gate proves the
+# rewrite is semantics-preserving (same hash as the plain-join oracle).
+# At 100 TB this is the documented escape hatch when AQE's runtime skew
+# split can't apply (e.g. the skewed side feeds a further aggregation on
+# the same key).
+# --------------------------------------------------------------------------
+@register(
+    "events_salted_join",
+    oracle="""
+WITH dim AS (
+  SELECT * FROM (VALUES
+    ('click', 'engagement', 1),
+    ('view', 'engagement', 0),
+    ('purchase', 'revenue', 10),
+    ('signup', 'growth', 5),
+    ('logout', 'hygiene', 0)
+  ) AS v(event_type, category, weight)
+)
+SELECT d.category,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT) * d.weight) AS BIGINT)
+         AS weighted_cents
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY d.category
+""",
+    doc="skew-salted equi-join (5 hot keys spread over (key, salt) "
+    "reducers) — hash-verified against the plain-join oracle, proving "
+    "the salting rewrite is semantics-preserving",
+)
+def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement", 1),
+            ("view", "engagement", 0),
+            ("purchase", "revenue", 10),
+            ("signup", "growth", 5),
+            ("logout", "hygiene", 0),
+        ],
+        "event_type string, category string, weight int",
+    )
+    joined = salted_join(e, dim, "event_type", n_salts=8)
+    return joined.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.round(F.col("value") * 100).cast("bigint") * F.col("weight")
+        ).alias("weighted_cents"),
+    )
