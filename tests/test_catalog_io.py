@@ -1,0 +1,62 @@
+"""io.catalog timestamp normalization: the events table has shipped with
+ts as TIMESTAMP(NANOS) and as TIMESTAMP(MICROS)-without-timezone
+(TIMESTAMP_NTZ to Spark); load_table must normalize BOTH to a plain
+TIMESTAMP whose epoch equals the stored wall-clock read as UTC (DuckDB's
+naive-timestamp semantics), independent of the session timezone."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from vectordb_acc_and_speed_exp_spark.io import load_table
+
+
+def _write_events(spark, path, ts_type: str):
+    wall = datetime.datetime(2024, 3, 1, 12, 30, 45)
+    df = spark.createDataFrame(
+        [(1, wall, 7, "click", 1.5, "{}")],
+        f"event_id bigint, ts {ts_type}, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    df.write.mode("overwrite").parquet(path)
+    return wall
+
+
+def test_ntz_events_normalized_to_utc_timestamp(spark, tmp_path):
+    sf_dir = str(tmp_path)
+    wall = _write_events(spark, f"{sf_dir}/events.parquet", "timestamp_ntz")
+    out = load_table(spark, sf_dir, "events")
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    ms = out.select(F.unix_millis("ts").alias("ms")).first().ms
+    want = int(
+        wall.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000
+    )
+    assert ms == want
+
+
+def test_ntz_normalization_is_session_tz_independent(spark, tmp_path):
+    """Even under a non-UTC session timezone (a driver-provided session),
+    the epoch must equal the naive wall-clock read as UTC."""
+    sf_dir = str(tmp_path)
+    wall = _write_events(spark, f"{sf_dir}/events.parquet", "timestamp_ntz")
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        out = load_table(spark, sf_dir, "events")
+        ms = out.select(F.unix_millis("ts").alias("ms")).first().ms
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    want = int(
+        wall.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000
+    )
+    assert ms == want
+
+
+def test_plain_timestamp_events_pass_through(spark, tmp_path):
+    sf_dir = str(tmp_path)
+    _write_events(spark, f"{sf_dir}/events.parquet", "timestamp")
+    out = load_table(spark, sf_dir, "events")
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    assert out.count() == 1
