@@ -102,7 +102,8 @@ def test_query_mmr_mode(store, documents):
 
 def test_query_hybrid_mode(store, documents):
     """Hybrid = BM25 ⊕ dense RRF: a doc matching the query text exactly
-    tops both channels, so it must be rank 1 with rrf = 2/(60+1)."""
+    tops the dense channel and scores high lexically, so it wins the
+    fusion; every rrf is bounded by 2/(60+1)."""
     probe = documents.limit(2).collect()
     res = store.query(
         "papers", query_texts=[r.text for r in probe], k=5, mode="hybrid"
@@ -121,6 +122,18 @@ def test_query_hybrid_mode(store, documents):
             assert 0.0 < r.rrf <= 2.0 / 61.0 + 1e-9
         scores = [r.rrf for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+def test_query_hybrid_respects_where(store, documents):
+    """where= composes with hybrid: both channels search only the
+    filtered corpus."""
+    probe = documents.limit(1).collect()
+    pred = "cast(id as bigint) % 2 = 0"
+    res = store.query(
+        "papers", query_texts=[probe[0].text], k=5, mode="hybrid", where=pred
+    ).collect()
+    assert res
+    for r in res:
+        assert int(r.item_id) % 2 == 0
 
 def test_query_validation_and_delete(store, spark):
     with pytest.raises(ValueError):
