@@ -60,3 +60,30 @@ def test_plain_timestamp_events_pass_through(spark, tmp_path):
     out = load_table(spark, sf_dir, "events")
     assert dict(out.dtypes)["ts"] == "timestamp"
     assert out.count() == 1
+
+
+def test_compact_table_preserves_rows(spark, embeddings, tmp_path):
+    """Many tiny appended files -> few files, identical rows, staging
+    fully cleaned up."""
+    import glob
+    import os
+
+    from vectordb_acc_and_speed_exp_spark.io.catalog import compact_table
+
+    path = str(tmp_path / "frag")
+    src = embeddings.select("vec_id", "label").limit(200)
+    # 10 single-partition appends = >= 10 small files
+    for i in range(10):
+        src.filter((F.col("vec_id") % 10) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(path).collect())
+    )
+    n_before, n_after = compact_table(spark, path)
+    assert n_before >= 10 and n_after < n_before
+    assert len(glob.glob(path + "/*.parquet")) == n_after
+    after_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after_rows == before_rows
+    assert not os.path.exists(path + "._compact_staged")
+    assert not os.path.exists(path + "._pre_compact")

@@ -76,3 +76,35 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     The reference hand-batches adds at <=5000 rows; Spark writers batch
     natively, so this is a plain parquet write."""
     df.write.mode(mode).parquet(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_bytes_per_file: int = 128 << 20,
+) -> tuple[int, int]:
+    """Small-file compaction for a parquet directory — the maintenance job
+    every streaming/upsert sink eventually needs (each micro-batch append
+    adds files; thousands of KB-files make the scan task-scheduling-bound
+    at 100 TB). Rewrites the directory into ``ceil(total_bytes / target)``
+    files via ``coalesce`` (narrow — no shuffle), staged next to the
+    original and swapped in, so a crash mid-compact leaves either the old
+    or the new layout, never a mix. Returns (n_files_before, n_files_after).
+
+    Row-identical by construction (same data, fewer files); partitioned
+    layouts should compact per partition directory instead (call this on
+    each ``cell=``/``snapshot=`` directory)."""
+    import math
+    import shutil
+
+    df = spark.read.parquet(path)
+    files = [f[len("file:"):] if f.startswith("file:") else f for f in df.inputFiles()]
+    total = sum(os.path.getsize(f) for f in files)
+    n_after = max(1, math.ceil(total / target_bytes_per_file))
+    staged = path.rstrip("/") + "._compact_staged"
+    df.coalesce(n_after).write.mode("overwrite").parquet(staged)
+    backup = path.rstrip("/") + "._pre_compact"
+    os.rename(path, backup)
+    os.rename(staged, path)
+    shutil.rmtree(backup)
+    return len(files), n_after
