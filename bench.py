@@ -79,6 +79,7 @@ HEADLINE = [
     "rerank_cross_encoder",
     "corpus_version_diff",
     "events_salted_join",
+    "knn_graph",
 ]
 
 

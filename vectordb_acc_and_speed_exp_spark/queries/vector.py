@@ -415,3 +415,59 @@ def _dim_stats_frame(emb: DataFrame) -> DataFrame:
         F.min("s").alias("min_s6"),
         F.max("s").alias("max_s6"),
     )
+
+
+# --------------------------------------------------------------------------
+# kNN graph construction: every vector's top-3 neighbours (self excluded) —
+# the input of graph clustering / kNN-graph ANN builds / dedup blocking.
+# Locally the query side is the whole corpus (broadcast is byte-capped by
+# the operators' guards); at 100 TB the same result composes from the
+# LSH-bucketed candidate join (cosine_self_join_bucketed) + per-bucket
+# top-k — the bucket-then-verify discipline documented in SCALE.md.
+# --------------------------------------------------------------------------
+@register(
+    "knn_graph",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings),
+scored AS (
+  SELECT q.query_id, e.vec_id AS item_id, CAST(e.embedding AS DOUBLE[]) AS ev,
+         q.qv
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+), dists AS (
+  SELECT query_id, item_id, {_L2_SQL} AS dist FROM scored
+), ranked AS (
+  SELECT query_id, item_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, item_id)
+           AS rank
+  FROM dists
+)
+SELECT query_id, rank, item_id, round(dist, 4) AS dist_r
+FROM ranked WHERE rank <= 3
+""",
+    doc="kNN graph (top-3 per vector, self excluded): the clustering / "
+    "graph-ANN-build primitive; corpus-as-queries locally, bucketed "
+    "composition at scale",
+)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.simjoin import cosine_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # corpus-wide query set = 4M+ distance pairs: that's gemm work, not
+    # per-row HOF work (42 s -> ~2 s at sf0.1). The kernel's byte cap
+    # governs the broadcast; past it, compose from the bucketed self-join.
+    res = cosine_knn_join(qs, emb, k=4, metric="l2", item_id="vec_id")
+    # drop the self-match (always rank 1 at dist 0) and re-rank 1..3
+    out = res.filter(F.col("item_id") != F.col("query_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("item_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
+    )
