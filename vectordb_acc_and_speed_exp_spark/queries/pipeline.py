@@ -206,6 +206,7 @@ def _attach_fullfidelity_oracles() -> None:
         "ann_ivf_fullprobe",
         "ann_sq_fullrerank",
         "ann_ivfsq_fullprobe",
+        "mt_lsh_fullbudget",
     ):
         spec = REGISTRY[name]
         REGISTRY[name] = QuerySpec(fn=spec.fn, oracle=sql, doc=spec.doc)
@@ -555,6 +556,28 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc, vmin, scale = _get_or_build_sq(spark, sf_dir)
     res = sq_search_rerank(
         qs, emb, enc, vmin, scale, k=10, shortlist=50, item_id="vec_id"
+    )
+    return res.select(
+        "query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r")
+    )
+
+
+@register(
+    "mt_lsh_fullbudget",
+    oracle=None,  # exact-kNN oracle attached with the other degenerations
+    doc="multi-table LSH with flip pool covering all bits and budget "
+    "covering all L*2^b buckets == exact kNN; hash-checked against the "
+    "brute-force oracle — gate-proves signatures, probe generation, "
+    "bucket join, and re-rank lose nothing",
+)
+def mt_lsh_fullbudget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mtlsh import multitable_lsh_ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = multitable_lsh_ann(
+        _query_set(spark, sf_dir), emb, k=10,
+        n_planes=4, n_tables=8, n_probe_buckets=8 * 16,
+        flip_pool=4, max_flips=4, item_id="vec_id",
     )
     return res.select(
         "query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r")
