@@ -252,6 +252,10 @@ def compression_fidelity_sweep(
     - ``sq8_rerank`` — int8 short-list(5k) + exact re-rank of it.
     - ``pq_adc``     — PQ(8×16) ADC scan, no re-rank: 4 B/vec (64×).
     - ``pq_rerank``  — ADC short-list(100) + exact re-rank.
+    - ``ivfsq_p4``   — the COMPOSED layout (cell-partitioned int8 codes,
+      4 of 16 cells probed, shortlist=100 exact re-rank): the scan
+      touches scan_fraction × bytes_per_vec of the corpus — both cost
+      axes at once.
 
     The expected result (and what FAISS/Lucene document): SQ8 is
     near-lossless at every size; raw PQ fidelity is poor in the
@@ -268,11 +272,25 @@ def compression_fidelity_sweep(
     as the corpus grows — the same falling-fidelity shape as the
     reference's HNSW 1.00 → 0.70 — and the exact re-rank recovers to its
     short-list coverage (1.00 at 1k, 0.74 at 58k with shortlist=100).
-    The engine answer at 100 TB: scan SQ8 (or IVF+PQ for colder data),
-    re-rank exact, size the short-list to the recall target.
+    The composed ivfsq_p4 holds 1.00 → 0.72 at 16× fewer effective
+    scanned bytes (64 B codes × 25% of directories) — recall bounded by
+    cell coverage, not SQ fidelity. The engine answer at 100 TB: scan SQ8
+    hot, IVF-SQ/IVF-PQ cold, re-rank exact, size short-list/probes to the
+    recall target.
     """
+    import shutil
+    import tempfile
+
+    from .operators.ann import ivf_assign, kmeans_centroids, write_ivf_corpus
     from .operators.pq import pq_encode, pq_search, pq_search_rerank, pq_train
-    from .operators.sq import sq_encode, sq_search, sq_search_rerank, sq_train
+    from .operators.sq import (
+        ivfsq_search,
+        sq_encode,
+        sq_search,
+        sq_search_rerank,
+        sq_train,
+        write_ivfsq_codes,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     expanded, factor = expand_embeddings(emb, max(sizes), lam=lam)
@@ -284,19 +302,19 @@ def compression_fidelity_sweep(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     dim = len(emb.select("embedding").first()[0])
-    rows: list[tuple[int, str, float, float]] = []
+    rows: list[tuple[int, str, float, float, float]] = []
     for size in sizes:
         snap = expanded.filter(F.col("vec_id") < size).cache()
         n = snap.count()
         gt = exact_knn(queries, snap, k=k, item_id="vec_id").cache()
-        rows.append((n, "f32", 1.0, float(4 * dim)))
+        rows.append((n, "f32", 1.0, float(4 * dim), 1.0))
 
         vmin, scale = sq_train(snap, item_vec="embedding")
         enc = sq_encode(snap, vmin, scale, item_id="vec_id").cache()
         r_sq = mean_recall(
             recall_at_k(gt, sq_search(queries, enc, vmin, scale, k=k), k=k)
         ).first().mean_recall
-        rows.append((n, "sq8_scan", round(float(r_sq), 4), float(dim)))
+        rows.append((n, "sq8_scan", round(float(r_sq), 4), float(dim), 1.0))
         r_sqr = mean_recall(
             recall_at_k(
                 gt,
@@ -307,7 +325,7 @@ def compression_fidelity_sweep(
                 k=k,
             )
         ).first().mean_recall
-        rows.append((n, "sq8_rerank", round(float(r_sqr), 4), float(dim)))
+        rows.append((n, "sq8_rerank", round(float(r_sqr), 4), float(dim), 1.0))
         enc.unpersist()
 
         books = pq_train(snap, m=8, k=16, sample_fraction=min(1.0, 20000 / n))
@@ -315,7 +333,7 @@ def compression_fidelity_sweep(
         r_pq = mean_recall(
             recall_at_k(gt, pq_search(queries, penc, books, k=k), k=k)
         ).first().mean_recall
-        rows.append((n, "pq_adc", round(float(r_pq), 4), 4.0))
+        rows.append((n, "pq_adc", round(float(r_pq), 4), 4.0, 1.0))
         r_pqr = mean_recall(
             recall_at_k(
                 gt,
@@ -326,14 +344,43 @@ def compression_fidelity_sweep(
                 k=k,
             )
         ).first().mean_recall
-        rows.append((n, "pq_rerank", round(float(r_pqr), 4), 4.0))
+        rows.append((n, "pq_rerank", round(float(r_pqr), 4), 4.0, 1.0))
         penc.unpersist()
+
+        # composed IVF-SQ: 4/16 cells probed over int8 codes — both cost
+        # axes at once (scan_fraction x bytes_per_vec)
+        n_probe, n_cells = 4, 16
+        cents = kmeans_centroids(
+            snap, n_cells=n_cells, sample_fraction=min(1.0, 20000 / n)
+        )
+        assigned = ivf_assign(snap, cents)
+        tmp = tempfile.mkdtemp(prefix="ep5_ivfsq_")
+        corpus_path = f"{tmp}/corpus"
+        codes_path = f"{tmp}/codes"
+        write_ivf_corpus(assigned, corpus_path)
+        write_ivfsq_codes(assigned, vmin, scale, codes_path, item_id="vec_id")
+        r_isq = mean_recall(
+            recall_at_k(
+                gt,
+                ivfsq_search(
+                    queries, spark, codes_path, corpus_path, cents,
+                    vmin, scale, k=k, n_probe=n_probe, shortlist=100,
+                    item_id="vec_id",
+                ),
+                k=k,
+            )
+        ).first().mean_recall
+        rows.append(
+            (n, "ivfsq_p4", round(float(r_isq), 4), float(dim),
+             round(n_probe / n_cells, 4))
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
         gt.unpersist()
         snap.unpersist()
     expanded.unpersist()
     out = spark.createDataFrame(
         rows,
-        "corpus_size long, method string, recall_10 double, bytes_per_vec double",
+        "corpus_size long, method string, recall_10 double, bytes_per_vec double, scan_fraction double",
     )
     if out_prefix:
         os.makedirs(os.path.dirname(out_prefix) or ".", exist_ok=True)
