@@ -80,6 +80,7 @@ HEADLINE = [
     "corpus_version_diff",
     "events_salted_join",
     "knn_graph",
+    "events_hourly_anomalies",
 ]
 
 

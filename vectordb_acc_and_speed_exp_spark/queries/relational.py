@@ -777,3 +777,69 @@ def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100).cast("bigint") * F.col("weight")
         ).alias("weighted_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hourly anomaly detection: z-score of each (hour, type) count against the
+# type's own history — the observability query every event pipeline runs.
+# σ is the exact population form on integer counts (sum/sum-of-squares on
+# bigints — shuffle-order-proof); z is emitted rounded, flagged at |z|>=2.
+# One pass to hourly counts (narrow), one broadcast-sized stats join.
+# --------------------------------------------------------------------------
+@register(
+    "events_hourly_anomalies",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         count(*) AS n_hours,
+         sum(n) AS s1,
+         sum(n * n) AS s2
+  FROM hourly GROUP BY event_type
+),
+scored AS (
+  SELECT strftime(h.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+         h.event_type, h.n,
+         (h.n - s.s1 * 1.0 / s.n_hours)
+           / sqrt(greatest(s.s2 * 1.0 / s.n_hours
+                           - (s.s1 * 1.0 / s.n_hours) ^ 2, 1e-12)) AS z
+  FROM hourly h JOIN stats s ON h.event_type = s.event_type
+)
+SELECT hour_start, event_type, CAST(n AS BIGINT) AS n_events,
+       round(z, 4) AS z_r
+FROM scored WHERE abs(z) >= 2.0
+""",
+    doc="hourly count anomalies per event type: exact-integer population "
+    "z-score, flagged at |z|>=2; one narrow aggregate + a broadcast stats "
+    "join",
+)
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean = F.col("s1") * 1.0 / F.col("n_hours")
+    var = F.greatest(
+        F.col("s2") * 1.0 / F.col("n_hours") - mean * mean, F.lit(1e-12)
+    )
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        # filter on the UNROUNDED z exactly like the oracle (filtering on
+        # the rounded value would diverge for z in [1.99995, 2))
+        .filter(F.abs(z) >= 2.0)
+        .select(
+            F.date_format(F.col("h"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(z, 4).alias("z_r"),
+        )
+    )
