@@ -81,6 +81,7 @@ HEADLINE = [
     "events_salted_join",
     "knn_graph",
     "events_hourly_anomalies",
+    "shipping_priority",
 ]
 
 

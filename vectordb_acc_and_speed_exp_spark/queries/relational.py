@@ -843,3 +843,58 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z_r"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Shipping priority (TPC-H Q3 shape): 3-table join with date predicates on
+# both fact sides, revenue on exact cents, top-10 by (revenue desc, date).
+# Plan shape: both date filters push into the scans; the customer-segment
+# side broadcasts; lineitem shuffles once on l_orderkey.
+# --------------------------------------------------------------------------
+@register(
+    "shipping_priority",
+    oracle="""
+SELECT l.l_orderkey AS orderkey,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+         AS revenue_cents,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority AS orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1998-01-01'
+  AND l.l_shipdate > DATE '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_cents DESC, orderdate, orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3 shape: segment filter broadcast, date predicates pushed "
+    "into both fact scans, exact-cents revenue, top-10",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("orderdate"), F.asc("orderkey"))
+        .limit(10)
+        .select("orderkey", "revenue_cents", "orderdate", "orderpriority")
+    )
