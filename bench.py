@@ -82,6 +82,7 @@ HEADLINE = [
     "knn_graph",
     "events_hourly_anomalies",
     "shipping_priority",
+    "top_event_paths",
 ]
 
 

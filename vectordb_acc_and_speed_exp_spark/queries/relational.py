@@ -898,3 +898,61 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("orderkey", "revenue_cents", "orderdate", "orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Path analysis: the most common 3-step event sequences (per-user lead
+# windows, tie-broken by event_id for determinism when timestamps collide).
+# One shuffle on user_id serves both leads; the path rollup is a narrow
+# count. The funnel's exploratory twin: funnels test a KNOWN sequence,
+# paths DISCOVER them.
+# --------------------------------------------------------------------------
+@register(
+    "top_event_paths",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path
+  FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+),
+counted AS (
+  SELECT path, count(*) AS n_occurrences FROM paths GROUP BY path
+),
+ranked AS (
+  SELECT path, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, path) AS rank
+  FROM counted
+)
+SELECT CAST(rank AS BIGINT) AS rank, path, n_occurrences
+FROM ranked WHERE rank <= 10
+""",
+    doc="top-10 3-step event paths: per-user lead windows (one user_id "
+    "shuffle), narrow path rollup — funnel discovery",
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    counted = (
+        seq.select(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    wr = Window.orderBy(F.desc("n_occurrences"), F.asc("path"))
+    return (
+        counted.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "path", "n_occurrences")
+    )
