@@ -83,6 +83,7 @@ HEADLINE = [
     "events_hourly_anomalies",
     "shipping_priority",
     "top_event_paths",
+    "embedding_dedup_clusters",
 ]
 
 

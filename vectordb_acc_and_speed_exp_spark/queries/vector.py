@@ -471,3 +471,56 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-space duplicate clusters: connected components over the cosine
+# near-dup pair graph — the same cluster-resolution operator dedup_clusters
+# runs on the TEXT near-dup graph, composed here over the EMBEDDING one
+# (semantic dedup: keep one doc per embedding-cluster). Oracle: the same
+# recursive-CTE closure over the brute-force pair SQL.
+# --------------------------------------------------------------------------
+_EMB_CLUSTERS_ORACLE = (
+    "WITH RECURSIVE "
+    + _NEARDUP_ORACLE.strip().removeprefix("WITH ").rsplit("SELECT id_a, id_b,", 1)[0]
+    + """,
+dup AS (SELECT id_a, id_b FROM pairs WHERE cos_sim >= 0.4),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM dup
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM dup
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+)
+SELECT u AS vec_id,
+       LEAST(u, MIN(v)) AS cluster_id,
+       CAST(u = LEAST(u, MIN(v)) AS INT) AS is_canonical
+FROM reach GROUP BY u
+"""
+)
+
+
+@register(
+    "embedding_dedup_clusters",
+    oracle=_EMB_CLUSTERS_ORACLE,
+    doc="semantic dedup: connected components (min-label propagation) over "
+    "the cosine>=0.4 near-dup pair graph; canonical vector = min id per "
+    "cluster — the embedding twin of dedup_clusters, same CC operator",
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+    from ..operators.simjoin import cosine_self_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_self_join(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("vec_id"),
+        F.col("cluster_id"),
+        (F.col("node") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
