@@ -116,6 +116,10 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # each entry is self-contained: drop its internal persists so 60+
+        # queries' caches don't accumulate in the single local-mode heap
+        # (clearing happens OUTSIDE the timed window)
+        spark.catalog.clearCache()
 
     # Brute-force throughput at BASELINE-comparable corpus size: the
     # embeddings table replicated 50x (deterministic id offsets) -> ~100k

@@ -484,7 +484,7 @@ _EMB_CLUSTERS_ORACLE = (
     "WITH RECURSIVE "
     + _NEARDUP_ORACLE.strip().removeprefix("WITH ").rsplit("SELECT id_a, id_b,", 1)[0]
     + """,
-dup AS (SELECT id_a, id_b FROM pairs WHERE cos_sim >= 0.4),
+dup AS (SELECT id_a, id_b FROM pairs WHERE cos_sim >= 0.45),
 edges AS (
   SELECT id_a AS u, id_b AS v FROM dup
   UNION ALL
@@ -506,8 +506,10 @@ FROM reach GROUP BY u
 @register(
     "embedding_dedup_clusters",
     oracle=_EMB_CLUSTERS_ORACLE,
-    doc="semantic dedup: connected components (min-label propagation) over "
-    "the cosine>=0.4 near-dup pair graph; canonical vector = min id per "
+    doc="semantic dedup: connected components (min-label propagation + "
+    "pointer jumping) over the cosine>=0.45 near-dup pair graph (0.45: "
+    "real near-dup territory on this corpus — 0.4 admits background-level "
+    "similarity and chains half the corpus together); canonical = min id per "
     "cluster — the embedding twin of dedup_clusters, same CC operator",
 )
 def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,7 +518,7 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = cosine_self_join(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.4
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.45
     ).select("id_a", "id_b")
     cc = connected_components(pairs)
     return cc.select(

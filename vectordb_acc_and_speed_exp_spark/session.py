@@ -45,7 +45,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = ONE JVM for driver + executors: size the heap for
+        # both (the box has 128 GiB; 16g covers the full bench suite's
+        # transient state with headroom)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     if "SPARK_MASTER" not in os.environ and "MASTER" not in os.environ:
