@@ -299,3 +299,52 @@ def test_ivf_upsert_equals_full_rebuild(spark, embeddings, tmp_path):
             .select("vec_id", "cell").collect())
     )
     assert replay_rows == full_rows
+
+
+def test_ivf_upsert_vector_moved_to_new_cell(spark, embeddings, tmp_path):
+    """An upserted id whose embedding changed cells must not leave a stale
+    twin behind in its OLD cell directory: the rewrite set includes every
+    cell currently holding an upserted id, keeping the layout a pure
+    function of the final row set."""
+    from vectordb_acc_and_speed_exp_spark.operators.ann import (
+        ivf_index_upsert,
+        write_ivf_corpus,
+    )
+
+    cents = kmeans_centroids(embeddings, n_cells=8)
+    assigned = ivf_assign(embeddings, cents)
+    path = str(tmp_path / "ivf_moved")
+    write_ivf_corpus(assigned, path)
+    n_total = spark.read.parquet(path).count()
+
+    # pick a victim id and a donor row from a DIFFERENT cell; give the
+    # victim the donor's embedding so its assignment provably moves
+    rows = assigned.select("vec_id", "cell").orderBy("vec_id").limit(200).collect()
+    victim = rows[0]
+    donor = next(r for r in rows if r.cell != victim.cell)
+    donor_emb = (
+        embeddings.filter(F.col("vec_id") == donor.vec_id)
+        .select("embedding")
+        .first()
+        .embedding
+    )
+    update = (
+        embeddings.filter(F.col("vec_id") == victim.vec_id)
+        .drop("embedding")
+        .withColumn(
+            "embedding",
+            F.lit(donor_emb).cast(dict(embeddings.dtypes)["embedding"]),
+        )
+        .select(*embeddings.columns)
+    )
+    new_cell = ivf_assign(update, cents).first().cell
+    assert new_cell != victim.cell  # precondition: the vector really moved
+
+    touched = ivf_index_upsert(spark, path, update, cents, item_id="vec_id")
+    assert victim.cell in touched and new_cell in touched
+
+    after = spark.read.parquet(path)
+    victim_rows = after.filter(F.col("vec_id") == victim.vec_id).collect()
+    assert len(victim_rows) == 1, "stale twin survived in the old cell"
+    assert victim_rows[0].cell == new_cell
+    assert after.count() == n_total  # pure replace, no growth

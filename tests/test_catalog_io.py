@@ -87,3 +87,67 @@ def test_compact_table_preserves_rows(spark, embeddings, tmp_path):
     assert after_rows == before_rows
     assert not os.path.exists(path + "._compact_staged")
     assert not os.path.exists(path + "._pre_compact")
+
+
+def test_ntz_epoch_stable_if_caller_restores_tz_before_action(spark, tmp_path):
+    """The normalization must not rely on session-tz state set inside
+    load_table: a caller who changes the session timezone AFTER load_table
+    but BEFORE the action must still read the naive wall-clock as UTC
+    (the cast is lazy — it evaluates under the action-time timezone)."""
+    sf_dir = str(tmp_path)
+    wall = _write_events(spark, f"{sf_dir}/events.parquet", "timestamp_ntz")
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        out = load_table(spark, sf_dir, "events")
+        # tz changes after the (lazy) plan is built, before the action
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+        ms = out.select(F.unix_millis("ts").alias("ms")).first().ms
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    want = int(wall.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    assert ms == want
+
+
+def test_load_table_does_not_mutate_session_timezone(spark, tmp_path):
+    sf_dir = str(tmp_path)
+    _write_events(spark, f"{sf_dir}/events.parquet", "timestamp_ntz")
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+        load_table(spark, sf_dir, "events").count()
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Seoul"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_compact_table_self_heals_from_crashed_prior_run(spark, embeddings, tmp_path):
+    """Leftover staging/backup dirs from a crashed compaction must not fail
+    or corrupt the next run; a crash between the two renames (data only at
+    ._pre_compact) is rolled back on the next call."""
+    import os
+    import shutil
+
+    from vectordb_acc_and_speed_exp_spark.io.catalog import compact_table
+
+    path = str(tmp_path / "frag2")
+    src = embeddings.select("vec_id", "label").limit(100)
+    for i in range(4):
+        src.filter((F.col("vec_id") % 4) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    want = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    # stale staging + backup dirs from a "crashed" earlier run
+    os.makedirs(path + "._compact_staged/junk")
+    os.makedirs(path + "._pre_compact")
+    compact_table(spark, path)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+    assert not os.path.exists(path + "._compact_staged")
+    assert not os.path.exists(path + "._pre_compact")
+
+    # crash between the two renames: data exists only at ._pre_compact
+    os.rename(path, path + "._pre_compact")
+    compact_table(spark, path)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+    assert not os.path.exists(path + "._pre_compact")
+    shutil.rmtree(path)

@@ -167,3 +167,20 @@ def test_ivfsq_pruned_recall(spark, query_set, embeddings, sq_params, tmp_path):
     gt = exact_knn(query_set, embeddings, k=10, item_id="vec_id")
     r = mean_recall(recall_at_k(gt, ann, k=10)).first().mean_recall
     assert r >= 0.6, f"IVF-SQ recall too low: {r}"
+
+
+def test_sq_search_tolerates_empty_partitions(spark, embeddings, query_set):
+    """mapInPandas can hand the kernel empty Arrow batches (empty input
+    partitions); the scan must skip them instead of raising a broadcast
+    error."""
+    from vectordb_acc_and_speed_exp_spark.operators.sq import (
+        sq_encode,
+        sq_search,
+        sq_train,
+    )
+
+    tiny = embeddings.limit(3)
+    vmin, scale = sq_train(tiny)
+    encoded = sq_encode(tiny, vmin, scale, item_id="vec_id").repartition(8)
+    out = sq_search(query_set, encoded, vmin, scale, k=2)
+    assert out.count() > 0

@@ -51,11 +51,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
-            # NTZ -> LTZ cast goes through the session timezone; pin UTC so
-            # the epoch value equals the naive wall-clock (DuckDB semantics)
-            # even under a driver-provided session with a local timezone.
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # NTZ -> LTZ with the naive wall-clock read as UTC (DuckDB
+            # semantics), WITHOUT touching the session timezone: the cast's
+            # timezone is resolved at ANALYSIS time (measured — not action
+            # time), i.e. the session tz S in force right here. It yields
+            # epoch = W - offset(S); from_utc_timestamp(·, lit(S)) adds
+            # offset(S) back. Baking S as a literal keeps both halves on
+            # the same tz no matter what the caller sets later, so the
+            # composition always reads the wall clock as UTC. (Wall clocks
+            # inside a DST gap of S are the only inexact inputs; the
+            # corpus carries none.)
+            tz_now = spark.conf.get("spark.sql.session.timeZone")
+            df = df.withColumn(
+                "ts",
+                F.from_utc_timestamp(F.col("ts").cast("timestamp"), F.lit(tz_now)),
+            )
         return df
     return spark.read.parquet(path)
 
@@ -88,8 +98,12 @@ def compact_table(
     adds files; thousands of KB-files make the scan task-scheduling-bound
     at 100 TB). Rewrites the directory into ``ceil(total_bytes / target)``
     files via ``coalesce`` (narrow — no shuffle), staged next to the
-    original and swapped in, so a crash mid-compact leaves either the old
-    or the new layout, never a mix. Returns (n_files_before, n_files_after).
+    original and swapped in. Crash safety: the data always exists in full
+    at ``path``, ``._pre_compact`` or ``._compact_staged`` — never a mix —
+    and the next call self-heals: a crash in the instant between the two
+    renames (path absent, backup present) is rolled back by restoring the
+    backup, and stale staging/backup dirs from any earlier crash are
+    removed before staging anew. Returns (n_files_before, n_files_after).
 
     Row-identical by construction (same data, fewer files); partitioned
     layouts should compact per partition directory instead (call this on
@@ -97,13 +111,19 @@ def compact_table(
     import math
     import shutil
 
+    staged = path.rstrip("/") + "._compact_staged"
+    backup = path.rstrip("/") + "._pre_compact"
+    if not os.path.exists(path) and os.path.exists(backup):
+        os.rename(backup, path)  # prior run died between the two renames
+    for leftover in (staged, backup):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+
     df = spark.read.parquet(path)
     files = [f[len("file:"):] if f.startswith("file:") else f for f in df.inputFiles()]
     total = sum(os.path.getsize(f) for f in files)
     n_after = max(1, math.ceil(total / target_bytes_per_file))
-    staged = path.rstrip("/") + "._compact_staged"
     df.coalesce(n_after).write.mode("overwrite").parquet(staged)
-    backup = path.rstrip("/") + "._pre_compact"
     os.rename(path, backup)
     os.rename(staged, path)
     shutil.rmtree(backup)

@@ -281,8 +281,13 @@ def ivf_index_upsert(
     cell directories they land in (dynamic partition overwrite — every
     other cell is untouched bytes). Returns the rewritten cell ids.
 
-    Rows whose id already exists REPLACE the old rows (same centroids ⇒
-    same cell, so the replacement is complete), which makes a replayed
+    Rows whose id already exists REPLACE the old rows — including when the
+    id's embedding changed enough to land in a DIFFERENT cell: the rewrite
+    set is the union of the cells the new vectors land in and the cells
+    that currently hold any upserted id (found via a column-pruned
+    (id, cell) scan semi-joined against the broadcast micro-batch id set),
+    so no stale twin can survive in an untouched directory. That keeps the
+    layout a pure function of the final row set, which makes a replayed
     micro-batch converge to the same layout — at-least-once delivery is
     exactly-once for this sink, the streaming/index_maintenance.py
     contract. Centroids intentionally do NOT move here: re-training is an
@@ -291,12 +296,23 @@ def ivf_index_upsert(
     IVF operational model (FAISS add() does the same).
 
     At 100 TB: a micro-batch touching f of n_cells directories costs f/n
-    of a full rebuild, and the rewrite parallelizes per cell."""
+    of a full rebuild plus one two-column id scan for the stale-cell
+    lookup (amortizable with an id→cell sidecar table if even that scan
+    matters), and the rewrite parallelizes per cell."""
     # keep ALL of new_rows' columns — the layout may carry metadata
     # (e.g. the label column filtered ANN pushes down on)
     assigned = ivf_assign(new_rows, centroids, item_vec=item_vec)
+    new_ids = assigned.select(item_id).distinct()
+    stale_cells = (
+        spark.read.parquet(corpus_path)
+        .select(item_id, "cell")
+        .join(F.broadcast(new_ids), item_id, "left_semi")
+        .select("cell")
+        .distinct()
+    )
     affected = sorted(
-        r.cell for r in assigned.select("cell").distinct().collect()
+        {r.cell for r in assigned.select("cell").distinct().collect()}
+        | {r.cell for r in stale_cells.collect()}
     )
     # localCheckpoint breaks lineage to corpus_path so the dynamic
     # overwrite isn't a read-from/write-to-same-path conflict

@@ -114,6 +114,8 @@ def sq_search(
         qi, q, mn, sc = b.value
         qsq = (q * q).sum(axis=1)[:, None]
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             C = np.array(pdf["codes"].tolist(), dtype=np.float64)
             X = mn[None, :] + C * sc[None, :]  # decode (n, dim)
             ids = pdf["item_id"].to_numpy()

@@ -40,10 +40,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
         # Same normalization as io.catalog.load_table: watermarks/windows
-        # need TIMESTAMP, and a UTC session tz keeps the epoch equal to the
-        # stored naive wall-clock (DuckDB semantics).
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        # need TIMESTAMP, and the epoch must equal the stored naive
+        # wall-clock read as UTC (DuckDB semantics). The cast's timezone is
+        # resolved at analysis time (the session tz S in force here, see
+        # io.catalog.load_table): epoch = W - offset(S), and
+        # from_utc_timestamp(·, lit(S)) adds offset(S) back — session-tz-
+        # independent without conf mutation.
+        tz_now = spark.conf.get("spark.sql.session.timeZone")
+        stream = stream.withColumn(
+            "ts",
+            F.from_utc_timestamp(F.col("ts").cast("timestamp"), F.lit(tz_now)),
+        )
     return stream
 
 
