@@ -337,6 +337,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    checkpoint_half: bool = False,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
     by iterative min-label propagation. Returns (node, cluster_id) where
@@ -390,9 +391,16 @@ def connected_components(
         # 2^r-node tree — measured 0.7 s -> 131 s per round by round 8 on
         # a long-chain graph. Checkpointing truncates the plan each round;
         # round cost stays flat at any iteration count.
-        half = (
-            labels.union(offered).groupBy("u").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint(eager=True)
+        # Only the per-round RESULT (`new`) needs an eager checkpoint to
+        # keep the plan flat; `half` is consumed twice within the same
+        # round (self-join), but its plan is one union+groupBy over
+        # already-checkpointed inputs, so recomputing it is cheaper than a
+        # third eager materialization round trip (A/B'd at sf0.1 —
+        # BENCH_NOTES.md round 4; checkpoint_half=True restores the old
+        # behavior for comparison).
+        half = labels.union(offered).groupBy("u").agg(F.min("lbl").alias("lbl"))
+        if checkpoint_half:
+            half = half.localCheckpoint(eager=True)
         # pointer jump: follow each node's label to ITS label and keep the
         # min — labels hop 2^r edges per round instead of 1, so rounds =
         # O(log diameter), not diameter (the standard shortcut; a chain

