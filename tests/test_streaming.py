@@ -199,3 +199,79 @@ def test_stream_maintains_ivf_layout(spark, tmp_path):
         for r in spark.read.parquet(full_path).collect()
     )
     assert got == want
+
+
+def test_ivf_upsert_then_compact_preserves_search(spark, tmp_path):
+    """The nightly maintenance story at scale: a bulk IVF build from a
+    many-partition frame leaves several files in every cell directory
+    (each input partition writes into each cell it has rows for); stream
+    upserts then keep only the touched cells tidy (whole-cell rewrite).
+    Per-cell compaction (io.catalog.compact_table on each cell=
+    directory) must cut file counts while leaving ivf_ann_pruned results
+    bit-identical."""
+    import glob
+    import os
+
+    from vectordb_acc_and_speed_exp_spark.io import load_table
+    from vectordb_acc_and_speed_exp_spark.io.catalog import compact_table
+    from vectordb_acc_and_speed_exp_spark.operators.ann import (
+        ivf_ann_pruned,
+        ivf_assign,
+        kmeans_centroids,
+        write_ivf_corpus,
+    )
+    from vectordb_acc_and_speed_exp_spark.streaming.index_maintenance import (
+        stream_upsert_ivf_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_centroids(emb, n_cells=8)
+    layout_path = str(tmp_path / "compact_ivf_layout")
+    # bulk build from a 6-partition frame -> ~6 files per cell directory
+    write_ivf_corpus(
+        ivf_assign(emb.filter(F.col("vec_id") < 300), cents).repartition(6),
+        layout_path,
+    )
+
+    src_dir = tmp_path / "compact_arrivals"
+    # narrow waves: a handful of rows each, so only their landing cells
+    # get the whole-cell rewrite and the rest stay fragmented
+    bounds = (300, 303, 306)
+    for lo, hi in zip(bounds, bounds[1:]):
+        emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(str(src_dir))
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    stream_upsert_ivf_index(stream, layout_path, cents, item_id="vec_id")
+
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    def search():
+        res = ivf_ann_pruned(
+            qs, spark, layout_path, cents, k=10, n_probe=4, item_id="vec_id"
+        )
+        return sorted(
+            (int(r.query_id), int(r.rank), int(r.item_id), round(r.dist, 9))
+            for r in res.collect()
+        )
+
+    before = search()
+    cell_dirs = sorted(glob.glob(os.path.join(layout_path, "cell=*")))
+    assert cell_dirs
+    files_before = len(glob.glob(os.path.join(layout_path, "cell=*", "*.parquet")))
+    shrunk = 0
+    for d in cell_dirs:
+        n_b, n_a = compact_table(spark, d)
+        shrunk += int(n_a < n_b)
+    files_after = len(glob.glob(os.path.join(layout_path, "cell=*", "*.parquet")))
+    assert shrunk > 0 and files_after < files_before
+    assert search() == before

@@ -320,6 +320,8 @@ def mt_lsh_budget_curve(
     query_vec: str = "query_vec",
     item_id: str = "item_id",
     item_vec: str = "embedding",
+    flip_pool: int = DEFAULT_FLIP_POOL,
+    max_flips: int = DEFAULT_MAX_FLIPS,
 ) -> DataFrame:
     """(budget, mean_recall, scan_fraction) per probe budget — the
     accuracy/cost tuning curve of the multi-table path (EP3 analysis axis).
@@ -349,7 +351,7 @@ def mt_lsh_budget_curve(
     for budget in budgets:
         probe, _ = _probe_df(
             spark, queries, planes, n_tables, n_planes, budget,
-            query_id, query_vec, DEFAULT_FLIP_POOL, DEFAULT_MAX_FLIPS,
+            query_id, query_vec, flip_pool, max_flips,
         )
         cand = (
             F.broadcast(probe)

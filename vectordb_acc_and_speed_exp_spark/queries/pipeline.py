@@ -749,6 +749,52 @@ def mt_lsh_recall_scan_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mt_lsh_curve_endpoint",
+    oracle="SELECT 128 AS budget, CAST(1.0 AS DOUBLE) AS mean_recall, "
+    "CAST(1.0 AS DOUBLE) AS scan_fraction",
+    doc="the budget-curve machinery driven to its provable fixed point: "
+    "with n_planes=4 and a flip pool covering every bit, budget "
+    "8*16=128 probes ALL buckets of all tables, so candidate coverage "
+    "is the whole corpus — mean_recall and scan_fraction are EXACTLY "
+    "1.0 by construction. Hash-oracles the curve code path itself "
+    "(signatures, probe enumeration, bucket join, coverage/fraction "
+    "aggregation); the interior budgets of mt_lsh_recall_scan_curve "
+    "run the identical code with tighter budgets",
+)
+def mt_lsh_curve_endpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mtlsh import mt_lsh_budget_curve
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    qs = _query_set(spark, sf_dir)
+    gt = exact_knn(qs, emb, k=10, item_id="vec_id")
+    return mt_lsh_budget_curve(
+        qs, emb, gt, budgets=[8 * 16], n_planes=4, n_tables=8,
+        flip_pool=4, max_flips=4, item_id="vec_id", item_vec="embedding",
+    )
+
+
+@register(
+    "lsh_probe_curve_endpoint",
+    oracle="SELECT 6 AS probe_bits, CAST(1.0 AS DOUBLE) AS mean_recall",
+    doc="the probe-depth-curve machinery at its fixed point: multiprobe "
+    "depth = n_planes flips every bit, so all 2^6 buckets are probed, "
+    "candidates = whole corpus, and recall@10 vs the exact oracle is "
+    "EXACTLY 1.0 — hash-oracles the lsh_ann + recall_at_k curve path "
+    "that lsh_probe_recall_curve sweeps at depths 0..3",
+)
+def lsh_probe_curve_endpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    qs = _query_set(spark, sf_dir)
+    gt = exact_knn(qs, emb, k=10, item_id="vec_id")
+    ann = lsh_ann(qs, emb, k=10, n_probe_bits=6, item_id="vec_id")
+    return (
+        recall_at_k(gt, ann, k=10)
+        .agg(F.avg("recall").alias("mean_recall"))
+        .select(F.lit(6).alias("probe_bits"), "mean_recall")
+    )
+
+
 # -- V3 ANN, partition-local graph path (the HNSW analogue) ----------------
 def _get_or_build_graph(spark: SparkSession, sf_dir: str) -> str:
     """Idempotent NSW build: per-shard graphs via applyInPandas, persisted
