@@ -264,28 +264,41 @@ def plot_speed_charts(
     """S11 speed charts, mirroring the reference's
     search_speed_by_pages.png (search ms + total ms vs page count,
     SPD:540-569) and search_speed_by_collection.png (per-collection mean,
-    SPD:571-588) — emitted as SVG (plans/svgplot, no matplotlib in env)."""
+    SPD:571-588). Emitted as BOTH formats: PNG from the dependency-free
+    rasterizer (plans/pngplot — bitmap parity with the reference's
+    artifact set; matplotlib is not importable here) and SVG
+    (plans/svgplot)."""
     import os
 
-    from .plans.svgplot import bar_chart, line_chart
+    from .plans import pngplot, svgplot
 
     os.makedirs(out_dir, exist_ok=True)
     sizes = [int(r.name.rsplit("_", 1)[-1]) for r in results]
     means = [r.mean * 1000 for r in results]
     totals = [m + embed_sec * 1000 for m in means]
-    p1 = line_chart(
-        {"search (batched top-k)": list(zip(sizes, means)),
-         "total (embed + search)": list(zip(sizes, totals))},
-        os.path.join(out_dir, "search_speed_by_pages.svg"),
+    line_args = dict(
+        series={"search (batched top-k)": list(zip(sizes, means)),
+                "total (embed + search)": list(zip(sizes, totals))},
         title="search latency vs corpus size (5-query batch)",
         xlabel="corpus size (vectors)", ylabel="mean latency (ms)",
     )
-    p2 = bar_chart(
-        [r.name.rsplit("_", 1)[-1].lstrip("0") for r in results],
-        {"mean ms": means, "median ms": [r.median * 1000 for r in results]},
-        os.path.join(out_dir, "search_speed_by_collection.svg"),
+    bar_args = dict(
+        categories=[r.name.rsplit("_", 1)[-1].lstrip("0") for r in results],
+        series={"mean ms": means, "median ms": [r.median * 1000 for r in results]},
         title="search latency by snapshot collection",
         xlabel="collection (vectors)", ylabel="latency (ms)",
+    )
+    p1 = pngplot.line_chart(
+        path=os.path.join(out_dir, "search_speed_by_pages.png"), **line_args
+    )
+    svgplot.line_chart(
+        path=os.path.join(out_dir, "search_speed_by_pages.svg"), **line_args
+    )
+    p2 = pngplot.bar_chart(
+        path=os.path.join(out_dir, "search_speed_by_collection.png"), **bar_args
+    )
+    svgplot.bar_chart(
+        path=os.path.join(out_dir, "search_speed_by_collection.svg"), **bar_args
     )
     return [p1, p2]
 
@@ -295,28 +308,39 @@ def plot_recall_charts(
 ) -> list[str]:
     """S11 recall charts, mirroring the reference's recall_by_pages.png
     (R@5 and R@10 vs page count, ACC:695-723) and recall_by_collection.png
-    (grouped bars per collection, ACC:725-753).
+    (grouped bars per collection, ACC:725-753), emitted as both PNG
+    (plans/pngplot) and SVG (plans/svgplot).
     ``rows`` = [(snapshot_size, mean_recall_5, mean_recall_10), ...]."""
     import os
 
-    from .plans.svgplot import bar_chart, line_chart
+    from .plans import pngplot, svgplot
 
     os.makedirs(out_dir, exist_ok=True)
-    p1 = line_chart(
-        {"recall@5": [(n, r5) for n, r5, _ in rows],
-         "recall@10": [(n, r10) for n, _, r10 in rows]},
-        os.path.join(out_dir, "recall_by_pages.svg"),
+    line_args = dict(
+        series={"recall@5": [(n, r5) for n, r5, _ in rows],
+                "recall@10": [(n, r10) for n, _, r10 in rows]},
         title="ANN recall vs corpus size (exact oracle ground truth)",
         xlabel="corpus size (vectors)", ylabel="mean recall@k",
         y_range=(0.0, 1.05),
     )
-    p2 = bar_chart(
-        [str(n) for n, _, _ in rows],
-        {"recall@5": [r5 for _, r5, _ in rows],
-         "recall@10": [r10 for _, _, r10 in rows]},
-        os.path.join(out_dir, "recall_by_collection.svg"),
+    bar_args = dict(
+        categories=[str(n) for n, _, _ in rows],
+        series={"recall@5": [r5 for _, r5, _ in rows],
+                "recall@10": [r10 for _, _, r10 in rows]},
         title="recall@k by snapshot collection (LSH-ANN vs brute force)",
         xlabel="collection (vectors)", ylabel="recall",
+    )
+    p1 = pngplot.line_chart(
+        path=os.path.join(out_dir, "recall_by_pages.png"), **line_args
+    )
+    svgplot.line_chart(
+        path=os.path.join(out_dir, "recall_by_pages.svg"), **line_args
+    )
+    p2 = pngplot.bar_chart(
+        path=os.path.join(out_dir, "recall_by_collection.png"), **bar_args
+    )
+    svgplot.bar_chart(
+        path=os.path.join(out_dir, "recall_by_collection.svg"), **bar_args
     )
     return [p1, p2]
 
