@@ -207,6 +207,9 @@ def _attach_fullfidelity_oracles() -> None:
         "ann_sq_fullrerank",
         "ann_ivfsq_fullprobe",
         "mt_lsh_fullbudget",
+        "ann_pq_fullrerank",
+        "ann_ivfpq_fullprobe",
+        "ann_lsh_fullprobe",
     ):
         spec = REGISTRY[name]
         REGISTRY[name] = QuerySpec(fn=spec.fn, oracle=sql, doc=spec.doc)
@@ -445,6 +448,25 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = _query_set(spark, sf_dir)
     enc, books = _get_or_build_pq(spark, sf_dir)
     res = pq_search_rerank(qs, emb, enc, books, k=10, shortlist=100, item_id="vec_id")
+    return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
+
+
+@register(
+    "ann_pq_fullrerank",
+    oracle=None,  # exact-kNN oracle attached with the other degenerations
+    doc="PQ ADC scan with a corpus-sized short-list + exact re-rank == "
+    "exact kNN regardless of quantization error; hash-checked against the "
+    "brute-force oracle — gate-proves the codebook encode/ADC/re-rank "
+    "chain loses nothing",
+)
+def ann_pq_fullrerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_search_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = _query_set(spark, sf_dir)
+    enc, books = _get_or_build_pq(spark, sf_dir)
+    n = emb.count()
+    res = pq_search_rerank(qs, emb, enc, books, k=10, shortlist=n, item_id="vec_id")
     return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
 
 
@@ -706,6 +728,42 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = ivfpq_search(
         _query_set(spark, sf_dir), spark, codes_path, corpus_path, cents, books,
         k=10, n_probe=4, shortlist=100, item_id="vec_id",
+    )
+    return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
+
+
+@register(
+    "ann_ivfpq_fullprobe",
+    oracle=None,  # exact-kNN oracle attached with the other degenerations
+    doc="composed IVF-PQ probing ALL cells with a corpus-sized short-list "
+    "== exact kNN; hash-checked against the brute-force oracle — "
+    "gate-proves cell routing, per-query cell masks, ADC scan, and "
+    "re-rank compose losslessly",
+)
+def ann_ivfpq_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivfpq_search
+
+    codes_path, corpus_path, cents, books = _get_or_build_ivfpq(spark, sf_dir)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    res = ivfpq_search(
+        _query_set(spark, sf_dir), spark, codes_path, corpus_path, cents, books,
+        k=10, n_probe=16, shortlist=n, item_id="vec_id",
+    )
+    return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
+
+
+@register(
+    "ann_lsh_fullprobe",
+    oracle=None,  # exact-kNN oracle attached with the other degenerations
+    doc="sign-LSH probing every bucket (multiprobe depth = n_planes) == "
+    "exact kNN; hash-checked against the brute-force oracle — gate-proves "
+    "bucketing, probe enumeration, candidate join, and re-rank lose "
+    "nothing (the top-k twin of lsh_probe_curve_endpoint)",
+)
+def ann_lsh_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = lsh_ann(
+        _query_set(spark, sf_dir), emb, k=10, n_probe_bits=6, item_id="vec_id"
     )
     return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
 
