@@ -348,3 +348,48 @@ def test_ivf_upsert_vector_moved_to_new_cell(spark, embeddings, tmp_path):
     assert len(victim_rows) == 1, "stale twin survived in the old cell"
     assert victim_rows[0].cell == new_cell
     assert after.count() == n_total  # pure replace, no growth
+
+
+def test_ivf_upsert_emptied_cell_directory_is_dropped(spark, embeddings, tmp_path):
+    """If the upserted id was the ONLY row in its cell, the dynamic
+    overwrite writes nothing for that cell — the stale directory must be
+    dropped explicitly, or the moved row would still be served from it."""
+    import os
+
+    from vectordb_acc_and_speed_exp_spark.operators.ann import (
+        ivf_index_upsert,
+        write_ivf_corpus,
+    )
+
+    cents = kmeans_centroids(embeddings, n_cells=8)
+    assigned = ivf_assign(embeddings, cents)
+    rows = assigned.select("vec_id", "cell").orderBy("vec_id").limit(50).collect()
+    victim = rows[0]
+    donor = next(r for r in rows if r.cell != victim.cell)
+    # corpus where the victim is ALONE in its cell
+    lonely = assigned.filter(
+        (F.col("cell") != victim.cell) | (F.col("vec_id") == victim.vec_id)
+    )
+    path = str(tmp_path / "ivf_lonely")
+    write_ivf_corpus(lonely, path)
+    n_total = spark.read.parquet(path).count()
+    assert os.path.isdir(os.path.join(path, f"cell={victim.cell}"))
+
+    donor_emb = (
+        embeddings.filter(F.col("vec_id") == donor.vec_id)
+        .select("embedding").first().embedding
+    )
+    update = (
+        embeddings.filter(F.col("vec_id") == victim.vec_id)
+        .drop("embedding")
+        .withColumn(
+            "embedding", F.lit(donor_emb).cast(dict(embeddings.dtypes)["embedding"])
+        )
+        .select(*embeddings.columns)
+    )
+    ivf_index_upsert(spark, path, update, cents, item_id="vec_id")
+
+    assert not os.path.isdir(os.path.join(path, f"cell={victim.cell}"))
+    after = spark.read.parquet(path)
+    assert after.filter(F.col("vec_id") == victim.vec_id).count() == 1
+    assert after.count() == n_total

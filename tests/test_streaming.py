@@ -275,3 +275,73 @@ def test_ivf_upsert_then_compact_preserves_search(spark, tmp_path):
     files_after = len(glob.glob(os.path.join(layout_path, "cell=*", "*.parquet")))
     assert shrunk > 0 and files_after < files_before
     assert search() == before
+
+
+def test_stream_maintains_composed_ivfsq_index(spark, tmp_path):
+    """Corpus AND derived int8 code layouts stay in lockstep under
+    micro-batch upserts: after the stream drains, the code table is
+    row-identical to a from-scratch encode of the final corpus, and a
+    full-probe corpus-shortlist ivfsq_search equals exact kNN."""
+    from vectordb_acc_and_speed_exp_spark.io import load_table
+    from vectordb_acc_and_speed_exp_spark.operators.ann import kmeans_centroids
+    from vectordb_acc_and_speed_exp_spark.operators.knn import exact_knn
+    from vectordb_acc_and_speed_exp_spark.operators.sq import (
+        ivfsq_search,
+        sq_encode,
+        sq_train,
+    )
+    from vectordb_acc_and_speed_exp_spark.streaming.index_maintenance import (
+        stream_upsert_ivfsq_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_centroids(emb, n_cells=8)
+    vmin, scale = sq_train(emb)
+
+    src_dir = tmp_path / "ivfsq_arrivals"
+    for lo, hi in ((0, 200), (200, 10**9)):
+        emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(str(src_dir))
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    corpus_path = str(tmp_path / "ivfsq_corpus")
+    codes_path = str(tmp_path / "ivfsq_codes")
+    stream_upsert_ivfsq_index(
+        stream, corpus_path, codes_path, cents, vmin, scale, item_id="vec_id"
+    )
+
+    got_codes = sorted(
+        (int(r.item_id), int(r.cell), tuple(r.codes))
+        for r in spark.read.parquet(codes_path).collect()
+    )
+    want_codes = sorted(
+        (int(r.item_id), int(r.cell), tuple(r.codes))
+        for r in sq_encode(
+            spark.read.parquet(corpus_path), vmin, scale,
+            item_id="vec_id", passthrough=("cell",),
+        ).collect()
+    )
+    assert got_codes == want_codes
+
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    n = emb.count()
+    got = sorted(
+        (int(r.query_id), int(r.rank), int(r.item_id))
+        for r in ivfsq_search(
+            qs, spark, codes_path, corpus_path, cents, vmin, scale,
+            k=10, n_probe=8, shortlist=n, item_id="vec_id",
+        ).collect()
+    )
+    want = sorted(
+        (int(r.query_id), int(r.rank), int(r.item_id))
+        for r in exact_knn(qs, emb, k=10, item_id="vec_id").collect()
+    )
+    assert got == want

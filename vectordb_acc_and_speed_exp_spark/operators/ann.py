@@ -322,16 +322,34 @@ def ivf_index_upsert(
         .join(assigned.select(item_id), item_id, "left_anti")
         .localCheckpoint(eager=True)
     )
+    final = old.unionByName(assigned)
     (
-        old.unionByName(assigned)
-        .repartition("cell")
+        final.repartition("cell")
         .sortWithinPartitions(item_id)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell")
         .parquet(corpus_path)
     )
+    # dynamic overwrite only rewrites partitions PRESENT in the output: a
+    # cell left empty by the upsert (its only rows moved elsewhere) writes
+    # nothing, so its stale directory must be dropped explicitly
+    present = {r.cell for r in final.select("cell").distinct().collect()}
+    drop_empty_cell_dirs(corpus_path, set(affected) - present)
     return [int(c) for c in affected]
+
+
+def drop_empty_cell_dirs(path: str, cells) -> None:
+    """Remove ``cell=<c>`` directories whose cell was rewritten to empty by
+    a dynamic-partition-overwrite upsert (local-filesystem layouts; on an
+    object store this is a prefix delete)."""
+    import os
+    import shutil
+
+    for c in cells:
+        d = os.path.join(path, f"cell={c}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
 
 
 def ivf_ann_pruned(

@@ -221,6 +221,43 @@ def write_ivfpq_codes(
     ).write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
+def ivfpq_codes_upsert(
+    spark,
+    corpus_path: str,
+    codes_path: str,
+    codebooks: np.ndarray,
+    cells: list[int],
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> None:
+    """Refresh the derived IVF-PQ code table for the given cells after the
+    base IVF corpus was upserted — the PQ twin of
+    sq.ivfsq_codes_upsert: partition-pruned re-encode of exactly the
+    touched cells with FROZEN codebooks, dynamic partition overwrite of
+    the matching code directories. The codes layout stays a pure function
+    of the corpus layout, so replayed batches converge (exactly-once
+    extends to the compressed index)."""
+    if not cells:
+        return
+    from .ann import drop_empty_cell_dirs
+
+    fresh = spark.read.parquet(corpus_path).filter(F.col("cell").isin(list(cells)))
+    (
+        pq_encode(
+            fresh, codebooks, item_id=item_id, item_vec=item_vec,
+            passthrough=("cell",),
+        )
+        .repartition("cell")
+        .sortWithinPartitions(item_id)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(codes_path)
+    )
+    present = {r.cell for r in fresh.select("cell").distinct().collect()}
+    drop_empty_cell_dirs(codes_path, set(cells) - present)
+
+
 def ivfpq_search(
     queries: DataFrame,
     spark,

@@ -208,6 +208,48 @@ def write_ivfsq_codes(
     ).write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
+def ivfsq_codes_upsert(
+    spark,
+    corpus_path: str,
+    codes_path: str,
+    vmin: np.ndarray,
+    scale: np.ndarray,
+    cells: list[int],
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> None:
+    """Refresh the derived IVF-SQ code table for the given cells after the
+    base IVF corpus was upserted: re-encode exactly those cells from the
+    post-upsert corpus (partition-pruned scan) with the FROZEN affine
+    params and dynamic-partition-overwrite the matching code directories.
+
+    Keeps the codes layout a pure function of the corpus layout — the
+    exactly-once property of ivf_index_upsert extends to the compressed
+    index, and a replayed batch converges to the same code bytes. Params
+    intentionally do not move (re-training = offline rebuild, same
+    contract as the centroids). At 100 TB: cost is f/n of a full
+    re-encode for f touched cells."""
+    if not cells:
+        return
+    from .ann import drop_empty_cell_dirs
+
+    fresh = spark.read.parquet(corpus_path).filter(F.col("cell").isin(list(cells)))
+    (
+        sq_encode(
+            fresh, vmin, scale, item_id=item_id, item_vec=item_vec,
+            passthrough=("cell",),
+        )
+        .repartition("cell")
+        .sortWithinPartitions(item_id)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(codes_path)
+    )
+    present = {r.cell for r in fresh.select("cell").distinct().collect()}
+    drop_empty_cell_dirs(codes_path, set(cells) - present)
+
+
 def ivfsq_search(
     queries: DataFrame,
     spark,

@@ -119,3 +119,63 @@ def stream_upsert_ivf_index(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_upsert_ivfsq_index(
+    embeddings_stream: DataFrame,
+    corpus_path: str,
+    codes_path: str,
+    centroids: DataFrame,
+    vmin,
+    scale,
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> None:
+    """Streaming maintenance for the COMPOSED IVF-SQ index: each
+    micro-batch upserts the base cell-partitioned corpus
+    (ivf_index_upsert — returns the rewritten cells, including cells an
+    updated vector moved OUT of) and then re-encodes exactly those cells'
+    int8 codes with the frozen affine params
+    (operators/sq.py::ivfsq_codes_upsert). Corpus and code layouts stay
+    in lockstep: both are pure functions of the final row set, so the
+    exactly-once contract covers the compressed index too — queries via
+    ivfsq_search never see a code row whose base row is gone, beyond the
+    instant between the two dynamic overwrites (readers of either single
+    layout are always consistent; cross-layout readers re-rank against
+    the base corpus, which masks a transiently stale short-list entry).
+
+    At 100 TB this is the serving-index ingest path: batch cost is
+    O(touched cells) in BOTH layouts, everything else is untouched bytes."""
+    from ..operators.ann import ivf_assign, ivf_index_upsert, write_ivf_corpus
+    from ..operators.sq import ivfsq_codes_upsert, write_ivfsq_codes
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not os.path.exists(corpus_path):
+            assigned = ivf_assign(batch_df, centroids, item_vec=item_vec)
+            write_ivf_corpus(assigned, corpus_path)
+            write_ivfsq_codes(
+                spark.read.parquet(corpus_path), vmin, scale, codes_path,
+                item_id=item_id, item_vec=item_vec,
+            )
+        else:
+            touched = ivf_index_upsert(
+                spark, corpus_path, batch_df, centroids,
+                item_id=item_id, item_vec=item_vec,
+            )
+            ivfsq_codes_upsert(
+                spark, corpus_path, codes_path, vmin, scale, touched,
+                item_id=item_id, item_vec=item_vec,
+            )
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ivfsqidx_")
+    q = (
+        embeddings_stream.writeStream.foreachBatch(upsert_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
