@@ -300,3 +300,43 @@ class TestTokenImportanceWeights:
         rest = [r["imp_s6"] for r in rows if r["lang"] != "en"]
         assert en and rest
         assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_index_cache_invalidates_on_source_change(spark, tmp_path):
+    """_get_or_build artifacts are keyed by a stat fingerprint of the
+    source table: same bytes -> cache hit, changed source at the same
+    path -> silent rebuild (stale-index protection)."""
+    import os
+    import shutil
+
+    from vectordb_acc_and_speed_exp_spark.queries.pipeline import (
+        _get_or_build_sq,
+        _index_root,
+    )
+
+    sf_dir = str(tmp_path / "sf_copy")
+    os.makedirs(sf_dir)
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    dst = os.path.join(sf_dir, "embeddings.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+    shutil.rmtree(_index_root(sf_dir), ignore_errors=True)
+
+    _get_or_build_sq(spark, sf_dir)
+    done = os.path.join(_index_root(sf_dir), "sq._DONE")
+    fp1 = open(done).read()
+    marker_mtime = os.path.getmtime(done)
+
+    # unchanged source: cache hit, marker untouched
+    _get_or_build_sq(spark, sf_dir)
+    assert open(done).read() == fp1
+    assert os.path.getmtime(done) == marker_mtime
+
+    # "regenerated" source (new mtime): fingerprint differs -> rebuild
+    if os.path.isdir(dst):
+        for f in os.listdir(dst):
+            os.utime(os.path.join(dst, f))
+    else:
+        os.utime(dst)
+    _get_or_build_sq(spark, sf_dir)
+    assert open(done).read() != fp1
+    shutil.rmtree(_index_root(sf_dir), ignore_errors=True)

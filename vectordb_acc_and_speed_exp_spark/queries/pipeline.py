@@ -56,6 +56,45 @@ def _index_root(sf_dir: str) -> str:
     return f"{tempfile.gettempdir()}/spark_graft_index/{slug}"
 
 
+def _source_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
+    """Content fingerprint (paths + mtimes + sizes) of a source parquet
+    table. Written into every build's ``_DONE`` marker so a cached index
+    artifact is invalidated — and silently rebuilt — if the corpus at the
+    same path changes between sessions. Stat-based (no data read): cheap
+    enough to check on every build lookup."""
+    import glob
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(p):
+            files = sorted(
+                q
+                for q in glob.glob(os.path.join(p, "**", "*"), recursive=True)
+                if os.path.isfile(q)
+            )
+        else:
+            files = [p]
+        st = [(q, os.stat(q).st_mtime_ns, os.stat(q).st_size) for q in files]
+    except OSError:
+        return "source-unreadable"
+    return hashlib.md5(repr(st).encode()).hexdigest()
+
+
+def _build_is_fresh(done_path: str, fingerprint: str) -> bool:
+    try:
+        with open(done_path) as f:
+            return f.read().strip() == fingerprint
+    except OSError:
+        return False
+
+
+def _mark_built(done_path: str, fingerprint: str) -> None:
+    with open(done_path, "w") as f:
+        f.write(fingerprint)
+
+
 def _get_or_build_ivf(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
     """Idempotent IVF build: seeded-sample KMeans (train), assign, write the
     cell-partitioned layout + centroid table. Returns (corpus_path, centroids).
@@ -66,13 +105,14 @@ def _get_or_build_ivf(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]
     corpus_path = os.path.join(root, "ivf_corpus")
     cent_path = os.path.join(root, "ivf_centroids")
     done = os.path.join(root, "ivf._DONE")
-    if not os.path.exists(done):
+    fp = _source_fingerprint(sf_dir)
+    if not _build_is_fresh(done, fp):
         emb = load_table(spark, sf_dir, "embeddings")
         cents = kmeans_centroids(emb, n_cells=16, sample_fraction=0.5)
         assigned = ivf_assign(emb, cents)
         write_ivf_corpus(assigned, corpus_path)
         cents.write.mode("overwrite").parquet(cent_path)
-        open(done, "w").close()
+        _mark_built(done, fp)
     return corpus_path, spark.read.parquet(cent_path)
 
 
@@ -405,7 +445,8 @@ def _get_or_build_pq(spark: SparkSession, sf_dir: str):
     codes_path = os.path.join(root, "pq_codes")
     books_path = os.path.join(root, "pq_books.npy")
     done = os.path.join(root, "pq._DONE")
-    if not os.path.exists(done):
+    fp = _source_fingerprint(sf_dir)
+    if not _build_is_fresh(done, fp):
         os.makedirs(root, exist_ok=True)
         emb = load_table(spark, sf_dir, "embeddings")
         books = pq_train(emb, m=8, k=16, sample_fraction=0.5)
@@ -413,7 +454,7 @@ def _get_or_build_pq(spark: SparkSession, sf_dir: str):
         pq_encode(emb, books, item_id="vec_id").write.mode("overwrite").parquet(
             codes_path
         )
-        open(done, "w").close()
+        _mark_built(done, fp)
     return spark.read.parquet(codes_path), np.load(books_path)
 
 
@@ -509,7 +550,8 @@ def _get_or_build_sq(spark: SparkSession, sf_dir: str):
     codes_path = os.path.join(root, "sq_codes")
     params_path = os.path.join(root, "sq_params")
     done = os.path.join(root, "sq._DONE")
-    if not os.path.exists(done):
+    fp = _source_fingerprint(sf_dir)
+    if not _build_is_fresh(done, fp):
         os.makedirs(root, exist_ok=True)
         emb = load_table(spark, sf_dir, "embeddings")
         vmin, scale = sq_train(emb, item_vec="embedding")
@@ -523,7 +565,7 @@ def _get_or_build_sq(spark: SparkSession, sf_dir: str):
         sq_encode(emb, vmin, scale, item_id="vec_id").write.mode(
             "overwrite"
         ).parquet(codes_path)
-        open(done, "w").close()
+        _mark_built(done, fp)
     params = {
         r.dim: (r.vmin, r.scale)
         for r in spark.read.parquet(params_path).collect()
@@ -619,12 +661,13 @@ def _get_or_build_ivfsq(spark: SparkSession, sf_dir: str):
     done = os.path.join(root, "ivfsq._DONE")
     corpus_path, cents = _get_or_build_ivf(spark, sf_dir)
     _, vmin, scale = _get_or_build_sq(spark, sf_dir)
-    if not os.path.exists(done):
+    fp = _source_fingerprint(sf_dir)
+    if not _build_is_fresh(done, fp):
         assigned = spark.read.parquet(corpus_path)
         write_ivfsq_codes(
             assigned, vmin, scale, codes_path, item_id="vec_id"
         )
-        open(done, "w").close()
+        _mark_built(done, fp)
     return codes_path, corpus_path, cents, vmin, scale
 
 
@@ -688,12 +731,13 @@ def _get_or_build_ivfpq(spark: SparkSession, sf_dir: str):
     done = os.path.join(root, "ivfpq._DONE")
     corpus_path, cents = _get_or_build_ivf(spark, sf_dir)
     _, books = _get_or_build_pq(spark, sf_dir)
-    if not os.path.exists(done):
+    fp = _source_fingerprint(sf_dir)
+    if not _build_is_fresh(done, fp):
         assigned = spark.read.parquet(corpus_path).select(
             F.col("vec_id"), F.col("embedding"), F.col("cell")
         )
         write_ivfpq_codes(assigned, books, codes_path, item_id="vec_id")
-        open(done, "w").close()
+        _mark_built(done, fp)
     return codes_path, corpus_path, cents, books
 
 
@@ -864,11 +908,12 @@ def _get_or_build_graph(spark: SparkSession, sf_dir: str) -> str:
     root = _index_root(sf_dir)
     path = os.path.join(root, "graph_index")
     done = os.path.join(root, "graph._DONE")
-    if not os.path.exists(done):
+    fp = _source_fingerprint(sf_dir)
+    if not _build_is_fresh(done, fp):
         os.makedirs(root, exist_ok=True)
         emb = load_table(spark, sf_dir, "embeddings")
         write_graph_index(build_graph_index(emb, item_id="vec_id"), path)
-        open(done, "w").close()
+        _mark_built(done, fp)
     return path
 
 
@@ -919,12 +964,13 @@ def _get_or_build_cell_graph(spark: SparkSession, sf_dir: str) -> tuple[str, Dat
     root = _index_root(sf_dir)
     path = os.path.join(root, "cell_graph_index")
     done = os.path.join(root, "cell_graph._DONE")
-    if not os.path.exists(done):
+    fp = _source_fingerprint(sf_dir)
+    if not _build_is_fresh(done, fp):
         assigned = spark.read.parquet(corpus_path)
         write_graph_index(
             build_graph_index(assigned, item_id="vec_id", shard_col="cell"), path
         )
-        open(done, "w").close()
+        _mark_built(done, fp)
     return path, cents
 
 

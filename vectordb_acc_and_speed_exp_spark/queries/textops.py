@@ -348,12 +348,18 @@ def _get_or_build_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..operators.dedup import connected_components, minhash_lsh_pairs
-    from .pipeline import _index_root
+    from .pipeline import (
+        _build_is_fresh,
+        _index_root,
+        _mark_built,
+        _source_fingerprint,
+    )
 
     root = _index_root(sf_dir)
     path = os.path.join(root, "dedup_clusters")
     done = os.path.join(root, "dedup_clusters._DONE")
-    if not os.path.exists(done):
+    fp = _source_fingerprint(sf_dir, table="documents")
+    if not _build_is_fresh(done, fp):
         os.makedirs(root, exist_ok=True)
         pairs = minhash_lsh_pairs(
             load_table(spark, sf_dir, "documents"),
@@ -369,7 +375,7 @@ def _get_or_build_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster_id"),
             (F.col("node") == F.col("cluster_id")).cast("int").alias("is_canonical"),
         ).write.mode("overwrite").parquet(path)
-        open(done, "w").close()
+        _mark_built(done, fp)
     return spark.read.parquet(path)
 
 
