@@ -121,3 +121,18 @@ def test_missing_model_package_falls_back_to_fake():
         make_encode_iter(dim=4, model_path="no-such-model")(iter([pd.Series(["x"])]))
     )
     assert out[0].tolist() == [fake_encode_text("x", 4)]
+
+
+def test_md5_encoder_deterministic_unit_norm():
+    import math
+
+    from vectordb_acc_and_speed_exp_spark.operators.embedding import (
+        md5_encode_text,
+    )
+
+    v1 = md5_encode_text("hello world", 16)
+    v2 = md5_encode_text("hello world", 16)
+    assert v1 == v2 and len(v1) == 16
+    n = math.sqrt(sum(x * x for x in v1))
+    assert abs(n - 1.0) < 1e-4  # unit up to the 1e-6 floor grid
+    assert md5_encode_text("other", 16) != v1

@@ -44,6 +44,35 @@ def fake_encode_text(text: str, dim: int = DEFAULT_DIM) -> list[float]:
     return [x / n for x in out]
 
 
+def md5_encode_text(text: str, dim: int = DEFAULT_DIM) -> list[float]:
+    """Deterministic unit-norm vector whose every arithmetic step is
+    reproducible in ANSI SQL (md5 → 60-bit int → double → normalize →
+    floor onto a 1e6 grid): the cross-engine-verifiable twin of
+    ``fake_encode_text``. Both engines perform the identical IEEE-double
+    operation sequence, so the driver's value hash matches bit-for-bit —
+    this is what lets the V1 embedding stage (pandas_udf, Arrow batching,
+    alignment) be HASH-oracled rather than rows-only checked."""
+    comps: list[float] = []
+    for i in range(dim):
+        h = hashlib.md5(f"{i}\x1f{text}".encode("utf-8")).hexdigest()
+        u = int(h[:15], 16)  # 60 bits
+        comps.append(u / 2**59 - 1.0)
+    n = math.sqrt(sum(x * x for x in comps)) or 1.0
+    return [math.floor(x / n * 1e6) / 1e6 for x in comps]
+
+
+def make_md5_encoder_udf(dim: int = DEFAULT_DIM):
+    """Iterator pandas_udf applying :func:`md5_encode_text` per Arrow
+    batch — same distributed shape as the production encoder, every step
+    SQL-reproducible (see queries/pipeline.py::embed_documents_md5)."""
+
+    def encode_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for b in batches:
+            yield pd.Series([md5_encode_text(t or "", dim) for t in b])
+
+    return pandas_udf(encode_iter, returnType="array<double>")
+
+
 def make_encode_iter(dim: int = DEFAULT_DIM, model_path: str | None = None):
     """The raw ``Iterator[pd.Series] -> Iterator[pd.Series]`` encode
     generator — separated from the pandas_udf wrapper so the real-model

@@ -253,6 +253,10 @@ def _attach_fullfidelity_oracles() -> None:
     ):
         spec = REGISTRY[name]
         REGISTRY[name] = QuerySpec(fn=spec.fn, oracle=sql, doc=spec.doc)
+    ts = REGISTRY["text_query_search_md5"]
+    REGISTRY["text_query_search_md5"] = QuerySpec(
+        fn=ts.fn, oracle=_text_search_md5_oracle(), doc=ts.doc
+    )
 
 
 # (called at module END so every full-fidelity entry is registered first)
@@ -293,6 +297,44 @@ def embed_documents_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("sq_norm_r"),
     )
+
+
+_MD5_EMBED_ORACLE = """
+WITH comps AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), i ->
+           CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || chr(31) || coalesce(text, '')), 1, 15)) AS BIGINT)
+           / 576460752303423488.0 - 1.0) AS c
+  FROM documents
+), nrm AS (
+  SELECT doc_id, c,
+         sqrt(list_aggregate(list_transform(c, x -> x * x), 'sum')) AS n
+  FROM comps
+)
+SELECT doc_id,
+       list_transform(c, x -> floor(x / n * 1000000.0) / 1000000.0) AS embedding
+FROM nrm
+"""
+
+
+@register(
+    "embed_documents_md5",
+    oracle=_MD5_EMBED_ORACLE,
+    doc="V1 embedding stage HASH-oracled end to end: iterator pandas_udf "
+    "over Arrow batches computing the md5-grid deterministic encoder "
+    "(operators/embedding.py::md5_encode_text) whose every IEEE-double "
+    "step — md5 -> 60-bit int -> /2^59 (power-of-two, lossless) -> "
+    "normalize -> floor 1e6 grid — is replayed verbatim by the DuckDB "
+    "oracle; proves the distributed encode plumbing bit-for-bit, not "
+    "just rows-back. The blake2b fake (embed_documents_fake) stays the "
+    "default test encoder",
+)
+def embed_documents_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.embedding import make_md5_encoder_udf
+
+    enc = make_md5_encoder_udf(dim=16)
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", enc(F.col("text")).alias("embedding"))
 
 
 # -- Multimodal plumbing ----------------------------------------------------
@@ -425,6 +467,74 @@ def text_query_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qvecs = embed_documents(qtexts, text_col="query_text", dim=64).select(
         "query_id", F.col("embedding").alias("query_vec")
+    )
+    res = exact_knn(qvecs, emb, k=5, item_id="vec_id")
+    return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
+
+
+_QTEXTS = (
+    (1, "vector database benchmark latency"),
+    (2, "approximate nearest neighbor recall"),
+    (3, "document embedding pipeline"),
+)
+
+
+def _md5_qv_sql() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _QTEXTS)
+    return f"""
+qt(query_id, qtext) AS (VALUES {vals}),
+qcomps AS (
+  SELECT query_id,
+         list_transform(range(0, 64), i ->
+           CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || chr(31) || qtext), 1, 15)) AS BIGINT)
+           / 576460752303423488.0 - 1.0) AS c
+  FROM qt
+),
+q AS (
+  SELECT query_id,
+         list_transform(c, x -> floor(x / sqrt(list_aggregate(list_transform(c, y -> y * y), 'sum')) * 1000000.0) / 1000000.0) AS qv
+  FROM qcomps
+)"""
+
+
+def _text_search_md5_oracle() -> str:
+    from .vector import _L2_SQL
+
+    return f"""
+WITH {_md5_qv_sql()},
+scored AS (
+  SELECT q.query_id, e.vec_id AS item_id, CAST(e.embedding AS DOUBLE[]) AS ev, q.qv
+  FROM embeddings e CROSS JOIN q
+), dists AS (
+  SELECT query_id, item_id, {_L2_SQL} AS dist FROM scored
+), ranked AS (
+  SELECT query_id, item_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, item_id) AS rank
+  FROM dists
+)
+SELECT query_id, rank, item_id, round(dist, 4) AS dist_r
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register(
+    "text_query_search_md5",
+    oracle=None,  # attached at module end (lazy vector-module import)
+    doc="the reference's full query shape HASH-oracled end to end: NL "
+    "query text -> deterministic md5-grid encode (pandas_udf) -> exact "
+    "L2 top-5 against the embeddings table; DuckDB replays the encode "
+    "arithmetic AND the kNN — V6+V2 composed, bit-for-bit",
+)
+def text_query_search_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.embedding import make_md5_encoder_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qtexts = spark.createDataFrame(
+        list(_QTEXTS), "query_id int, query_text string"
+    )
+    enc = make_md5_encoder_udf(dim=64)
+    qvecs = qtexts.select(
+        "query_id", enc(F.col("query_text")).alias("query_vec")
     )
     res = exact_knn(qvecs, emb, k=5, item_id="vec_id")
     return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
