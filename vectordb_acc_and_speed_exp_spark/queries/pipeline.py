@@ -250,6 +250,7 @@ def _attach_fullfidelity_oracles() -> None:
         "ann_pq_fullrerank",
         "ann_ivfpq_fullprobe",
         "ann_lsh_fullprobe",
+        "graph_ann_fullbeam",
     ):
         spec = REGISTRY[name]
         REGISTRY[name] = QuerySpec(fn=spec.fn, oracle=sql, doc=spec.doc)
@@ -1100,6 +1101,31 @@ def graph_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _query_set(spark, sf_dir), spark, path, cents, k=10, n_probe=4
     )
     return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
+
+
+@register(
+    "graph_ann_fullbeam",
+    oracle=None,  # exact-kNN oracle attached with the other degenerations
+    doc="NSW graph search at its provable fixed point: M = ef = corpus "
+    "size disables the degree cap, so each insert links to ALL prior "
+    "nodes (complete graph by induction — the degree-capped production "
+    "config can drop a node's last inbound edge, so only this config is "
+    "provably exact) and a full beam visits every node; scatter-gather "
+    "merge over 4 shards == exact kNN, hash-checked against the "
+    "brute-force oracle. Gate-proves the build/insert/beam/merge chain",
+)
+def graph_ann_fullbeam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graphann import build_graph_index, graph_ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    idx = build_graph_index(
+        emb, n_shards=4, M=n, ef_build=n, item_id="vec_id"
+    )
+    res = graph_ann(_query_set(spark, sf_dir), idx, k=10, ef_search=n)
+    return res.select(
+        "query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r")
+    )
 
 
 # -- ANN tuning curve: recall vs probe depth (the EP3 analysis axis) -------
