@@ -169,6 +169,26 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
 
 
+@register(
+    "ann_ivf_filtered_fullprobe",
+    oracle=None,  # knn_filtered_exact's oracle attached at module end
+    doc="filtered ANN (where label < 3) probing ALL cells == the filtered "
+    "exact kNN; hash-checked against knn_filtered_exact's oracle — "
+    "gate-proves the predicate pushed onto the cell-pruned scan keeps "
+    "strict pre-filter semantics (top-k OF the filtered corpus, never a "
+    "post-filtered short-list)",
+)
+def ann_ivf_filtered_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import ivf_ann_pruned
+
+    corpus_path, cents = _get_or_build_ivf(spark, sf_dir)
+    res = ivf_ann_pruned(
+        _query_set(spark, sf_dir), spark, corpus_path, cents,
+        k=10, n_probe=16, item_id="vec_id", predicate="label < 3",
+    )
+    return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
+
+
 # -- Full-fidelity ANN degenerations: ORACLED --------------------------------
 # Probing every cell / re-ranking a corpus-sized short-list makes the ANN
 # machinery exactly equal to brute force — so these entries carry the exact
@@ -257,6 +277,34 @@ def _attach_fullfidelity_oracles() -> None:
     ts = REGISTRY["text_query_search_md5"]
     REGISTRY["text_query_search_md5"] = QuerySpec(
         fn=ts.fn, oracle=_text_search_md5_oracle(), doc=ts.doc
+    )
+    # filtered full probe == the already-oracled filtered exact kNN
+    ff = REGISTRY["ann_ivf_filtered_fullprobe"]
+    REGISTRY["ann_ivf_filtered_fullprobe"] = QuerySpec(
+        fn=ff.fn, oracle=REGISTRY["knn_filtered_exact"].oracle, doc=ff.doc
+    )
+    # MMR λ=1 == cosine top-10 with lowest-id tie-break
+    from .vector import _COS_SQL, _QUERY_SET_SQL
+
+    mm = REGISTRY["mmr_lambda1_topk"]
+    REGISTRY["mmr_lambda1_topk"] = QuerySpec(
+        fn=mm.fn,
+        doc=mm.doc,
+        oracle=f"""
+WITH q AS ({_QUERY_SET_SQL}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS item_id, CAST(e.embedding AS DOUBLE[]) AS ev, q.qv
+  FROM embeddings e CROSS JOIN q
+), sims AS (
+  SELECT query_id, item_id, {_COS_SQL} AS cs FROM scored
+), ranked AS (
+  SELECT query_id, item_id, cs,
+         row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, item_id) AS mmr_rank
+  FROM sims
+)
+SELECT query_id, mmr_rank, item_id, round(cs, 4) AS mmr_score_r
+FROM ranked WHERE mmr_rank <= 10
+""",
     )
 
 
@@ -620,6 +668,34 @@ def ann_pq_fullrerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     res = pq_search_rerank(qs, emb, enc, books, k=10, shortlist=n, item_id="vec_id")
     return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
+
+
+@register(
+    "mmr_lambda1_topk",
+    oracle=None,  # cosine top-k oracle attached at module end
+    doc="MMR at its provable fixed point: λ=1 removes the redundancy term, "
+    "so greedy selection == plain cosine top-10 with lowest-id tie-break "
+    "— hash-checked against a cosine-rank oracle. Gate-proves the "
+    "applyInPandas greedy kernel (candidate join, per-query grouping, "
+    "argmax selection loop) loses nothing; mmr_rerank_topk runs the same "
+    "kernel at λ=0.5",
+)
+def mmr_lambda1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.knn import exact_knn
+    from ..operators.rerank import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = _query_set(spark, sf_dir)
+    cand = exact_knn(qs, emb, k=50, metric="cosine", item_id="vec_id").select(
+        "query_id", "item_id"
+    )
+    res = mmr_rerank(
+        cand, emb.select(F.col("vec_id").alias("item_id"), "embedding"),
+        qs, k=10, lam=1.0, item_id="item_id",
+    )
+    return res.select(
+        "query_id", "mmr_rank", "item_id", F.round("mmr_score", 4).alias("mmr_score_r")
+    )
 
 
 @register(

@@ -285,11 +285,49 @@ def radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "rerank_cross_encoder",
-    oracle=None,
+    oracle=f"""
+WITH {_BM25_CONTRIB_SQL},
+shortlist AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY s6 DESC, doc_id) AS r
+    FROM bm25
+  ) WHERE r <= 20
+),
+qtx(query_id, qtext) AS (VALUES {", ".join(f"({qid}, '{' '.join(ts)}')" for qid, ts in _BM25_QUERIES)}),
+pairtok AS (
+  SELECT s.query_id, s.doc_id,
+         list_distinct(list_filter(string_split_regex(lower(q.qtext), '\\s+'), x -> x != '')) AS qs,
+         list_distinct(list_filter(string_split_regex(lower(d.text), '\\s+'), x -> x != '')) AS ds
+  FROM shortlist s
+  JOIN qtx q USING (query_id)
+  JOIN documents d USING (doc_id)
+),
+ce AS (
+  SELECT query_id, doc_id,
+         CASE WHEN len(qs) = 0 OR len(ds) = 0 THEN 0.0
+              ELSE (len(list_intersect(qs, ds)) * 1.0
+                    / (len(qs) + len(ds) - len(list_intersect(qs, ds))))
+                   * ln(1.0 + least(len(ds), 256))
+         END AS ce_score
+  FROM pairtok
+),
+rr AS (
+  SELECT query_id, doc_id, ce_score,
+         row_number() OVER (PARTITION BY query_id ORDER BY ce_score DESC, doc_id) AS rank
+  FROM ce
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       round(ce_score, 4) AS ce_score_r
+FROM rr WHERE rank <= 10
+""",
     doc="two-stage retrieval: BM25 top-20 short-list → cross-encoder "
-    "pair scoring (Iterator pandas_udf, model-gated with deterministic "
-    "fake) → top-10; per-query work is |short-list| model calls, never "
-    "corpus work",
+    "pair scoring (Iterator pandas_udf; the deterministic lexical fake "
+    "— token-set Jaccard × log-length prior — is replayed verbatim by "
+    "the DuckDB oracle, so the whole retrieve→rerank pipeline is "
+    "HASH-checked; a real CrossEncoder swaps in via model_path) → "
+    "top-10; per-query work is |short-list| model calls, never corpus "
+    "work",
 )
 def rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.crossencoder import cross_encoder_rerank
