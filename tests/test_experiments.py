@@ -47,7 +47,9 @@ def test_recall_experiment_rollup(spark, sf_dir, tmp_path):
 def test_plot_sinks_write_all_four_charts(tmp_path):
     """S11 parity: the four reference charts (search_speed_by_pages,
     search_speed_by_collection, recall_by_pages, recall_by_collection)
-    are emitted as well-formed SVG."""
+    are emitted as PNG (the reference's format, returned paths) with
+    well-formed SVG twins beside them."""
+    import os
     import xml.etree.ElementTree as ET
 
     from vectordb_acc_and_speed_exp_spark.experiments import (
@@ -65,13 +67,17 @@ def test_plot_sinks_write_all_four_charts(tmp_path):
     recall = plot_recall_charts([(100, 0.7, 0.68), (200, 0.84, 0.8)], str(tmp_path))
     names = {p.rsplit("/", 1)[-1] for p in speed + recall}
     assert names == {
-        "search_speed_by_pages.svg",
-        "search_speed_by_collection.svg",
-        "recall_by_pages.svg",
-        "recall_by_collection.svg",
+        "search_speed_by_pages.png",
+        "search_speed_by_collection.png",
+        "recall_by_pages.png",
+        "recall_by_collection.png",
     }
     for p in speed + recall:
-        ET.parse(p)  # well-formed
+        with open(p, "rb") as f:
+            assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+        svg = p[:-4] + ".svg"
+        assert os.path.exists(svg)
+        ET.parse(svg)  # well-formed
 
 
 def test_curation_experiment_funnel(spark, sf_dir, tmp_path):
