@@ -402,6 +402,172 @@ def compression_fidelity_sweep(
     return out
 
 
+def maintenance_economics(
+    spark: SparkSession,
+    sf_dir: str,
+    corpus_n: int = 100_000,
+    batch_fracs: tuple[float, ...] = (0.001, 0.01, 0.1),
+    n_cells: int = 64,
+    out_prefix: str | None = None,
+) -> DataFrame:
+    """EP6: serving-index maintenance economics at ~100k vectors.
+
+    The 100 TB claim of streaming/index_maintenance.py is that a
+    micro-batch costs ~(touched cells)/n_cells of a full rebuild in BOTH
+    the base IVF layout and the derived int8 code layout — cost follows
+    the TOUCHED-CELL count, not the row count. Two batch shapes make the
+    point: RANDOM-id update batches scatter across cells (a 0.1% batch
+    already touches most directories — the worst case), while CLUSTERED
+    batches (all updates drawn from one cell, the analogue of
+    time/topic-local production arrivals) touch 1-2 directories and cost
+    a small fixed fraction of the rebuild regardless of corpus size.
+    Updates re-jitter existing ids' vectors, so the moved-cell rewrite
+    path is exercised throughout; a timed per-cell compaction cycle
+    closes the maintenance loop. Row-count conservation is asserted
+    after every phase (updates replace, never append). Emits JSON/CSV
+    artifacts when ``out_prefix`` is set."""
+    import json
+    import shutil
+    import tempfile
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from .operators.ann import (
+        ivf_assign,
+        ivf_index_upsert,
+        kmeans_centroids,
+        write_ivf_corpus,
+    )
+    from .operators.sq import ivfsq_codes_upsert, sq_train, write_ivfsq_codes
+    from .io.catalog import compact_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    big, _ = expand_embeddings(emb, corpus_n)
+    big = big.persist()
+    n = big.count()
+
+    root = tempfile.mkdtemp(prefix="ep6_maint_")
+    corpus_path = os.path.join(root, "corpus")
+    codes_path = os.path.join(root, "codes")
+    rows: list[tuple] = []
+
+    t0 = time.perf_counter()
+    cents = kmeans_centroids(big, n_cells=n_cells, sample_fraction=0.1)
+    cents = spark.createDataFrame(cents.collect(), cents.schema)  # freeze
+    write_ivf_corpus(ivf_assign(big, cents), corpus_path)
+    vmin, scale = sq_train(big, item_vec="embedding")
+    write_ivfsq_codes(
+        spark.read.parquet(corpus_path), vmin, scale, codes_path, item_id="vec_id"
+    )
+    t_build = time.perf_counter() - t0
+    rows.append(("full_build", 0.0, round(t_build, 3), n_cells, n_cells, n))
+
+    def update_batch(frac: float) -> DataFrame:
+        cap = max(int(n * frac), 1)
+
+        def jitter(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                ids = pdf["vec_id"].to_numpy()
+                out = []
+                for i, v in zip(ids, V):
+                    rng = np.random.default_rng(60000 + int(i))
+                    u = rng.standard_normal(v.shape[0])
+                    w = v + 0.8 * u / np.linalg.norm(u)
+                    out.append((w / np.linalg.norm(w)).tolist())
+                yield pd.DataFrame({"vec_id": ids, "embedding": out})
+
+        return (
+            big.filter(F.pmod(F.xxhash64("vec_id"), 10_000) < int(frac * 10_000))
+            .limit(cap)
+            .mapInPandas(jitter, schema="vec_id long, embedding array<double>")
+        )
+
+    def timed_upsert(tag: str, frac: float, batch: DataFrame) -> None:
+        batch = batch.persist()
+        bn = batch.count()
+        t0 = time.perf_counter()
+        touched = ivf_index_upsert(
+            spark, corpus_path, batch, cents, item_id="vec_id"
+        )
+        ivfsq_codes_upsert(
+            spark, corpus_path, codes_path, vmin, scale, touched, item_id="vec_id"
+        )
+        dt = time.perf_counter() - t0
+        assert spark.read.parquet(corpus_path).count() == n  # pure replace
+        rows.append((tag, frac, round(dt, 3), len(touched), n_cells, bn))
+        batch.unpersist()
+
+    for frac in batch_fracs:
+        timed_upsert("upsert_random", frac, update_batch(frac))
+
+    # clustered batches: all updates from ONE cell, tiny jitter (0.05) so
+    # nearly all stay in-cell — the time/topic-local arrival shape
+    def clustered_batch(frac: float) -> DataFrame:
+        cap = max(int(n * frac), 1)
+
+        def jitter(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                ids = pdf["vec_id"].to_numpy()
+                out = []
+                for i, v in zip(ids, V):
+                    rng = np.random.default_rng(70000 + int(i))
+                    u = rng.standard_normal(v.shape[0])
+                    w = v + 0.05 * u / np.linalg.norm(u)
+                    out.append((w / np.linalg.norm(w)).tolist())
+                yield pd.DataFrame({"vec_id": ids, "embedding": out})
+
+        return (
+            spark.read.parquet(corpus_path)
+            .filter(F.col("cell") == 0)
+            .select("vec_id", "embedding")
+            .limit(cap)
+            .mapInPandas(jitter, schema="vec_id long, embedding array<double>")
+        )
+
+    for frac in batch_fracs:
+        timed_upsert("upsert_clustered", frac, clustered_batch(frac))
+
+    t0 = time.perf_counter()
+    import glob as _glob
+
+    for d in sorted(_glob.glob(os.path.join(corpus_path, "cell=*"))):
+        compact_table(spark, d)
+    dt = time.perf_counter() - t0
+    assert spark.read.parquet(corpus_path).count() == n
+    rows.append(("compact_all_cells", 1.0, round(dt, 3), n_cells, n_cells, n))
+
+    big.unpersist()
+    shutil.rmtree(root, ignore_errors=True)
+    out = spark.createDataFrame(
+        rows,
+        "phase string, batch_frac double, sec double, cells_touched int, "
+        "n_cells int, rows long",
+    )
+    if out_prefix:
+        pdf = out.toPandas()
+        pdf.to_csv(out_prefix + "_summary.csv", index=False)
+        with open(out_prefix + "_results.json", "w") as f:
+            json.dump(
+                {
+                    "corpus_n": n,
+                    "n_cells": n_cells,
+                    "full_build_sec": t_build,
+                    "phases": pdf.to_dict(orient="records"),
+                },
+                f,
+                indent=2,
+            )
+    return out
+
+
 def main(argv: list[str]) -> int:
     import argparse
 
@@ -409,7 +575,7 @@ def main(argv: list[str]) -> int:
 
     p = argparse.ArgumentParser(prog="experiments_scale")
     p.add_argument("mode", nargs="?", default="mtlsh",
-                   choices=["mtlsh", "compression"])
+                   choices=["mtlsh", "compression", "maintenance"])
     p.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     p.add_argument("--out", default=None)
     p.add_argument("--sizes", default=None)
@@ -417,6 +583,13 @@ def main(argv: list[str]) -> int:
     args = p.parse_args(argv)
     spark = get_spark("recall-scale")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.mode == "maintenance":
+        out = maintenance_economics(
+            spark, args.sf_dir,
+            out_prefix=args.out or "experiment_results/ep6_maintenance",
+        )
+        out.orderBy("phase", "batch_frac").show(100, False)
+        return 0
     if args.mode == "compression":
         sizes = tuple(
             int(s) for s in (args.sizes or "1000,5000,20000,58000").split(",")

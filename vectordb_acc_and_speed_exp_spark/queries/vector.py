@@ -299,6 +299,89 @@ def embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Embedding-level eval-set contamination: the semantic twin of the 8-gram
+# `decontaminate` scan. Split the corpus train/eval by a stable seeded
+# hash (membership a pure function of the id — same discipline as
+# corpus_split) and report every (train, eval) pair whose cosine clears
+# the near-dup threshold: paraphrased leaks that n-gram overlap misses.
+# At 100 TB the pair mining runs through the LSH-bucketed twin with the
+# split carried as a passthrough column; the gate entry uses the
+# brute-force pair set so the oracle is exact.
+# --------------------------------------------------------------------------
+_CONTAM_SEED = 7
+_CONTAM_T = 0.45
+
+
+@register(
+    "eval_contamination_cosine",
+    oracle=None,  # built below (needs the seeded-hash SQL helper)
+    doc="embedding-space train/eval contamination pairs: stable 90/10 "
+    "hash split, (train_id, eval_id) pairs with cosine >= 0.45 — the "
+    "semantic decontamination scan; oracled against a brute-force "
+    "cross-split cosine join",
+)
+def eval_contamination_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import portable_hash64_seeded
+    from ..operators.simjoin import cosine_self_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_self_join(
+        emb, id_col="vec_id", vec_col="embedding", threshold=_CONTAM_T
+    )
+    is_train = (
+        portable_hash64_seeded(F.col("vec_id").cast("string"), _CONTAM_SEED) % 10 < 9
+    )
+    s = emb.select("vec_id", is_train.alias("is_train"))
+    p = (
+        pairs.join(
+            s.select(F.col("vec_id").alias("id_a"), F.col("is_train").alias("a_train")),
+            "id_a",
+        )
+        .join(
+            s.select(F.col("vec_id").alias("id_b"), F.col("is_train").alias("b_train")),
+            "id_b",
+        )
+        .filter(F.col("a_train") != F.col("b_train"))
+    )
+    return p.select(
+        F.when(F.col("a_train"), F.col("id_a")).otherwise(F.col("id_b")).alias("train_id"),
+        F.when(F.col("a_train"), F.col("id_b")).otherwise(F.col("id_a")).alias("eval_id"),
+        F.round("cos_sim", 4).alias("cos_sim_r"),
+    )
+
+
+def _contamination_oracle() -> str:
+    from ..functions.hashing import portable_hash64_seeded_sql
+
+    h = portable_hash64_seeded_sql("CAST(vec_id AS VARCHAR)", _CONTAM_SEED)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         ({h}) % 10 < 9 AS is_train
+  FROM embeddings
+),
+pairs AS (
+  SELECT t.vec_id AS train_id, x.vec_id AS eval_id,
+         list_sum(list_transform(range(1, 65), i -> t.v[i] * x.v[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> t.v[i] * t.v[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> x.v[i] * x.v[i])))) AS cos_sim
+  FROM e t JOIN e x ON t.is_train AND NOT x.is_train
+)
+SELECT train_id, eval_id, round(cos_sim, 4) AS cos_sim_r
+FROM pairs WHERE cos_sim >= {_CONTAM_T}
+"""
+
+
+def _attach_contamination_oracle() -> None:
+    from . import REGISTRY, QuerySpec
+
+    spec = REGISTRY["eval_contamination_cosine"]
+    REGISTRY["eval_contamination_cosine"] = QuerySpec(
+        fn=spec.fn, oracle=_contamination_oracle(), doc=spec.doc
+    )
+
+
+# --------------------------------------------------------------------------
 # The reference's central experiment shape in ONE job: exact top-k per
 # query per cumulative snapshot (56 collections → one ladder-tagged scan;
 # distance computed once per (query, item) pair, reused by every snapshot
@@ -526,3 +609,6 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id"),
         (F.col("node") == F.col("cluster_id")).cast("int").alias("is_canonical"),
     )
+
+
+_attach_contamination_oracle()
