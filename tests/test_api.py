@@ -135,6 +135,38 @@ def test_query_hybrid_respects_where(store, documents):
     for r in res:
         assert int(r.item_id) % 2 == 0
 
+def test_upsert_replaces_and_inserts(store, spark, documents):
+    """ChromaDB collection.upsert parity: existing ids replaced (count
+    unchanged), new ids appended, and a live graph index stays fresh."""
+    n0 = store.count("papers")
+    # replace an existing id with new text + add one brand-new id
+    row = store.get("papers").limit(1).collect()[0]
+    docs = spark.createDataFrame(
+        [(row.id, "replacement text for upsert"), ("999999", "brand new doc")],
+        "id string, text string",
+    )
+    store.query("papers", query_texts=["warm graph"], k=1, mode="graph")  # build idx
+    store.upsert("papers", docs)
+    assert store.count("papers") == n0 + 1
+    got = store.get("papers").filter(f"id = '{row.id}'").collect()
+    assert len(got) == 1 and got[0].text == "replacement text for upsert"
+    # graph index was upserted in place and still serves the new id:
+    # querying with the new doc's text must return it as top-1 (the fake
+    # encoder embeds identical text identically)
+    top = store.query("papers", query_texts=["brand new doc"], k=1, mode="graph")
+    assert top.collect()[0].item_id == "999999"
+
+
+def test_delete_ids_removes_rows(store):
+    n0 = store.count("papers")
+    store.delete("papers", ["999999"])
+    assert store.count("papers") == n0 - 1
+    assert store.get("papers").filter("id = '999999'").count() == 0
+    # graph mode still works (index dropped, lazily rebuilt post-delete)
+    res = store.query("papers", query_texts=["anything"], k=3, mode="graph")
+    assert res.count() == 3
+
+
 def test_query_validation_and_delete(store, spark):
     with pytest.raises(ValueError):
         store.query("papers")

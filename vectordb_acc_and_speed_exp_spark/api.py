@@ -98,6 +98,57 @@ class VectorStore:
                 item_id="id",
             )
 
+    def upsert(
+        self, name: str, docs: DataFrame, id_col: str = "id", text_col: str = "text"
+    ) -> None:
+        """Replace-or-insert by id (the ChromaDB ``collection.upsert``):
+        rows whose id already exists are replaced, new ids are appended.
+        The collection stays a pure function of the final (id → row) map,
+        and a live graph index is kept fresh by the same shard upsert
+        add() uses (same id ⇒ same shard, so replacement is complete).
+
+        A flat parquet collection rewrites whole files on upsert; the
+        partitioned layouts (operators/ann.py cell dirs) are the 100 TB
+        shape — this facade mirrors ChromaDB's per-collection
+        granularity."""
+        if "embedding" not in docs.columns:
+            docs = embed_documents(
+                docs, text_col=text_col, dim=self.dim, model_path=self.model_path
+            )
+        docs = docs.withColumnRenamed(id_col, "id") if id_col != "id" else docs
+        path = self._path(name)
+        if os.path.exists(path):
+            merged = (
+                self.get(name)
+                .join(docs.select("id"), "id", "left_anti")
+                .unionByName(docs.select(*self.get(name).columns))
+                .localCheckpoint(eager=True)  # break lineage to path pre-overwrite
+            )
+            merged.write.mode("overwrite").parquet(path)
+        else:
+            docs.write.mode("overwrite").parquet(path)
+        if os.path.exists(self._graph_path(name)):
+            from .operators.graphann import graph_index_upsert
+
+            graph_index_upsert(
+                self.spark, self._graph_path(name),
+                docs.select("id", "embedding"), item_id="id",
+            )
+
+    def delete(self, name: str, ids: list) -> None:
+        """Delete records by id (ChromaDB ``collection.delete(ids=...)``).
+        The graph index is dropped rather than patched — NSW shards have
+        no cheap tombstone story; the next graph query rebuilds lazily
+        from the post-delete rows (correct by construction)."""
+        path = self._path(name)
+        kept = (
+            self.get(name)
+            .filter(~F.col("id").isin(list(ids)))
+            .localCheckpoint(eager=True)
+        )
+        kept.write.mode("overwrite").parquet(path)
+        shutil.rmtree(self._graph_path(name), ignore_errors=True)
+
     def _write(self, name, docs, id_col, text_col, mode) -> DataFrame:
         if "embedding" not in docs.columns:
             docs = embed_documents(
