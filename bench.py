@@ -84,6 +84,10 @@ HEADLINE = [
     "shipping_priority",
     "top_event_paths",
     "embedding_dedup_clusters",
+    # round-4 additions (appended — earlier entries keep their order so
+    # round-over-round deltas stay mechanical)
+    "eval_contamination_cosine",
+    "embed_documents_md5",
 ]
 
 
