@@ -1041,3 +1041,81 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("redacted").cast("bigint").alias("redacted_len"),
         F.substring(F.md5("redacted"), 1, 16).alias("redacted_sig"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM fluency score — the perplexity-filter stage of a training-data
+# pipeline (CCNet/Gopher-style), self-trained so it needs no external
+# model: add-1-smoothed bigram log-probabilities with counts from the
+# corpus itself, per-doc mean floored onto a 1e6 grid. Gibberish and
+# boilerplate-repetition docs score low; the whole computation is three
+# hash aggregates + one broadcast-joined scoring pass (no model, no UDF),
+# and the oracle replays it verbatim.
+# --------------------------------------------------------------------------
+@register(
+    "bigram_lm_scores",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+tok AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+uni AS (SELECT w AS w1, count(*) AS c1 FROM tok GROUP BY w),
+voc AS (SELECT count(*) AS v FROM uni),
+bg AS (
+  SELECT doc_id, ts[CAST(i AS INT)] AS w1, ts[CAST(i + 1 AS INT)] AS w2
+  FROM (
+    SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+    FROM toks WHERE len(ts) >= 2
+  )
+),
+cb AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+scored AS (
+  SELECT bg.doc_id,
+         ln((cb.c2 + 1.0) / (uni.c1 + voc.v)) AS lp
+  FROM bg JOIN cb USING (w1, w2) JOIN uni USING (w1) CROSS JOIN voc
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(floor(sum(lp) / count(*) * 1000000.0) AS BIGINT) AS lm_s6
+FROM scored GROUP BY doc_id
+""",
+    doc="self-trained add-1 bigram LM fluency score per doc (the "
+    "perplexity-filter pipeline stage): corpus bigram/unigram counts, "
+    "mean log-probability on a 1e6 floor grid. Scale shape: hash "
+    "aggregates for the count tables, scoring joins shuffle on the "
+    "token keys (the standard LM-training shuffle — count tables are "
+    "corpus-vocabulary-sized, only the scalar vocab count broadcasts); "
+    "no model, no Python",
+)
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(norm_text(F.col("text"))).alias("ts"))
+    tok = toks.select("doc_id", F.explode("ts").alias("w"))
+    uni = tok.groupBy(F.col("w").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
+    voc = uni.agg(F.count(F.lit(1)).alias("v"))
+    bg = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), "
+                    "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        bg.join(cb, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "doc_id",
+            F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.floor(F.sum("lp") / F.count(F.lit(1)) * 1000000.0)
+        .cast("bigint")
+        .alias("lm_s6"),
+    )
