@@ -621,3 +621,102 @@ def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", status.alias("status"))
     )
+
+
+# --------------------------------------------------------------------------
+# The capstone composition: the manifest of the FINAL kept training set.
+# kept(doc) = train-split(doc) ∧ quality(doc) ∧ canonical-under-near-dup(doc)
+#             ∧ ¬leaks-test-content(doc) — i.e. every cleaning stage the
+# pipeline defines (hash split, text_quality rule, MinHash-LSH cluster
+# dedup, 8-gram decontamination) applied together, rolled up per
+# (lang, source). Each stage is independently oracled elsewhere; this
+# entry hash-proves they COMPOSE identically across engines (the oracle
+# is the literal SQL composition of the four stages' CTEs).
+# --------------------------------------------------------------------------
+@register(
+    "training_manifest",
+    oracle=None,  # composed oracle attached below (needs textops' CTEs)
+    doc="final kept-training-set manifest per (lang, source): train "
+    "split ∧ quality gate ∧ near-dup canonical ∧ not decontaminated-out "
+    "— the four independently-oracled cleaning stages composed in one "
+    "plan and hash-proven to compose identically in SQL",
+)
+def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import REGISTRY
+    from .textops import _get_or_build_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash64_seeded(F.col("doc_id").cast("string"), _SEED) % 100
+    quality = REGISTRY["text_quality"].fn(spark, sf_dir)
+    dropped = (
+        _get_or_build_clusters(spark, sf_dir)
+        .filter(F.col("is_canonical") == 0)
+        .select("doc_id")
+    )
+    contaminated = (
+        REGISTRY["decontaminate"].fn(spark, sf_dir)
+        .select(F.col("train_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    base = d.select("doc_id", "source").withColumn("_train", bucket < 80)
+    kept = (
+        quality.filter(F.col("is_quality") == 1)
+        .join(base, "doc_id")
+        .filter(F.col("_train"))
+        .join(dropped, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def _attach_training_manifest_oracle() -> None:
+    from . import REGISTRY, QuerySpec
+    from .textops import _DEDUP_CLUSTERS_CTES
+
+    sql = (
+        _DEDUP_CLUSTERS_CTES
+        + f""",
+dropped AS (
+  SELECT u FROM reach GROUP BY u HAVING u != LEAST(u, MIN(v))
+),
+g AS ({_DECON_GRAMS_SQL}),
+tr AS (
+  SELECT doc_id, gh FROM g WHERE split = 'train'
+  QUALIFY count(*) OVER (PARTITION BY gh) <= {_DECON_DF_CAP}
+),
+te AS (SELECT doc_id AS test_doc_id, gh FROM g WHERE split = 'test'),
+j AS (
+  SELECT tr.doc_id AS train_doc_id, te.test_doc_id, count(*) AS n_shared
+  FROM tr JOIN te USING (gh) GROUP BY 1, 2
+),
+contaminated AS (
+  SELECT DISTINCT train_doc_id AS doc_id FROM j
+  WHERE n_shared >= {_DECON_MIN_SHARED}
+),
+q AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         CASE WHEN len(text) = 0 THEN 0.0
+              ELSE len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0 / len(text)
+         END AS p_ratio,
+         ({_HASH_SQL}) % 100 < 80 AS is_train
+  FROM documents
+)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM q
+WHERE is_train AND n_tokens >= 20 AND p_ratio < 0.1
+  AND doc_id NOT IN (SELECT u FROM dropped)
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+GROUP BY lang, source
+"""
+    )
+    spec = REGISTRY["training_manifest"]
+    REGISTRY["training_manifest"] = QuerySpec(fn=spec.fn, oracle=sql, doc=spec.doc)
+
+
+_attach_training_manifest_oracle()
