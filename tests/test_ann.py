@@ -393,3 +393,54 @@ def test_ivf_upsert_emptied_cell_directory_is_dropped(spark, embeddings, tmp_pat
     after = spark.read.parquet(path)
     assert after.filter(F.col("vec_id") == victim.vec_id).count() == 1
     assert after.count() == n_total
+
+
+def test_ivf_cell_split_preserves_search(spark, embeddings, tmp_path):
+    """Splitting the fullest cell rewrites only that directory, conserves
+    rows, shrinks max occupancy, and leaves full-probe search (== exact)
+    bit-identical under the returned centroid table."""
+    import os
+
+    from vectordb_acc_and_speed_exp_spark.operators.ann import (
+        ivf_ann_pruned,
+        ivf_cell_split,
+        write_ivf_corpus,
+    )
+
+    cents = kmeans_centroids(embeddings, n_cells=8)
+    path = str(tmp_path / "ivf_split")
+    write_ivf_corpus(ivf_assign(embeddings, cents), path)
+    layout = spark.read.parquet(path)
+    n_total = layout.count()
+    occ = {r.cell: r.n for r in layout.groupBy("cell").agg(
+        F.count("*").alias("n")).collect()}
+    fullest = max(occ, key=occ.get)
+
+    qs = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    def fullprobe(cent_df, n_probe):
+        res = ivf_ann_pruned(
+            qs, spark, path, cent_df, k=10, n_probe=n_probe, item_id="vec_id"
+        )
+        return sorted(
+            (int(r.query_id), int(r.rank), int(r.item_id), round(r.dist, 9))
+            for r in res.collect()
+        )
+
+    before = fullprobe(cents, 8)
+    new_cents, new_ids = ivf_cell_split(
+        spark, path, cents, int(fullest), n_subcells=2, item_id="vec_id"
+    )
+    assert len(new_ids) == 2 and min(new_ids) > max(occ)
+    assert not os.path.isdir(os.path.join(path, f"cell={fullest}"))
+    after_layout = spark.read.parquet(path)
+    assert after_layout.count() == n_total
+    occ2 = {r.cell: r.n for r in after_layout.groupBy("cell").agg(
+        F.count("*").alias("n")).collect()}
+    assert fullest not in occ2
+    assert sum(occ2[c] for c in new_ids) == occ[fullest]
+    assert max(occ2[c] for c in new_ids) < occ[fullest]
+    assert new_cents.count() == 9  # 8 - 1 + 2
+    assert fullprobe(new_cents, 9) == before

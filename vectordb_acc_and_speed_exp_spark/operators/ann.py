@@ -339,6 +339,72 @@ def ivf_index_upsert(
     return [int(c) for c in affected]
 
 
+def ivf_cell_split(
+    spark,
+    corpus_path: str,
+    centroids: DataFrame,
+    cell: int,
+    n_subcells: int = 2,
+    seed: int = 42,
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> tuple[DataFrame, list[int]]:
+    """Split one over-full IVF cell in place — the incremental REBALANCE a
+    drifting corpus needs between offline re-trains (the FAISS-world
+    analogue is a full retrain; a partitioned lakehouse layout can do
+    better because cells are directories).
+
+    Local KMeans over ONLY the split cell's rows (a partition-pruned
+    scan) trains ``n_subcells`` sub-centroids; the cell's rows are
+    rewritten under FRESH cell ids (max_cell+1..), the old directory is
+    removed, and the centroid table drops the split cell's row and gains
+    the sub-centroid rows. Every other directory is untouched bytes, so
+    the cost is O(split cell), not O(index).
+
+    Returns (new_centroids DataFrame, new cell ids). Search correctness
+    is layout-closure again: the rewritten layout + returned centroid
+    table describe exactly the same row set, so a full probe equals the
+    pre-split full probe bit-for-bit (tested), and pruned probes improve
+    because occupancy halves."""
+    import os
+    import shutil
+
+    old_rows = (
+        spark.read.parquet(corpus_path)
+        .filter(F.col("cell") == cell)
+        .drop("cell")
+        .localCheckpoint(eager=True)
+    )
+    n_in_cell = old_rows.count()
+    if n_in_cell == 0:
+        raise ValueError(f"cell {cell} is empty or absent")
+    max_cell = centroids.agg(F.max("cell")).first()[0]
+    sub = kmeans_centroids(
+        old_rows, n_cells=min(n_subcells, n_in_cell), item_vec=item_vec, seed=seed
+    )
+    # remap sub-cell ids 0..k-1 onto fresh global ids max_cell+1..
+    sub = sub.select(
+        (F.col("cell") + F.lit(int(max_cell) + 1)).alias("cell"), "centroid"
+    )
+    assigned = ivf_assign(old_rows, sub, item_vec=item_vec)
+    (
+        assigned.repartition("cell")
+        .sortWithinPartitions(item_id)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(corpus_path)
+    )
+    old_dir = os.path.join(corpus_path, f"cell={cell}")
+    if os.path.isdir(old_dir):
+        shutil.rmtree(old_dir)
+    new_cents = centroids.filter(F.col("cell") != cell).unionByName(sub)
+    new_ids = sorted(
+        int(r.cell) for r in assigned.select("cell").distinct().collect()
+    )
+    return new_cents, new_ids
+
+
 def drop_empty_cell_dirs(path: str, cells) -> None:
     """Remove ``cell=<c>`` directories whose cell was rewritten to empty by
     a dynamic-partition-overwrite upsert (local-filesystem layouts; on an

@@ -1119,3 +1119,64 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lm_s6"),
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage / OOV profile — the tokenizer-training prep metric:
+# fix the top-K corpus vocabulary by frequency (deterministic tie-break on
+# the token string) and report each document's out-of-vocabulary token
+# fraction on a 1e6 floor grid. High-OOV docs are the ones a fixed
+# tokenizer will shred into bytes; pipelines gate or re-route them.
+# Scale shape: one token-count aggregate, top-K via window (vocabulary-
+# sized, not corpus-sized), broadcast vocab membership onto one token
+# pass.
+# --------------------------------------------------------------------------
+_VOCAB_K = 2000
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS w
+             FROM documents WHERE len(trim(text)) > 0),
+cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY c DESC, w) AS r FROM cnt
+  ) WHERE r <= {_VOCAB_K}
+)
+SELECT tok.doc_id, count(*) AS n_toks,
+       CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(floor(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000000.0
+                  / count(*)) AS BIGINT) AS oov_s6
+FROM tok LEFT JOIN vocab v USING (w)
+GROUP BY tok.doc_id
+""",
+    doc="top-{} corpus vocabulary (freq desc, token tie-break) + per-doc "
+    "OOV token fraction on a 1e6 floor grid — the tokenizer-prep "
+    "coverage metric; vocab is broadcast-size, corpus scanned once".format(
+        _VOCAB_K
+    ),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("w"))
+    )
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    w_rank = Window.orderBy(F.desc("c"), F.asc("w"))
+    vocab = (
+        cnt.withColumn("r", F.row_number().over(w_rank))
+        .filter(F.col("r") <= _VOCAB_K)
+        .select("w", F.lit(1).alias("_in_vocab"))
+    )
+    joined = tok.join(F.broadcast(vocab), "w", "left")
+    oov = F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        oov.cast("bigint").alias("n_oov"),
+        F.floor(oov * 1000000.0 / F.count(F.lit(1))).cast("bigint").alias("oov_s6"),
+    )
