@@ -88,6 +88,7 @@ HEADLINE = [
     # round-over-round deltas stay mechanical)
     "eval_contamination_cosine",
     "embed_documents_md5",
+    "ann_bq_topk",
 ]
 
 

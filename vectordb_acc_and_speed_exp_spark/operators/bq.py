@@ -1,0 +1,201 @@
+"""Binary quantization (BQ) — 1-bit-per-dimension compressed search.
+
+The most aggressive compression point in the raw → SQ8 → PQ → BQ ladder:
+each dimension collapses to its sign against a per-dimension threshold (the
+corpus mean), so a 64-dim float32 vector (256 B) becomes 8 bytes — a 32×
+smaller scan. Production engines ship exactly this shape (Qdrant/Weaviate
+binary quantization, FAISS `IndexBinaryFlat` + refine): Hamming-distance
+shortlist over packed bit codes, then an exact re-rank of the shortlist
+against the raw vectors.
+
+What makes BQ special in THIS engine: the entire production path is
+hash-oracle-able, not just a full-fidelity degeneration. Thresholding,
+packing, Hamming, and the re-rank are all exact-integer or
+id-tie-broken-deterministic, so the `ann_bq_topk` gate entry compares the
+REAL approximate query bit-for-bit against DuckDB replaying the same
+arithmetic — the only ANN family whose fast path (not merely its
+degeneration) is provably identical across engines.
+
+Determinism contract (the repo-wide exact-grid trick):
+- scores are computed on ``s_i = CAST(round(x_i * 1e6) AS BIGINT)`` — the
+  scaled-integer grid used by embedding_dim_stats et al.;
+- the per-dim threshold is the corpus mean ON THE GRID, compared without
+  division: bit set iff ``s_i * n > sum_d`` (both exact BIGINTs, so
+  shuffle/summation order can never flip a boundary bit);
+- codes pack dims 1..32 into ``code_lo`` and 33..64 into ``code_hi`` (two
+  non-negative BIGINTs — avoids the sign bit of a single 64-bit word so the
+  same literals work in Spark and DuckDB without overflow games);
+- Hamming = ``bit_count(xor(lo,lo')) + bit_count(xor(hi,hi'))`` — JVM-side
+  codegen in Spark, identical builtins in DuckDB.
+
+Scale shape (100 TB): the train pass is one map-side-combined aggregate of
+64 BIGINT sums (nothing but 64 longs crosses the wire); encode is a pure
+codegen projection (8 B/row output — the whole 100 TB corpus compresses to
+~3 GB of codes per billion rows, small enough to cache in RAM across the
+cluster); the scan is shuffle-free with a per-query partial top-k, and the
+re-rank touches only ``shortlist`` rows per query.
+
+Reference anchor: this extends chromadb_acc_experiment.py:508-537 (exact
+L2 oracle + recall harness) with the compressed-scan family the reference
+delegates to hnswlib; see also EP5_COMPRESSION.md for where BQ sits on the
+bytes/recall curve vs SQ8 and PQ.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+GRID = 1_000_000  # the repo-wide exact-int grid (1e-6 resolution)
+
+
+def _scaled(v: Column) -> Column:
+    """array<bigint> of round(x * 1e6) — exact grid, order-independent."""
+    return F.transform(
+        v.cast("array<double>"),
+        lambda x: F.round(x * F.lit(float(GRID))).cast("bigint"),
+    )
+
+
+def bq_train(
+    corpus: DataFrame,
+    item_vec: str = "embedding",
+    dim: int | None = None,
+) -> tuple[np.ndarray, int]:
+    """Per-dimension scaled-int sums + row count (the mean threshold in
+    exact-comparison form: bit_d(x) = [s_d(x) * n > sums_d]).
+
+    ONE aggregate job of 64 codegen SUM expressions over the scaled array —
+    map-side partial aggregation; only 64 longs + a count reach the driver.
+    """
+    if dim is None:
+        dim = len(corpus.select(item_vec).first()[0])
+    sv = _scaled(F.col(item_vec))
+    aggs = [F.sum(F.element_at(sv, i + 1)).alias(f"s{i}") for i in range(dim)]
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    row = corpus.agg(*aggs).first()
+    sums = np.array([row[f"s{i}"] for i in range(dim)], dtype=np.int64)
+    return sums, int(row["n"])
+
+
+def bq_encode(
+    df: DataFrame,
+    sums: np.ndarray,
+    n: int,
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """(item_id, code_lo, code_hi[, passthrough...]) — pure codegen HOFs.
+
+    bit i set iff scaled[i] * n > sums[i] (exact BIGINT compare — no FP
+    boundary anywhere). dims 1..32 → code_lo, 33..64 → code_hi, bit (i-1)
+    resp. (i-33). ``s_i * n`` stays far inside BIGINT range even at 1e12
+    rows (|s_i| ≤ ~1e7 at unit-scale embeddings).
+    """
+    dim = len(sums)
+    half = dim // 2
+    sv = _scaled(F.col(item_vec))
+    thr = F.lit([int(x) for x in sums])
+    nn = F.lit(int(n))
+
+    def pack(lo_idx: int, hi_idx: int) -> Column:
+        # bit weight 2^(i-lo): F.shiftleft needs a literal int shift, so use
+        # pow() — exact in double for shifts < 53, ours max out at 31
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(lo_idx), F.lit(hi_idx)),
+                lambda i: F.when(
+                    F.get(sv, i - 1) * nn > F.get(thr, i - 1),
+                    F.pow(F.lit(2.0), (i - F.lit(lo_idx)).cast("double")).cast(
+                        "bigint"
+                    ),
+                ).otherwise(F.lit(0).cast("bigint")),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc.bitwiseOR(x),
+        )
+
+    keep = [
+        F.col(item_id).alias("item_id"),
+        pack(1, half).alias("code_lo"),
+        pack(half + 1, dim).alias("code_hi"),
+    ]
+    keep += [F.col(c) for c in passthrough]
+    return df.select(*keep)
+
+
+def hamming(lo_a: Column, hi_a: Column, lo_b: Column, hi_b: Column) -> Column:
+    """Hamming distance between two packed codes — pure codegen bit ops."""
+    return F.bit_count(lo_a.bitwiseXOR(lo_b)) + F.bit_count(hi_a.bitwiseXOR(hi_b))
+
+
+def bq_search_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    sums: np.ndarray,
+    n: int,
+    k: int = 10,
+    shortlist: int = 100,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> DataFrame:
+    """The production BQ path: Hamming shortlist over packed codes → exact
+    L2 re-rank of the shortlist. Returns (query_id, rank, item_id, dist,
+    hamming), rank 1..k by (dist, item_id).
+
+    Both stages are deterministic (integer Hamming with id tie-break; the
+    re-rank inherits exact_knn's (dist, id) ordering) so the WHOLE
+    approximate query hash-matches an external SQL replay. shortlist ≥
+    corpus degenerates to exact k-NN (tested).
+    """
+    from ..functions.vector import l2_dist
+
+    qcodes = bq_encode(
+        queries, sums, n, item_id=query_id, item_vec=query_vec
+    ).select(
+        F.col("item_id").alias("query_id"),
+        F.col("code_lo").alias("q_lo"),
+        F.col("code_hi").alias("q_hi"),
+    )
+    ccodes = bq_encode(corpus, sums, n, item_id=item_id, item_vec=item_vec)
+    scored = ccodes.crossJoin(F.broadcast(qcodes)).select(
+        "query_id",
+        "item_id",
+        hamming(
+            F.col("q_lo"), F.col("q_hi"), F.col("code_lo"), F.col("code_hi")
+        ).alias("hamming"),
+    )
+    wham = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("item_id")
+    )
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(wham))
+        .filter(F.col("_rn") <= shortlist)
+        .select("query_id", "item_id", "hamming")
+    )
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec")
+    )
+    vecs = corpus.select(
+        F.col(item_id).alias("item_id"), F.col(item_vec).alias("_cvec")
+    )
+    reranked = (
+        cand.join(vecs, "item_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "item_id",
+            "hamming",
+            l2_dist(F.col("_qvec"), F.col("_cvec")).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("item_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "dist", "hamming")
+    )

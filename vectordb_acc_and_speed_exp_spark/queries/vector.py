@@ -611,4 +611,144 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Binary quantization ([EXT]: Qdrant/Weaviate BQ, FAISS IndexBinaryFlat +
+# refine): 1 bit per dimension against the per-dim corpus mean, Hamming
+# shortlist over packed 2×32-bit codes, exact re-rank. Everything happens
+# on the exact-int grid (threshold compare s_i*n > Σs_i — no FP boundary),
+# so unlike every other ANN family the PRODUCTION approximate path is
+# hash-oracled directly, not via a full-fidelity degeneration.
+# --------------------------------------------------------------------------
+_BQ_CODES_SQL = """
+sc AS (
+  SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS ev,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000000) AS BIGINT)) AS sv
+  FROM embeddings
+),
+dims AS (
+  SELECT i, CAST(sum(sv[i]) AS BIGINT) AS s
+  FROM sc, range(1, 65) t(i) GROUP BY i
+),
+st AS (
+  SELECT (SELECT count(*) FROM sc) AS n,
+         (SELECT list(s ORDER BY i) FROM dims) AS thr
+)"""
+
+
+@register(
+    "bq_build_stats",
+    oracle="""
+WITH e AS (
+  SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS s
+  FROM embeddings
+), st AS (
+  SELECT dim, CAST(sum(s) AS BIGINT) AS thr_sum, count(*) AS n
+  FROM e GROUP BY dim
+)
+SELECT st.dim, st.thr_sum, st.n,
+       CAST(sum(CASE WHEN e.s * st.n > st.thr_sum THEN 1 ELSE 0 END)
+            AS BIGINT) AS bits_set
+FROM e JOIN st USING (dim)
+GROUP BY st.dim, st.thr_sum, st.n
+""",
+    doc="binary-quantization build profile: per-dim scaled-int threshold "
+    "sum and the resulting bit balance (mean-split => bits_set ~ n/2); the "
+    "train pass is one 64-sum aggregate, the balance audit one more scan",
+)
+def bq_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.posexplode("embedding").alias("pos", "v")).select(
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.round(F.col("v").cast("double") * 1000000).cast("bigint").alias("s"),
+    )
+    st = e.groupBy("dim").agg(
+        F.sum("s").alias("thr_sum"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        e.join(F.broadcast(st), "dim")
+        .groupBy("dim", "thr_sum", "n")
+        .agg(
+            F.sum(
+                (F.col("s") * F.col("n") > F.col("thr_sum")).cast("int")
+            ).cast("bigint").alias("bits_set")
+        )
+    )
+
+
+@register(
+    "ann_bq_topk",
+    oracle=f"""
+WITH q AS ({_QUERY_SET_SQL}),
+{_BQ_CODES_SQL},
+codes AS (
+  SELECT item_id, ev,
+    CAST(list_sum(list_transform(range(1, 33),
+      i -> CASE WHEN sv[i] * st.n > st.thr[i]
+                THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)) AS BIGINT)
+      AS c_lo,
+    CAST(list_sum(list_transform(range(33, 65),
+      i -> CASE WHEN sv[i] * st.n > st.thr[i]
+                THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END)) AS BIGINT)
+      AS c_hi
+  FROM sc, st
+),
+qcodes AS (
+  SELECT query_id, qv,
+    CAST(list_sum(list_transform(range(1, 33),
+      i -> CASE WHEN CAST(round(qv[i] * 1000000) AS BIGINT) * st.n > st.thr[i]
+                THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)) AS BIGINT)
+      AS q_lo,
+    CAST(list_sum(list_transform(range(33, 65),
+      i -> CASE WHEN CAST(round(qv[i] * 1000000) AS BIGINT) * st.n > st.thr[i]
+                THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END)) AS BIGINT)
+      AS q_hi
+  FROM q, st
+),
+ham AS (
+  SELECT qc.query_id, c.item_id, qc.qv, c.ev,
+         bit_count(xor(qc.q_lo, c.c_lo)) + bit_count(xor(qc.q_hi, c.c_hi))
+           AS hamming
+  FROM codes c CROSS JOIN qcodes qc
+),
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY hamming, item_id) AS rn
+  FROM ham
+),
+rer AS (
+  SELECT query_id, item_id, hamming, {_L2_SQL} AS dist
+  FROM cand WHERE rn <= 100
+),
+ranked AS (
+  SELECT query_id, item_id, hamming, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, item_id)
+           AS rank
+  FROM rer
+)
+SELECT query_id, rank, item_id, round(dist, 4) AS dist_r,
+       CAST(hamming AS BIGINT) AS hamming
+FROM ranked WHERE rank <= 10
+""",
+    doc="binary-quantization ANN, the PRODUCTION path hash-oracled (not a "
+    "degeneration): 1-bit/dim mean-threshold codes packed into 2x32-bit "
+    "words, codegen Hamming (bit_count+xor) shortlist of 100, exact L2 "
+    "re-rank to top-10 — 32x fewer scan bytes, all on the exact-int grid",
+)
+def ann_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bq import bq_search_rerank, bq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sums, n = bq_train(emb, item_vec="embedding", dim=64)
+    res = bq_search_rerank(
+        _query_set(spark, sf_dir), emb, sums, n, k=10, shortlist=100,
+        item_id="vec_id",
+    )
+    return res.select(
+        "query_id", "rank", "item_id",
+        F.round("dist", 4).alias("dist_r"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    )
+
 _attach_contamination_oracle()
