@@ -496,3 +496,67 @@ def parent_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("best6") / 1_000_000.0, 4).alias("best_chunk_bm25_r"),
         "n_hit_chunks",
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-vector (ColBERT-style) late interaction ([EXT]): docs carry MANY
+# vectors; score = sum over query tokens of the best doc-token cosine
+# (MaxSim). Multi-vector structure is synthesized deterministically from
+# the embeddings table: doc d = vectors with vec_id//8 == d (8 tokens per
+# doc), query q = vectors with vec_id//5 == q over vec_id < 15 (3 queries
+# x 5 tokens). Per-token maxima land on the exact 1e6 int grid before the
+# sum, so the whole operator hash-matches (see operators/multivector.py).
+# --------------------------------------------------------------------------
+@register(
+    "maxsim_multivector_topk",
+    oracle=f"""
+WITH qt AS (
+  SELECT CAST(vec_id // 5 AS BIGINT) AS qid, vec_id AS qtok,
+         CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 15
+),
+dt AS (
+  SELECT CAST(vec_id // 8 AS BIGINT) AS doc_id,
+         CAST(embedding AS DOUBLE[]) AS ev
+  FROM embeddings
+),
+pair AS (
+  SELECT qid, qtok, doc_id, {_COS_SQL} AS cos
+  FROM qt CROSS JOIN dt
+),
+best AS (
+  SELECT qid, qtok, doc_id, CAST(round(max(cos) * 1000000) AS BIGINT) AS m
+  FROM pair GROUP BY qid, qtok, doc_id
+),
+score AS (
+  SELECT qid, doc_id, CAST(sum(m) AS BIGINT) AS score_s6
+  FROM best GROUP BY qid, doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, score_s6,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score_s6 DESC, doc_id) AS rank
+  FROM score
+)
+SELECT qid, rank, doc_id, score_s6 FROM ranked WHERE rank <= 10
+""",
+    doc="ColBERT-style MaxSim late interaction, fully hash-oracled: "
+    "3 multi-token queries (5 vectors each) against multi-vector docs "
+    "(8 vectors each); per-query-token max cosine on the exact 1e6 grid, "
+    "summed as bigints; one (qid, doc_id) shuffle, query tokens broadcast",
+)
+def maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multivector import maxsim_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qt = emb.filter(F.col("vec_id") < 15).select(
+        F.floor(F.col("vec_id") / 5).cast("bigint").alias("qid"),
+        F.col("vec_id").alias("qtok"),
+        F.col("embedding").alias("qv"),
+    )
+    dt = emb.select(
+        F.floor(F.col("vec_id") / 8).cast("bigint").alias("doc_id"),
+        F.col("vec_id").alias("dtok"),
+        F.col("embedding").alias("ev"),
+    )
+    return maxsim_topk(qt, dt, k=10)
