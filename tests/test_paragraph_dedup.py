@@ -1,0 +1,77 @@
+"""Paragraph (block) dedup — queries/textops.py::_paragraph_dedup_frame."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from vectordb_acc_and_speed_exp_spark.queries.textops import (
+    _paragraph_dedup_frame,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_crafted_duplicate_block_dropped(spark):
+    """Two docs share a 4-token block: doc 0 (first in order) keeps it,
+    doc 1 loses it and reassembles from its remaining block only."""
+    shared = "alpha beta gamma delta"
+    uniq = "one two three four"
+    rows = [(0, shared), (1, f"{shared} {uniq}")]
+    out = {
+        r.doc_id: r
+        for r in _paragraph_dedup_frame(_mk(spark, rows), block_tokens=4).collect()
+    }
+    assert out[0].n_blocks == 1 and out[0].n_kept == 1
+    assert out[1].n_blocks == 2 and out[1].n_kept == 1
+    assert out[0].dedup_md5 == hashlib.md5(shared.encode()).hexdigest()
+    assert out[1].dedup_md5 == hashlib.md5(uniq.encode()).hexdigest()
+
+
+def test_within_doc_repetition_dropped(spark):
+    """The same block repeated inside ONE doc is kept once."""
+    rows = [(7, "a b c d a b c d a b c d")]
+    out = _paragraph_dedup_frame(_mk(spark, rows), block_tokens=4).collect()
+    assert len(out) == 1
+    assert out[0].n_blocks == 3 and out[0].n_kept == 1
+    assert out[0].dedup_md5 == hashlib.md5(b"a b c d").hexdigest()
+
+
+def test_no_duplicates_is_identity(spark):
+    """All-unique blocks: reassembly equals the normalized original."""
+    rows = [(1, "p q r s t u v w"), (2, "x y z zz")]
+    out = {
+        r.doc_id: r
+        for r in _paragraph_dedup_frame(_mk(spark, rows), block_tokens=4).collect()
+    }
+    assert out[1].n_kept == out[1].n_blocks == 2
+    assert out[1].dedup_md5 == hashlib.md5(b"p q r s t u v w").hexdigest()
+    assert out[2].dedup_md5 == hashlib.md5(b"x y z zz").hexdigest()
+
+
+def test_partial_tail_block_is_its_own_unit(spark):
+    """A doc whose length is not a block multiple gets a short tail block,
+    deduped as a unit like any other."""
+    rows = [(1, "a b c d e"), (2, "e")]
+    out = {
+        r.doc_id: r
+        for r in _paragraph_dedup_frame(_mk(spark, rows), block_tokens=4).collect()
+    }
+    # doc 1 = [a b c d][e]; doc 2 = [e] which duplicates doc 1's tail
+    assert out[1].n_blocks == 2 and out[1].n_kept == 2
+    assert out[2].n_blocks == 1 and out[2].n_kept == 0
+    assert out[2].dedup_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_corpus_run_counts_consistent(documents):
+    out = _paragraph_dedup_frame(documents)
+    agg = out.agg(
+        F.sum("n_blocks").alias("b"),
+        F.sum("n_kept").alias("k"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert agg.n == documents.filter(F.length(F.trim("text")) > 0).count()
+    assert 0 < agg.k <= agg.b

@@ -1180,3 +1180,113 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         oov.cast("bigint").alias("n_oov"),
         F.floor(oov * 1000000.0 / F.count(F.lit(1))).cast("bigint").alias("oov_s6"),
     )
+
+
+# --------------------------------------------------------------------------
+# Paragraph-level dedup ([EXT]: the CCNet / RefinedWeb sub-document dedup
+# stage): documents are segmented into deterministic 12-token blocks
+# ("pseudo-paragraphs" — the synthetic corpus has no newline structure, so
+# segmentation is positional), every block whose normalized text already
+# appeared earlier in (doc_id, block_idx) order is dropped, and each doc is
+# reassembled from its surviving blocks. Emits per-doc block counts plus
+# the md5 of the reassembled text, which hash-proves the reassembly —
+# dedup at finer-than-document granularity, the stage that removes
+# boilerplate repeated across pages that document-level MinHash misses.
+#
+# Scale shape: one explode of the token stream (the same width as every
+# other shingle stage), ONE shuffle on the block hash for first-occurrence
+# ranking, one (doc_id) rollup. No joins, no driver state; keep-first is a
+# pure function of the global (doc_id, block_idx) order so the result is
+# stable under any partitioning.
+# --------------------------------------------------------------------------
+@register(
+    "paragraph_dedup",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+  WHERE length(trim(text)) > 0
+),
+tok AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(toks, 1) AS BIGINT) - 1 AS pos,
+         unnest(toks) AS w
+  FROM t
+),
+blocks AS (
+  SELECT doc_id, pos // 12 AS block_idx,
+         string_agg(w, ' ' ORDER BY pos) AS btext
+  FROM tok GROUP BY doc_id, pos // 12
+),
+firsts AS (
+  SELECT doc_id, block_idx, btext,
+         row_number() OVER (PARTITION BY md5(btext)
+                            ORDER BY doc_id, block_idx) AS rn
+  FROM blocks
+)
+SELECT doc_id,
+       count(*) AS n_blocks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN btext END, ' '
+                               ORDER BY block_idx), '')) AS dedup_md5
+FROM firsts GROUP BY doc_id
+""",
+    doc="CCNet-style paragraph (12-token block) dedup: keep the first "
+    "occurrence of every block in (doc_id, block_idx) order, reassemble "
+    "docs from surviving blocks; md5 of the reassembled text hash-proves "
+    "the reassembly; one block-hash shuffle + one doc rollup",
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _paragraph_dedup_frame(load_table(spark, sf_dir, "documents"))
+
+
+def _paragraph_dedup_frame(d: DataFrame, block_tokens: int = 12) -> DataFrame:
+    """Core of ``paragraph_dedup`` over any (doc_id, text) frame —
+    exposed for crafted-duplication tests."""
+    from pyspark.sql import Window
+
+    toks = tokens(norm_text(F.col("text")))
+    blocks = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(
+                            F.size("toks") / F.lit(float(block_tokens))
+                        ).cast("int")
+                        - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(
+                            F.col("toks"),
+                            i * block_tokens + 1,
+                            block_tokens,
+                        ),
+                        " ",
+                    ),
+                )
+            ).alias("block_idx", "btext"),
+        )
+        .select("doc_id", F.col("block_idx").cast("bigint").alias("block_idx"), "btext")
+    )
+    w = Window.partitionBy(F.md5("btext")).orderBy("doc_id", "block_idx")
+    flagged = blocks.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct("block_idx", "btext")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum((F.col("rn") == 1).cast("int")).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["btext"],
+                ),
+                " ",
+            )
+        ).alias("dedup_md5"),
+    )
