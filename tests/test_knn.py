@@ -78,3 +78,27 @@ def test_recall_truncates_to_k(spark):
     )
     assert recall_at_k(gt, ret, k=5).first().recall == 0.0
     assert recall_at_k(gt, ret, k=10).first().recall == 0.5
+
+
+def test_ip_metric_matches_numpy(query_set, embeddings):
+    """MIPS ranking parity: negated-dot ordering == numpy argsort of -dot."""
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in embeddings.collect()
+    }
+    ids = sorted(emb)
+    mat = np.stack([emb[i] for i in ids])
+    got = exact_knn(
+        query_set, embeddings, k=10, metric="ip", item_id="vec_id"
+    ).collect()
+    for q in query_set.collect():
+        qv = np.array(q.query_vec, dtype=np.float64)
+        d = -(mat @ qv)
+        order = np.lexsort((ids, d))[:10]
+        expect = [ids[i] for i in order]
+        mine = [
+            r.item_id
+            for r in sorted(got, key=lambda r: r.rank)
+            if r.query_id == q.query_id
+        ]
+        assert mine == expect

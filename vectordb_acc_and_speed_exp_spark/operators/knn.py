@@ -18,12 +18,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_sim, l2_dist
+from ..functions.vector import cosine_sim, dot, l2_dist
 
 METRICS = {
     "l2": lambda q, v: l2_dist(q, v),
     # cosine *distance* so that smaller-is-closer holds for every metric
     "cosine": lambda q, v: 1.0 - cosine_sim(q, v),
+    # max inner product (MIPS) as negated dot so smaller-is-closer holds —
+    # the third metric of the production trio (pgvector <#>, FAISS
+    # METRIC_INNER_PRODUCT, ChromaDB hnsw:space=ip)
+    "ip": lambda q, v: -dot(q, v),
 }
 
 

@@ -752,3 +752,108 @@ def ann_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 _attach_contamination_oracle()
+
+
+# --------------------------------------------------------------------------
+# V2 inner-product variant ([EXT]): max-inner-product search (MIPS) — the
+# third metric of the production trio (pgvector `<#>`, FAISS
+# METRIC_INNER_PRODUCT, ChromaDB hnsw:space=ip). Ranked on the negated dot
+# so smaller-is-closer holds across METRICS; emitted as the dot product.
+# --------------------------------------------------------------------------
+@register(
+    "knn_exact_ip",
+    oracle=f"""
+WITH q AS ({_QUERY_SET_SQL}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS item_id, CAST(e.embedding AS DOUBLE[]) AS ev, q.qv
+  FROM embeddings e CROSS JOIN q
+), dots AS (
+  SELECT query_id, item_id, {_DOT_SQL} AS dp FROM scored
+), ranked AS (
+  SELECT query_id, item_id, dp,
+         row_number() OVER (PARTITION BY query_id ORDER BY dp DESC, item_id)
+           AS rank
+  FROM dots
+)
+SELECT query_id, rank, item_id, round(dp, 4) AS dot_r
+FROM ranked WHERE rank <= 10
+""",
+    doc="exact max-inner-product (MIPS) top-10 — negated-dot ordering with "
+    "id tie-break; same broadcast + codegen-HOF scan as knn_exact_l2",
+)
+def knn_exact_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = exact_knn(
+        _query_set(spark, sf_dir), emb, k=10, metric="ip", item_id="vec_id"
+    )
+    return res.select(
+        "query_id", "rank", "item_id",
+        F.round(-F.col("dist"), 4).alias("dot_r"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding outlier scan ([EXT]: embedding hygiene — catch degenerate /
+# corrupted vectors before they poison an index or a dedup threshold).
+# Per-dim mean/std come from the same exact-int machinery as
+# embedding_dim_stats; a vector's outlier score is its max |z| across
+# dims. All doubles derive from identical exact-int sums on both engines,
+# so comparisons and round(4) agree bit-for-bit.
+# --------------------------------------------------------------------------
+@register(
+    "embedding_outliers",
+    oracle="""
+WITH e AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS s
+  FROM embeddings
+), st AS (
+  SELECT dim,
+         sum(s) * 1.0 / count(*) AS mu,
+         sqrt(sum(s * s) * 1.0 / count(*)
+              - (sum(s) * 1.0 / count(*)) ^ 2) AS sigma
+  FROM e GROUP BY dim
+), z AS (
+  SELECT e.vec_id,
+         abs((e.s - st.mu) / st.sigma) AS az
+  FROM e JOIN st USING (dim) WHERE st.sigma > 0
+)
+SELECT vec_id,
+       round(max(az), 4) AS max_z_r,
+       CAST(sum(CASE WHEN az > 2.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dims_over
+FROM z GROUP BY vec_id
+""",
+    doc="embedding hygiene: per-vector max |z| across dims (stats on the "
+    "exact-int grid => identical doubles both engines); n_dims_over counts "
+    "|z| > 2.5 — the corrupted-vector screen run before index builds",
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.round(F.col("v").cast("double") * 1000000).cast("bigint").alias("s"),
+    )
+    n = F.count(F.lit(1))
+    mu = F.sum("s") * 1.0 / n
+    st = e.groupBy("dim").agg(
+        mu.alias("mu"),
+        F.sqrt(
+            F.sum(F.col("s") * F.col("s")) * 1.0 / n - mu * mu
+        ).alias("sigma"),
+    )
+    z = (
+        e.join(F.broadcast(st), "dim")
+        .filter(F.col("sigma") > 0)
+        .select(
+            "vec_id", F.abs((F.col("s") - F.col("mu")) / F.col("sigma")).alias("az")
+        )
+    )
+    return z.groupBy("vec_id").agg(
+        F.round(F.max("az"), 4).alias("max_z_r"),
+        F.sum((F.col("az") > 2.5).cast("int")).cast("bigint").alias("n_dims_over"),
+    )
