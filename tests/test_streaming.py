@@ -345,3 +345,44 @@ def test_stream_maintains_composed_ivfsq_index(spark, tmp_path):
         for r in exact_knn(qs, emb, k=10, item_id="vec_id").collect()
     )
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream interval join (purchase x preceding-hour
+    clicks per user) on bounded replay == the identical batch join."""
+    from vectordb_acc_and_speed_exp_spark.io import load_table
+    from vectordb_acc_and_speed_exp_spark.streaming.events import (
+        purchase_click_join_stream,
+        read_events_stream,
+        run_stream_to_batch,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    got = run_stream_to_batch(
+        purchase_click_join_stream(stream), mode="append"
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    import pyspark.sql.functions as F
+
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 60 MINUTES")),
+    ).select("purchase_id", "click_id")
+
+    got_pairs = sorted((r.purchase_id, r.click_id) for r in got.collect())
+    want_pairs = sorted((r.purchase_id, r.click_id) for r in batch.collect())
+    assert got_pairs == want_pairs
+    assert len(got_pairs) > 0

@@ -192,3 +192,49 @@ def stream_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def purchase_click_join_stream(
+    events: DataFrame, lookback_minutes: int = 60, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the preceding ``lookback_minutes`` — the attribution
+    join, run ONLINE. Both sides are watermarked and the join condition
+    carries the time bound, which is what lets Spark expire buffered state
+    (state per side ≈ watermark + lookback of events, independent of
+    stream length — the 100 TB/day-safe shape).
+
+    Both sides derive from the same source stream (a self-join of the
+    events stream split by event_type). Append-mode output; batch twin =
+    the identical DataFrame join on the bounded table
+    (test_streaming.py::test_stream_stream_join_matches_batch).
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = clicks.withWatermark("click_ts", watermark)
+    p = purchases.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback_minutes} MINUTES")
+        )
+    )
+    return p.join(c, cond, "inner").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+        "purchase_value",
+    )
