@@ -1290,3 +1290,76 @@ def _paragraph_dedup_frame(d: DataFrame, block_tokens: int = 12) -> DataFrame:
             )
         ).alias("dedup_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-document duplicated-span profile ([EXT]: the word-8-gram overlap
+# measure of "Deduplicating Training Data Makes Language Models Better" —
+# Lee et al. 2022 — applied as a per-doc score). repetition_profile is the
+# INTRA-doc Gopher rule; this is its CROSS-doc twin: for every document,
+# the fraction of its 8-gram occurrences that also appear in at least one
+# OTHER document. High scores mark templated / boilerplate docs that
+# survive document-level dedup.
+# Scale: only md5 hashes shuffle (never text); gram->doc-count is one
+# map-side-combinable aggregate; the join back is hash-partitioned on the
+# gram. Emitted fraction on the exact 1e6 grid (floor — no rounding ties).
+# --------------------------------------------------------------------------
+@register(
+    "duplicated_ngram_spans",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+  WHERE length(trim(text)) > 0
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(toks) - 7, 1) + 1),
+           i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))
+         )) AS gh
+  FROM t
+),
+docs_per AS (
+  SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh
+)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(floor(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000.0
+                  / count(*)) AS BIGINT) AS dup_s6
+FROM g JOIN docs_per USING (gh)
+GROUP BY doc_id
+""",
+    doc="cross-doc duplicated 8-gram fraction per doc (Lee et al. 2022 "
+    "span-dedup measure): gram occurrences whose hash appears in >1 "
+    "distinct doc; hash-only shuffles, exact-int emitted fraction",
+)
+def duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles_from_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", tokens(norm_text(F.col("text"))).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                word_shingles_from_tokens(F.col("toks"), 8)
+            ).alias("sh"),
+        )
+        .select("doc_id", F.md5("sh").alias("gh"))
+    )
+    docs_per = g.groupBy("gh").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    dup = (F.col("nd") > 1).cast("int")
+    return (
+        g.join(docs_per, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(dup).cast("bigint").alias("n_dup"),
+            F.floor(
+                F.sum(dup) * 1000000.0 / F.count(F.lit(1))
+            ).cast("bigint").alias("dup_s6"),
+        )
+    )
