@@ -282,6 +282,7 @@ def compression_fidelity_sweep(
     import tempfile
 
     from .operators.ann import ivf_assign, kmeans_centroids, write_ivf_corpus
+    from .operators.bq import bq_search_rerank, bq_train
     from .operators.pq import pq_encode, pq_search, pq_search_rerank, pq_train
     from .operators.sq import (
         ivfsq_search,
@@ -327,6 +328,33 @@ def compression_fidelity_sweep(
         ).first().mean_recall
         rows.append((n, "sq8_rerank", round(float(r_sqr), 4), float(dim), 1.0))
         enc.unpersist()
+
+        # BQ: 1 bit/dim (dim/8 B/vec — 32x). shortlist=k == raw Hamming
+        # top-k as a SET (the re-rank only reorders inside it), so bq_raw
+        # is the no-rerank fidelity; bq_rerank is the production path.
+        bsums, bn = bq_train(snap, item_vec="embedding", dim=dim)
+        r_bq = mean_recall(
+            recall_at_k(
+                gt,
+                bq_search_rerank(
+                    queries, snap, bsums, bn, k=k, shortlist=k,
+                    item_id="vec_id",
+                ),
+                k=k,
+            )
+        ).first().mean_recall
+        rows.append((n, "bq_raw", round(float(r_bq), 4), dim / 8.0, 1.0))
+        r_bqr = mean_recall(
+            recall_at_k(
+                gt,
+                bq_search_rerank(
+                    queries, snap, bsums, bn, k=k, shortlist=100,
+                    item_id="vec_id",
+                ),
+                k=k,
+            )
+        ).first().mean_recall
+        rows.append((n, "bq_rerank", round(float(r_bqr), 4), dim / 8.0, 1.0))
 
         books = pq_train(snap, m=8, k=16, sample_fraction=min(1.0, 20000 / n))
         penc = pq_encode(snap, books, item_id="vec_id").cache()

