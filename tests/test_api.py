@@ -40,7 +40,7 @@ def test_query_by_text_finds_itself(store, documents):
 def test_query_modes_agree_on_top1(store, documents):
     texts = [documents.limit(1).first().text]
     tops = {}
-    for mode in ("exact", "blas", "lsh", "graph"):
+    for mode in ("exact", "blas", "lsh", "graph", "bq"):
         r = store.query("papers", query_texts=texts, k=3, mode=mode).collect()
         tops[mode] = [x.item_id for x in sorted(r, key=lambda x: x.rank)][0]
     assert len(set(tops.values())) == 1, tops

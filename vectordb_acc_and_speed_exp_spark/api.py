@@ -292,6 +292,17 @@ class VectorStore:
                 qdf.select("query_id", F.col("query_vec").cast("array<double>").alias("query_vec")),
                 self.spark, path, k=k,
             )
+        if mode == "bq":
+            from .operators.bq import bq_search_rerank, bq_train
+
+            # binary-quantized scan (32x fewer bytes) + exact re-rank; the
+            # thresholds retrain per call from the (possibly where-filtered)
+            # corpus — deterministic, so repeated calls agree bit-for-bit
+            sums, n = bq_train(corpus, item_vec="embedding", dim=self.dim)
+            return bq_search_rerank(
+                qdf, corpus, sums, n, k=k, shortlist=max(10 * k, 100),
+                item_id="id", item_vec="embedding",
+            ).select("query_id", "rank", "item_id", "dist")
         raise ValueError(
-            f"unknown mode {mode!r}; one of exact/blas/lsh/graph/mmr/hybrid"
+            f"unknown mode {mode!r}; one of exact/blas/lsh/graph/bq/mmr/hybrid"
         )

@@ -274,9 +274,13 @@ def compression_fidelity_sweep(
     short-list coverage (1.00 at 1k, 0.74 at 58k with shortlist=100).
     The composed ivfsq_p4 holds 1.00 → 0.72 at 16× fewer effective
     scanned bytes (64 B codes × 25% of directories) — recall bounded by
-    cell coverage, not SQ fidelity. The engine answer at 100 TB: scan SQ8
-    hot, IVF-SQ/IVF-PQ cold, re-rank exact, size short-list/probes to the
-    recall target.
+    cell coverage, not SQ fidelity. BQ (1 bit/dim, 8 B/vec = 32×) with
+    shortlist-100 re-rank holds 1.00 → 0.90 at 58k — the best
+    bytes-to-recall point past SQ8, with a pure-JVM Hamming kernel
+    (bq_raw alone decays 0.56 → 0.42: sign bits lose magnitude; the
+    re-rank recovers it, the Qdrant/Weaviate rescoring recipe). The
+    engine answer at 100 TB: scan SQ8 hot, BQ or IVF-SQ/IVF-PQ cold,
+    re-rank exact, size short-list/probes to the recall target.
     """
     import shutil
     import tempfile
