@@ -89,6 +89,10 @@ HEADLINE = [
     "eval_contamination_cosine",
     "embed_documents_md5",
     "ann_bq_topk",
+    "maxsim_multivector_topk",
+    "paragraph_dedup",
+    "duplicated_ngram_spans",
+    "gopher_quality_filter",
 ]
 
 

@@ -560,3 +560,64 @@ def maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("ev"),
     )
     return maxsim_topk(qt, dt, k=10)
+
+
+# --------------------------------------------------------------------------
+# Embedding pooling ([EXT]: the chunk-vectors -> doc-vector reduction every
+# multi-vector store needs when serving single-vector consumers; SBERT
+# itself is mean-pooling over token vectors). Mean on the exact 1e6 int
+# grid (floor of the scaled sum / count — no float-sum order dependence),
+# max as exact scaled ints. Emits the pooled vectors as bigint arrays so
+# the hash compare is bit-exact.
+# Scale: one (doc) shuffle of scaled-int arrays; zip_with-based partial
+# aggregation would push the element-wise sum map-side via treeAggregate —
+# here the explode+groupBy(doc, dim) shape gets map-side combine for free.
+# --------------------------------------------------------------------------
+@register(
+    "embedding_pooling",
+    oracle="""
+WITH e AS (
+  SELECT CAST(vec_id // 8 AS BIGINT) AS doc_id,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS s
+  FROM embeddings
+),
+pooled AS (
+  SELECT doc_id, dim,
+         CAST(floor(sum(s) * 1.0 / count(*)) AS BIGINT) AS mean_s6,
+         max(s) AS max_s6
+  FROM e GROUP BY doc_id, dim
+)
+SELECT doc_id,
+       list(mean_s6 ORDER BY dim) AS mean_vec_s6,
+       list(max_s6 ORDER BY dim) AS max_vec_s6
+FROM pooled GROUP BY doc_id
+""",
+    doc="mean/max pooling of multi-vector docs (8 member vectors each) to "
+    "single doc vectors on the exact 1e6 grid — emitted as bigint arrays, "
+    "bit-exact under any shuffle order",
+)
+def embedding_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.floor(F.col("vec_id") / 8).cast("bigint").alias("doc_id"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.round(F.col("v").cast("double") * 1000000).cast("bigint").alias("s"),
+    )
+    pooled = e.groupBy("doc_id", "dim").agg(
+        F.floor(F.sum("s") * 1.0 / F.count(F.lit(1))).cast("bigint").alias("mean_s6"),
+        F.max("s").alias("max_s6"),
+    )
+    return pooled.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean_s6"))),
+            lambda x: x["mean_s6"],
+        ).alias("mean_vec_s6"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "max_s6"))),
+            lambda x: x["max_s6"],
+        ).alias("max_vec_s6"),
+    )
