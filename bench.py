@@ -93,6 +93,7 @@ HEADLINE = [
     "paragraph_dedup",
     "duplicated_ngram_spans",
     "gopher_quality_filter",
+    "ann_ivfbq_topk",
 ]
 
 

@@ -95,3 +95,122 @@ def test_recall_floor_at_shortlist100(bq_params, embeddings, query_set):
     want = {(r.query_id, r.item_id) for r in exact.collect()}
     recall = len(got & want) / len(want)
     assert recall >= 0.5, f"BQ recall@10 {recall:.2f} below floor"
+
+
+def test_ivfbq_fullprobe_equals_exact(
+    spark, query_set, embeddings, bq_params, tmp_path
+):
+    """IVF-BQ with every cell probed and a corpus-sized short-list == exact
+    kNN (the composed metamorphic identity), and the codes layout is
+    really cell-partitioned."""
+    import os
+
+    from vectordb_acc_and_speed_exp_spark.operators.ann import (
+        ivf_assign,
+        kmeans_centroids,
+        write_ivf_corpus,
+    )
+    from vectordb_acc_and_speed_exp_spark.operators.bq import (
+        ivfbq_search,
+        write_ivfbq_codes,
+    )
+
+    sums, n = bq_params
+    cents = kmeans_centroids(embeddings, n_cells=8)
+    assigned = ivf_assign(embeddings, cents)
+    corpus_path = str(tmp_path / "ivfbq_corpus")
+    codes_path = str(tmp_path / "ivfbq_codes")
+    write_ivf_corpus(assigned, corpus_path)
+    write_ivfbq_codes(assigned, sums, n, codes_path, item_id="vec_id")
+    assert len([d for d in os.listdir(codes_path) if d.startswith("cell=")]) >= 2
+
+    corp_n = embeddings.count()
+    got = ivfbq_search(
+        query_set, spark, codes_path, corpus_path, cents, sums, n,
+        k=10, n_probe=8, shortlist=corp_n, item_id="vec_id",
+    )
+    gt = exact_knn(query_set, embeddings, k=10, item_id="vec_id")
+    assert sorted((r.query_id, r.rank, r.item_id) for r in got.collect()) == sorted(
+        (r.query_id, r.rank, r.item_id) for r in gt.collect()
+    )
+
+
+def test_ivfbq_pruned_recall(spark, query_set, embeddings, bq_params, tmp_path):
+    """Production config (4 of 8 cells, shortlist 100): recall@10 >= 0.5
+    (cell coverage binds first, then sign-bit fidelity)."""
+    from vectordb_acc_and_speed_exp_spark.operators.ann import (
+        ivf_assign,
+        kmeans_centroids,
+        write_ivf_corpus,
+    )
+    from vectordb_acc_and_speed_exp_spark.operators.bq import (
+        ivfbq_search,
+        write_ivfbq_codes,
+    )
+    from vectordb_acc_and_speed_exp_spark.operators.recall import (
+        mean_recall,
+        recall_at_k,
+    )
+
+    sums, n = bq_params
+    cents = kmeans_centroids(embeddings, n_cells=8)
+    assigned = ivf_assign(embeddings, cents)
+    corpus_path = str(tmp_path / "pbq_corpus")
+    codes_path = str(tmp_path / "pbq_codes")
+    write_ivf_corpus(assigned, corpus_path)
+    write_ivfbq_codes(assigned, sums, n, codes_path, item_id="vec_id")
+    ann = ivfbq_search(
+        query_set, spark, codes_path, corpus_path, cents, sums, n,
+        k=10, n_probe=4, shortlist=100, item_id="vec_id",
+    )
+    gt = exact_knn(query_set, embeddings, k=10, item_id="vec_id")
+    r = mean_recall(recall_at_k(gt, ann, k=10)).first().mean_recall
+    assert r >= 0.5, f"IVF-BQ recall too low: {r}"
+
+
+def test_ivfbq_codes_upsert_lockstep(
+    spark, query_set, embeddings, bq_params, tmp_path
+):
+    """After rewriting some cells of the base corpus, re-encoding exactly
+    those cells with frozen thresholds reproduces the from-scratch code
+    table byte-for-byte (the derived-artifact lockstep contract)."""
+    import pyspark.sql.functions as F
+
+    from vectordb_acc_and_speed_exp_spark.operators.ann import (
+        ivf_assign,
+        kmeans_centroids,
+        write_ivf_corpus,
+    )
+    from vectordb_acc_and_speed_exp_spark.operators.bq import (
+        ivfbq_codes_upsert,
+        write_ivfbq_codes,
+    )
+
+    sums, n = bq_params
+    cents = kmeans_centroids(embeddings, n_cells=8)
+    assigned = ivf_assign(embeddings, cents)
+    corpus_path = str(tmp_path / "u_corpus")
+    codes_path = str(tmp_path / "u_codes")
+    write_ivf_corpus(assigned, corpus_path)
+    write_ivfbq_codes(assigned, sums, n, codes_path, item_id="vec_id")
+
+    # pick two cells, pretend their corpus partitions were upserted, and
+    # refresh only those code directories
+    cells = [r.cell for r in assigned.select("cell").distinct().limit(2).collect()]
+    ivfbq_codes_upsert(
+        spark, corpus_path, codes_path, sums, n, cells, item_id="vec_id"
+    )
+
+    fresh_path = str(tmp_path / "fresh_codes")
+    write_ivfbq_codes(
+        spark.read.parquet(corpus_path), sums, n, fresh_path, item_id="vec_id"
+    )
+    got = sorted(
+        map(tuple, spark.read.parquet(codes_path)
+            .select("item_id", "code_lo", "code_hi", "cell").collect())
+    )
+    want = sorted(
+        map(tuple, spark.read.parquet(fresh_path)
+            .select("item_id", "code_lo", "code_hi", "cell").collect())
+    )
+    assert got == want

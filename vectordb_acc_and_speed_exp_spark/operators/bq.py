@@ -216,3 +216,166 @@ def bq_search_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "item_id", "dist", "hamming")
     )
+
+
+def write_ivfbq_codes(
+    corpus_assigned: DataFrame,
+    sums: np.ndarray,
+    n: int,
+    path: str,
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> None:
+    """Encode an IVF-assigned corpus (must carry ``cell``) to packed bit
+    codes and persist them partitioned by cell — the IVF-BQ layout
+    (FAISS IndexBinaryIVF): directory pruning from the coarse quantizer ×
+    32× fewer bytes inside each directory. 16 B/row payload (two longs);
+    the whole composed index for 10⁹ vectors is ~16 GB."""
+    bq_encode(
+        corpus_assigned, sums, n, item_id=item_id, item_vec=item_vec,
+        passthrough=("cell",),
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivfbq_codes_upsert(
+    spark,
+    corpus_path: str,
+    codes_path: str,
+    sums: np.ndarray,
+    n: int,
+    cells: list[int],
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> None:
+    """Refresh the derived IVF-BQ code table for the given cells after a
+    base-corpus upsert: re-encode exactly those cells (partition-pruned
+    scan) with the FROZEN thresholds and dynamic-partition-overwrite the
+    matching code directories — the same lockstep contract as
+    ivfsq_codes_upsert (codes are a pure function of the corpus layout;
+    replay converges to the same bytes). Thresholds intentionally do not
+    move; re-training is an offline rebuild like the centroids."""
+    if not cells:
+        return
+    from pyspark.sql import functions as _F
+
+    from .ann import drop_empty_cell_dirs
+
+    fresh = spark.read.parquet(corpus_path).filter(
+        _F.col("cell").isin(list(cells))
+    )
+    (
+        bq_encode(
+            fresh, sums, n, item_id=item_id, item_vec=item_vec,
+            passthrough=("cell",),
+        )
+        .repartition("cell")
+        .sortWithinPartitions(item_id)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(codes_path)
+    )
+    present = {r.cell for r in fresh.select("cell").distinct().collect()}
+    drop_empty_cell_dirs(codes_path, set(cells) - present)
+
+
+def ivfbq_search(
+    queries: DataFrame,
+    spark,
+    codes_path: str,
+    corpus_path: str,
+    centroids: DataFrame,
+    sums: np.ndarray,
+    n: int,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> DataFrame:
+    """Composed IVF-BQ search — the only composed ANN layout with NO
+    Python anywhere in the scan:
+
+    1. coarse probe: n_probe nearest cells per query → ``cell IN (...)``
+       partition filter on the codes scan AND the re-rank fetch;
+    2. Hamming scan of only the probed cells' packed codes, entirely in
+       whole-stage codegen (bit_count+xor), with per-query allowed-cell
+       arrays enforcing strict IVF semantics (array_contains filter on
+       the broadcast query row);
+    3. exact re-rank of the short-list against the same pruned
+       directories.
+
+    Full probe + shortlist ≥ corpus degenerates to exact k-NN (tested —
+    the same metamorphic identity as IVF-SQ/IVF-PQ)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as _F
+
+    from ..functions.vector import l2_dist
+    from .knn import exact_knn
+
+    qcells = exact_knn(
+        queries, centroids, k=n_probe,
+        query_id=query_id, query_vec=query_vec,
+        item_id="cell", item_vec="centroid",
+    ).select(_F.col("query_id"), _F.col("item_id").alias("cell"))
+    probe_rows = qcells.collect()
+    probed = sorted({r.cell for r in probe_rows})
+    allowed: dict = {}
+    for r in probe_rows:
+        allowed.setdefault(r.query_id, []).append(r.cell)
+
+    qcodes = bq_encode(
+        queries, sums, n, item_id=query_id, item_vec=query_vec
+    ).select(
+        _F.col("item_id").alias("query_id"),
+        _F.col("code_lo").alias("q_lo"),
+        _F.col("code_hi").alias("q_hi"),
+    )
+    allow_df = spark.createDataFrame(
+        [(qid, sorted(cs)) for qid, cs in allowed.items()],
+        f"query_id {dict(queries.dtypes)[query_id]}, cells array<int>",
+    )
+    qside = qcodes.join(allow_df, "query_id")
+
+    codes = spark.read.parquet(codes_path).filter(_F.col("cell").isin(probed))
+    scored = codes.crossJoin(_F.broadcast(qside)).filter(
+        _F.array_contains(_F.col("cells"), _F.col("cell").cast("int"))
+    ).select(
+        "query_id",
+        "item_id",
+        hamming(
+            _F.col("q_lo"), _F.col("q_hi"), _F.col("code_lo"), _F.col("code_hi")
+        ).alias("hamming"),
+    )
+    wham = Window.partitionBy("query_id").orderBy(
+        _F.asc("hamming"), _F.asc("item_id")
+    )
+    cand = (
+        scored.withColumn("_rn", _F.row_number().over(wham))
+        .filter(_F.col("_rn") <= shortlist)
+        .select("query_id", "item_id", "hamming")
+    )
+    vecs = (
+        spark.read.parquet(corpus_path)
+        .filter(_F.col("cell").isin(probed))
+        .select(_F.col(item_id).alias("item_id"), _F.col(item_vec).alias("_cvec"))
+    )
+    qv = queries.select(
+        _F.col(query_id).alias("query_id"), _F.col(query_vec).alias("_qvec")
+    )
+    reranked = (
+        cand.join(vecs, "item_id")
+        .join(_F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "item_id", "hamming",
+            l2_dist(_F.col("_qvec"), _F.col("_cvec")).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(_F.asc("dist"), _F.asc("item_id"))
+    return (
+        reranked.withColumn("rank", _F.row_number().over(w).cast("bigint"))
+        .filter(_F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "dist", "hamming")
+    )

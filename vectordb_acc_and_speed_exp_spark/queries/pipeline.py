@@ -258,6 +258,78 @@ def ann_sq_fullrerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _get_or_build_ivfbq(spark: SparkSession, sf_dir: str):
+    """Idempotent IVF-BQ build: reuses the IVF layout's cell assignment;
+    BQ thresholds are NOT persisted — bq_train is exact-integer
+    deterministic, so recomputing it at search time always reproduces the
+    bit-identical thresholds the codes were written with (cheap: one
+    narrow posexplode aggregate). Returns (codes_path, corpus_path,
+    centroids, sums, n)."""
+    import os
+
+    from ..operators.bq import bq_train, write_ivfbq_codes
+
+    root = _index_root(sf_dir)
+    codes_path = os.path.join(root, "ivfbq_codes")
+    done = os.path.join(root, "ivfbq._DONE")
+    corpus_path, cents = _get_or_build_ivf(spark, sf_dir)
+    corpus = spark.read.parquet(corpus_path)
+    sums, n = bq_train(corpus, item_vec="embedding", dim=64)
+    fp = _source_fingerprint(sf_dir)
+    if not _build_is_fresh(done, fp):
+        write_ivfbq_codes(corpus, sums, n, codes_path, item_id="vec_id")
+        _mark_built(done, fp)
+    return codes_path, corpus_path, cents, sums, n
+
+
+@register(
+    "ann_ivfbq_topk",
+    oracle=None,
+    doc="composed IVF-BQ (4 of 16 cells, packed 1-bit codes, shortlist="
+    "100 exact re-rank) — FAISS IndexBinaryIVF shape: partition-pruned "
+    "directories x 32x fewer scanned bytes, and the ONLY composed layout "
+    "whose scan is pure JVM codegen (bit_count+xor; no Arrow hop); "
+    "search-only",
+)
+def ann_ivfbq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bq import ivfbq_search
+
+    codes_path, corpus_path, cents, sums, n = _get_or_build_ivfbq(
+        spark, sf_dir
+    )
+    res = ivfbq_search(
+        _query_set(spark, sf_dir), spark, codes_path, corpus_path, cents,
+        sums, n, k=10, n_probe=4, shortlist=100, item_id="vec_id",
+    )
+    return res.select(
+        "query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r")
+    )
+
+
+@register(
+    "ann_ivfbq_fullprobe",
+    oracle=None,  # exact-kNN oracle attached with the other degenerations
+    doc="IVF-BQ probing ALL cells with a corpus-sized short-list == exact "
+    "kNN; hash-checked against the brute-force oracle",
+)
+def ann_ivfbq_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bq import ivfbq_search
+
+    codes_path, corpus_path, cents, sums, n = _get_or_build_ivfbq(
+        spark, sf_dir
+    )
+    corp_n = load_table(spark, sf_dir, "embeddings").count()
+    res = ivfbq_search(
+        _query_set(spark, sf_dir), spark, codes_path, corpus_path, cents,
+        sums, n, k=10, n_probe=16, shortlist=corp_n, item_id="vec_id",
+    )
+    return res.select(
+        "query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r")
+    )
+
+
 def _attach_fullfidelity_oracles() -> None:
     from . import REGISTRY, QuerySpec
 
@@ -270,6 +342,7 @@ def _attach_fullfidelity_oracles() -> None:
         "ann_pq_fullrerank",
         "ann_ivfpq_fullprobe",
         "ann_lsh_fullprobe",
+        "ann_ivfbq_fullprobe",
         "graph_ann_fullbeam",
     ):
         spec = REGISTRY[name]
