@@ -123,6 +123,8 @@ def main() -> None:
     registry["graph_build_stats"].fn(spark, sf_dir).count()
     registry["graph_ivf_ann_topk"].fn(spark, sf_dir).count()
     registry["ivfpq_build_stats"].fn(spark, sf_dir).count()
+    # IVF-BQ build (cell-partitioned packed codes) amortized like the rest
+    registry["ann_ivfbq_topk"].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

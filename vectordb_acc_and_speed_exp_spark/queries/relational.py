@@ -956,3 +956,106 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("rank", "path", "n_occurrences")
     )
+
+
+# --------------------------------------------------------------------------
+# Small-quantity-order revenue (TPC-H Q17 shape): correlated aggregate
+# turned into a per-part average join — the classic decorrelation pattern
+# Catalyst gets via a broadcast of the tiny per-part aggregate. Brand
+# filter keeps the probe side selective. Exact cents throughout; the 0.2×
+# avg threshold compares on cross-multiplied integers (qty100 * 5 * cnt <
+# sum_qty100) so no float boundary exists.
+# --------------------------------------------------------------------------
+@register(
+    "small_quantity_revenue",
+    oracle="""
+WITH pk AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'
+),
+agg AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS sum_qty100,
+         count(*) AS cnt
+  FROM lineitem JOIN pk ON l_partkey = p_partkey
+  GROUP BY l_partkey
+)
+SELECT l.l_partkey AS partkey,
+       count(*) AS n_small,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l
+JOIN agg ON l.l_partkey = agg.l_partkey
+WHERE CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * agg.cnt
+      < agg.sum_qty100
+GROUP BY l.l_partkey
+""",
+    doc="TPC-H Q17 shape: per-part avg-quantity correlated aggregate "
+    "decorrelated into a broadcast join; threshold compared on "
+    "cross-multiplied exact ints (qty*5*cnt < sum_qty)",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select(F.col("p_partkey"))
+    li = load_table(spark, sf_dir, "lineitem")
+    branded = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    )
+    agg = branded.groupBy("l_partkey").agg(
+        F.sum(_cents("l_quantity")).cast("bigint").alias("sum_qty100"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    probe = li.join(F.broadcast(agg), "l_partkey").filter(
+        _cents("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty100")
+    )
+    return probe.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.sum(_cents("l_extendedprice")).cast("bigint").alias("revenue_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Customer spend deciles (window-function variety: ntile). Deterministic
+# under ties via the customer-key tie-break in the window order; per-decile
+# rollup on exact cents.
+# --------------------------------------------------------------------------
+@register(
+    "customer_spend_deciles",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_cents
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT o_custkey, spend_cents,
+         ntile(10) OVER (ORDER BY spend_cents DESC, o_custkey) AS decile
+  FROM spend
+)
+SELECT decile,
+       count(*) AS n_customers,
+       CAST(sum(spend_cents) AS BIGINT) AS total_cents,
+       min(spend_cents) AS min_cents,
+       max(spend_cents) AS max_cents
+FROM tiled GROUP BY decile
+""",
+    doc="ntile(10) over per-customer spend (desc, custkey tie-break) with "
+    "per-decile exact-cents rollup — the whale-curve profile",
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).cast("bigint").alias("spend_cents")
+    )
+    w = Window.orderBy(F.desc("spend_cents"), F.asc("o_custkey"))
+    tiled = spend.withColumn("decile", F.ntile(10).over(w))
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("spend_cents").cast("bigint").alias("total_cents"),
+        F.min("spend_cents").alias("min_cents"),
+        F.max("spend_cents").alias("max_cents"),
+    )
