@@ -386,3 +386,69 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     want_pairs = sorted((r.purchase_id, r.click_id) for r in batch.collect())
     assert got_pairs == want_pairs
     assert len(got_pairs) > 0
+
+
+def test_stream_maintains_composed_ivfbq_index(spark, tmp_path):
+    """The binary twin of the IVF-SQ lockstep test: after the stream
+    drains, the packed-bit code table row-matches a from-scratch encode of
+    the final corpus, and full-probe corpus-shortlist ivfbq_search equals
+    exact kNN."""
+    from vectordb_acc_and_speed_exp_spark.io import load_table
+    from vectordb_acc_and_speed_exp_spark.operators.ann import kmeans_centroids
+    from vectordb_acc_and_speed_exp_spark.operators.bq import (
+        bq_encode,
+        bq_train,
+        ivfbq_search,
+    )
+    from vectordb_acc_and_speed_exp_spark.operators.knn import exact_knn
+    from vectordb_acc_and_speed_exp_spark.streaming.index_maintenance import (
+        stream_upsert_ivfbq_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_centroids(emb, n_cells=8)
+    sums, n = bq_train(emb)
+
+    src_dir = tmp_path / "ivfbq_arrivals"
+    for lo, hi in ((0, 200), (200, 10**9)):
+        emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(str(src_dir))
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    corpus_path = str(tmp_path / "ivfbq_corpus")
+    codes_path = str(tmp_path / "ivfbq_codes")
+    stream_upsert_ivfbq_index(
+        stream, corpus_path, codes_path, cents, sums, n, item_id="vec_id"
+    )
+
+    got_codes = sorted(
+        (int(r.item_id), int(r.cell), int(r.code_lo), int(r.code_hi))
+        for r in spark.read.parquet(codes_path).collect()
+    )
+    want_codes = sorted(
+        (int(r.item_id), int(r.cell), int(r.code_lo), int(r.code_hi))
+        for r in bq_encode(
+            spark.read.parquet(corpus_path), sums, n,
+            item_id="vec_id", passthrough=("cell",),
+        ).collect()
+    )
+    assert got_codes == want_codes
+
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corp_n = emb.count()
+    got = ivfbq_search(
+        qs, spark, codes_path, corpus_path, cents, sums, n,
+        k=10, n_probe=8, shortlist=corp_n, item_id="vec_id",
+    )
+    gt = exact_knn(qs, emb, k=10, item_id="vec_id")
+    assert sorted((r.query_id, r.rank, r.item_id) for r in got.collect()) == sorted(
+        (r.query_id, r.rank, r.item_id) for r in gt.collect()
+    )

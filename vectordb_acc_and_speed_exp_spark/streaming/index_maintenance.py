@@ -179,3 +179,57 @@ def stream_upsert_ivfsq_index(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_upsert_ivfbq_index(
+    embeddings_stream: DataFrame,
+    corpus_path: str,
+    codes_path: str,
+    centroids: DataFrame,
+    sums,
+    n: int,
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> None:
+    """Streaming maintenance for the COMPOSED IVF-BQ index — the binary
+    twin of stream_upsert_ivfsq_index with the identical lockstep
+    contract: each micro-batch upserts the base cell-partitioned corpus
+    (ivf_index_upsert, which returns every rewritten cell including cells
+    a moved vector vacated) and re-packs exactly those cells' bit codes
+    under the FROZEN thresholds (operators/bq.py::ivfbq_codes_upsert).
+    Both layouts stay pure functions of the final row set, so replay is
+    idempotent and a streamed index equals a from-scratch build
+    byte-for-byte (tested)."""
+    from ..operators.ann import ivf_assign, ivf_index_upsert, write_ivf_corpus
+    from ..operators.bq import ivfbq_codes_upsert, write_ivfbq_codes
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not os.path.exists(corpus_path):
+            assigned = ivf_assign(batch_df, centroids, item_vec=item_vec)
+            write_ivf_corpus(assigned, corpus_path)
+            write_ivfbq_codes(
+                spark.read.parquet(corpus_path), sums, n, codes_path,
+                item_id=item_id, item_vec=item_vec,
+            )
+        else:
+            touched = ivf_index_upsert(
+                spark, corpus_path, batch_df, centroids,
+                item_id=item_id, item_vec=item_vec,
+            )
+            ivfbq_codes_upsert(
+                spark, corpus_path, codes_path, sums, n, touched,
+                item_id=item_id, item_vec=item_vec,
+            )
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ivfbqidx_")
+    q = (
+        embeddings_stream.writeStream.foreachBatch(upsert_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
