@@ -857,3 +857,111 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("az"), 4).alias("max_z_r"),
         F.sum((F.col("az") > 2.5).cast("int")).cast("bigint").alias("n_dims_over"),
     )
+
+
+# --------------------------------------------------------------------------
+# Contrastive training pairs ([EXT]: the DPR / sentence-transformers
+# training-data operator): for each query vector, emit positives (exact
+# cosine top-3, self excluded), hard negatives (the next ranks 4..8 — near
+# misses, the pairs that sharpen a bi-encoder), and random negatives
+# (5 per query, drawn by deterministic md5 order over (query, item) so the
+# "random" sample is reproducible and hash-oracle-able), excluding self
+# and anything ranked in the top-8. One broadcast cosine scan feeds all
+# three roles; the md5 ranking is a second window over the same frame.
+# --------------------------------------------------------------------------
+@register(
+    "contrastive_pairs",
+    oracle=f"""
+WITH q AS ({_QUERY_SET_SQL}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS item_id,
+         CAST(e.embedding AS DOUBLE[]) AS ev, q.qv
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+), sims AS (
+  SELECT query_id, item_id, 1.0 - ({_COS_SQL}) AS cosd FROM scored
+), ranked AS (
+  SELECT query_id, item_id, cosd,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosd, item_id)
+           AS sim_rank,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY md5(query_id || '_' || item_id), item_id)
+           AS rnd_rank
+  FROM sims
+),
+roles AS (
+  SELECT query_id, item_id, 'positive' AS role, sim_rank AS role_rank
+  FROM ranked WHERE sim_rank <= 3
+  UNION ALL
+  SELECT query_id, item_id, 'hard_negative' AS role, sim_rank - 3 AS role_rank
+  FROM ranked WHERE sim_rank BETWEEN 4 AND 8
+  UNION ALL
+  SELECT query_id, item_id, 'random_negative' AS role,
+         row_number() OVER (PARTITION BY query_id ORDER BY rnd_rank)
+           AS role_rank
+  FROM ranked WHERE sim_rank > 8
+  QUALIFY role_rank <= 5
+)
+SELECT query_id, role, CAST(role_rank AS BIGINT) AS role_rank, item_id
+FROM roles
+""",
+    doc="DPR-style contrastive pair mining: positives = cosine top-3 (self "
+    "excluded), hard negatives = ranks 4-8, random negatives = 5 by "
+    "deterministic md5 order excluding the top-8 — one broadcast cosine "
+    "scan, two windows, reproducible sampling",
+)
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = _query_set(spark, sf_dir)
+    scored = (
+        emb.alias("c")
+        .crossJoin(F.broadcast(qs.alias("q")))
+        .filter(F.col("c.vec_id") != F.col("q.query_id"))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            F.col("c.vec_id").alias("item_id"),
+            (1.0 - cosine_sim(F.col("q.query_vec"), F.col("c.embedding"))).alias(
+                "cosd"
+            ),
+        )
+    )
+    wsim = Window.partitionBy("query_id").orderBy(F.asc("cosd"), F.asc("item_id"))
+    wrnd = Window.partitionBy("query_id").orderBy(
+        F.md5(F.concat_ws("_", F.col("query_id"), F.col("item_id"))),
+        F.asc("item_id"),
+    )
+    ranked = scored.select(
+        "query_id",
+        "item_id",
+        F.row_number().over(wsim).alias("sim_rank"),
+        F.row_number().over(wrnd).alias("rnd_rank"),
+    )
+    pos = ranked.filter(F.col("sim_rank") <= 3).select(
+        "query_id",
+        F.lit("positive").alias("role"),
+        F.col("sim_rank").cast("bigint").alias("role_rank"),
+        "item_id",
+    )
+    hard = ranked.filter(F.col("sim_rank").between(4, 8)).select(
+        "query_id",
+        F.lit("hard_negative").alias("role"),
+        (F.col("sim_rank") - 3).cast("bigint").alias("role_rank"),
+        "item_id",
+    )
+    wrole = Window.partitionBy("query_id").orderBy(F.asc("rnd_rank"))
+    rand = (
+        ranked.filter(F.col("sim_rank") > 8)
+        .withColumn("role_rank", F.row_number().over(wrole).cast("bigint"))
+        .filter(F.col("role_rank") <= 5)
+        .select(
+            "query_id",
+            F.lit("random_negative").alias("role"),
+            "role_rank",
+            "item_id",
+        )
+    )
+    return pos.unionAll(hard).unionAll(rand)
