@@ -214,3 +214,47 @@ def test_ivfbq_codes_upsert_lockstep(
             .select("item_id", "code_lo", "code_hi", "cell").collect())
     )
     assert got == want
+
+
+def test_bq_scan_is_pure_jvm(bq_params, embeddings, query_set):
+    """The BQ Hamming path must stay inside whole-stage codegen: no Python
+    evaluation nodes anywhere in the physical plan (the property that
+    distinguishes it from the numpy-kernel SQ/PQ scans)."""
+    sums, n = bq_params
+    res = bq_search_rerank(
+        query_set, embeddings, sums, n, k=10, shortlist=100, item_id="vec_id"
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "bit_count" in plan
+
+
+def test_ivfbq_scan_partition_pruned(
+    spark, query_set, embeddings, bq_params, tmp_path
+):
+    """The composed layout's codes scan carries the cell partition filter
+    (probing is parquet directory pruning, not a post-filter)."""
+    from vectordb_acc_and_speed_exp_spark.operators.ann import (
+        ivf_assign,
+        kmeans_centroids,
+        write_ivf_corpus,
+    )
+    from vectordb_acc_and_speed_exp_spark.operators.bq import (
+        ivfbq_search,
+        write_ivfbq_codes,
+    )
+
+    sums, n = bq_params
+    cents = kmeans_centroids(embeddings, n_cells=8)
+    assigned = ivf_assign(embeddings, cents)
+    corpus_path = str(tmp_path / "pp_corpus")
+    codes_path = str(tmp_path / "pp_codes")
+    write_ivf_corpus(assigned, corpus_path)
+    write_ivfbq_codes(assigned, sums, n, codes_path, item_id="vec_id")
+    res = ivfbq_search(
+        query_set, spark, codes_path, corpus_path, cents, sums, n,
+        k=10, n_probe=3, shortlist=50, item_id="vec_id",
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
