@@ -165,6 +165,21 @@ def main() -> None:
     exact_knn(qs, big, k=10, item_id="vec_id").count()
     timings["bf_replicated100k_5q_codegen"] = round(time.perf_counter() - t0, 4)
 
+    # Compressed-scan twin at the same scale: 1-bit codes, codegen Hamming
+    # shortlist + exact re-rank — the 32x-fewer-bytes answer to the same
+    # 5-query batch (recall ~0.9 at 58k per EP5; exact work is BASELINE's
+    # 4014 ms/query single-node).
+    from vectordb_acc_and_speed_exp_spark.operators.bq import (
+        bq_search_rerank,
+        bq_train,
+    )
+
+    bsums, bn = bq_train(big, item_vec="embedding", dim=64)
+    bq_search_rerank(qs, big, bsums, bn, k=10, shortlist=100, item_id="vec_id").count()  # warm
+    t0 = time.perf_counter()
+    bq_search_rerank(qs, big, bsums, bn, k=10, shortlist=100, item_id="vec_id").count()
+    timings["bq_replicated100k_5q"] = round(time.perf_counter() - t0, 4)
+
     # Disk-index serving path at the same 100k scale: write the multi-table
     # LSH index once (untimed build), then time the partition-pruned search
     # — the actual 100 TB query shape (ids-only index scan + candidate-only

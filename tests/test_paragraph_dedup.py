@@ -75,3 +75,45 @@ def test_corpus_run_counts_consistent(documents):
     ).first()
     assert agg.n == documents.filter(F.length(F.trim("text")) > 0).count()
     assert 0 < agg.k <= agg.b
+
+
+def test_dedup_is_idempotent(spark):
+    """Running block dedup on an already-deduped corpus keeps everything:
+    reassembled docs contain no duplicate block, so a second pass drops
+    nothing (n_kept == n_blocks for every doc whose blocks survived)."""
+    rows = [
+        (0, "alpha beta gamma delta one two three four"),
+        (1, "alpha beta gamma delta five six seven eight"),
+        (2, "one two three four nine ten eleven twelve"),
+    ]
+    first = {
+        r.doc_id: r
+        for r in _paragraph_dedup_frame(_mk(spark, rows), block_tokens=4).collect()
+    }
+    # reassembled text is not emitted, so reconstruct it in python with the
+    # same keep-first-over-(doc_id, block_idx) rule and pin it to the
+    # operator's md5 before feeding it back as round-2 input
+    import hashlib
+
+    seen = set()
+    rebuilt = []
+    for doc_id, text in rows:
+        toks = text.split()
+        kept_blocks = []
+        for i in range(0, len(toks), 4):
+            b = " ".join(toks[i : i + 4])
+            if b not in seen:
+                seen.add(b)
+                kept_blocks.append(b)
+        rebuilt.append((doc_id, " ".join(kept_blocks)))
+        assert first[doc_id].dedup_md5 == hashlib.md5(
+            " ".join(kept_blocks).encode()
+        ).hexdigest()
+    second = {
+        r.doc_id: r
+        for r in _paragraph_dedup_frame(
+            _mk(spark, [r for r in rebuilt if r[1]]), block_tokens=4
+        ).collect()
+    }
+    for doc_id, r in second.items():
+        assert r.n_kept == r.n_blocks, (doc_id, r)
