@@ -434,6 +434,104 @@ def compression_fidelity_sweep(
     return out
 
 
+
+
+def multivector_agreement_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    tokens_per_doc: tuple[int, ...] = (1, 2, 4, 8, 16),
+    n_queries: int = 5,
+    corpus_vecs: int = 16000,
+    k: int = 10,
+    lam: float = 1.5,
+    out_prefix: str | None = None,
+) -> DataFrame:
+    """EP7: what single-vector pooling loses vs MaxSim late interaction.
+
+    Fixed expanded token pool (~corpus_vecs vectors, hard regime); sweep
+    the tokens-per-doc axis. For each t: docs are consecutive t-token
+    groups, queries are n_queries held-out t-token groups; ground truth =
+    exact MaxSim top-k; challenger = mean-pooled doc/query vectors ranked
+    by exact cosine. Emitted metric = agreement@k (the fraction of the
+    MaxSim top-k the pooled ranking retrieves) plus the corpus shape.
+
+    t=1 is the built-in control: MaxSim degenerates to exact cosine kNN,
+    so agreement MUST be 1.0 (the test suite pins the same identity).
+    As t grows, the pooled centroid averages away per-token structure and
+    agreement falls — the quantitative case for shipping a late-
+    interaction operator instead of pooling multi-vector docs.
+
+    Measured (sf0.1 pool, lam=1.5, 5 queries, k=10 — see
+    EP7_MULTIVECTOR.md): agreement 1.0 at t=1, degrading steadily as t
+    grows; artifacts mirror the EP5 layout.
+    """
+    from .operators.multivector import maxsim_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    expanded, factor = expand_embeddings(emb, corpus_vecs, lam=lam)
+    expanded = expanded.cache()
+    n_pool = expanded.count()
+    rows: list[tuple[int, int, int, float]] = []
+    for t in tokens_per_doc:
+        held_out = n_queries * t
+        qt = expanded.filter(F.col("vec_id") < held_out).select(
+            F.floor(F.col("vec_id") / t).cast("bigint").alias("qid"),
+            F.col("vec_id").alias("qtok"),
+            F.col("embedding").alias("qv"),
+        )
+        dt = expanded.filter(F.col("vec_id") >= held_out).select(
+            F.floor(F.col("vec_id") / t).cast("bigint").alias("doc_id"),
+            F.col("vec_id").alias("dtok"),
+            F.col("embedding").alias("ev"),
+        )
+        gt = maxsim_topk(qt, dt, k=k).select(
+            F.col("qid").alias("query_id"), "rank",
+            F.col("doc_id").alias("item_id"),
+        )
+
+        def pool(df, id_col, tok_vec):
+            e = df.select(
+                id_col, F.posexplode(tok_vec).alias("pos", "v")
+            ).groupBy(id_col, "pos").agg(F.avg("v").alias("m"))
+            return e.groupBy(id_col).agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("vec")
+            )
+
+        qpool = pool(qt, F.col("qid"), F.col("qv")).select(
+            F.col("qid").alias("query_id"), F.col("vec").alias("query_vec")
+        )
+        dpool = pool(dt, F.col("doc_id"), F.col("ev")).select(
+            F.col("doc_id").alias("item_id"), F.col("vec").alias("embedding")
+        )
+        pooled = exact_knn(qpool, dpool, k=k, metric="cosine")
+        agree = mean_recall(recall_at_k(gt, pooled, k=k)).first().mean_recall
+        n_docs = (n_pool - held_out) // t
+        rows.append((t, n_docs, k, round(float(agree), 4)))
+    expanded.unpersist()
+    out = spark.createDataFrame(
+        rows, "tokens_per_doc int, n_docs long, k int, agreement double"
+    )
+    if out_prefix:
+        os.makedirs(os.path.dirname(out_prefix) or ".", exist_ok=True)
+        pdf = out.toPandas()
+        pdf.to_json(out_prefix + "_results.json", orient="records", indent=2)
+        pdf.to_csv(out_prefix + "_summary.csv", index=False)
+        from .plans.svgplot import line_chart
+
+        line_chart(
+            {"pooled_vs_maxsim": [(r[0], r[3]) for r in rows]},
+            out_prefix + "_agreement.svg",
+            title=f"agreement@{k}: mean-pooled retrieval vs MaxSim ground "
+            "truth, by tokens per doc",
+            xlabel="tokens per doc", ylabel=f"agreement@{k}",
+            y_range=(0.0, 1.05),
+        )
+    return out
+
+
 def maintenance_economics(
     spark: SparkSession,
     sf_dir: str,
@@ -607,7 +705,7 @@ def main(argv: list[str]) -> int:
 
     p = argparse.ArgumentParser(prog="experiments_scale")
     p.add_argument("mode", nargs="?", default="mtlsh",
-                   choices=["mtlsh", "compression", "maintenance"])
+                   choices=["mtlsh", "compression", "maintenance", "multivector"])
     p.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     p.add_argument("--out", default=None)
     p.add_argument("--sizes", default=None)
@@ -621,6 +719,13 @@ def main(argv: list[str]) -> int:
             out_prefix=args.out or "experiment_results/ep6_maintenance",
         )
         out.orderBy("phase", "batch_frac").show(100, False)
+        return 0
+    if args.mode == "multivector":
+        out = multivector_agreement_sweep(
+            spark, args.sf_dir,
+            out_prefix=args.out or "experiment_results/ep7_multivector",
+        )
+        out.orderBy("tokens_per_doc").show(100, False)
         return 0
     if args.mode == "compression":
         sizes = tuple(

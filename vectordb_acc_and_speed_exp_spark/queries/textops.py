@@ -1348,6 +1348,10 @@ def duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.md5("sh").alias("gh"))
     )
+    # g feeds both the gram->doc-count aggregate and the join back; without
+    # a persist the tokenize+shingle pass (the expensive part) runs twice.
+    # At 100 TB this is the materialized gram table SCALE.md describes.
+    g = g.persist()
     docs_per = g.groupBy("gh").agg(
         F.countDistinct("doc_id").alias("nd")
     )
