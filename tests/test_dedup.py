@@ -108,3 +108,61 @@ def test_connected_components_string_ids(spark):
         r.node: r.cluster_id for r in connected_components(pairs).collect()
     }
     assert got == {"b": "b", "c": "b", "d": "b", "x": "x", "y": "x"}
+
+
+def test_prefix_jaccard_equals_bruteforce_with_fewer_candidates(spark, documents):
+    """Prefix filtering is lossless (same pairs as the all-shingle join)
+    and actually prunes (the prefix index is a strict subset of the
+    shingle table)."""
+    import pyspark.sql.functions as F
+
+    from vectordb_acc_and_speed_exp_spark.operators.dedup import (
+        _shingle_table,
+        prefix_jaccard_join,
+    )
+
+    t = 0.3
+    got = prefix_jaccard_join(
+        documents, id_col="doc_id", text_col="text", threshold=t
+    )
+
+    sh = _shingle_table(documents, "doc_id", "text")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb"))
+    brute = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "j",
+            F.col("n_common") / (F.col("sa") + F.col("sb") - F.col("n_common")),
+        )
+        .filter(F.col("j") >= t)
+        .select("id_a", "id_b", F.round("j", 4).alias("jaccard_r"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, brute.collect()))
+
+    # pruning evidence: prefixes hold ~ (1-t) of each doc's shingles
+    n_all = sh.count()
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.asc("_df"), F.asc("sh"))
+    n_pref = (
+        sh.join(dfreq, "sh")
+        .withColumn("_rnk", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("_rnk") <= F.col("sz") - F.ceil(F.col("sz") * t) + 1)
+        .count()
+    )
+    assert n_pref < n_all * 0.85, (n_pref, n_all)

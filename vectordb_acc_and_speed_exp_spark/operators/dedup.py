@@ -16,7 +16,7 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
@@ -438,3 +438,55 @@ def connected_components(
         if converged:
             break
     return labels.select(F.col("u").alias("node"), F.col("lbl").alias("cluster_id"))
+
+
+def prefix_jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.3,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Exact Jaccard self-join via PPJoin-style prefix filtering — same
+    output as the brute-force shingle join, provably, at a fraction of the
+    candidate pairs.
+
+    Theorem (prefix filter): J(A,B) >= t implies |A∩B| >= ceil(t·|X|) for
+    BOTH sides X (since |A|+|B| >= |X| + |A∩B|), so after fixing one
+    global canonical shingle order, each doc's first
+    ``|X| - ceil(t·|X|) + 1`` shingles must contain an intersection
+    element — qualifying pairs always collide inside the two PREFIXES.
+    Canonical order = (global df asc, shingle): rare-first, which makes
+    prefix collisions as selective as possible.
+
+    Scale shape: the inverted index holds only prefixes (≈ (1-t) of each
+    doc's shingles, and the rare ones at that, so hot shingles never fan
+    out); the verify step is the candidate-only `_jaccard_verify` — the
+    corpus never self-joins on a stop shingle. This is the exact-answer
+    twin of MinHash-LSH: no probabilistic misses, still no all-pairs."""
+    shingles = _shingle_table(df, id_col, text_col, shingle_words).persist()
+    dfreq = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("_df"), F.asc("sh"))
+    ranked = (
+        shingles.join(dfreq, "sh")
+        .withColumn("_rnk", F.row_number().over(w))
+        .join(F.broadcast(sizes), "doc_id")
+    )
+    pref = ranked.filter(
+        F.col("_rnk")
+        <= F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
+    ).select("doc_id", "sh")
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    return _jaccard_verify(cand, shingles, threshold)

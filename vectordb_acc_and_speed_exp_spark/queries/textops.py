@@ -1367,3 +1367,43 @@ def duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("dup_s6"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard join ([EXT]: the PPJoin family — Xiao et
+# al. 2008): identical OUTPUT to the brute-force shingle self-join (the
+# oracle below IS the brute force), but candidates come only from
+# collisions inside rare-first canonical-order prefixes of length
+# |X| - ceil(t|X|) + 1 — the prefix-filter theorem guarantees no
+# qualifying pair is missed. The exact-answer twin of MinHash-LSH.
+# --------------------------------------------------------------------------
+@register(
+    "jaccard_prefix_pairs",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(c.n_common * 1.0 / (sa.sz + sb.sz - c.n_common), 4) AS jaccard_r
+FROM common c
+JOIN sizes sa ON c.id_a = sa.doc_id
+JOIN sizes sb ON c.id_b = sb.doc_id
+WHERE c.n_common * 1.0 / (sa.sz + sb.sz - c.n_common) >= 0.3
+""",
+    doc="PPJoin-style prefix-filtered exact Jaccard pairs (threshold 0.3): "
+    "hash-matches the BRUTE-FORCE oracle while indexing only rare-first "
+    "prefixes — the lossless candidate-pruning twin of MinHash-LSH",
+)
+def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import prefix_jaccard_join
+
+    return prefix_jaccard_join(
+        load_table(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.3,
+    )
