@@ -167,6 +167,24 @@ def test_delete_ids_removes_rows(store):
     assert res.count() == 3
 
 
+def test_delete_where_and_get_filters(store):
+    """delete(where=) removes by metadata predicate; get(ids/where/limit)
+    narrows the read the ChromaDB way."""
+    import pyspark.sql.functions as F
+
+    n0 = store.count("papers")
+    some_id = store.peek("papers", 1).first().id
+    assert store.get("papers", ids=[some_id]).count() == 1
+    assert store.get("papers", limit=5).count() == 5
+    doomed = store.get("papers", where=f"id = '{some_id}'")
+    assert doomed.count() == 1
+    store.delete("papers", where=f"id = '{some_id}'")
+    assert store.count("papers") == n0 - 1
+    assert store.get("papers", ids=[some_id]).count() == 0
+    with pytest.raises(ValueError):
+        store.delete("papers")
+
+
 def test_query_validation_and_delete(store, spark):
     with pytest.raises(ValueError):
         store.query("papers")

@@ -69,8 +69,29 @@ class VectorStore:
     def count(self, name: str) -> int:
         return self.get(name).count()
 
-    def get(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(name))
+    def get(
+        self,
+        name: str,
+        ids: list | None = None,
+        where: str | None = None,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Read a collection, optionally narrowed the ChromaDB way:
+        ``ids`` (id membership), ``where`` (SQL predicate over the
+        collection's columns), ``limit``. Filters are plain Catalyst
+        predicates, so they push into the parquet scan."""
+        df = self.spark.read.parquet(self._path(name))
+        if ids is not None:
+            df = df.filter(F.col("id").isin(list(ids)))
+        if where is not None:
+            df = df.filter(where)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    def peek(self, name: str, n: int = 10) -> DataFrame:
+        """First n records (ChromaDB ``collection.peek``)."""
+        return self.get(name, limit=n)
 
     # -- writes (S7) -------------------------------------------------------
     def create_collection(
@@ -135,17 +156,24 @@ class VectorStore:
                 docs.select("id", "embedding"), item_id="id",
             )
 
-    def delete(self, name: str, ids: list) -> None:
-        """Delete records by id (ChromaDB ``collection.delete(ids=...)``).
-        The graph index is dropped rather than patched — NSW shards have
-        no cheap tombstone story; the next graph query rebuilds lazily
-        from the post-delete rows (correct by construction)."""
+    def delete(
+        self, name: str, ids: list | None = None, where: str | None = None
+    ) -> None:
+        """Delete records by id and/or metadata predicate (ChromaDB
+        ``collection.delete(ids=..., where=...)``; both given = AND, the
+        ChromaDB semantics). The graph index is dropped rather than
+        patched — NSW shards have no cheap tombstone story; the next
+        graph query rebuilds lazily from the post-delete rows (correct by
+        construction)."""
+        if ids is None and where is None:
+            raise ValueError("delete() needs ids and/or where")
         path = self._path(name)
-        kept = (
-            self.get(name)
-            .filter(~F.col("id").isin(list(ids)))
-            .localCheckpoint(eager=True)
-        )
+        doomed = F.lit(True)
+        if ids is not None:
+            doomed = doomed & F.col("id").isin(list(ids))
+        if where is not None:
+            doomed = doomed & F.expr(where)
+        kept = self.get(name).filter(~doomed).localCheckpoint(eager=True)
         kept.write.mode("overwrite").parquet(path)
         shutil.rmtree(self._graph_path(name), ignore_errors=True)
 
