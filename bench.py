@@ -94,6 +94,7 @@ HEADLINE = [
     "duplicated_ngram_spans",
     "gopher_quality_filter",
     "ann_ivfbq_topk",
+    "jaccard_prefix_pairs",
 ]
 
 
