@@ -1059,3 +1059,71 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("spend_cents").alias("min_cents"),
         F.max("spend_cents").alias("max_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Disjunctive-predicate revenue (TPC-H Q19 shape): an OR of
+# (brand x size-range x quantity-range) conjuncts across a join — the
+# optimizer-stress query for boolean pushdown (the common p_size/qty
+# bounds factor out and push to both scans; the residual OR evaluates
+# post-join in codegen). Exact cents; quantity bounds compared on the
+# scaled grid.
+# --------------------------------------------------------------------------
+@register(
+    "disjunctive_revenue",
+    oracle="""
+WITH l AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty100,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price100,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc100
+  FROM lineitem
+)
+SELECT count(*) AS n_items,
+       CAST(sum(price100 * (100 - disc100)) AS BIGINT) AS revenue_e4
+FROM l JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND qty100 BETWEEN 100 AND 1100)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND qty100 BETWEEN 1000 AND 2000)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND qty100 BETWEEN 2000 AND 3000)
+""",
+    doc="TPC-H Q19 shape: OR of (brand x size x quantity) conjuncts across "
+    "the lineitem-part join — boolean-pushdown stress; exact-cents revenue "
+    "summed as bigints",
+)
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        _cents("l_quantity").alias("qty100"),
+        _cents("l_extendedprice").alias("price100"),
+        _cents("l_discount").alias("disc100"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("qty100").between(100, 1100)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("qty100").between(1000, 2000)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("qty100").between(2000, 3000)
+        )
+    )
+    return joined.filter(clause).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("price100") * (100 - F.col("disc100")))
+        .cast("bigint")
+        .alias("revenue_e4"),
+    )
