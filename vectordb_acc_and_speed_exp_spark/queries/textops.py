@@ -1407,3 +1407,88 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text",
         threshold=0.3,
     )
+
+
+# --------------------------------------------------------------------------
+# Entropy / lexical-diversity profile ([EXT]: the gibberish screen —
+# low char entropy = repeated filler, low type-token ratio = copy-paste).
+# Entropy terms use log2 of exact integer counts; each term is rounded to
+# the 1e6 grid before the sum (the bm25/tfidf ln precedent: identical int
+# inputs => last-ulp-identical doubles => identical rounded terms on both
+# engines), so the aggregate is shuffle-order-exact.
+#   H = log2(n) - (1/n) * sum_c cnt_c*log2(cnt_c)  over chars c
+# --------------------------------------------------------------------------
+@register(
+    "text_entropy_stats",
+    oracle=f"""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split_regex({_NORM_SQL}, '')) AS ch
+  FROM documents WHERE length(trim(text)) > 0
+),
+cc AS (
+  SELECT doc_id, ch, count(*) AS cnt FROM chars
+  WHERE ch != '' GROUP BY doc_id, ch
+),
+ent AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_chars,
+         CAST(sum(CAST(round(cnt * log2(cnt) * 1000000) AS BIGINT))
+              AS BIGINT) AS plogp_s6
+  FROM cc GROUP BY doc_id
+),
+tok AS (
+  SELECT doc_id,
+         count(*) AS n_toks,
+         count(DISTINCT w) AS n_types
+  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS w
+        FROM documents WHERE length(trim(text)) > 0) GROUP BY doc_id
+)
+SELECT e.doc_id,
+       e.n_chars,
+       round(log2(e.n_chars) - e.plogp_s6 / 1000000.0 / e.n_chars, 4)
+         AS char_entropy_r,
+       CAST(t.n_types AS BIGINT) AS n_types,
+       CAST(floor(t.n_types * 1000000.0 / t.n_toks) AS BIGINT)
+         AS type_token_s6
+FROM ent e JOIN tok t USING (doc_id)
+""",
+    doc="gibberish/diversity screen: per-doc character Shannon entropy "
+    "(log2-of-int terms on the 1e6 grid => shuffle-order-exact) and "
+    "type-token ratio — low entropy flags filler, low TTR flags "
+    "copy-paste",
+)
+def text_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    chars = d.select(
+        "doc_id",
+        F.explode(F.split(norm_text(F.col("text")), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    cc = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    ent = cc.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_chars"),
+        F.sum(
+            F.round(F.col("cnt") * F.log2("cnt") * 1000000).cast("bigint")
+        ).cast("bigint").alias("plogp_s6"),
+    )
+    tok = (
+        d.select("doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.countDistinct("w").cast("bigint").alias("n_types"),
+        )
+    )
+    return ent.join(tok, "doc_id").select(
+        "doc_id",
+        "n_chars",
+        F.round(
+            F.log2("n_chars") - F.col("plogp_s6") / 1000000.0 / F.col("n_chars"),
+            4,
+        ).alias("char_entropy_r"),
+        "n_types",
+        F.floor(F.col("n_types") * 1000000.0 / F.col("n_toks"))
+        .cast("bigint")
+        .alias("type_token_s6"),
+    )
