@@ -175,11 +175,24 @@ def main() -> None:
         bq_train,
     )
 
+    from vectordb_acc_and_speed_exp_spark.operators.bq import bq_encode
+
     bsums, bn = bq_train(big, item_vec="embedding", dim=64)
-    bq_search_rerank(qs, big, bsums, bn, k=10, shortlist=100, item_id="vec_id").count()  # warm
+    # serving shape: the code table is a persisted per-corpus-version
+    # artifact (16 B/row); encode is untimed like the other index builds
+    bcodes = bq_encode(big, bsums, bn, item_id="vec_id").cache()
+    bcodes.count()
+    bq_search_rerank(
+        qs, big, bsums, bn, k=10, shortlist=100, item_id="vec_id",
+        encoded=bcodes,
+    ).count()  # warm
     t0 = time.perf_counter()
-    bq_search_rerank(qs, big, bsums, bn, k=10, shortlist=100, item_id="vec_id").count()
+    bq_search_rerank(
+        qs, big, bsums, bn, k=10, shortlist=100, item_id="vec_id",
+        encoded=bcodes,
+    ).count()
     timings["bq_replicated100k_5q"] = round(time.perf_counter() - t0, 4)
+    bcodes.unpersist()
 
     # Disk-index serving path at the same 100k scale: write the multi-table
     # LSH index once (untimed build), then time the partition-pruned search

@@ -258,3 +258,22 @@ def test_ivfbq_scan_partition_pruned(
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pre_encoded_codes_match_inline(bq_params, embeddings, query_set):
+    """The serving shape (persisted code table) returns exactly what the
+    inline-encode shape returns."""
+    from vectordb_acc_and_speed_exp_spark.operators.bq import bq_encode
+
+    sums, n = bq_params
+    inline = bq_search_rerank(
+        query_set, embeddings, sums, n, k=10, shortlist=100, item_id="vec_id"
+    )
+    codes = bq_encode(embeddings, sums, n, item_id="vec_id")
+    served = bq_search_rerank(
+        query_set, embeddings, sums, n, k=10, shortlist=100,
+        item_id="vec_id", encoded=codes,
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, served.collect())
+    )

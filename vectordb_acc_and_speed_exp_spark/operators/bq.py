@@ -159,6 +159,7 @@ def bq_search_rerank(
     query_vec: str = "query_vec",
     item_id: str = "item_id",
     item_vec: str = "embedding",
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """The production BQ path: Hamming shortlist over packed codes → exact
     L2 re-rank of the shortlist. Returns (query_id, rank, item_id, dist,
@@ -168,6 +169,12 @@ def bq_search_rerank(
     re-rank inherits exact_knn's (dist, id) ordering) so the WHOLE
     approximate query hash-matches an external SQL replay. shortlist ≥
     corpus degenerates to exact k-NN (tested).
+
+    ``encoded``: a pre-built (item_id, code_lo, code_hi) table — the
+    serving shape (codes are encoded once per corpus version and
+    persisted, like every other index artifact); omitted = encode inline
+    (the one-shot/gate shape). Codes are a pure function of (corpus,
+    sums, n), so both shapes return identical results (tested).
     """
     from ..functions.vector import l2_dist
 
@@ -178,7 +185,11 @@ def bq_search_rerank(
         F.col("code_lo").alias("q_lo"),
         F.col("code_hi").alias("q_hi"),
     )
-    ccodes = bq_encode(corpus, sums, n, item_id=item_id, item_vec=item_vec)
+    ccodes = (
+        encoded
+        if encoded is not None
+        else bq_encode(corpus, sums, n, item_id=item_id, item_vec=item_vec)
+    )
     scored = ccodes.crossJoin(F.broadcast(qcodes)).select(
         "query_id",
         "item_id",
