@@ -543,8 +543,9 @@ def maintenance_economics(
     """EP6: serving-index maintenance economics at ~100k vectors.
 
     The 100 TB claim of streaming/index_maintenance.py is that a
-    micro-batch costs ~(touched cells)/n_cells of a full rebuild in BOTH
-    the base IVF layout and the derived int8 code layout — cost follows
+    micro-batch costs ~(touched cells)/n_cells of a full rebuild in the
+    base IVF layout and EVERY derived code layout (int8 IVF-SQ and packed
+    1-bit IVF-BQ, both kept in lockstep in the timed path) — cost follows
     the TOUCHED-CELL count, not the row count. Two batch shapes make the
     point: RANDOM-id update batches scatter across cells (a 0.1% batch
     already touches most directories — the worst case), while CLUSTERED
@@ -570,6 +571,7 @@ def maintenance_economics(
         kmeans_centroids,
         write_ivf_corpus,
     )
+    from .operators.bq import bq_train, ivfbq_codes_upsert, write_ivfbq_codes
     from .operators.sq import ivfsq_codes_upsert, sq_train, write_ivfsq_codes
     from .io.catalog import compact_table
 
@@ -581,6 +583,7 @@ def maintenance_economics(
     root = tempfile.mkdtemp(prefix="ep6_maint_")
     corpus_path = os.path.join(root, "corpus")
     codes_path = os.path.join(root, "codes")
+    bq_codes_path = os.path.join(root, "bq_codes")
     rows: list[tuple] = []
 
     t0 = time.perf_counter()
@@ -590,6 +593,11 @@ def maintenance_economics(
     vmin, scale = sq_train(big, item_vec="embedding")
     write_ivfsq_codes(
         spark.read.parquet(corpus_path), vmin, scale, codes_path, item_id="vec_id"
+    )
+    bsums, bn_total = bq_train(big, item_vec="embedding")
+    write_ivfbq_codes(
+        spark.read.parquet(corpus_path), bsums, bn_total, bq_codes_path,
+        item_id="vec_id",
     )
     t_build = time.perf_counter() - t0
     rows.append(("full_build", 0.0, round(t_build, 3), n_cells, n_cells, n))
@@ -626,6 +634,10 @@ def maintenance_economics(
         )
         ivfsq_codes_upsert(
             spark, corpus_path, codes_path, vmin, scale, touched, item_id="vec_id"
+        )
+        ivfbq_codes_upsert(
+            spark, corpus_path, bq_codes_path, bsums, bn_total, touched,
+            item_id="vec_id",
         )
         dt = time.perf_counter() - t0
         assert spark.read.parquet(corpus_path).count() == n  # pure replace

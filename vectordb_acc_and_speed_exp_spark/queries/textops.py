@@ -1492,3 +1492,65 @@ def text_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("type_token_s6"),
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-aware canonical selection ([EXT]): the OTHER dedup keeper
+# policy. min-id canonicals (dedup_clusters) are stable but arbitrary;
+# production pipelines keep the BEST member per near-dup cluster —
+# longest (token count), id tie-break. Composes the materialized cluster
+# artifact with a token-count pass; the oracle recomputes the closure
+# (recursive CTE) and the same argmax window.
+# --------------------------------------------------------------------------
+@register(
+    "canonical_best_quality",
+    oracle=_DEDUP_CLUSTERS_CTES
+    + f""",
+members AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+),
+toks AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
+                      ELSE len({_TOKENS_SQL}) END AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT m.cluster_id, m.doc_id, t.n_tokens,
+         row_number() OVER (PARTITION BY m.cluster_id
+                            ORDER BY t.n_tokens DESC, m.doc_id) AS rnk,
+         count(*) OVER (PARTITION BY m.cluster_id) AS n_members
+  FROM members m JOIN toks t USING (doc_id)
+)
+SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+       doc_id AS best_doc_id, CAST(n_tokens AS BIGINT) AS best_n_tokens
+FROM ranked WHERE rnk = 1
+""",
+    doc="quality-aware dedup keeper: per near-dup cluster, keep the "
+    "longest member (token count, id tie-break) — the production "
+    "alternative to min-id canonicals; composes the materialized cluster "
+    "artifact with one token-count pass",
+)
+def canonical_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    clusters = _get_or_build_clusters(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    m = clusters.select("doc_id", "cluster_id").join(toks, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        m.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("doc_id").alias("best_doc_id"),
+            F.col("n_tokens").alias("best_n_tokens"),
+        )
+    )
