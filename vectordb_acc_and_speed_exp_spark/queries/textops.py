@@ -1554,3 +1554,109 @@ def canonical_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").alias("best_n_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints ([EXT]: Schleimer/Wilkerson/Aiken 2003 — the MOSS
+# algorithm): from each sliding window of w=4 consecutive word-3-gram
+# hashes, select the minimum (rightmost on ties); the selected set is a
+# position-aware fingerprint with guaranteed coverage (any shared run of
+# w+2 tokens yields a shared fingerprint) at ~2/(w+1) density — the
+# plagiarism/near-copy detector that drops straight into the pair-join
+# machinery. Ties are resolved arithmetically: key = h40*65536 - pos, so
+# min(key) = (min h, then MAX pos) — one deterministic bigint window min
+# on both engines, no argmin tie ambiguity.
+# --------------------------------------------------------------------------
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+  WHERE len({_TOKENS_SQL}) >= 3
+),
+gs AS (
+  SELECT doc_id, len(toks) - 2 AS n_grams,
+         unnest(list_transform(range(1, len(toks) - 1),
+           i -> {{'p': i - 1,
+                 'h': ({_HASH_SQL.format(
+                     e="array_to_string(list_slice(toks, i, i + 2), ' ')"
+                 )}) % 1099511627776}})) AS u
+  FROM t
+),
+g AS (
+  SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         CAST(u['p'] AS BIGINT) AS pos, u['h'] AS h40
+  FROM gs
+),
+keys AS (
+  SELECT doc_id, pos, n_grams,
+         min(h40 * 65536 - pos) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+         ) AS wkey
+  FROM g
+),
+sel AS (
+  SELECT DISTINCT doc_id, n_grams, wkey
+  FROM keys WHERE pos <= greatest(n_grams - 4, 0)
+)
+SELECT doc_id,
+       CAST(max(n_grams) AS BIGINT) AS n_grams,
+       count(*) AS n_selected,
+       md5(string_agg(CAST(wkey AS VARCHAR), ','
+                      ORDER BY CAST(wkey AS VARCHAR))) AS digest
+FROM sel GROUP BY doc_id
+""",
+    doc="MOSS winnowing (w=4 over word-3-gram hashes): rightmost-min "
+    "selection via one arithmetic bigint window min (h40*65536 - pos); "
+    "emits per-doc fingerprint count + digest of the selected set — "
+    "guaranteed-coverage near-copy fingerprints at ~2/(w+1) density",
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import portable_hash64
+    from ..functions.text import word_shingles_from_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id", tokens(norm_text(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") >= 3)
+    g = toked.select(
+        "doc_id",
+        (F.size("toks") - 2).cast("bigint").alias("n_grams"),
+        F.posexplode(
+            # strict 3-grams: docs passed the >= 3-token filter, so the
+            # shingle helper's partial-shingle fallback never fires
+            word_shingles_from_tokens(F.col("toks"), 3)
+        ).alias("pos", "sh"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        F.col("pos").cast("bigint").alias("pos"),
+        (portable_hash64(F.col("sh")) % F.lit(1 << 40)).alias("h40"),
+    )
+    wf = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    )
+    keys = g.select(
+        "doc_id",
+        "pos",
+        "n_grams",
+        F.min(F.col("h40") * 65536 - F.col("pos")).over(wf).alias("wkey"),
+    )
+    sel = (
+        keys.filter(F.col("pos") <= F.greatest(F.col("n_grams") - 4, F.lit(0)))
+        .select("doc_id", "n_grams", "wkey")
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.max("n_grams").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_selected"),
+        F.md5(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("wkey").cast("string"))),
+                ",",
+            )
+        ).alias("digest"),
+    )
