@@ -1660,3 +1660,117 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("digest"),
     )
+
+
+# --------------------------------------------------------------------------
+# Near-copy pair detection over winnowing fingerprints: the MOSS join.
+# Matching is on the HASH (position recovered out of the arithmetic key:
+# h40 = floor((wkey + 65535) / 65536), exact for pos in [0, 65535]); docs
+# sharing >= 2 distinct selected fingerprints are near-copy candidates.
+# The fingerprint index is ~2/(w+1) the density of the full shingle
+# inverted index — winnowing IS the index-size/coverage trade. df-capped
+# like ngram_jaccard_pairs (identically on both engines).
+# --------------------------------------------------------------------------
+@register(
+    "winnowing_nearcopy_pairs",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+  WHERE len({_TOKENS_SQL}) >= 3
+),
+gs AS (
+  SELECT doc_id, len(toks) - 2 AS n_grams,
+         unnest(list_transform(range(1, len(toks) - 1),
+           i -> {{'p': i - 1,
+                 'h': ({_HASH_SQL.format(
+                     e="array_to_string(list_slice(toks, i, i + 2), ' ')"
+                 )}) % 1099511627776}})) AS u
+  FROM t
+),
+g AS (
+  SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         CAST(u['p'] AS BIGINT) AS pos, u['h'] AS h40
+  FROM gs
+),
+keys AS (
+  SELECT doc_id, pos, n_grams,
+         min(h40 * 65536 - pos) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+         ) AS wkey
+  FROM g
+),
+fp AS (
+  SELECT DISTINCT doc_id,
+         CAST(floor((wkey + 65535) / 65536) AS BIGINT) AS h40
+  FROM keys WHERE pos <= greatest(n_grams - 4, 0)
+),
+rare AS (
+  SELECT h40 FROM fp GROUP BY h40 HAVING count(*) <= 50
+),
+capped AS (SELECT fp.* FROM fp JOIN rare USING (h40))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(*) AS n_shared
+FROM capped a JOIN capped b
+  ON a.h40 = b.h40 AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+""",
+    doc="MOSS near-copy join: docs sharing >= 2 distinct winnowing "
+    "fingerprints (hash recovered from the arithmetic key), df-capped "
+    "inverted index at ~2/(w+1) the density of the full shingle index",
+)
+def winnowing_nearcopy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import portable_hash64
+    from ..functions.text import word_shingles_from_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id", tokens(norm_text(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") >= 3)
+    g = toked.select(
+        "doc_id",
+        (F.size("toks") - 2).cast("bigint").alias("n_grams"),
+        F.posexplode(word_shingles_from_tokens(F.col("toks"), 3)).alias(
+            "pos", "sh"
+        ),
+    ).select(
+        "doc_id",
+        "n_grams",
+        F.col("pos").cast("bigint").alias("pos"),
+        (portable_hash64(F.col("sh")) % F.lit(1 << 40)).alias("h40"),
+    )
+    wf = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    fp = (
+        g.select(
+            "doc_id",
+            "pos",
+            "n_grams",
+            F.min(F.col("h40") * 65536 - F.col("pos")).over(wf).alias("wkey"),
+        )
+        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - 4, F.lit(0)))
+        .select(
+            "doc_id",
+            F.floor((F.col("wkey") + 65535) / 65536).cast("bigint").alias("h40"),
+        )
+        .distinct()
+    )
+    rare = fp.groupBy("h40").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") <= 50
+    ).select("h40")
+    capped = fp.join(rare, "h40")
+    return (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.h40") == F.col("b.h40"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
