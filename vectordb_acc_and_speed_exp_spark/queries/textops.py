@@ -1662,6 +1662,51 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _winnowing_fp_frame(d: DataFrame, w: int = 4, k: int = 3) -> DataFrame:
+    """Distinct (doc_id, h40) winnowing fingerprints of any (doc_id, text)
+    frame — the shared core of winnowing_fingerprints /
+    winnowing_nearcopy_pairs, exposed for the detection-guarantee
+    property test (any shared token run of length >= w + k - 1 yields a
+    shared fingerprint hash)."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import portable_hash64
+    from ..functions.text import word_shingles_from_tokens
+
+    toked = d.select(
+        "doc_id", tokens(norm_text(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") >= k)
+    g = toked.select(
+        "doc_id",
+        (F.size("toks") - (k - 1)).cast("bigint").alias("n_grams"),
+        F.posexplode(word_shingles_from_tokens(F.col("toks"), k)).alias(
+            "pos", "sh"
+        ),
+    ).select(
+        "doc_id",
+        "n_grams",
+        F.col("pos").cast("bigint").alias("pos"),
+        (portable_hash64(F.col("sh")) % F.lit(1 << 40)).alias("h40"),
+    )
+    wf = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        g.select(
+            "doc_id",
+            "pos",
+            "n_grams",
+            F.min(F.col("h40") * 65536 - F.col("pos")).over(wf).alias("wkey"),
+        )
+        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
+        .select(
+            "doc_id",
+            F.floor((F.col("wkey") + 65535) / 65536).cast("bigint").alias("h40"),
+        )
+        .distinct()
+    )
+
+
 # --------------------------------------------------------------------------
 # Near-copy pair detection over winnowing fingerprints: the MOSS join.
 # Matching is on the HASH (position recovered out of the arithmetic key:
@@ -1721,42 +1766,8 @@ HAVING count(*) >= 2
     "inverted index at ~2/(w+1) the density of the full shingle index",
 )
 def winnowing_nearcopy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from ..functions.hashing import portable_hash64
-    from ..functions.text import word_shingles_from_tokens
-
     d = load_table(spark, sf_dir, "documents")
-    toked = d.select(
-        "doc_id", tokens(norm_text(F.col("text"))).alias("toks")
-    ).filter(F.size("toks") >= 3)
-    g = toked.select(
-        "doc_id",
-        (F.size("toks") - 2).cast("bigint").alias("n_grams"),
-        F.posexplode(word_shingles_from_tokens(F.col("toks"), 3)).alias(
-            "pos", "sh"
-        ),
-    ).select(
-        "doc_id",
-        "n_grams",
-        F.col("pos").cast("bigint").alias("pos"),
-        (portable_hash64(F.col("sh")) % F.lit(1 << 40)).alias("h40"),
-    )
-    wf = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-    fp = (
-        g.select(
-            "doc_id",
-            "pos",
-            "n_grams",
-            F.min(F.col("h40") * 65536 - F.col("pos")).over(wf).alias("wkey"),
-        )
-        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - 4, F.lit(0)))
-        .select(
-            "doc_id",
-            F.floor((F.col("wkey") + 65535) / 65536).cast("bigint").alias("h40"),
-        )
-        .distinct()
-    )
+    fp = _winnowing_fp_frame(d)
     rare = fp.groupBy("h40").agg(F.count(F.lit(1)).alias("_df")).filter(
         F.col("_df") <= 50
     ).select("h40")
