@@ -1785,3 +1785,88 @@ def winnowing_nearcopy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+
+
+# --------------------------------------------------------------------------
+# Containment pairs ([EXT]: the ASYMMETRIC near-dup relation — Broder's
+# containment c(A,B) = |A∩B|/|A|. A short doc quoted inside a long one
+# scores c ~ 1 while Jaccard stays low (size mismatch), so containment is
+# the subset/quotation detector symmetric dedup misses; Dolma/CCNet-style
+# pipelines run both). Same df-capped inverted index as
+# ngram_jaccard_pairs; emits both directions on the exact 1e6 grid with
+# floor (no rounding ties), keeping pairs where either direction >= 0.6.
+# --------------------------------------------------------------------------
+@register(
+    "containment_pairs",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+rare AS (
+  SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50
+),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  JOIN rare r ON a.sh = r.sh
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.id_a, c.id_b, CAST(c.n_common AS BIGINT) AS n_common,
+       CAST(floor(c.n_common * 1000000.0 / sa.sz) AS BIGINT) AS cont_a_s6,
+       CAST(floor(c.n_common * 1000000.0 / sb.sz) AS BIGINT) AS cont_b_s6
+FROM common c
+JOIN sizes sa ON c.id_a = sa.doc_id
+JOIN sizes sb ON c.id_b = sb.doc_id
+WHERE c.n_common * 1000000 >= 600000 * sa.sz
+   OR c.n_common * 1000000 >= 600000 * sb.sz
+""",
+    doc="asymmetric containment pairs (Broder c(A,B)=|A∩B|/|A| >= 0.6 in "
+    "either direction): the quote/subset detector symmetric Jaccard "
+    "misses; df-capped inverted index, exact-int threshold compare, "
+    "fractions on the 1e6 floor grid",
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _shingle_table
+
+    d = load_table(spark, sf_dir, "documents")
+    shingles = _shingle_table(d, "doc_id", "text").persist()
+    rare = (
+        shingles.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= 50)
+        .select("sh")
+    )
+    capped = shingles.join(rare, "sh")
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb"))
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(
+            (F.col("n_common") * 1000000 >= 600000 * F.col("sa"))
+            | (F.col("n_common") * 1000000 >= 600000 * F.col("sb"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.floor(F.col("n_common") * 1000000.0 / F.col("sa"))
+            .cast("bigint")
+            .alias("cont_a_s6"),
+            F.floor(F.col("n_common") * 1000000.0 / F.col("sb"))
+            .cast("bigint")
+            .alias("cont_b_s6"),
+        )
+    )
