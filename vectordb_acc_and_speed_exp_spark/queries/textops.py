@@ -1701,7 +1701,11 @@ def _winnowing_fp_frame(d: DataFrame, w: int = 4, k: int = 3) -> DataFrame:
         .filter(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
         .select(
             "doc_id",
-            F.floor((F.col("wkey") + 65535) / 65536).cast("bigint").alias("h40"),
+            # INTEGER division: wkey ~ h40*2^16 ~ 2^56 exceeds double's
+            # exact range, so float floor((wkey+65535)/65536) recovers
+            # H plus/minus 1 depending on pos — caught by the hypothesis
+            # detection-guarantee test. `div` stays on exact bigints.
+            F.expr("(wkey + 65535) div 65536").cast("bigint").alias("h40"),
         )
         .distinct()
     )
@@ -1747,7 +1751,7 @@ keys AS (
 ),
 fp AS (
   SELECT DISTINCT doc_id,
-         CAST(floor((wkey + 65535) / 65536) AS BIGINT) AS h40
+         CAST((wkey + 65535) // 65536 AS BIGINT) AS h40
   FROM keys WHERE pos <= greatest(n_grams - 4, 0)
 ),
 rare AS (
