@@ -1874,3 +1874,66 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cont_b_s6"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source overlap matrix ([EXT]: dedup provenance analytics — when a
+# pipeline ingests multiple crawls/sources, WHICH sources duplicate WHICH
+# tells you what to drop wholesale). Near-dup pairs (the verified
+# MinHash-LSH set at jaccard >= 0.5) joined to both sides' source labels,
+# rolled up into an unordered source-pair matrix with pair and distinct-
+# doc counts. Oracle composes the already-verified pairs CTEs.
+# --------------------------------------------------------------------------
+_PAIRS_CTES = (
+    REGISTRY["minhash_lsh_dup_pairs"].oracle.rsplit("SELECT id_a, id_b,", 1)[0]
+    + """,
+pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5)
+"""
+)
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=_PAIRS_CTES
+    + """
+SELECT least(da.source, db.source) AS source_x,
+       greatest(da.source, db.source) AS source_y,
+       count(*) AS n_pairs,
+       CAST(count(DISTINCT p.id_a) + count(DISTINCT p.id_b) AS BIGINT)
+         AS n_docs_involved
+FROM pairs p
+JOIN documents da ON p.id_a = da.doc_id
+JOIN documents db ON p.id_b = db.doc_id
+GROUP BY 1, 2
+""",
+    doc="dedup provenance: near-dup pair counts per unordered source pair "
+    "(which crawls duplicate which) — verified MinHash-LSH pairs joined "
+    "to both sides' source labels; the drop-this-source-wholesale signal",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, id_col="doc_id", text_col="text",
+        n_hashes=_N_HASHES, band_size=_BAND_SIZE, jaccard_threshold=0.5,
+    ).select("id_a", "id_b")
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    labeled = pairs.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    return (
+        labeled.select(
+            F.least("_sa", "_sb").alias("source_x"),
+            F.greatest("_sa", "_sb").alias("source_y"),
+            "id_a",
+            "id_b",
+        )
+        .groupBy("source_x", "source_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (
+                F.countDistinct("id_a") + F.countDistinct("id_b")
+            ).cast("bigint").alias("n_docs_involved"),
+        )
+    )
