@@ -1127,3 +1127,132 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("revenue_e4"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sole-late-supplier blame (TPC-H Q21 shape, adapted: the testdata has no
+# commit/receipt dates, so "late" = shipped > 90 days after the order
+# date): suppliers with a late item on a multi-supplier order where EVERY
+# other supplier shipped on time — the EXISTS + NOT EXISTS chain that
+# plans as one semi and one anti join over the same per-(order, supplier)
+# rollup. Top 10 by (orders blamed desc, name).
+# --------------------------------------------------------------------------
+@register(
+    "late_supplier_blame",
+    oracle="""
+WITH os AS (
+  SELECT l_orderkey AS okey, l_suppkey AS skey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS was_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey
+),
+blamed AS (
+  SELECT a.okey, a.skey FROM os a
+  WHERE a.was_late = 1
+    AND EXISTS (SELECT 1 FROM os b
+                WHERE b.okey = a.okey AND b.skey != a.skey)
+    AND NOT EXISTS (SELECT 1 FROM os c
+                    WHERE c.okey = a.okey AND c.skey != a.skey
+                      AND c.was_late = 1)
+)
+SELECT s_name, count(*) AS n_orders
+FROM blamed JOIN supplier ON skey = s_suppkey
+GROUP BY s_name
+ORDER BY n_orders DESC, s_name
+LIMIT 10
+""",
+    doc="TPC-H Q21 shape: sole late supplier on multi-supplier orders — "
+    "EXISTS + NOT EXISTS over one per-(order,supplier) rollup, planned as "
+    "a semi + anti join pair; late = shipped >90 days after order date",
+)
+def late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    os_tbl = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_suppkey").alias("skey"),
+        )
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+                ).cast("int")
+            ).alias("was_late")
+        )
+    )
+    a = os_tbl.alias("a")
+    b = os_tbl.alias("b")
+    c = os_tbl.alias("c")
+    blamed = (
+        a.filter(F.col("a.was_late") == 1)
+        .join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.skey") != F.col("b.skey")),
+            "left_semi",
+        )
+        .join(
+            c,
+            (F.col("a.okey") == F.col("c.okey"))
+            & (F.col("a.skey") != F.col("c.skey"))
+            & (F.col("c.was_late") == 1),
+            "left_anti",
+        )
+        .select("okey", "skey")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(sup), blamed.skey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Revenue-share threshold (TPC-H Q11 shape): suppliers whose revenue
+# exceeds a fixed fraction of GLOBAL revenue — the scalar-subquery
+# pattern (one global aggregate broadcast into the HAVING). Exact-cents
+# comparison by cross-multiplication: rev * 1000 > total (no division).
+# --------------------------------------------------------------------------
+@register(
+    "supplier_revenue_share",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev100
+  FROM lineitem GROUP BY l_suppkey
+),
+total AS (SELECT CAST(sum(rev100) AS BIGINT) AS t100 FROM rev)
+SELECT r.l_suppkey AS suppkey, r.rev100,
+       CAST(floor(r.rev100 * 1000000.0 / total.t100) AS BIGINT) AS share_s6
+FROM rev r, total
+WHERE r.rev100 * 1000 > total.t100
+""",
+    doc="TPC-H Q11 shape: suppliers above 1/1000 of global revenue — one "
+    "scalar aggregate broadcast into the filter, exact-cents "
+    "cross-multiplied threshold, share on the 1e6 floor grid",
+)
+def supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(_cents("l_extendedprice")).cast("bigint").alias("rev100")
+    )
+    total = rev.agg(F.sum("rev100").cast("bigint").alias("t100"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .filter(F.col("rev100") * 1000 > F.col("t100"))
+        .select(
+            "suppkey",
+            "rev100",
+            F.floor(F.col("rev100") * 1000000.0 / F.col("t100"))
+            .cast("bigint")
+            .alias("share_s6"),
+        )
+    )
