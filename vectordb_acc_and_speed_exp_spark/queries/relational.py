@@ -1256,3 +1256,75 @@ def supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_s6"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Weekly cohort retention triangle ([EXT]: the product-analytics staple):
+# users bucketed by first-activity week; for each (cohort week, week age)
+# the count of cohort members active that week. Weeks via ms-epoch
+# integer division (ms // week_ms — no date_trunc locale/week-start
+# ambiguity between engines); the triangle is one distinct + two narrow
+# aggregates + a broadcast join back to cohort sizes.
+# --------------------------------------------------------------------------
+@register(
+    "weekly_cohort_retention",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id,
+         epoch_ms(ts) // 604800000 AS wk
+  FROM events
+),
+first_wk AS (
+  SELECT user_id, min(wk) AS wk0 FROM act GROUP BY user_id
+),
+sizes AS (
+  SELECT wk0, count(*) AS cohort_n FROM first_wk GROUP BY wk0
+),
+tri AS (
+  SELECT f.wk0, a.wk - f.wk0 AS age, count(*) AS n_active
+  FROM act a JOIN first_wk f USING (user_id)
+  GROUP BY f.wk0, a.wk - f.wk0
+)
+SELECT t.wk0 AS cohort_week, CAST(t.age AS BIGINT) AS week_age,
+       CAST(t.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_n AS BIGINT) AS cohort_n,
+       CAST(floor(t.n_active * 1000000.0 / s.cohort_n) AS BIGINT)
+         AS retention_s6
+FROM tri t JOIN sizes s USING (wk0)
+""",
+    doc="weekly cohort retention triangle: cohort = first-activity week "
+    "(ms-epoch // week_ms, no week-start ambiguity), cells = distinct "
+    "active users per (cohort, age) with the retention fraction on the "
+    "1e6 floor grid",
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    act = (
+        ev.select(
+            "user_id",
+            # integer `div`, not float `/` + cast: an epoch exactly on a
+            # week boundary could round to x.9999... in double and
+            # truncate one week low (the winnowing bug class)
+            F.expr("unix_millis(ts) div 604800000").alias("wk"),
+        )
+        .distinct()
+    )
+    first_wk = act.groupBy("user_id").agg(F.min("wk").alias("wk0"))
+    sizes = first_wk.groupBy("wk0").agg(F.count(F.lit(1)).alias("cohort_n"))
+    tri = (
+        act.join(first_wk, "user_id")
+        .groupBy("wk0", (F.col("wk") - F.col("wk0")).alias("age"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        tri.join(F.broadcast(sizes), "wk0")
+        .select(
+            F.col("wk0").alias("cohort_week"),
+            F.col("age").cast("bigint").alias("week_age"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("cohort_n").cast("bigint").alias("cohort_n"),
+            F.floor(F.col("n_active") * 1000000.0 / F.col("cohort_n"))
+            .cast("bigint")
+            .alias("retention_s6"),
+        )
+    )
