@@ -1328,3 +1328,58 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("retention_s6"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window event rate ([EXT]: completes the window trio — tumbling
+# (events_hourly), session (events_session_window), and now SLIDING:
+# 1-hour windows every 15 minutes). Spark emits one row per overlapping
+# window via F.window(slide=); the oracle replays the same assignment by
+# integer epoch math (each event belongs to the 4 windows whose start lies
+# in (ts - 1h, ts], starts on the 15-min grid).
+# --------------------------------------------------------------------------
+@register(
+    "events_sliding_rate",
+    oracle="""
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) AS ms,
+         CAST(round(value * 100) AS BIGINT) AS v100
+  FROM events
+),
+assigned AS (
+  SELECT event_type, v100,
+         (ms // 900000 - off.range) * 900000 AS win_start_ms
+  FROM e, range(0, 4) off
+  WHERE (ms // 900000 - off.range) * 900000 > ms - 3600000
+),
+agg AS (
+  SELECT win_start_ms, event_type,
+         count(*) AS n_events,
+         CAST(sum(v100) AS BIGINT) AS sum_v100
+  FROM assigned GROUP BY win_start_ms, event_type
+)
+SELECT CAST(win_start_ms AS BIGINT) AS win_start_ms, event_type,
+       n_events, sum_v100
+FROM agg
+""",
+    doc="sliding-window rate (1-hour windows every 15 min): the third "
+    "window kind after tumbling and session; Spark F.window(slide=) vs an "
+    "integer-epoch window-assignment replay, exact-cents sums",
+)
+def events_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents("value")).cast("bigint").alias("sum_v100"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_v100",
+        )
+    )
