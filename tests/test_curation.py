@@ -112,3 +112,28 @@ def test_corpus_version_diff_statuses(spark, sf_dir):
             assert status == "removed"
         else:
             assert status == "changed" and doc_id % 37 == 0
+
+
+def test_training_manifest_exports_to_jsonl_shards(spark, sf_dir, tmp_path):
+    """The capstone composition a pipeline actually ships: the cleaned
+    training manifest written to record-bounded JSONL shards and read
+    back intact — the export handoff to a tokenizer/training job."""
+    from vectordb_acc_and_speed_exp_spark.queries import load_all
+    from vectordb_acc_and_speed_exp_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    manifest = load_all()["training_manifest"].fn(spark, sf_dir)
+    out = str(tmp_path / "train_shards")
+    write_jsonl(manifest.repartition(1), out, max_records_per_file=40)
+
+    import glob
+
+    shards = glob.glob(out + "/*.json*")
+    assert len(shards) >= 2, "record bound should force multiple shards"
+
+    back = read_jsonl(spark, out, schema=manifest.schema)
+    got = sorted(map(tuple, back.select(*manifest.columns).collect()))
+    want = sorted(map(tuple, manifest.collect()))
+    assert got == want and len(want) > 0
