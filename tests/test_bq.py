@@ -277,3 +277,24 @@ def test_pre_encoded_codes_match_inline(bq_params, embeddings, query_set):
     assert sorted(map(tuple, inline.collect())) == sorted(
         map(tuple, served.collect())
     )
+
+
+def test_pack_matches_python_replay(bq_params, embeddings):
+    """The codegen bit-pack reproduces a plain-python replay of the
+    threshold rule bit for bit (independent of the DuckDB oracle)."""
+    sums, n = bq_params
+    rows = embeddings.select("vec_id", "embedding").collect()
+    enc = {
+        r.item_id: (r.code_lo, r.code_hi)
+        for r in bq_encode(embeddings, sums, n, item_id="vec_id").collect()
+    }
+    for r in rows[:50]:
+        lo = hi = 0
+        for i, x in enumerate(r.embedding):
+            s = round(float(x) * 1_000_000)
+            if s * n > int(sums[i]):
+                if i < 32:
+                    lo |= 1 << i
+                else:
+                    hi |= 1 << (i - 32)
+        assert enc[r.vec_id] == (lo, hi), r.vec_id
