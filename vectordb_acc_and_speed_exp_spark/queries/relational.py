@@ -1383,3 +1383,58 @@ def events_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_v100",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Six-table chain (join-reordering stress): region -> nation -> customer ->
+# orders -> lineitem -> part with selective predicates at both ends — the
+# shape where Catalyst's join reordering + broadcast decisions matter
+# most. Dims broadcast explicitly; the two fact joins shuffle on their
+# keys. Exact-cents revenue per (region, brand).
+# --------------------------------------------------------------------------
+@register(
+    "six_table_chain",
+    oracle="""
+SELECT r_name, p_brand,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN part     ON p_partkey = l_partkey
+WHERE r_name = 'ASIA'
+  AND p_brand IN ('Brand#12', 'Brand#23')
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY r_name, p_brand
+""",
+    doc="six-table chain with selective predicates at both ends — the "
+    "join-reordering / broadcast-decision stress shape; dims broadcast, "
+    "facts shuffle on their keys, exact-cents revenue",
+)
+def six_table_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return joined.groupBy("r_name", "p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(rev).cast("bigint").alias("revenue_e4"),
+    )
