@@ -70,7 +70,18 @@ def bq_train(
     map-side partial aggregation; only 64 longs + a count reach the driver.
     """
     if dim is None:
-        dim = len(corpus.select(item_vec).first()[0])
+        head = corpus.select(item_vec).first()
+        if head is None or head[0] is None:
+            raise ValueError(
+                "bq_train: corpus is empty or its first vector is NULL"
+            )
+        dim = len(head[0])
+    if not 2 <= dim <= 64 or dim % 2:
+        raise ValueError(
+            f"bq_train: dim={dim} unsupported — codes pack into two 32-bit "
+            "words, so dim must be even and <= 64 (wider embeddings need "
+            "more words; see bq_encode)"
+        )
     # posexplode + groupBy(pos) instead of a 64-expression-wide aggregate:
     # the wide form is semantically identical but generates a codegen unit
     # whose compile time dwarfs the scan (measured 2.7 s vs 0.4 s at sf0.1);
@@ -83,8 +94,14 @@ def bq_train(
         .collect()
     )
     by_pos = {r.pos: r for r in rows}
-    sums = np.array([by_pos[i].sum_s for i in range(dim)], dtype=np.int64)
-    return sums, int(by_pos[0].n)
+    if len(by_pos) < dim:
+        raise ValueError(
+            f"bq_train: corpus is empty or vectors are shorter than dim={dim}"
+        )
+    return (
+        np.array([by_pos[i].sum_s for i in range(dim)], dtype=np.int64),
+        int(by_pos[0].n),
+    )
 
 
 def bq_encode(
@@ -99,10 +116,30 @@ def bq_encode(
 
     bit i set iff scaled[i] * n > sums[i] (exact BIGINT compare — no FP
     boundary anywhere). dims 1..32 → code_lo, 33..64 → code_hi, bit (i-1)
-    resp. (i-33). ``s_i * n`` stays far inside BIGINT range even at 1e12
-    rows (|s_i| ≤ ~1e7 at unit-scale embeddings).
+    resp. (i-33).
+
+    Range contract (checked): dim must be even and <= 64 (the two-word
+    layout; a 384-dim SBERT corpus needs 12 words — extend the pack list
+    before lifting this). The threshold product ``s_i * n`` must fit
+    BIGINT: with |x| <= 10 (|s_i| <= 1e8) that bounds n at ~9e10 rows; a
+    guard raises instead of letting non-ANSI Spark wrap negative and
+    silently flip bits.
     """
     dim = len(sums)
+    if not 2 <= dim <= 64 or dim % 2:
+        raise ValueError(
+            f"bq_encode: dim={dim} unsupported — the packed layout is two "
+            "32-bit words (dim even, <= 64)"
+        )
+    # |s_i| is unknown here without a data pass, but |sums_d| >= the mean
+    # magnitude; bound the product with the observed threshold scale plus
+    # two orders of headroom for outlier elements.
+    worst = (int(np.max(np.abs(sums))) // max(n, 1) + 1) * 100
+    if worst * n > (1 << 62):
+        raise ValueError(
+            "bq_encode: s_i * n may overflow BIGINT at this corpus size — "
+            "rescale the embeddings or shrink the grid before encoding"
+        )
     half = dim // 2
     # two-phase select: materialize the scaled array once per row; the two
     # pack() expressions then index it 64 times without re-rounding it 64
@@ -148,6 +185,56 @@ def hamming(lo_a: Column, hi_a: Column, lo_b: Column, hi_b: Column) -> Column:
     return F.bit_count(lo_a.bitwiseXOR(lo_b)) + F.bit_count(hi_a.bitwiseXOR(hi_b))
 
 
+
+def _shortlist_rerank(
+    scored: DataFrame,
+    queries: DataFrame,
+    vec_source: DataFrame,
+    k: int,
+    shortlist: int,
+    query_id: str,
+    query_vec: str,
+    item_id: str,
+    item_vec: str,
+) -> DataFrame:
+    """Shared tail of both BQ search paths: Hamming-shortlist window over
+    ``scored`` (query_id, item_id, hamming) → exact L2 re-rank against
+    ``vec_source`` → top-k by (dist, item_id). One place to own the
+    tie-break and output contract for the flat and composed layouts."""
+    from ..functions.vector import l2_dist
+
+    wham = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("item_id")
+    )
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(wham))
+        .filter(F.col("_rn") <= shortlist)
+        .select("query_id", "item_id", "hamming")
+    )
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec")
+    )
+    vecs = vec_source.select(
+        F.col(item_id).alias("item_id"), F.col(item_vec).alias("_cvec")
+    )
+    reranked = (
+        cand.join(vecs, "item_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "item_id",
+            "hamming",
+            l2_dist(F.col("_qvec"), F.col("_cvec")).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("item_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "dist", "hamming")
+    )
+
+
 def bq_search_rerank(
     queries: DataFrame,
     corpus: DataFrame,
@@ -176,8 +263,6 @@ def bq_search_rerank(
     (the one-shot/gate shape). Codes are a pure function of (corpus,
     sums, n), so both shapes return identical results (tested).
     """
-    from ..functions.vector import l2_dist
-
     qcodes = bq_encode(
         queries, sums, n, item_id=query_id, item_vec=query_vec
     ).select(
@@ -197,35 +282,9 @@ def bq_search_rerank(
             F.col("q_lo"), F.col("q_hi"), F.col("code_lo"), F.col("code_hi")
         ).alias("hamming"),
     )
-    wham = Window.partitionBy("query_id").orderBy(
-        F.asc("hamming"), F.asc("item_id")
-    )
-    cand = (
-        scored.withColumn("_rn", F.row_number().over(wham))
-        .filter(F.col("_rn") <= shortlist)
-        .select("query_id", "item_id", "hamming")
-    )
-    qv = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec")
-    )
-    vecs = corpus.select(
-        F.col(item_id).alias("item_id"), F.col(item_vec).alias("_cvec")
-    )
-    reranked = (
-        cand.join(vecs, "item_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "item_id",
-            "hamming",
-            l2_dist(F.col("_qvec"), F.col("_cvec")).alias("dist"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("item_id"))
-    return (
-        reranked.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "item_id", "dist", "hamming")
+    return _shortlist_rerank(
+        scored, queries, corpus, k, shortlist,
+        query_id, query_vec, item_id, item_vec,
     )
 
 
@@ -280,7 +339,11 @@ def ivfbq_codes_upsert(
             passthrough=("cell",),
         )
         .repartition("cell")
-        .sortWithinPartitions(item_id)
+        # post-rename name: bq_encode emits "item_id"; sorting by the
+        # caller's original id name only resolved via Spark's
+        # missing-reference fallback and breaks if the encode output is
+        # ever materialized first
+        .sortWithinPartitions("item_id")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell")
@@ -320,10 +383,8 @@ def ivfbq_search(
 
     Full probe + shortlist ≥ corpus degenerates to exact k-NN (tested —
     the same metamorphic identity as IVF-SQ/IVF-PQ)."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as _F
 
-    from ..functions.vector import l2_dist
     from .knn import exact_knn
 
     qcells = exact_knn(
@@ -360,33 +421,10 @@ def ivfbq_search(
             _F.col("q_lo"), _F.col("q_hi"), _F.col("code_lo"), _F.col("code_hi")
         ).alias("hamming"),
     )
-    wham = Window.partitionBy("query_id").orderBy(
-        _F.asc("hamming"), _F.asc("item_id")
+    pruned_vecs = spark.read.parquet(corpus_path).filter(
+        _F.col("cell").isin(probed)
     )
-    cand = (
-        scored.withColumn("_rn", _F.row_number().over(wham))
-        .filter(_F.col("_rn") <= shortlist)
-        .select("query_id", "item_id", "hamming")
-    )
-    vecs = (
-        spark.read.parquet(corpus_path)
-        .filter(_F.col("cell").isin(probed))
-        .select(_F.col(item_id).alias("item_id"), _F.col(item_vec).alias("_cvec"))
-    )
-    qv = queries.select(
-        _F.col(query_id).alias("query_id"), _F.col(query_vec).alias("_qvec")
-    )
-    reranked = (
-        cand.join(vecs, "item_id")
-        .join(_F.broadcast(qv), "query_id")
-        .select(
-            "query_id", "item_id", "hamming",
-            l2_dist(_F.col("_qvec"), _F.col("_cvec")).alias("dist"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(_F.asc("dist"), _F.asc("item_id"))
-    return (
-        reranked.withColumn("rank", _F.row_number().over(w).cast("bigint"))
-        .filter(_F.col("rank") <= k)
-        .select("query_id", "rank", "item_id", "dist", "hamming")
+    return _shortlist_rerank(
+        scored, queries, pruned_vecs, k, shortlist,
+        query_id, query_vec, item_id, item_vec,
     )

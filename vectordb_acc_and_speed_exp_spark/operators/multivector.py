@@ -12,15 +12,18 @@ The reference study pools each page into one SBERT vector
 (chromadb_acc_experiment.py:614-628); MaxSim is the [EXT] refinement that
 keeps per-token geometry.
 
-Spark-first shape (one shuffle):
+Spark-first shape:
 - the query token set is tiny → **broadcast**; the doc-token scan computes
   cos(qt, dt) inside whole-stage codegen for each (query token, doc token)
   pair — shuffle-free map work;
-- ``max`` per (query, doc, query-token) and the Σ per (query, doc) are both
-  map-side-combinable hash aggregates on the SAME grouping prefix, so the
-  plan shuffles once on (qid, doc_id) and partial-aggregates everything
-  upstream;
-- top-k per query is the usual window rank with AQE's partial top-k.
+- the plan then carries THREE exchanges, each over already-reduced data:
+  (qid, qtok, doc_id) for the max (map-side partial max collapses the
+  doc-token axis first, so the exchange payload is |q_tokens| rows per
+  doc, not |q_tokens|·|doc_tokens|), (qid, doc_id) for the Σ, and (qid)
+  for the final top-k window. Pre-partitioning on (qid, doc_id) would
+  merge the first two but forces the UNREDUCED pair rows through the
+  wire — strictly worse; the partial-agg-first plan is the one you want
+  at scale.
 
 Determinism contract: ``max`` is order-independent; the per-token maxima are
 rounded onto the repo-wide exact 1e6 integer grid BEFORE the Σ, so the
@@ -29,8 +32,8 @@ operator hash-matches a DuckDB replay (see the
 ``maxsim_multivector_topk`` gate entry).
 
 At 100 TB: doc tokens dominate (N_docs × tokens/doc rows). The scan is
-embarrassingly parallel; the single (qid, doc_id) shuffle carries one row
-per (query, doc, qtoken) — |q| × 32ish rows per doc, independent of token
+embarrassingly parallel; every exchange carries at most one row per
+(query, doc, qtoken) — |q| × 32ish rows per doc, independent of doc token
 count. For huge corpora compose with any ANN family as a first-stage
 retriever (this operator then scores only the candidate set).
 """
@@ -50,21 +53,24 @@ def maxsim_topk(
     doc_tokens: DataFrame,
     k: int = 10,
     qid: str = "qid",
+    qtok: str = "qtok",
     qvec: str = "qv",
     doc_id: str = "doc_id",
     dvec: str = "ev",
 ) -> DataFrame:
     """Top-k docs per query under MaxSim late interaction.
 
-    query_tokens: (qid, qtok, qvec) — multiple token vectors per query id.
-    doc_tokens:   (doc_id, dtok, dvec) — multiple token vectors per doc.
+    query_tokens: (qid, qtok, qvec) — multiple token vectors per query id
+    (``qtok`` distinguishes the tokens; its values never appear in the
+    output). doc_tokens needs only (doc_id, dvec) — the doc-token axis is
+    collapsed by the max, so no doc-token identifier is required.
     Returns (qid, rank, doc_id, score_s6): score on the 1e6-scaled int grid
     (Σ of per-query-token max cosines, each rounded to the grid), rank 1..k
     by (score desc, doc_id).
     """
     q = query_tokens.select(
         F.col(qid).alias("qid"),
-        F.col("qtok").alias("qtok"),
+        F.col(qtok).alias("qtok"),
         F.col(qvec).alias("_qv"),
     )
     d = doc_tokens.select(

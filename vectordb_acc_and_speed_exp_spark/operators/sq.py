@@ -240,7 +240,9 @@ def ivfsq_codes_upsert(
             passthrough=("cell",),
         )
         .repartition("cell")
-        .sortWithinPartitions(item_id)
+        # post-rename name (sq_encode emits "item_id"); see the identical
+        # note in operators/bq.py::ivfbq_codes_upsert
+        .sortWithinPartitions("item_id")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell")

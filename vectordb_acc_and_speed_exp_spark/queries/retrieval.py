@@ -543,7 +543,8 @@ SELECT qid, rank, doc_id, score_s6 FROM ranked WHERE rank <= 10
     doc="ColBERT-style MaxSim late interaction, fully hash-oracled: "
     "3 multi-token queries (5 vectors each) against multi-vector docs "
     "(8 vectors each); per-query-token max cosine on the exact 1e6 grid, "
-    "summed as bigints; one (qid, doc_id) shuffle, query tokens broadcast",
+    "summed as bigints; exchanges carry only reduced per-qtoken rows, "
+    "query tokens broadcast",
 )
 def maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multivector import maxsim_topk
