@@ -291,7 +291,10 @@ def minhash_est_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         n_hashes=_N_HASHES,
     ).persist()
-    bands = _band_table(sig, _BAND_SIZE)
+    # self-join consumes bands twice; unpersisted it rebuilds the band
+    # aggregation per side (the double-recompute minhash_lsh_pairs
+    # measured and persists against)
+    bands = _band_table(sig, _BAND_SIZE).persist()
     est = signature_estimate(
         _band_collisions(bands, bands), sig, sig, _N_HASHES
     )
@@ -357,9 +360,12 @@ def _get_or_build_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _index_root(sf_dir)
     path = os.path.join(root, "dedup_clusters")
+    pairs_path = os.path.join(root, "dedup_pairs")
     done = os.path.join(root, "dedup_clusters._DONE")
     fp = _source_fingerprint(sf_dir, table="documents")
-    if not _build_is_fresh(done, fp):
+    # a marker written before the pairs artifact existed (or a manually
+    # deleted artifact) must trigger a rebuild of BOTH outputs
+    if not _build_is_fresh(done, fp) or not os.path.exists(pairs_path):
         os.makedirs(root, exist_ok=True)
         pairs = minhash_lsh_pairs(
             load_table(spark, sf_dir, "documents"),
@@ -369,7 +375,13 @@ def _get_or_build_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             band_size=_BAND_SIZE,
             jaccard_threshold=0.5,
         )
-        cc = connected_components(pairs)
+        # the verified pair table is itself a maintained artifact: the
+        # mining pass produces it anyway, and provenance consumers
+        # (source_overlap_matrix) otherwise re-mine the whole pipeline
+        pairs.select("id_a", "id_b").write.mode("overwrite").parquet(
+            pairs_path
+        )
+        cc = connected_components(spark.read.parquet(pairs_path))
         cc.select(
             F.col("node").alias("doc_id"),
             F.col("cluster_id"),
@@ -377,6 +389,17 @@ def _get_or_build_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("overwrite").parquet(path)
         _mark_built(done, fp)
     return spark.read.parquet(path)
+
+
+def _get_or_build_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified MinHash-LSH pair table (id_a, id_b at jaccard >= 0.5),
+    materialized by the same build as the cluster table."""
+    import os
+
+    from .pipeline import _index_root
+
+    _get_or_build_clusters(spark, sf_dir)  # ensures both artifacts exist
+    return spark.read.parquet(os.path.join(_index_root(sf_dir), "dedup_pairs"))
 
 
 @register(
@@ -459,6 +482,7 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH tok AS (
   SELECT DISTINCT doc_id, tok FROM (
     SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    WHERE length(trim(text)) > 0
   )
 ),
 bits AS (
@@ -545,7 +569,8 @@ def _lexicon_values_sql() -> str:
 @register(
     "lang_id_votes",
     oracle=f"""
-WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents),
+WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+             WHERE length(trim(text)) > 0),
 votes AS (
   SELECT t.doc_id, lex.lex_lang, count(*) AS n_hits
   FROM tok t JOIN {_lexicon_values_sql()} ON t.tok = lex.word
@@ -667,6 +692,7 @@ _SIMHASH_BASE_SQL = f"""
 WITH tok AS (
   SELECT DISTINCT doc_id, tok FROM (
     SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    WHERE length(trim(text)) > 0
   )
 ),
 bits AS (
@@ -722,10 +748,12 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tfidf_top_terms",
     oracle=f"""
-WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+             WHERE length(trim(text)) > 0),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
 df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
-n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+     WHERE length(trim(text)) > 0),
 scored AS (
   SELECT tf.doc_id, tf.term,
          tf.tf * (ln((n.n_docs + 1) * 1.0 / (df.df + 1)) + 1.0) AS score
@@ -743,7 +771,9 @@ FROM ranked WHERE rank <= 3
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
     tok = d.select("doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -896,7 +926,8 @@ _DUP_FRAC_SQL = (
 @register(
     "repetition_profile",
     oracle=f"""
-WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+           WHERE length(trim(text)) > 0),
 g AS (
   SELECT doc_id, len(t) AS n_tokens,
          {_strict_ngrams_sql(2)} AS g2,
@@ -914,7 +945,9 @@ FROM g
     "fraction per doc, strict n-grams, flag at dup_3gram_r > 0.05",
 )
 def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
     staged = d.select(
         "doc_id", tokens(norm_text(F.col("text"))).alias("t")
     ).select(
@@ -1055,7 +1088,8 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bigram_lm_scores",
     oracle=f"""
-WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents
+           WHERE length(trim(text)) > 0),
 tok AS (SELECT doc_id, unnest(ts) AS w FROM toks),
 uni AS (SELECT w AS w1, count(*) AS c1 FROM tok GROUP BY w),
 voc AS (SELECT count(*) AS v FROM uni),
@@ -1069,11 +1103,12 @@ bg AS (
 cb AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
 scored AS (
   SELECT bg.doc_id,
-         ln((cb.c2 + 1.0) / (uni.c1 + voc.v)) AS lp
+         CAST(round(ln((cb.c2 + 1.0) / (uni.c1 + voc.v)) * 1000000)
+              AS BIGINT) AS lp6
   FROM bg JOIN cb USING (w1, w2) JOIN uni USING (w1) CROSS JOIN voc
 )
 SELECT doc_id, count(*) AS n_bigrams,
-       CAST(floor(sum(lp) / count(*) * 1000000.0) AS BIGINT) AS lm_s6
+       CAST(floor(sum(lp6) * 1.0 / count(*)) AS BIGINT) AS lm_s6
 FROM scored GROUP BY doc_id
 """,
     doc="self-trained add-1 bigram LM fluency score per doc (the "
@@ -1085,7 +1120,9 @@ FROM scored GROUP BY doc_id
     "no model, no Python",
 )
 def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
     toks = d.select("doc_id", tokens(norm_text(F.col("text"))).alias("ts"))
     tok = toks.select("doc_id", F.explode("ts").alias("w"))
     uni = tok.groupBy(F.col("w").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
@@ -1110,12 +1147,21 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(voc))
         .select(
             "doc_id",
-            F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))).alias("lp"),
+            # each log term lands on the 1e6 grid BEFORE the sum — a raw
+            # double sum is partition-order dependent (the one spot in
+            # this file that violated the repo invariant; the other
+            # log-based queries already round per-term)
+            F.round(
+                F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("lp6"),
         )
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.floor(F.sum("lp") / F.count(F.lit(1)) * 1000000.0)
+        F.floor(F.sum("lp6") * 1.0 / F.count(F.lit(1)))
         .cast("bigint")
         .alias("lm_s6"),
     )
@@ -1613,40 +1659,9 @@ FROM sel GROUP BY doc_id
     "guaranteed-coverage near-copy fingerprints at ~2/(w+1) density",
 )
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from ..functions.hashing import portable_hash64
-    from ..functions.text import word_shingles_from_tokens
-
     d = load_table(spark, sf_dir, "documents")
-    toked = d.select(
-        "doc_id", tokens(norm_text(F.col("text"))).alias("toks")
-    ).filter(F.size("toks") >= 3)
-    g = toked.select(
-        "doc_id",
-        (F.size("toks") - 2).cast("bigint").alias("n_grams"),
-        F.posexplode(
-            # strict 3-grams: docs passed the >= 3-token filter, so the
-            # shingle helper's partial-shingle fallback never fires
-            word_shingles_from_tokens(F.col("toks"), 3)
-        ).alias("pos", "sh"),
-    ).select(
-        "doc_id",
-        "n_grams",
-        F.col("pos").cast("bigint").alias("pos"),
-        (portable_hash64(F.col("sh")) % F.lit(1 << 40)).alias("h40"),
-    )
-    wf = (
-        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-    )
-    keys = g.select(
-        "doc_id",
-        "pos",
-        "n_grams",
-        F.min(F.col("h40") * 65536 - F.col("pos")).over(wf).alias("wkey"),
-    )
     sel = (
-        keys.filter(F.col("pos") <= F.greatest(F.col("n_grams") - 4, F.lit(0)))
+        _winnowing_keys_frame(d)
         .select("doc_id", "n_grams", "wkey")
         .distinct()
     )
@@ -1664,12 +1679,11 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _winnowing_fp_frame(d: DataFrame, w: int = 4, k: int = 3) -> DataFrame:
-    """Distinct (doc_id, h40) winnowing fingerprints of any (doc_id, text)
-    frame — the shared core of winnowing_fingerprints /
-    winnowing_nearcopy_pairs, exposed for the detection-guarantee
-    property test (any shared token run of length >= w + k - 1 yields a
-    shared fingerprint hash)."""
+def _winnowing_keys_frame(d: DataFrame, w: int = 4, k: int = 3) -> DataFrame:
+    """(doc_id, pos, n_grams, wkey) for every VALID window start — the
+    single winnowing core (tokenize → k-gram h40 → arithmetic window min →
+    tail filter) consumed by the digest query, the fingerprint frame, and
+    the pair join, so a selection-rule fix can never drift between them."""
     from pyspark.sql import Window
 
     from ..functions.hashing import portable_hash64
@@ -1691,20 +1705,24 @@ def _winnowing_fp_frame(d: DataFrame, w: int = 4, k: int = 3) -> DataFrame:
         (portable_hash64(F.col("sh")) % F.lit(1 << 40)).alias("h40"),
     )
     wf = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return g.select(
+        "doc_id",
+        "pos",
+        "n_grams",
+        F.min(F.col("h40") * 65536 - F.col("pos")).over(wf).alias("wkey"),
+    ).filter(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
+
+
+def _winnowing_fp_frame(d: DataFrame, w: int = 4, k: int = 3) -> DataFrame:
+    """Distinct (doc_id, h40) winnowing fingerprints — hash recovered from
+    the arithmetic key by INTEGER division (wkey ~ h40*2^16 ~ 2^56 exceeds
+    double's exact range, so float floor((wkey+65535)/65536) recovers H
+    plus/minus 1 depending on pos — caught by the hypothesis
+    detection-guarantee test; `div` stays on exact bigints)."""
     return (
-        g.select(
-            "doc_id",
-            "pos",
-            "n_grams",
-            F.min(F.col("h40") * 65536 - F.col("pos")).over(wf).alias("wkey"),
-        )
-        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
+        _winnowing_keys_frame(d, w, k)
         .select(
             "doc_id",
-            # INTEGER division: wkey ~ h40*2^16 ~ 2^56 exceeds double's
-            # exact range, so float floor((wkey+65535)/65536) recovers
-            # H plus/minus 1 depending on pos — caught by the hypothesis
-            # detection-guarantee test. `div` stays on exact bigints.
             F.expr("(wkey + 65535) div 65536").cast("bigint").alias("h40"),
         )
         .distinct()
@@ -1755,7 +1773,7 @@ fp AS (
   FROM keys WHERE pos <= greatest(n_grams - 4, 0)
 ),
 rare AS (
-  SELECT h40 FROM fp GROUP BY h40 HAVING count(*) <= 50
+  SELECT h40 FROM fp GROUP BY h40 HAVING count(*) <= {_DF_CAP}
 ),
 capped AS (SELECT fp.* FROM fp JOIN rare USING (h40))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1773,7 +1791,7 @@ def winnowing_nearcopy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     fp = _winnowing_fp_frame(d)
     rare = fp.groupBy("h40").agg(F.count(F.lit(1)).alias("_df")).filter(
-        F.col("_df") <= 50
+        F.col("_df") <= _DF_CAP
     ).select("h40")
     capped = fp.join(rare, "h40")
     return (
@@ -1806,7 +1824,7 @@ def winnowing_nearcopy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH sh AS ({_SHINGLES_SQL}),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 rare AS (
-  SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50
+  SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {_DF_CAP}
 ),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
@@ -1836,7 +1854,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare = (
         shingles.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= 50)
+        .filter(F.col("_df") <= _DF_CAP)
         .select("sh")
     )
     capped = shingles.join(rare, "sh")
@@ -1911,13 +1929,10 @@ GROUP BY 1, 2
     "to both sides' source labels; the drop-this-source-wholesale signal",
 )
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import minhash_lsh_pairs
-
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        d, id_col="doc_id", text_col="text",
-        n_hashes=_N_HASHES, band_size=_BAND_SIZE, jaccard_threshold=0.5,
-    ).select("id_a", "id_b")
+    # read the materialized pair artifact (built once with the cluster
+    # table) instead of re-mining the LSH pipeline per consumer
+    pairs = _get_or_build_pairs(spark, sf_dir)
     src = d.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
     sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
