@@ -14,6 +14,8 @@ import pytest
 import __spark_entry__ as entrymod
 
 QUERIES = [
+    "bm25_topk",
+    "parent_doc_retrieval",
     "repetition_profile",
     "tfidf_top_terms",
     "simhash",

@@ -66,3 +66,26 @@ def test_bucketed_has_no_driver_collect_of_corpus(embeddings):
         embeddings, id_col="vec_id", vec_col="embedding", threshold=0.4
     )._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" not in plan
+
+
+def test_blas_shortlist_breaks_distance_ties_by_id(spark):
+    """Duplicate embeddings (the dedup-blocking case): the per-batch
+    shortlist must keep the LOWEST ids among distance-tied items, matching
+    the (dist, id) ordering the rank windows and oracles promise."""
+    import pyspark.sql.functions as F
+
+    from vectordb_acc_and_speed_exp_spark.operators.simjoin import (
+        cosine_knn_join,
+    )
+
+    vec = [1.0, 0.0, 0.0, 0.0]
+    rows = [(i, vec) for i in range(8)]  # 8 identical vectors
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    qs = spark.createDataFrame(
+        [(0, vec)], "query_id bigint, query_vec array<double>"
+    )
+    got = cosine_knn_join(qs, corpus, k=3, item_id="vec_id", metric="l2")
+    ids = sorted(r.item_id for r in got.collect())
+    assert ids == [0, 1, 2], ids

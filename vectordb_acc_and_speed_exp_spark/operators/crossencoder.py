@@ -31,9 +31,15 @@ from pyspark.sql.pandas.functions import pandas_udf
 
 def fake_pair_score(query: str, doc: str) -> float:
     """Deterministic stand-in relevance: token-set Jaccard × log-length
-    prior. Pure function of the pair; identical text scores highest."""
-    q = set((query or "").lower().split())
-    d = set((doc or "").lower().split())
+    prior. Pure function of the pair; identical text scores highest.
+
+    Tokenization is ASCII-whitespace (re.ASCII), matching the DuckDB
+    oracle's string_split_regex '\\s+' — Python's unicode-aware
+    str.split() would split NBSP-class characters the oracle keeps."""
+    import re
+
+    q = set(re.split(r"\s+", (query or "").lower(), flags=re.ASCII)) - {""}
+    d = set(re.split(r"\s+", (doc or "").lower(), flags=re.ASCII)) - {""}
     if not q or not d:
         return 0.0
     j = len(q & d) / len(q | d)

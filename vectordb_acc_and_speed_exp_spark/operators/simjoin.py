@@ -148,13 +148,21 @@ def cosine_knn_join(
                 cn = np.linalg.norm(C, axis=1)
                 cn[cn == 0.0] = 1.0
                 D = 1.0 - (Qm @ C.T) / qn[:, None] / cn[None, :]
-            # partial top-k per query within this batch
+            # partial top-k per query within this batch. Deterministic
+            # (dist, id) selection via lexsort — a bare argpartition keeps
+            # an ARBITRARY subset of distance-tied items at the k-th cut,
+            # which contradicts the id tie-break downstream rank windows
+            # promise the moment duplicate embeddings exist (the
+            # dedup-blocking use case). lexsort's last key is primary.
             kk = min(k, D.shape[1])
-            part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            sel = np.empty((D.shape[0], kk), dtype=np.int64)
+            for qi_row in range(D.shape[0]):
+                order = np.lexsort((ids, D[qi_row]))[:kk]
+                sel[qi_row] = order
             out = {
                 "query_id": np.repeat(Qi, kk),
-                "item_id": ids[part].ravel(),
-                "dist": np.take_along_axis(D, part, axis=1).ravel(),
+                "item_id": ids[sel].ravel(),
+                "dist": np.take_along_axis(D, sel, axis=1).ravel(),
             }
             yield pd.DataFrame(out)
 

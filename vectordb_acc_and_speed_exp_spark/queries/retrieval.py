@@ -62,7 +62,8 @@ _QT_SQL = (
 
 _BM25_CONTRIB_SQL = f"""
 qt AS ({_QT_SQL}),
-tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+        WHERE length(trim(text)) > 0),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
 stats AS (
   SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl
