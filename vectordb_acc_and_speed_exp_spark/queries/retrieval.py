@@ -219,18 +219,17 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").alias("den_rank"),
         )
     )
-    fused = (
-        lex.join(den, ["query_id", "doc_id"], "full_outer")
-        .select(
-            "query_id",
-            "doc_id",
-            (
-                F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
-                + F.coalesce(1.0 / (_RRF_K + F.col("den_rank")), F.lit(0.0))
-            ).alias("rrf"),
-        )
+    from ..operators.bm25 import rrf_fuse
+
+    # one fusion implementation for the operator surface AND this gate
+    # entry, so a tie-break or arithmetic fix can never drift between them
+    fused = rrf_fuse(
+        lex.withColumnRenamed("lex_rank", "rank"),
+        den.withColumnRenamed("den_rank", "rank"),
+        k=10,
+        rrf_k=_RRF_K,
     )
-    return _topk(fused, [F.desc("rrf"), F.asc("doc_id")], 10).select(
+    return fused.select(
         "query_id", "rank", "doc_id", F.round("rrf", 6).alias("rrf_r")
     )
 
