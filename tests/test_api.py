@@ -195,3 +195,67 @@ def test_query_validation_and_delete(store, spark):
     store.delete_collection("papers")
     assert store.list_collections() == []
 
+
+
+def test_add_rejects_duplicate_ids(spark, documents, tmp_path_factory):
+    vs = VectorStore(spark, str(tmp_path_factory.mktemp("dupstore")), dim=16)
+    docs = documents.limit(10).selectExpr("cast(doc_id as string) as id", "text")
+    vs.create_collection("c", docs)
+    with pytest.raises(ValueError, match="already exist"):
+        vs.add("c", docs.limit(3))
+    dup_batch = spark.createDataFrame(
+        [("x1", "a"), ("x1", "b")], "id string, text string"
+    )
+    with pytest.raises(ValueError, match="within the batch"):
+        vs.add("c", dup_batch)
+    assert vs.count("c") == 10  # nothing partially applied
+
+
+def test_upsert_collapses_duplicate_ids_last_wins_deterministic(
+    spark, documents, tmp_path_factory
+):
+    vs = VectorStore(spark, str(tmp_path_factory.mktemp("upstore")), dim=16)
+    docs = documents.limit(5).selectExpr("cast(doc_id as string) as id", "text")
+    vs.create_collection("c", docs)
+    batch = spark.createDataFrame(
+        [("u1", "aaa"), ("u1", "zzz")], "id string, text string"
+    )
+    vs.upsert("c", batch)
+    rows = vs.get("c", ids=["u1"]).collect()
+    assert len(rows) == 1
+    # deterministic collapse: max over the non-id struct => 'zzz'
+    assert rows[0].text == "zzz"
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_path_factory):
+    """Rows where the WHERE predicate evaluates NULL must survive a
+    metadata delete (NULL != matched)."""
+    vs = VectorStore(spark, str(tmp_path_factory.mktemp("nullstore")), dim=16)
+    docs = spark.createDataFrame(
+        [("a", "t1", 1990), ("b", "t2", None), ("c", "t3", 2001)],
+        "id string, text string, year int",
+    )
+    vs.create_collection("c", docs)
+    vs.delete("c", where="year < 2000")
+    kept = sorted(r.id for r in vs.get("c").collect())
+    assert kept == ["b", "c"]  # NULL-year row b survives
+
+
+def test_bq_codes_cached_and_invalidated(spark, documents, tmp_path_factory):
+    import os
+
+    vs = VectorStore(spark, str(tmp_path_factory.mktemp("bqstore")), dim=16)
+    docs = documents.limit(30).selectExpr("cast(doc_id as string) as id", "text")
+    vs.create_collection("c", docs)
+    probe = docs.limit(1).first()
+    r1 = vs.query("c", query_texts=[probe.text], k=3, mode="bq").collect()
+    assert os.path.exists(vs._bq_path("c"))  # artifact built
+    assert r1[0].item_id == probe.id
+    # a write invalidates; the next bq query rebuilds and still works
+    extra = documents.limit(40).subtract(documents.limit(30)).selectExpr(
+        "cast(doc_id as string) as id", "text"
+    )
+    vs.add("c", extra)
+    assert not os.path.exists(vs._bq_path("c"))
+    r2 = vs.query("c", query_texts=[probe.text], k=3, mode="bq").collect()
+    assert r2[0].item_id == probe.id

@@ -452,3 +452,33 @@ def test_stream_maintains_composed_ivfbq_index(spark, tmp_path):
     assert sorted((r.query_id, r.rank, r.item_id) for r in got.collect()) == sorted(
         (r.query_id, r.rank, r.item_id) for r in gt.collect()
     )
+
+
+def test_stream_upsert_dedups_in_batch_duplicates(spark, tmp_path):
+    """A micro-batch carrying two rows for the same id must leave ONE row
+    in the index (last-wins collapse), keeping the layout a pure function
+    of the final id -> row map."""
+    from vectordb_acc_and_speed_exp_spark.io import load_table
+    from vectordb_acc_and_speed_exp_spark.operators.ann import kmeans_centroids
+    from vectordb_acc_and_speed_exp_spark.streaming.index_maintenance import (
+        stream_upsert_ivf_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_centroids(emb, n_cells=4)
+    base = emb.limit(50)
+    # duplicate every row of the batch (same ids, twice)
+    dup = base.unionAll(base)
+    src_dir = tmp_path / "dup_arrivals"
+    dup.coalesce(1).write.mode("overwrite").parquet(str(src_dir))
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .parquet(str(src_dir))
+    )
+    corpus_path = str(tmp_path / "dup_corpus")
+    stream_upsert_ivf_index(stream, corpus_path, cents, item_id="vec_id")
+    got = spark.read.parquet(corpus_path)
+    assert got.count() == 50
+    assert got.select("vec_id").distinct().count() == 50

@@ -107,8 +107,27 @@ class VectorStore:
         """Append records (the reference's batched collection.add). If the
         collection has a graph index (a prior mode="graph" query built one),
         the new rows are upserted into it — only the shards they land in
-        rebuild, so adds stay O(batch), not O(collection)."""
-        docs = self._write(name, docs, id_col, text_col, mode="append")
+        rebuild, so adds stay O(batch), not O(collection).
+
+        Duplicate ids (within the batch or against the collection) are
+        rejected, mirroring ChromaDB's DuplicateIDError — an appended
+        duplicate would diverge from the graph index, which replaces;
+        use upsert() for replace semantics."""
+        docs = docs.withColumnRenamed(id_col, "id") if id_col != "id" else docs
+        n_rows = docs.count()
+        if docs.select("id").distinct().count() != n_rows:
+            raise ValueError("add(): duplicate ids within the batch")
+        if os.path.exists(self._path(name)):
+            n_clash = (
+                docs.select("id")
+                .join(self.get(name).select("id"), "id", "left_semi")
+                .count()
+            )
+            if n_clash:
+                raise ValueError(
+                    f"add(): {n_clash} id(s) already exist — use upsert()"
+                )
+        docs = self._write(name, docs, "id", text_col, mode="append")
         if os.path.exists(self._graph_path(name)):
             from .operators.graphann import graph_index_upsert
 
@@ -137,17 +156,41 @@ class VectorStore:
                 docs, text_col=text_col, dim=self.dim, model_path=self.model_path
             )
         docs = docs.withColumnRenamed(id_col, "id") if id_col != "id" else docs
+        # duplicate ids inside one upsert frame would ALL land in the
+        # collection (the anti-join removes only old rows); collapse to
+        # one row per id deterministically (max over the remaining
+        # columns as a struct — a pure function of the row SET; real CDC
+        # feeds order by a sequence column instead)
+        other = [c for c in docs.columns if c != "id"]
+        docs = docs.groupBy("id").agg(
+            F.max(F.struct(*other)).alias("_r")
+        ).select("id", *[F.col(f"_r.{c}").alias(c) for c in other])
         path = self._path(name)
         if os.path.exists(path):
+            existing_cols = self.get(name).columns
+            new_cols = [c for c in docs.columns if c not in existing_cols]
+            if new_cols:
+                raise ValueError(
+                    f"upsert(): columns {new_cols} do not exist on the "
+                    "collection — recreate it to change the schema"
+                )
+            aligned = docs.select(
+                *[
+                    F.col(c) if c in docs.columns
+                    else F.lit(None).cast(dict(self.get(name).dtypes)[c]).alias(c)
+                    for c in existing_cols
+                ]
+            )
             merged = (
                 self.get(name)
                 .join(docs.select("id"), "id", "left_anti")
-                .unionByName(docs.select(*self.get(name).columns))
+                .unionByName(aligned)
                 .localCheckpoint(eager=True)  # break lineage to path pre-overwrite
             )
             merged.write.mode("overwrite").parquet(path)
         else:
             docs.write.mode("overwrite").parquet(path)
+        shutil.rmtree(self._bq_path(name), ignore_errors=True)
         if os.path.exists(self._graph_path(name)):
             from .operators.graphann import graph_index_upsert
 
@@ -173,9 +216,17 @@ class VectorStore:
             doomed = doomed & F.col("id").isin(list(ids))
         if where is not None:
             doomed = doomed & F.expr(where)
-        kept = self.get(name).filter(~doomed).localCheckpoint(eager=True)
+        # a NULL predicate result must mean "not matched", not "deleted":
+        # ~NULL is NULL and filter drops it, silently deleting every row
+        # where a nullable metadata column made the WHERE evaluate NULL
+        kept = (
+            self.get(name)
+            .filter(~F.coalesce(doomed, F.lit(False)))
+            .localCheckpoint(eager=True)
+        )
         kept.write.mode("overwrite").parquet(path)
         shutil.rmtree(self._graph_path(name), ignore_errors=True)
+        shutil.rmtree(self._bq_path(name), ignore_errors=True)
 
     def _write(self, name, docs, id_col, text_col, mode) -> DataFrame:
         if "embedding" not in docs.columns:
@@ -186,7 +237,45 @@ class VectorStore:
         docs.write.mode(mode).parquet(self._path(name))
         if mode == "overwrite":
             shutil.rmtree(self._graph_path(name), ignore_errors=True)
+        # packed codes are a pure function of the corpus — any write makes
+        # them stale; they rebuild lazily on the next mode="bq" query
+        shutil.rmtree(self._bq_path(name), ignore_errors=True)
         return docs
+
+    # -- binary-quantization codes (per-collection serving artifact) -------
+    def _bq_path(self, name: str) -> str:
+        return os.path.join(self.root, ".bq_index", name)
+
+    def _ensure_bq_codes(self, name: str, corpus: DataFrame):
+        """Build (or reuse) the collection's packed-code table + exact-int
+        thresholds — the serving shape, so mode="bq" queries scan 16 B/row
+        instead of re-training and re-encoding the corpus per call. Any
+        write to the collection invalidates the artifact (pure function
+        of the corpus)."""
+        import json
+
+        from .operators.bq import bq_encode, bq_train
+
+        path = self._bq_path(name)
+        meta = os.path.join(path, "_meta.json")
+        codes = os.path.join(path, "codes")
+        if not os.path.exists(meta):
+            sums, n = bq_train(corpus, item_vec="embedding", dim=self.dim)
+            os.makedirs(path, exist_ok=True)
+            bq_encode(corpus, sums, n, item_id="id").write.mode(
+                "overwrite"
+            ).parquet(codes)
+            with open(meta, "w") as f:
+                json.dump({"sums": [int(x) for x in sums], "n": n}, f)
+        with open(meta) as f:
+            m = json.load(f)
+        import numpy as np
+
+        return (
+            self.spark.read.parquet(codes),
+            np.array(m["sums"], dtype=np.int64),
+            int(m["n"]),
+        )
 
     # -- graph index (V3, per-collection HNSW analogue) --------------------
     def _graph_path(self, name: str) -> str:
@@ -323,13 +412,19 @@ class VectorStore:
         if mode == "bq":
             from .operators.bq import bq_search_rerank, bq_train
 
-            # binary-quantized scan (32x fewer bytes) + exact re-rank; the
-            # thresholds retrain per call from the (possibly where-filtered)
-            # corpus — deterministic, so repeated calls agree bit-for-bit
-            sums, n = bq_train(corpus, item_vec="embedding", dim=self.dim)
+            if where is None:
+                # serving shape: persisted per-collection code table +
+                # thresholds (built once, invalidated by writes) — the
+                # scan reads 16 B/row instead of re-encoding the corpus
+                encoded, sums, n = self._ensure_bq_codes(name, corpus)
+            else:
+                # pre-filter semantics: thresholds/codes must cover the
+                # ELIGIBLE set only, so a filtered query encodes inline
+                sums, n = bq_train(corpus, item_vec="embedding", dim=self.dim)
+                encoded = None
             return bq_search_rerank(
                 qdf, corpus, sums, n, k=k, shortlist=max(10 * k, 100),
-                item_id="id", item_vec="embedding",
+                item_id="id", item_vec="embedding", encoded=encoded,
             ).select("query_id", "rank", "item_id", "dist")
         raise ValueError(
             f"unknown mode {mode!r}; one of exact/blas/lsh/graph/bq/mmr/hybrid"

@@ -587,8 +587,9 @@ def maintenance_economics(
     rows: list[tuple] = []
 
     t0 = time.perf_counter()
+    # kmeans_centroids already returns a driver-local-rows frame with no
+    # lineage to `big` — nothing to freeze
     cents = kmeans_centroids(big, n_cells=n_cells, sample_fraction=0.1)
-    cents = spark.createDataFrame(cents.collect(), cents.schema)  # freeze
     write_ivf_corpus(ivf_assign(big, cents), corpus_path)
     vmin, scale = sq_train(big, item_vec="embedding")
     write_ivfsq_codes(
@@ -694,6 +695,7 @@ def maintenance_economics(
         "n_cells int, rows long",
     )
     if out_prefix:
+        os.makedirs(os.path.dirname(out_prefix) or ".", exist_ok=True)
         pdf = out.toPandas()
         pdf.to_csv(out_prefix + "_summary.csv", index=False)
         with open(out_prefix + "_results.json", "w") as f:

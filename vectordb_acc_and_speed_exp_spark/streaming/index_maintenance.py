@@ -35,6 +35,46 @@ from ..operators.graphann import (
 )
 
 
+
+def _dedup_batch(batch_df: DataFrame, item_id: str) -> DataFrame:
+    """Collapse duplicate ids WITHIN one micro-batch to a single row —
+    without it, the upserts' anti-join removes only OLD rows and every
+    in-batch duplicate lands in the index, breaking the pure-function-of-
+    the-final-row-set contract. The keep rule is a deterministic max over
+    the non-id columns as a struct (a pure function of the row SET; a
+    real CDC feed would order by its sequence column instead — pass the
+    stream through dropDuplicates upstream if that exists)."""
+    from pyspark.sql import functions as F
+
+    other = [c for c in batch_df.columns if c != item_id]
+    return (
+        batch_df.groupBy(item_id)
+        .agg(F.max(F.struct(*other)).alias("_r"))
+        .select(item_id, *[F.col(f"_r.{c}").alias(c) for c in other])
+    )
+
+
+def _run_available_now(
+    stream: DataFrame, upsert_batch, checkpoint_dir: str | None, prefix: str
+) -> None:
+    """Shared foreachBatch runner for every index-maintenance sink.
+
+    ``checkpoint_dir=None`` (the test/bounded-replay shape) uses a fresh
+    temp dir: each call reprocesses the whole bounded source, which the
+    idempotent upserts absorb. A PRODUCTION caller maintaining a growing
+    source must pass a stable directory so each invocation processes only
+    new data (O(new batch), not O(source)) and progress survives crashes."""
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix=prefix)
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_upsert_graph_index(
     embeddings_stream: DataFrame,
     index_path: str,
@@ -43,6 +83,7 @@ def stream_upsert_graph_index(
     ef_build: int = DEFAULT_EF_BUILD,
     item_id: str = "item_id",
     item_vec: str = "embedding",
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Run the stream to completion (availableNow) upserting every
     micro-batch into the graph index at ``index_path``. The first batch
@@ -52,6 +93,7 @@ def stream_upsert_graph_index(
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        batch_df = _dedup_batch(batch_df, item_id)
         spark = batch_df.sparkSession
         if not os.path.exists(index_path):
             write_graph_index(
@@ -68,15 +110,9 @@ def stream_upsert_graph_index(
                 item_id=item_id, item_vec=item_vec,
             )
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_graphidx_")
-    q = (
-        embeddings_stream.writeStream.foreachBatch(upsert_batch)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    _run_available_now(
+        embeddings_stream, upsert_batch, checkpoint_dir, "ckpt_graphidx_"
     )
-    q.awaitTermination()
 
 
 def stream_upsert_ivf_index(
@@ -85,6 +121,7 @@ def stream_upsert_ivf_index(
     centroids: DataFrame,
     item_id: str = "item_id",
     item_vec: str = "embedding",
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Streaming twin for the IVF layout: every micro-batch is assigned
     with the index's FROZEN centroids and rewrites only the cell
@@ -98,6 +135,7 @@ def stream_upsert_ivf_index(
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        batch_df = _dedup_batch(batch_df, item_id)
         spark = batch_df.sparkSession
         if not os.path.exists(corpus_path):
             write_ivf_corpus(
@@ -110,15 +148,9 @@ def stream_upsert_ivf_index(
                 item_id=item_id, item_vec=item_vec,
             )
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_ivfidx_")
-    q = (
-        embeddings_stream.writeStream.foreachBatch(upsert_batch)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    _run_available_now(
+        embeddings_stream, upsert_batch, checkpoint_dir, "ckpt_ivfidx_"
     )
-    q.awaitTermination()
 
 
 def stream_upsert_ivfsq_index(
@@ -130,6 +162,7 @@ def stream_upsert_ivfsq_index(
     scale,
     item_id: str = "item_id",
     item_vec: str = "embedding",
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Streaming maintenance for the COMPOSED IVF-SQ index: each
     micro-batch upserts the base cell-partitioned corpus
@@ -152,6 +185,7 @@ def stream_upsert_ivfsq_index(
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        batch_df = _dedup_batch(batch_df, item_id)
         spark = batch_df.sparkSession
         if not os.path.exists(corpus_path):
             assigned = ivf_assign(batch_df, centroids, item_vec=item_vec)
@@ -170,15 +204,9 @@ def stream_upsert_ivfsq_index(
                 item_id=item_id, item_vec=item_vec,
             )
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_ivfsqidx_")
-    q = (
-        embeddings_stream.writeStream.foreachBatch(upsert_batch)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    _run_available_now(
+        embeddings_stream, upsert_batch, checkpoint_dir, "ckpt_ivfsqidx_"
     )
-    q.awaitTermination()
 
 
 def stream_upsert_ivfbq_index(
@@ -190,6 +218,7 @@ def stream_upsert_ivfbq_index(
     n: int,
     item_id: str = "item_id",
     item_vec: str = "embedding",
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Streaming maintenance for the COMPOSED IVF-BQ index — the binary
     twin of stream_upsert_ivfsq_index with the identical lockstep
@@ -206,6 +235,7 @@ def stream_upsert_ivfbq_index(
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        batch_df = _dedup_batch(batch_df, item_id)
         spark = batch_df.sparkSession
         if not os.path.exists(corpus_path):
             assigned = ivf_assign(batch_df, centroids, item_vec=item_vec)
@@ -224,12 +254,6 @@ def stream_upsert_ivfbq_index(
                 item_id=item_id, item_vec=item_vec,
             )
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_ivfbqidx_")
-    q = (
-        embeddings_stream.writeStream.foreachBatch(upsert_batch)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    _run_available_now(
+        embeddings_stream, upsert_batch, checkpoint_dir, "ckpt_ivfbqidx_"
     )
-    q.awaitTermination()
