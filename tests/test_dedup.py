@@ -166,3 +166,29 @@ def test_prefix_jaccard_equals_bruteforce_with_fewer_candidates(spark, documents
         .count()
     )
     assert n_pref < n_all * 0.85, (n_pref, n_all)
+
+
+def test_prefix_jaccard_exact_at_integer_boundary_threshold(spark):
+    """tau=0.2: float-ceil bounds overshoot integer boundaries
+    (ceil(0.2/1.2*18) gave 4 where the exact bound is 3) and silently
+    dropped qualifying pairs whose shared shingles rank LAST in the
+    canonical order — which they always do (shared => df 2, unique =>
+    df 1, rare-first ranking). Bounds now use exact integer arithmetic."""
+    import pyspark.sql.functions as F
+
+    from vectordb_acc_and_speed_exp_spark.operators.dedup import (
+        _shingle_table,
+        prefix_jaccard_join,
+    )
+
+    # 1-word shingles: each doc = 6 unique + 3 shared tokens => sz 9,
+    # overlap 3, J = 3/15 = 0.2 exactly
+    rows = [
+        (1, "a1 a2 a3 a4 a5 a6 zs1 zs2 zs3"),
+        (2, "b1 b2 b3 b4 b5 b6 zs1 zs2 zs3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = prefix_jaccard_join(
+        df, id_col="doc_id", text_col="text", threshold=0.2, shingle_words=1
+    ).collect()
+    assert [(r.id_a, r.id_b, r.jaccard_r) for r in got] == [(1, 2, 0.2)]

@@ -104,3 +104,60 @@ def test_interval_join_no_duplicate_on_multi_bin(spark):
     out = interval_join(iv, pts, "s", "e", "ms", 100)
     assert out.count() == 10
     assert out.select("pt_id").distinct().count() == 10
+
+
+def test_asof_ignores_null_right_timestamps(spark):
+    """A right row with NULL ts must never match (<= is unknown for NULL);
+    it used to sort nulls-first and shadow-match every left row."""
+    from vectordb_acc_and_speed_exp_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([("A", 100)], "sym string, tms bigint")
+    right = spark.createDataFrame(
+        [("A", None, 5.0), ("A", 50, 7.0)], "sym string, qms bigint, px double"
+    )
+    out = asof_join(
+        left, right, on="sym", left_ts="tms", right_ts="qms",
+        right_cols=["px"], how="inner",
+    ).collect()
+    assert [(r.sym, r.px) for r in out] == [("A", 7.0)]
+    # and with NO valid right row, inner yields nothing
+    right2 = spark.createDataFrame(
+        [("A", None, 5.0)], "sym string, qms bigint, px double"
+    )
+    assert (
+        asof_join(
+            left, right2, on="sym", left_ts="tms", right_ts="qms",
+            right_cols=["px"], how="inner",
+        ).count()
+        == 0
+    )
+
+
+def test_asof_rejects_unknown_how(spark):
+    import pytest as _pytest
+
+    from vectordb_acc_and_speed_exp_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([("A", 1)], "sym string, tms bigint")
+    with _pytest.raises(ValueError, match="how"):
+        asof_join(
+            left, left, on="sym", left_ts="tms", right_ts="tms",
+            right_cols=[], how="Inner",
+        )
+
+
+def test_interval_join_inverted_interval_yields_nothing(spark):
+    """end <= start must produce zero rows, not a descending bin fan-out."""
+    from vectordb_acc_and_speed_exp_spark.operators.temporal import (
+        interval_join,
+    )
+
+    iv = spark.createDataFrame(
+        [(1, 5_000_000, 1_000)], "iid bigint, s_ms bigint, e_ms bigint"
+    )
+    pt = spark.createDataFrame([(9, 2_000)], "pid bigint, p_ms bigint")
+    out = interval_join(
+        iv, pt, start_col="s_ms", end_col="e_ms", ts_col="p_ms",
+        bin_width_ms=1_000,
+    )
+    assert out.count() == 0

@@ -66,6 +66,9 @@ def main(names: list[str]) -> int:
             sdf = qs[name](spark, SF_DIR)
             srows = [tuple(r) for r in sdf.collect()]
             scols = sdf.columns
+            # operators persist multi-consumer frames; drop them between
+            # queries so a 140-entry run does not pile caches into the heap
+            spark.catalog.clearCache()
         except Exception:
             print(f"FAIL {name}: spark error")
             traceback.print_exc()

@@ -43,6 +43,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     type the corpus carries or the session's timezone."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # session-WIDE by necessity (the physical reader consults the conf
+        # at action time); get_spark declares the same engine default —
+        # this line only covers vanilla driver-built sessions
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F

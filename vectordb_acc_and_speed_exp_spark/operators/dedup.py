@@ -102,9 +102,12 @@ def _attach_jaccard(common: DataFrame, sizes: DataFrame, threshold: float) -> Da
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa_sz"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb_sz"))
     j = F.col("n_common") * 1.0 / (F.col("sa_sz") + F.col("sb_sz") - F.col("n_common"))
+    # no forced broadcast: sizes has a row per CORPUS document, which a
+    # billion-doc deployment cannot ship to every executor; AQE still
+    # broadcasts it when it is actually small
     return (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn("jaccard", j)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
@@ -273,10 +276,12 @@ def ngram_jaccard_join(
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash over the distinct-token set. Bit j is set iff
     sum over tokens of ±1 (by bit j of the token hash) is > 0."""
+    # explode(array_distinct(...)) is already unique per doc — a trailing
+    # .distinct() would re-shuffle the widest intermediate for nothing
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens(norm_text(F.col(text_col))))).alias("tok"),
-    ).distinct()
+    )
     hashed = tok.select("doc_id", portable_hash64(F.col("tok")).alias("h"))
     bits = hashed.select(
         "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j")
@@ -481,30 +486,47 @@ def prefix_jaccard_join(
     ranked = (
         shingles.join(dfreq, "sh")
         .withColumn("_rnk", F.row_number().over(w))
-        .join(F.broadcast(sizes), "doc_id")
+        # sizes is corpus-wide (a row per doc): no forced broadcast
+        .join(sizes, "doc_id")
     )
+    # ALL bounds on exact integers: float expressions like
+    # ceil(0.2/1.2 * 18) evaluate to ceil(3.0000000000000004) = 4 where
+    # the true bound is 3 — overshooting an integer boundary silently
+    # DROPS qualifying pairs from an operator whose contract is exact
+    # equality with the brute-force join. threshold becomes the rational
+    # tn/1e6; every ceil is (num + den - 1) div den on bigints.
+    tn = round(threshold * 1_000_000)  # t = tn / 1e6
+
     pref = ranked.filter(
         F.col("_rnk")
-        <= F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
+        <= F.col("sz") - F.expr(
+            f"CAST((sz * {tn} + 999999) div 1000000 AS BIGINT)"
+        ) + 1
     ).select("doc_id", "sh", "_rnk", "sz")
     # PPJoin candidate filters, both lossless for qualifying pairs:
     # - length: J >= t forces t·|B| <= |A| (and symmetrically);
     # - position: at a prefix collision with ranks (ra, rb), the overlap
     #   can't exceed 1 + min(sz_a-ra, sz_b-rb), and J >= t needs overlap
-    #   >= ceil(t/(1+t)·(sz_a+sz_b)) — a qualifying pair always passes at
-    #   its first common prefix shingle, so keeping pairs where ANY
-    #   collision passes is a superset of the qualifying set.
+    #   >= ceil(t/(1+t)·(sz_a+sz_b)) = ceil(tn·(sa+sb) / (1e6+tn)) — a
+    #   qualifying pair always passes at its first common prefix shingle,
+    #   so keeping pairs where ANY collision passes is a superset of the
+    #   qualifying set.
     a, b = pref.alias("a"), pref.alias("b")
     sa, sb = F.col("a.sz"), F.col("b.sz")
     ubound = 1 + F.least(sa - F.col("a._rnk"), sb - F.col("b._rnk"))
-    need = F.ceil(F.lit(threshold / (1.0 + threshold)) * (sa + sb))
+    den = 1_000_000 + tn
+    need = F.expr(
+        f"CAST(((a.sz + b.sz) * {tn} + {den - 1}) div {den} AS BIGINT)"
+    )
+    len_a = F.expr(f"CAST((b.sz * {tn} + 999999) div 1000000 AS BIGINT)")
+    len_b = F.expr(f"CAST((a.sz * {tn} + 999999) div 1000000 AS BIGINT)")
     cand = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (sa >= F.ceil(sb * F.lit(threshold)))
-            & (sb >= F.ceil(sa * F.lit(threshold)))
+            & (sa >= len_a)
+            & (sb >= len_b)
             & (ubound >= need),
         )
         .select(

@@ -59,6 +59,8 @@ def asof_join(
     The right payload travels as ONE struct column so legitimately-null
     payload fields never make the window skip past the true match.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join: how={how!r} must be 'inner' or 'left'")
     lcols = left.columns
     # the payload always carries the right timestamp (for tolerance);
     # only the caller-requested right_cols survive to the output
@@ -66,7 +68,10 @@ def asof_join(
     if right_ts not in pay_cols:
         pay_cols.append(right_ts)
 
-    r = right.select(
+    # a NULL right_ts would sort to the partition head (ASC nulls-first)
+    # and match left rows that have no true at-or-before row; "<= ts" is
+    # unknown for NULL, so such rows can never match (DuckDB ASOF agrees)
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(on),
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SIDE),
@@ -133,6 +138,10 @@ def interval_join(
     ones.
     """
     bw = F.lit(bin_width_ms)
+    # an inverted/empty interval (end <= start) must produce ZERO rows —
+    # F.sequence with stop < start silently emits a DESCENDING sequence,
+    # fanning a data bug out into floor((start-end)/bin) bogus bin rows
+    intervals = intervals.filter(F.col(end_col) > F.col(start_col))
     iv = intervals.withColumn(
         "__bin",
         F.explode(

@@ -44,6 +44,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # engine-wide default, declared here rather than silently flipped
+        # by io.catalog.load_table: TIMESTAMP(NANOS) parquet (the events
+        # table) reads as bigint and is rebuilt at micro precision.
+        # Session-scoped by necessity — the physical reader consults the
+        # conf at ACTION time, so a save/restore around read.parquet()
+        # would break the later scan.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # local mode = ONE JVM for driver + executors: size the heap for
         # both (the box has 128 GiB; 16g covers the full bench suite's
