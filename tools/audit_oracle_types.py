@@ -1,0 +1,120 @@
+"""Cross-engine TYPE audit for every oracled query (VERDICT r04 #2).
+
+The driver canonicalizes both result sets via pandas before hashing, so two
+classes of type drift break the hash even when values are identical:
+
+1. HUGEINT widening: DuckDB widens sum(INTEGER/BIGINT) to HUGEINT, which
+   pandas materializes as float64 ("44706797.0") while Spark returns bigint
+   ("44706797").  Every integer-sum oracle column needs an outer
+   CAST(... AS BIGINT).
+2. Unhashable cells: array/map/struct output columns crash the driver's
+   pandas sort_values canonicalizer (``unhashable type: 'list'``).
+
+This audit is cheap: Spark schemas are resolved lazily (no job runs) and the
+DuckDB oracles execute at sf0.001.  For each oracled query it flags:
+- any Spark output column of Array/Map/Struct type;
+- any DuckDB cell that materializes as list/ndarray/dict;
+- any column integral on the Spark side but float64 out of DuckDB with all
+  integral values (the HUGEINT signature);
+- name-set mismatches between the two sides (hash would fail on schema).
+
+Usage: python tools/audit_oracle_types.py [sf_dir]
+Exit 0 = clean, 1 = findings printed.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from pyspark.sql import types as T
+    from vectordb_acc_and_speed_exp_spark.session import get_spark
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    spark = get_spark("oracle-type-audit", cpus=8, shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    findings: list[str] = []
+    integral_spark = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    complex_spark = (T.ArrayType, T.MapType, T.StructType)
+
+    for name in sorted(oracles):
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            spark_types = {f.name: f.dataType for f in sdf.schema.fields}
+        except Exception as e:  # noqa: BLE001
+            findings.append(f"{name}: Spark plan failed to resolve: {e!r:.150}")
+            continue
+        for col, dt in spark_types.items():
+            if isinstance(dt, complex_spark):
+                findings.append(
+                    f"{name}: Spark column {col!r} is {dt.simpleString()} — "
+                    "driver canonicalizer cannot hash it"
+                )
+        try:
+            odf: pd.DataFrame = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            findings.append(f"{name}: oracle SQL failed in DuckDB: {e!r:.150}")
+            continue
+        if set(odf.columns) != set(spark_types):
+            findings.append(
+                f"{name}: column-name mismatch spark={sorted(spark_types)} "
+                f"oracle={sorted(odf.columns)}"
+            )
+            continue
+        for col in odf.columns:
+            s = odf[col]
+            if s.dtype == object:
+                bad = s.map(
+                    lambda v: isinstance(v, (list, tuple, dict, np.ndarray))
+                ).any()
+                if bad:
+                    findings.append(
+                        f"{name}: oracle column {col!r} materializes "
+                        "list/array cells — unhashable in the driver"
+                    )
+            elif s.dtype == np.float64 and isinstance(
+                spark_types[col], integral_spark
+            ):
+                # NULL-containing int64 also comes back float64 from pandas,
+                # but that widening hits BOTH engines identically (the driver
+                # canonicalizes the Spark side through pandas too) — only a
+                # NULL-free float64 is the asymmetric HUGEINT signature.
+                vals = s.dropna()
+                if len(vals) == len(s) and len(vals) and (vals == vals.round()).all():
+                    findings.append(
+                        f"{name}: column {col!r} is {spark_types[col].simpleString()} "
+                        "on Spark but float64 (all-integral) out of DuckDB — "
+                        "HUGEINT widening; wrap the oracle aggregate in "
+                        "CAST(... AS BIGINT)"
+                    )
+
+    if findings:
+        print(f"{len(findings)} finding(s):")
+        for f in findings:
+            print(" -", f)
+        return 1
+    print(f"clean: {len(oracles)} oracled queries, no type drift")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -90,7 +90,14 @@ def bq_train(
     rows = (
         corpus.select(F.posexplode(_scaled(F.col(item_vec))).alias("pos", "s"))
         .groupBy("pos")
-        .agg(F.sum("s").alias("sum_s"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("s").alias("sum_s"),
+            # count("s") not count(*): a NULL array element would be skipped
+            # by sum but counted by count(*), silently biasing the mean —
+            # counting non-null s makes the ragged check below catch it
+            F.count("s").alias("n"),
+            F.max(F.abs(F.col("s"))).alias("max_abs_s"),
+        )
         .collect()
     )
     by_pos = {r.pos: r for r in rows}
@@ -98,9 +105,36 @@ def bq_train(
         raise ValueError(
             f"bq_train: corpus is empty or vectors are shorter than dim={dim}"
         )
+    # ragged / wider-than-dim corpora give per-dim sums that cover fewer
+    # rows than the n used in the encode compare s_i*n > sum_d — refuse
+    # rather than silently bias the thresholds
+    if max(by_pos) >= dim:
+        raise ValueError(
+            f"bq_train: corpus has vectors wider than dim={dim} "
+            f"(saw position {max(by_pos)}) — pass the true dim or slice"
+        )
+    n0 = int(by_pos[0].n)
+    ragged = {i: int(by_pos[i].n) for i in range(dim) if int(by_pos[i].n) != n0}
+    if ragged:
+        raise ValueError(
+            f"bq_train: ragged corpus — per-dim row counts differ from "
+            f"n={n0} at positions {sorted(ragged)[:8]} (NULL elements or "
+            "heterogeneous vector lengths)"
+        )
+    # true overflow bound for the encode compare: the largest |s_i| observed
+    # anywhere times n must fit BIGINT, else non-ANSI Spark wraps silently
+    # and flips code bits (bq_encode's heuristic guard only covers ~100x
+    # the mean magnitude)
+    max_abs = max(int(by_pos[i].max_abs_s) for i in range(dim))
+    if max_abs * n0 > (1 << 62):
+        raise ValueError(
+            f"bq_train: max|s_i|*n = {max_abs}*{n0} exceeds 2^62 — the "
+            "encode compare s_i*n > sum_d would overflow BIGINT; rescale "
+            "the embeddings or shrink the grid"
+        )
     return (
         np.array([by_pos[i].sum_s for i in range(dim)], dtype=np.int64),
-        int(by_pos[0].n),
+        n0,
     )
 
 

@@ -23,6 +23,25 @@ from ..functions.hashing import portable_hash64
 from ..functions.text import norm_text, tokens, word_shingles_from_tokens
 
 
+def _materialize_and_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Eagerly materialize a (small) result frame, then unpersist the cached
+    intermediates it was built from.
+
+    The pair-mining operators persist their shingle/band tables because the
+    verify stage consumes them 2-3×; returning a lazy frame built on those
+    caches means the caller can never safely unpersist them, so long-lived
+    sessions accumulate cached frames until a clearCache() bails them out.
+    localCheckpoint(eager=True) runs the mining NOW (callers always consume
+    the result anyway), cuts the lineage back to the checkpointed blocks —
+    verified pairs, orders of magnitude smaller than the corpus — and makes
+    the unpersist safe. try/finally so a failed verify still releases."""
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        for c in cached:
+            c.unpersist()
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Duplicate groups by canonical-text md5. Returns
     (fingerprint, n_dups, keeper_doc_id) for groups of size > 1."""
@@ -166,7 +185,9 @@ def minhash_lsh_pairs(
     # cand feeds three consumers in the verify (two semi-filters + the
     # pair join) — persist so the bucket self-join runs once
     cand = _band_collisions(bands, bands).persist()
-    return _jaccard_verify(cand, shingles, jaccard_threshold)
+    return _materialize_and_release(
+        _jaccard_verify(cand, shingles, jaccard_threshold), shingles, bands, cand
+    )
 
 
 def _band_table(sig: DataFrame, band_size: int) -> DataFrame:
@@ -270,7 +291,9 @@ def ngram_jaccard_join(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return _attach_jaccard(common, sizes, threshold)
+    return _materialize_and_release(
+        _attach_jaccard(common, sizes, threshold), shingles
+    )
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -534,4 +557,6 @@ def prefix_jaccard_join(
         )
         .distinct()
     )
-    return _jaccard_verify(cand, shingles, threshold)
+    return _materialize_and_release(
+        _jaccard_verify(cand, shingles, threshold), shingles
+    )

@@ -362,6 +362,11 @@ def mt_lsh_budget_curve(
         hits = cand.join(gt, ["query_id", "item_id"]).count()
         scanned = cand.count()
         parts.append((budget, hits / (k * n_queries), scanned / (n_rows * n_queries)))
+    # the returned frame is driver-built (createDataFrame) — it carries no
+    # reference to the cached signature/ground-truth tables, so release
+    # them here instead of leaking them into long-lived sessions
+    sig.unpersist()
+    gt.unpersist()
     return spark.createDataFrame(
         [(b, round(r, 4), round(s, 4)) for b, r, s in parts],
         "budget int, mean_recall double, scan_fraction double",

@@ -234,7 +234,9 @@ def cosine_self_join_bucketed(
     )
     va = src.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"))
     vb = src.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"))
-    return (
+    from .dedup import _materialize_and_release
+
+    return _materialize_and_release(
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
@@ -242,7 +244,8 @@ def cosine_self_join_bucketed(
             "id_b",
             cosine_sim(F.col("_va"), F.col("_vb")).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= threshold)
+        .filter(F.col("cos_sim") >= threshold),
+        sig,
     )
 
 

@@ -8,6 +8,13 @@ Conventions (driver contract):
 - float-valued outputs that cross an engine boundary are rounded (4 dp) on
   BOTH sides; money/aggregate sums are computed on exact scaled integers so
   shuffle order can never change a bit;
+- NO array/map/struct columns in oracled outputs: the driver canonicalizer
+  hashes cell values via pandas and list cells raise ``unhashable type`` —
+  emit a scalar digest instead (md5 of the comma-joined element strings,
+  same expression both sides; see embed_documents_md5, embedding_pooling);
+- DuckDB widens sum(INTEGER/BIGINT) to HUGEINT, which pandas materializes
+  as float64 — every integer-sum output column in an oracle must be wrapped
+  ``CAST(sum(...) AS BIGINT)`` so the hash sees bigint on both sides;
 - oracle=None marks genuinely non-SQL-expressible operators (ANN, model
   inference, streaming state) — the driver records a rows-only check.
 """

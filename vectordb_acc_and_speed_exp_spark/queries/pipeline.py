@@ -434,7 +434,9 @@ WITH comps AS (
   FROM comps
 )
 SELECT doc_id,
-       list_transform(c, x -> floor(x / n * 1000000.0) / 1000000.0) AS embedding
+       md5(array_to_string(
+         list_transform(c, x -> CAST(CAST(floor(x / n * 1000000.0) AS BIGINT) AS VARCHAR)),
+         ',')) AS emb_md5
 FROM nrm
 """
 
@@ -449,14 +451,30 @@ FROM nrm
     "normalize -> floor 1e6 grid — is replayed verbatim by the DuckDB "
     "oracle; proves the distributed encode plumbing bit-for-bit, not "
     "just rows-back. The blake2b fake (embed_documents_fake) stays the "
-    "default test encoder",
+    "default test encoder. Output is an md5 digest of the scaled-int "
+    "component list, not the raw array (no array/map columns in oracled "
+    "outputs — the driver canonicalizer cannot hash list cells)",
 )
 def embed_documents_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.embedding import make_md5_encoder_udf
 
     enc = make_md5_encoder_udf(dim=16)
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", enc(F.col("text")).alias("embedding"))
+    # components sit on the 1e6 grid (floor(y*1e6)/1e6), so round(x*1e6)
+    # recovers the exact integer each engine floored to; digest the
+    # comma-joined int list -> one scalar column the driver can hash.
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    enc(F.col("text")),
+                    lambda x: F.round(x * 1000000.0).cast("bigint").cast("string"),
+                ),
+            )
+        ).alias("emb_md5"),
+    )
 
 
 # -- Multimodal plumbing ----------------------------------------------------

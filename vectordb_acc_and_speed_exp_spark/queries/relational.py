@@ -855,7 +855,10 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority",
     oracle="""
 SELECT l.l_orderkey AS orderkey,
-       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+       -- outer CAST: DuckDB widens sum(BIGINT) to HUGEINT, which pandas
+       -- materializes as float64 and the driver's value-hash then sees
+       -- 44706797.0 vs Spark's bigint 44706797.  Cast back down.
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
          AS revenue_cents,
        strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
        o.o_orderpriority AS orderpriority
@@ -1302,10 +1305,15 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     act = (
         ev.select(
             "user_id",
-            # integer `div`, not float `/` + cast: an epoch exactly on a
-            # week boundary could round to x.9999... in double and
-            # truncate one week low (the winnowing bug class)
-            F.expr("unix_millis(ts) div 604800000").alias("wk"),
+            # exact-integer FLOOR division, matching DuckDB's `//`: plain
+            # `div` truncates toward zero so pre-1970 timestamps would land
+            # one week high; float `/` + floor risks x.9999... boundary
+            # rounding in double.  (x - pmod(x, d)) is an exact multiple of
+            # d for either sign, so the final div is exact floor division.
+            F.expr(
+                "(unix_millis(ts) - pmod(unix_millis(ts), 604800000)) "
+                "div 604800000"
+            ).alias("wk"),
         )
         .distinct()
     )

@@ -590,12 +590,13 @@ pooled AS (
   FROM e GROUP BY doc_id, dim
 )
 SELECT doc_id,
-       list(mean_s6 ORDER BY dim) AS mean_vec_s6,
-       list(max_s6 ORDER BY dim) AS max_vec_s6
+       md5(array_to_string(list(CAST(mean_s6 AS VARCHAR) ORDER BY dim), ',')) AS mean_md5,
+       md5(array_to_string(list(CAST(max_s6 AS VARCHAR) ORDER BY dim), ',')) AS max_md5
 FROM pooled GROUP BY doc_id
 """,
     doc="mean/max pooling of multi-vector docs (8 member vectors each) to "
-    "single doc vectors on the exact 1e6 grid — emitted as bigint arrays, "
+    "single doc vectors on the exact 1e6 grid — emitted as md5 digests of "
+    "the dim-ordered bigint lists (no array columns in oracled outputs), "
     "bit-exact under any shuffle order",
 )
 def embedding_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,12 +614,22 @@ def embedding_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("s").alias("max_s6"),
     )
     return pooled.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "mean_s6"))),
-            lambda x: x["mean_s6"],
-        ).alias("mean_vec_s6"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "max_s6"))),
-            lambda x: x["max_s6"],
-        ).alias("max_vec_s6"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mean_s6"))),
+                    lambda x: x["mean_s6"].cast("string"),
+                ),
+            )
+        ).alias("mean_md5"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "max_s6"))),
+                    lambda x: x["max_s6"].cast("string"),
+                ),
+            )
+        ).alias("max_md5"),
     )

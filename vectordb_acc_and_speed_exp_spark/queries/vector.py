@@ -490,7 +490,12 @@ def _dim_stats_frame(emb: DataFrame) -> DataFrame:
     )
     n = F.count(F.lit(1))
     mean = F.sum("s") * 1.0 / n
-    var = (F.sum(F.col("s") * F.col("s")) * 1.0 / n - mean * mean) / 1e12
+    # decimal(38,0) accumulator for s*s (see embedding_outliers): the
+    # BIGINT sum wraps past ~1e5 rows/dim while DuckDB's widens to HUGEINT
+    var = (
+        F.sum((F.col("s") * F.col("s")).cast("decimal(38,0)")).cast("double") / n
+        - mean * mean
+    ) / 1e12
     return e.groupBy("dim").agg(
         n.alias("n"),
         F.floor(mean).cast("bigint").alias("mean_s6"),
@@ -840,10 +845,16 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.count(F.lit(1))
     mu = F.sum("s") * 1.0 / n
+    # s*s ~ 1e14 per element (|x| <= 10 => |s| <= 1e7): the per-element
+    # product fits BIGINT but its SUM wraps past ~1e5 rows/dim in non-ANSI
+    # Spark while DuckDB promotes to HUGEINT.  Accumulate in decimal(38,0)
+    # — exact like HUGEINT — then the * 1.0 conversion to double rounds
+    # the identical integer on both engines.
+    sum_sq = F.sum((F.col("s") * F.col("s")).cast("decimal(38,0)"))
     st = e.groupBy("dim").agg(
         mu.alias("mu"),
         F.sqrt(
-            F.sum(F.col("s") * F.col("s")) * 1.0 / n - mu * mu
+            sum_sq.cast("double") / n - mu * mu
         ).alias("sigma"),
     )
     z = (
