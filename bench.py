@@ -217,17 +217,29 @@ def main() -> None:
     big.unpersist()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Self-contained artifact: the driver captures only a byte-bounded tail
+    # of stdout, which head-truncated BENCH_r04's metric line (the first
+    # three query entries were lost).  Write the full payload to
+    # BENCH_DETAIL_r{N}.json alongside the printed line; round number =
+    # next driver round, inferred the same way the registry rotation does.
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    round_no = len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))) + 1
+    detail = os.path.join(here, f"BENCH_DETAIL_r{round_no:02d}.json")
+    try:
+        with open(detail, "w") as fh:
+            json.dump(payload, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: the printed line is still the contract
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -1446,3 +1446,462 @@ def six_table_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(rev).cast("bigint").alias("revenue_e4"),
     )
+
+
+# --------------------------------------------------------------------------
+# Large-volume orders (TPC-H Q18 shape): aggregate-then-filter on a fact
+# key (HAVING over sum), joined back to the order/customer detail — the
+# "which orders are whales" shape. The having-aggregate shuffles once on
+# l_orderkey; orders arrives pre-shuffled on the same key, customer
+# broadcasts.
+# --------------------------------------------------------------------------
+@register(
+    "large_volume_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS qty100
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 30000
+)
+SELECT c.c_name, o.o_orderkey AS orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       b.qty100
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+    doc="TPC-H Q18 shape: HAVING sum(quantity) > 300 over lineitem, joined "
+    "back to order + customer detail; exact-cents quantities",
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents("l_quantity")).cast("bigint").alias("qty100"))
+        .filter(F.col("qty100") > 30000)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _cents("o_totalprice").alias("totalprice_cents"),
+            "qty100",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Top revenue supplier(s) (TPC-H Q15 shape): aggregate per supplier over a
+# quarter, then keep the max-revenue row(s) — the max-over-aggregate
+# pattern (scalar subquery vs broadcast-join of a 1-row frame). Exact-cents
+# revenue makes the max comparison deterministic; ties are KEPT (Q15
+# semantics).
+# --------------------------------------------------------------------------
+@register(
+    "top_revenue_suppliers",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey AS suppkey, s.s_name, r.rev_cents
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rev_cents = (SELECT max(rev_cents) FROM rev)
+""",
+    doc="TPC-H Q15 shape: per-supplier quarterly revenue, keep max-revenue "
+    "supplier(s) with ties — scalar max broadcast into the filter",
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+        ).cast("bigint").alias("rev_cents")
+    )
+    mx = rev.agg(F.max("rev_cents").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.rev_cents == mx._mx)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(F.col("s_suppkey").alias("suppkey"), "s_name", "rev_cents")
+    )
+
+
+# --------------------------------------------------------------------------
+# Supplier variety per part class (TPC-H Q16 shape, partsupp approximated
+# by the lineitem part-supplier relation): COUNT(DISTINCT supplier) per
+# (brand, type) with exclusion predicates — the distinct-aggregate-after-
+# join shape (two-phase: dedup shuffle then count).
+# --------------------------------------------------------------------------
+@register(
+    "supplier_part_variety",
+    oracle="""
+SELECT p.p_brand, p.p_type,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt,
+       count(DISTINCT l.l_partkey) AS part_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand != 'Brand#9'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+GROUP BY p.p_brand, p.p_type
+""",
+    doc="TPC-H Q16 shape over the lineitem part-supplier relation: distinct "
+    "supplier/part counts per (brand, type) with exclusion predicates",
+)
+def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.countDistinct("l_partkey").alias("part_cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Min-cost part per type (TPC-H Q2 shape, correlated-min flattened):
+# the "cheapest qualifying row per group, ties kept" pattern — Spark
+# expresses the correlated subquery as a window min + equality filter
+# (no join, one shuffle on the group key).
+# --------------------------------------------------------------------------
+@register(
+    "min_cost_parts",
+    oracle="""
+WITH m AS (
+  SELECT p_type,
+         min(CAST(round(p_retailprice * 100) AS BIGINT)) AS min_price100
+  FROM part GROUP BY p_type
+)
+SELECT p.p_partkey AS partkey, p.p_type, m.min_price100
+FROM part p
+JOIN m ON p.p_type = m.p_type
+      AND CAST(round(p.p_retailprice * 100) AS BIGINT) = m.min_price100
+""",
+    doc="TPC-H Q2 shape (correlated min flattened): cheapest part(s) per "
+    "type via window min + exact-cents equality, ties kept",
+)
+def min_cost_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "price100", _cents("p_retailprice")
+    )
+    w = Window.partitionBy("p_type")
+    return (
+        p.withColumn("min_price100", F.min("price100").over(w))
+        .filter(F.col("price100") == F.col("min_price100"))
+        .select(F.col("p_partkey").alias("partkey"), "p_type", "min_price100")
+    )
+
+
+# --------------------------------------------------------------------------
+# Promo revenue share (TPC-H Q14 shape): conditional-aggregate ratio over
+# one month — the CASE-WHEN-inside-sum pattern; share emitted on the 1e6
+# floor grid so the division is bit-identical cross-engine.
+# --------------------------------------------------------------------------
+@register(
+    "promo_revenue_ratio",
+    oracle="""
+WITH l AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4,
+         CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS promo
+  FROM lineitem JOIN part p ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+    AND l_shipdate < TIMESTAMP '1996-10-01'
+)
+SELECT CAST(sum(CASE WHEN promo = 1 THEN rev_e4 ELSE 0 END) AS BIGINT)
+         AS promo_rev_e4,
+       CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+       CAST(floor(sum(CASE WHEN promo = 1 THEN rev_e4 ELSE 0 END)
+                  * 1000000.0 / sum(rev_e4)) AS BIGINT) AS promo_share_s6
+FROM l
+""",
+    doc="TPC-H Q14 shape: promo-type revenue share over one month, "
+    "conditional aggregates on exact cents, share on the 1e6 floor grid",
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    promo_rev = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    )
+    total_rev = F.sum(rev)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            promo_rev.cast("bigint").alias("promo_rev_e4"),
+            total_rev.cast("bigint").alias("total_rev_e4"),
+            F.floor(promo_rev * 1000000.0 / total_rev)
+            .cast("bigint")
+            .alias("promo_share_s6"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Nation-pair trade volume (TPC-H Q7 shape): revenue flowing from supplier
+# nations (region ASIA) to customer nations (region EUROPE) per year —
+# the double-dimension-join fact rollup. Supplier and customer nations
+# resolve through separate broadcast copies of nation; the two fact joins
+# shuffle on their own keys.
+# --------------------------------------------------------------------------
+@register(
+    "nation_pair_trade",
+    oracle="""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+JOIN region rs ON ns.n_regionkey = rs.r_regionkey
+JOIN region rc ON nc.n_regionkey = rc.r_regionkey
+WHERE rs.r_name = 'ASIA' AND rc.r_name = 'EUROPE'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY ns.n_name, nc.n_name, year(o.o_orderdate)
+""",
+    doc="TPC-H Q7 shape: supplier-nation x customer-nation x year revenue "
+    "matrix between two regions; two broadcast copies of nation, "
+    "exact-cents revenue",
+)
+def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    ns = (
+        nat.join(
+            reg.filter(F.col("r_name") == "ASIA"),
+            nat.n_regionkey == reg.r_regionkey,
+        )
+        .select(
+            F.col("n_nationkey").alias("s_nkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    nc = (
+        nat.join(
+            reg.filter(F.col("r_name") == "EUROPE"),
+            nat.n_regionkey == reg.r_regionkey,
+        )
+        .select(
+            F.col("n_nationkey").alias("c_nkey"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(rev).cast("bigint").alias("revenue_e4"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Nation market share (TPC-H Q8 shape): one nation's share of a region's
+# yearly revenue — ratio of a conditional aggregate to the total, per
+# group. Shares on the 1e6 floor grid keep the division bit-identical.
+# --------------------------------------------------------------------------
+@register(
+    "nation_market_share",
+    oracle="""
+WITH base AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_e4,
+         CASE WHEN ns.n_name = 'NATION_2' THEN 1 ELSE 0 END AS is_target
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN region rc ON nc.n_regionkey = rc.r_regionkey
+  WHERE rc.r_name = 'ASIA'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN is_target = 1 THEN rev_e4 ELSE 0 END) AS BIGINT)
+         AS target_rev_e4,
+       CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+       CAST(floor(sum(CASE WHEN is_target = 1 THEN rev_e4 ELSE 0 END)
+                  * 1000000.0 / sum(rev_e4)) AS BIGINT) AS share_s6
+FROM base GROUP BY o_year
+""",
+    doc="TPC-H Q8 shape: NATION_2's share of ASIA-customer revenue per "
+    "year; conditional aggregate over exact cents, share on the 1e6 grid",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    ns = nat.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nat.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(reg), F.col("c_rkey") == reg.r_regionkey)
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            rev.alias("rev_e4"),
+            F.when(F.col("supp_nation") == "NATION_2", 1)
+            .otherwise(0)
+            .alias("is_target"),
+        )
+    )
+    target = F.sum(F.when(F.col("is_target") == 1, F.col("rev_e4")).otherwise(0))
+    total = F.sum("rev_e4")
+    return base.groupBy("o_year").agg(
+        target.cast("bigint").alias("target_rev_e4"),
+        total.cast("bigint").alias("total_rev_e4"),
+        F.floor(target * 1000000.0 / total).cast("bigint").alias("share_s6"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Idle rich customers (TPC-H Q22 shape): customers with above-average
+# positive balance and no RECENT orders (none since 2000-01-01; the
+# synthetic data gives every customer at least one lifetime order, so the
+# classic no-orders-ever predicate is empty) — scalar-aggregate comparison
+# kept as an exact integer cross-multiply (acctbal_cents * n > sum_cents,
+# no engine ever divides) + date-scoped anti join.
+# --------------------------------------------------------------------------
+@register(
+    "idle_rich_customers",
+    oracle="""
+WITH pos AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s100,
+         count(*) AS n
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_custkey AS custkey,
+       CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM customer c, pos
+WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.s100
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+""",
+    doc="TPC-H Q22 shape: above-average balance (exact integer "
+    "cross-multiply, no division) + idle-since-2000 anti join",
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "acctbal_cents", _cents("c_acctbal")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum("acctbal_cents").cast("bigint").alias("s100"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        c.join(F.broadcast(pos), F.col("acctbal_cents") * F.col("n") > F.col("s100"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.col("c_custkey").alias("custkey"), "acctbal_cents")
+    )
+
+
+# --------------------------------------------------------------------------
+# Local supplier volume (TPC-H Q5 shape): revenue where the customer and
+# the supplier share a nation — the equal-attribute join condition that
+# cannot be expressed as a chain (c_nationkey = s_nationkey closes the
+# cycle). Exact-cents revenue per nation for one order-year.
+# --------------------------------------------------------------------------
+@register(
+    "local_supplier_volume",
+    oracle="""
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+    doc="TPC-H Q5 shape: same-nation customer+supplier revenue per nation "
+    "for 1996 — the cycle-closing join condition; exact-cents revenue",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("bigint").alias("revenue_e4"))
+    )

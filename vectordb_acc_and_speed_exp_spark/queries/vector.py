@@ -68,6 +68,86 @@ def knn_exact_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# S8 client facade under the hard gate: the SAME search as knn_exact_l2 but
+# routed end-to-end through the VectorStore surface (create_collection ->
+# parquet collection -> query(mode="exact", query_vecs=...)) — proving the
+# facade adds no semantic drift (id round-trip through string, float32
+# vector round-trip through the driver, query_id-by-position remap).
+# Oracle = knn_exact_l2's SQL verbatim.
+# --------------------------------------------------------------------------
+@register(
+    "client_facade_knn",
+    oracle=f"""
+WITH q AS ({_QUERY_SET_SQL}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS item_id, CAST(e.embedding AS DOUBLE[]) AS ev, q.qv
+  FROM embeddings e CROSS JOIN q
+), dists AS (
+  SELECT query_id, item_id, {_L2_SQL} AS dist FROM scored
+), ranked AS (
+  SELECT query_id, item_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, item_id) AS rank
+  FROM dists
+)
+SELECT query_id, rank, item_id, round(dist, 4) AS dist_r
+FROM ranked WHERE rank <= 10
+""",
+    doc="VectorStore facade (api.py) under the hard gate: collection "
+    "round-trip + query(mode='exact') must equal knn_exact_l2 bit-for-bit",
+)
+def client_facade_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..api import VectorStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="facade_gate_")
+    try:
+        store = VectorStore(spark, root, dim=64)
+        store.create_collection(
+            "corpus",
+            emb.select(
+                F.col("vec_id").cast("string").alias("id"), F.col("embedding")
+            ),
+        )
+        # facade query_id = position in the input list; collect the 5-vector
+        # query set (bounded) ordered by vec_id and remap position -> vec_id
+        # afterwards so the output keys match the oracle even if ids were
+        # non-contiguous
+        qrows = (
+            emb.filter(F.col("vec_id") < 5)
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .collect()
+        )
+        res = store.query(
+            "corpus",
+            query_vecs=[[float(x) for x in r.embedding] for r in qrows],
+            k=10,
+            mode="exact",
+        )
+        qmap = spark.createDataFrame(
+            [(i, int(r.vec_id)) for i, r in enumerate(qrows)],
+            "pos bigint, query_id bigint",
+        )
+        out = (
+            res.withColumnRenamed("query_id", "pos")
+            .join(F.broadcast(qmap), "pos")
+            .select(
+                "query_id",
+                "rank",
+                F.col("item_id").cast("bigint").alias("item_id"),
+                F.round("dist", 4).alias("dist_r"),
+            )
+        )
+        # materialize before dropping the temp collection the plan reads
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # V2 cosine variant (similarity ranking; emitted as similarity, ranked by
 # 1 - sim internally).
 # --------------------------------------------------------------------------
