@@ -95,6 +95,12 @@ HEADLINE = [
     "gopher_quality_filter",
     "ann_ivfbq_topk",
     "jaccard_prefix_pairs",
+    # round-5 additions (appended — earlier entries keep their order)
+    "large_volume_orders",
+    "supplier_part_variety",
+    "nation_pair_trade",
+    "local_supplier_volume",
+    "client_facade_knn",
 ]
 
 

@@ -70,3 +70,64 @@ def extract_media_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield out
 
     return df.select(id_col, "payload").mapInPandas(decode, schema=FEATURE_SCHEMA)
+
+
+def sample_byte_frames(
+    df: DataFrame,
+    frame_bytes: int = 32,
+    stride: int = 24,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling over opaque binary payloads — the video/audio
+    frame-sample plumbing stage (reference: the per-item media loop a
+    curation pipeline runs before feature extraction), with fixed-size
+    byte windows standing in for codec frames (a real decoder swaps the
+    window slicer for frame boundaries; partitioning, schema, and the
+    downstream contract are identical).
+
+    Emits (id, frame_idx, frame_off, frame_md5): only FULL frames (short
+    tails dropped), frame_off 1-based byte offset, digest of the frame's
+    hex encoding (hex, not raw bytes, so external SQL engines that cannot
+    digest BLOB slices can replay it — see queries/pipeline.py::
+    frame_sample_manifest).
+
+    Scale: pure JVM codegen (substring/hex/md5 HOFs over the binary
+    column) — rows never leave their input partition, no shuffle, no
+    Python; a 100 TB media corpus maps straight through."""
+    n_full = (
+        F.floor(
+            (F.octet_length(F.col(payload_col)) - F.lit(frame_bytes))
+            / F.lit(stride)
+        )
+        + 1
+    )
+    n_frames = F.least(
+        F.greatest(n_full, F.lit(0)).cast("int"), F.lit(max_frames)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(payload_col).alias("_pl"),
+            n_frames.alias("_nf"),
+        )
+        .filter(F.col("_nf") > 0)
+        .select(
+            id_col,
+            F.posexplode(F.sequence(F.lit(0), F.col("_nf") - 1)).alias(
+                "frame_idx", "_i"
+            ),
+            F.col("_pl"),
+        )
+        .select(
+            id_col,
+            F.col("frame_idx").cast("bigint").alias("frame_idx"),
+            (F.col("_i") * stride + 1).cast("bigint").alias("frame_off"),
+            F.md5(
+                F.hex(
+                    F.expr(f"substring(_pl, frame_idx * {stride} + 1, {frame_bytes})")
+                )
+            ).alias("frame_md5"),
+        )
+    )

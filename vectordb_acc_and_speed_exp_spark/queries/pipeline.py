@@ -1322,3 +1322,41 @@ def lsh_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _attach_fullfidelity_oracles()
+
+
+# -- Multimodal frame sampling (byte-window stand-in for codec frames) -----
+@register(
+    "frame_sample_manifest",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+f AS (
+  SELECT doc_id, h,
+         least(greatest(CAST(floor((n_bytes - 32) / 24.0) AS BIGINT) + 1, 0), 8)
+           AS nf
+  FROM b
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(i * 24 + 1 AS BIGINT) AS frame_off,
+       md5(substring(h, CAST(i * 48 + 1 AS BIGINT), 64)) AS frame_md5
+FROM f, unnest(range(0, nf)) AS t(i)
+WHERE nf > 0
+""",
+    doc="multimodal frame-sampling plumbing hash-oracled: binary payload "
+    "sliced into 32-byte frames at stride 24 (max 8, full frames only) "
+    "entirely in JVM codegen (substring/hex/md5 on the binary column, no "
+    "shuffle, no Python); the oracle replays the identical slicing on the "
+    "hex encoding (2 hex chars per byte) since DuckDB cannot substring a "
+    "BLOB — same bytes, same digests",
+)
+def frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_byte_frames, with_binary_payload
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_byte_frames(
+        with_binary_payload(d), frame_bytes=32, stride=24, max_frames=8
+    )

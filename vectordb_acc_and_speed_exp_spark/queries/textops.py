@@ -1962,3 +1962,61 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_docs_involved"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-step pair counting ([EXT]: the inner loop of tokenizer
+# TRAINING — Sennrich et al. 2016 get_stats): word-frequency table, words
+# split into character symbols, adjacent-pair counts weighted by word
+# frequency, top-20 merge candidates by (count desc, pair asc). Full BPE
+# iterates this step applying the winning merge; one counting round is the
+# SQL-expressible core (adjacent pairs as 2-char substrings — overlapping
+# occurrences counted, matching the classic algorithm).
+# Scale: the word-frequency aggregate shuffles words once (vocabulary-
+# sized, not corpus-sized); pair explode runs over the VOCABULARY (each
+# distinct word once, weighted), so a 100 TB corpus costs one word count
+# plus a vocab-sized pair aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "bpe_top_merges",
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents WHERE trim(text) != ''
+),
+wf AS (
+  SELECT w, count(*) AS freq FROM words WHERE len(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, freq
+  FROM wf, unnest(range(1, len(w))) AS t(i)
+),
+agg AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM pairs GROUP BY pair
+)
+SELECT pair, cnt FROM agg ORDER BY cnt DESC, pair LIMIT 20
+""",
+    doc="BPE tokenizer-training merge step (Sennrich get_stats): word-freq "
+    "table -> adjacent char-pair counts weighted by frequency -> top-20 "
+    "merge candidates; pair explode runs over the vocabulary, not the "
+    "corpus",
+)
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(tokens(norm_text(F.col("text")))).alias("w")
+    ).filter(F.length("w") >= 2)
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wf.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )
