@@ -123,6 +123,61 @@ def test_missing_model_package_falls_back_to_fake():
     assert out[0].tolist() == [fake_encode_text("x", 4)]
 
 
+def test_sample_byte_frames_matches_python_slicing(documents):
+    """Frame sampling (byte-window stand-in for codec frames): every Spark
+    row must equal the pure-Python slicing of the same payload — full
+    frames only, stride placement, max_frames cap, hex-digest contents."""
+    from vectordb_acc_and_speed_exp_spark.operators.multimodal import (
+        sample_byte_frames,
+    )
+
+    frame_bytes, stride, max_frames = 32, 24, 8
+    docs = documents.limit(40)
+    out = sample_byte_frames(
+        with_binary_payload(docs),
+        frame_bytes=frame_bytes,
+        stride=stride,
+        max_frames=max_frames,
+    ).collect()
+
+    expect: dict[str, list[tuple[int, int, str]]] = {}
+    for r in docs.select("doc_id", "text").collect():
+        payload = r.text.encode("utf-8")
+        frames = []
+        for i in range(max_frames):
+            chunk = payload[i * stride : i * stride + frame_bytes]
+            if len(chunk) < frame_bytes:
+                break
+            frames.append(
+                (i, i * stride + 1, hashlib.md5(chunk.hex().upper().encode()).hexdigest())
+            )
+        if frames:
+            expect[r.doc_id] = frames
+
+    got: dict[str, list[tuple[int, int, str]]] = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append((r.frame_idx, r.frame_off, r.frame_md5))
+    for k in got:
+        got[k].sort()
+    assert got == expect
+    # short docs (< frame_bytes) emit nothing rather than a padded frame
+    assert all(len(v) >= 1 for v in expect.values())
+
+
+def test_sample_byte_frames_short_payload_empty(spark):
+    from vectordb_acc_and_speed_exp_spark.operators.multimodal import (
+        sample_byte_frames,
+    )
+
+    df = spark.createDataFrame(
+        [("a", bytearray(b"tiny")), ("b", bytearray(b"x" * 32))],
+        "doc_id string, payload binary",
+    )
+    rows = sample_byte_frames(df, frame_bytes=32, stride=24, max_frames=8).collect()
+    # "tiny" has no full 32-byte frame; "x"*32 has exactly one
+    assert [(r.doc_id, r.frame_idx, r.frame_off) for r in rows] == [("b", 0, 1)]
+
+
 def test_md5_encoder_deterministic_unit_norm():
     import math
 

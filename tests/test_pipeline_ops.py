@@ -340,3 +340,56 @@ def test_index_cache_invalidates_on_source_change(spark, tmp_path):
     _get_or_build_sq(spark, sf_dir)
     assert open(done).read() != fp1
     shutil.rmtree(_index_root(sf_dir), ignore_errors=True)
+
+
+class TestBpeTopMerges:
+    """BPE merge-step pair counting (Sennrich get_stats): the Spark query
+    must equal a pure-Python reference of the classic algorithm — word-freq
+    table, adjacent 2-char pairs weighted by frequency, overlapping
+    occurrences counted, top-20 by (count desc, pair asc)."""
+
+    @staticmethod
+    def _python_reference(texts, k=20):
+        import re
+        from collections import Counter
+
+        wf: Counter = Counter()
+        for t in texts:
+            norm = re.sub(r"\s+", " ", t.strip()).lower()
+            if not norm:
+                continue
+            for w in norm.split(" "):
+                if len(w) >= 2:
+                    wf[w] += 1
+        pairs: Counter = Counter()
+        for w, f in wf.items():
+            for i in range(len(w) - 1):
+                pairs[w[i : i + 2]] += f
+        top = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return top
+
+    def test_matches_python_reference_on_sf0001(self, spark, sf_dir, documents):
+        from vectordb_acc_and_speed_exp_spark.queries.textops import bpe_top_merges
+
+        got = [(r.pair, r.cnt) for r in bpe_top_merges(spark, sf_dir).collect()]
+        texts = [r.text for r in documents.select("text").collect()]
+        assert got == self._python_reference(texts)
+
+    def test_overlapping_pairs_counted(self, spark, tmp_path, monkeypatch):
+        """'aaa' contributes aa twice (overlap), weighted by word freq."""
+        import os
+
+        d = _docs(
+            spark,
+            [
+                (1, "aaa aaa ab", "en", "s", 9),
+                (2, "  AAA\tab ", "en", "s", 8),
+            ],
+        )
+        out_dir = os.path.join(str(tmp_path), "documents.parquet")
+        d.write.parquet(out_dir)
+        from vectordb_acc_and_speed_exp_spark.queries.textops import bpe_top_merges
+
+        got = [(r.pair, r.cnt) for r in bpe_top_merges(spark, str(tmp_path)).collect()]
+        # wf: aaa->3, ab->2 ; pairs: aa -> 2*3=6, ab -> 2
+        assert got == [("aa", 6), ("ab", 2)]
