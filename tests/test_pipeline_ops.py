@@ -393,3 +393,88 @@ class TestBpeTopMerges:
         got = [(r.pair, r.cnt) for r in bpe_top_merges(spark, str(tmp_path)).collect()]
         # wf: aaa->3, ab->2 ; pairs: aa -> 2*3=6, ab -> 2
         assert got == [("aa", 6), ("ab", 2)]
+
+
+class TestSubwordTokenize:
+    """Greedy maximal-munch tokenizer (WordPiece inference): Spark query ==
+    pure-Python reference of the same algorithm — vocab = all single chars
+    + top-200 n-grams (n<=4) by (weighted count desc, gram asc), cursor
+    takes the longest vocab prefix each step."""
+
+    @staticmethod
+    def _python_reference(texts, top_grams=200, k=50):
+        import re
+        from collections import Counter
+
+        wf: Counter = Counter()
+        for t in texts:
+            norm = re.sub(r"\s+", " ", t.strip()).lower()
+            if not norm:
+                continue
+            for w in norm.split(" "):
+                if 2 <= len(w) <= 20:
+                    wf[w] += 1
+        grams: Counter = Counter()
+        for w, f in wf.items():
+            for i in range(len(w)):
+                for L in range(1, 5):
+                    if i + L <= len(w):
+                        grams[w[i : i + L]] += f
+        vocab = {g for g in grams if len(g) == 1}
+        vocab |= {
+            g
+            for g, _ in sorted(
+                ((g, c) for g, c in grams.items() if len(g) >= 2),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:top_grams]
+        }
+        tok_counts: Counter = Counter()
+        for w, f in wf.items():
+            pos = 0
+            while pos < len(w):
+                for L in (4, 3, 2, 1):
+                    cand = w[pos : pos + L]
+                    if cand in vocab:
+                        tok_counts[cand] += f
+                        pos += len(cand)
+                        break
+        return sorted(tok_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def test_matches_python_reference_on_sf0001(self, spark, sf_dir, documents):
+        from vectordb_acc_and_speed_exp_spark.queries.textops import (
+            subword_tokenize_counts,
+        )
+
+        got = [
+            (r.token, r.cnt)
+            for r in subword_tokenize_counts(spark, sf_dir).collect()
+        ]
+        texts = [r.text for r in documents.select("text").collect()]
+        assert got == self._python_reference(texts)
+
+    def test_crafted_corpus_greedy_not_optimal(self, spark, tmp_path):
+        """Maximal munch is greedy, not globally optimal: with
+        'abab'-heavy words the walk takes the longest prefix even when a
+        different split would use fewer tokens downstream."""
+        import os
+
+        d = _docs(
+            spark,
+            [(1, "abab ababx abab", "en", "s", 15), (2, "xy xy abab", "en", "s", 10)],
+        )
+        d.write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+        from vectordb_acc_and_speed_exp_spark.queries.textops import (
+            subword_tokenize_counts,
+        )
+
+        got = [
+            (r.token, r.cnt)
+            for r in subword_tokenize_counts(spark, str(tmp_path)).collect()
+        ]
+        assert got == self._python_reference(
+            ["abab ababx abab", "xy xy abab"]
+        )
+        # every word got fully consumed: total chars in == sum(len(tok)*cnt)
+        assert sum(len(t) * c for t, c in got) == sum(
+            len(w) for w in ["abab", "ababx", "abab", "xy", "xy", "abab"]
+        )

@@ -2020,3 +2020,163 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "pair")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Greedy subword tokenization ([EXT]: the APPLY step of a trained subword
+# tokenizer — WordPiece-style maximal munch, Schuster & Nakajima 2012 /
+# Devlin et al. 2018 inference): a corpus-derived vocabulary (every single
+# character + the top-200 char n-grams n in 2..4 by weighted frequency,
+# ties broken by gram) tokenizes every word by repeatedly taking the
+# LONGEST vocabulary prefix at the cursor. Completes the tokenizer story:
+# bpe_token_stats (counting) -> bpe_top_merges (training step) -> this
+# (inference).
+#
+# Scale: tokenization runs over the VOCABULARY of distinct words (weighted
+# by frequency), not the corpus. The vocab is broadcast-joined (four
+# prefix-length probes), the greedy walk is an aggregate HOF over a
+# per-word pos->token map column (<= 20 entries), and no data ever reaches
+# the driver — at 100 TB this is one word-count shuffle plus
+# vocabulary-sized work. The walk is sequential per word by definition
+# (each step's cursor depends on the previous match) but words are
+# independent rows, so parallelism is unaffected.
+# --------------------------------------------------------------------------
+@register(
+    "subword_tokenize_counts",
+    oracle=r"""
+WITH RECURSIVE
+words AS (
+  SELECT w, count(*) AS freq, len(w) AS n FROM (
+    SELECT unnest(string_split_regex(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS w
+    FROM documents WHERE trim(text) != ''
+  ) WHERE len(w) BETWEEN 2 AND 20
+  GROUP BY w, len(w)
+),
+grams AS (
+  SELECT g, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT substring(w, CAST(i AS INTEGER), CAST(L AS INTEGER)) AS g, freq
+    FROM words, unnest(range(1, n + 1)) t(i), unnest(range(1, 5)) u(L)
+    WHERE i + L - 1 <= n
+  ) GROUP BY g
+),
+vocab AS (
+  SELECT g FROM grams WHERE len(g) = 1
+  UNION
+  SELECT g FROM (SELECT g FROM grams WHERE len(g) >= 2 ORDER BY cnt DESC, g LIMIT 200)
+),
+posn AS (
+  SELECT w, CAST(i AS BIGINT) AS pos,
+         substring(w, CAST(i AS INTEGER), 4) AS s4,
+         substring(w, CAST(i AS INTEGER), 3) AS s3,
+         substring(w, CAST(i AS INTEGER), 2) AS s2,
+         substring(w, CAST(i AS INTEGER), 1) AS s1
+  FROM words, unnest(range(1, n + 1)) t(i)
+),
+match AS (
+  SELECT posn.w, posn.pos, coalesce(v4.g, v3.g, v2.g, v1.g) AS tok
+  FROM posn
+  LEFT JOIN vocab v4 ON v4.g = posn.s4
+  LEFT JOIN vocab v3 ON v3.g = posn.s3
+  LEFT JOIN vocab v2 ON v2.g = posn.s2
+  LEFT JOIN vocab v1 ON v1.g = posn.s1
+),
+walk AS (
+  SELECT w, freq, CAST(1 AS BIGINT) AS pos FROM words
+  UNION ALL
+  SELECT walk.w, walk.freq, walk.pos + len(m.tok)
+  FROM walk JOIN match m ON m.w = walk.w AND m.pos = walk.pos
+)
+SELECT m.tok AS token, CAST(sum(walk.freq) AS BIGINT) AS cnt
+FROM walk JOIN match m ON m.w = walk.w AND m.pos = walk.pos
+GROUP BY m.tok
+ORDER BY cnt DESC, token
+LIMIT 50
+""",
+    doc="WordPiece-style greedy maximal-munch tokenization with a "
+    "corpus-derived vocab (all single chars + top-200 n-grams, n<=4): "
+    "top-50 subword tokens by frequency-weighted usage; Spark walks a "
+    "per-word pos->token map with an aggregate HOF (no driver collect), "
+    "the oracle replays the identical walk as a recursive CTE",
+)
+def subword_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(norm_text(F.col("text")))).alias("w"))
+        .filter(F.length("w").between(2, 20))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # candidate grams n=1..4, frequency-weighted; positions via one HOF
+    grams = (
+        words.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(w)), i -> "
+                    "filter(transform(sequence(1, 4), L -> "
+                    "IF(i + L - 1 <= length(w), substring(w, i, L), NULL)), "
+                    "x -> x IS NOT NULL)))"
+                )
+            ).alias("g"),
+            "freq",
+        )
+        .groupBy("g")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    singles = grams.filter(F.length("g") == 1).select("g")
+    top = (
+        grams.filter(F.length("g") >= 2)
+        .orderBy(F.desc("cnt"), "g")
+        .limit(200)
+        .select("g")
+    )
+    vocab = singles.union(top).distinct()
+
+    # per (word, position): the longest vocab prefix starting there —
+    # four broadcast probes, longest wins
+    posn = words.select(
+        "w",
+        F.explode(F.sequence(F.lit(1), F.length("w"))).alias("pos"),
+    ).select(
+        "w",
+        F.col("pos").cast("bigint").alias("pos"),
+        *[
+            F.expr(f"substring(w, pos, {L})").alias(f"s{L}")
+            for L in (4, 3, 2, 1)
+        ],
+    )
+    m = posn
+    for L in (4, 3, 2, 1):
+        v = F.broadcast(vocab.withColumnRenamed("g", f"g{L}"))
+        m = m.join(v, m[f"s{L}"] == v[f"g{L}"], "left")
+    match = m.select(
+        "w", "pos", F.coalesce("g4", "g3", "g2", "g1").alias("tok")
+    )
+
+    # greedy walk: pos->token map per word (<= 20 entries), cursor jumps by
+    # the matched token's length; sequence(1, len) upper-bounds the steps
+    permap = match.groupBy("w").agg(
+        F.map_from_entries(F.collect_list(F.struct("pos", "tok"))).alias("pm")
+    )
+    toks = (
+        words.join(permap, "w")
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "aggregate(sequence(1, length(w)), "
+                    "named_struct('pos', CAST(1 AS BIGINT), "
+                    "             'toks', CAST(array() AS array<string>)), "
+                    "(acc, i) -> IF(i != acc.pos, acc, named_struct("
+                    "  'pos', acc.pos + length(try_element_at(pm, acc.pos)), "
+                    "  'toks', array_append(acc.toks, try_element_at(pm, acc.pos)))), "
+                    "acc -> acc.toks)"
+                )
+            ).alias("token"),
+        )
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(50)
+    )
