@@ -482,3 +482,86 @@ def test_stream_upsert_dedups_in_batch_duplicates(spark, tmp_path):
     got = spark.read.parquet(corpus_path)
     assert got.count() == 50
     assert got.select("vec_id").distinct().count() == 50
+
+
+def test_heavy_hitters_exact_when_under_capacity(spark, sf_dir):
+    """distinct items <= capacity -> no evictions -> the sketch equals the
+    exact batch group-by (order-independent), err == 0, and the per-shard
+    totals account for every event."""
+    from vectordb_acc_and_speed_exp_spark.functions.hashing import (
+        portable_hash64,
+    )
+    from vectordb_acc_and_speed_exp_spark.io import load_table
+    from vectordb_acc_and_speed_exp_spark.streaming.events import (
+        heavy_hitters_stream,
+        latest_sketch,
+        read_events_stream,
+        run_stream_to_batch,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    snaps = run_stream_to_batch(
+        heavy_hitters_stream(stream, capacity=32, n_shards=4), mode="append"
+    )
+    got = {
+        (r.shard, r.item): (r.est_count, r.max_err, r.n_shard)
+        for r in latest_sketch(snaps).collect()
+    }
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").cast("string").alias("item"),
+        F.pmod(portable_hash64(F.col("event_type")), F.lit(4)).alias("shard"),
+    )
+    exact = {
+        (r.shard, r.item): r.cnt
+        for r in e.groupBy("shard", "item").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert set(got) == set(exact)
+    for k, (est, err, _) in got.items():
+        assert est == exact[k] and err == 0
+    # shard totals conserve events
+    shard_totals = {}
+    for (shard, _), (_, _, n_shard) in got.items():
+        shard_totals[shard] = n_shard
+    assert sum(shard_totals.values()) == sum(exact.values())
+
+
+def test_heavy_hitters_eviction_bounds(spark, tmp_path):
+    """capacity 2 with 4 distinct items forces evictions: the space-saving
+    guarantees must hold — est >= true >= est - err for every tracked
+    item, and any item with true count > n_shard/capacity is tracked."""
+    import datetime
+
+    from vectordb_acc_and_speed_exp_spark.streaming.events import (
+        heavy_hitters_stream,
+        latest_sketch,
+        run_stream_to_batch,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    # one shard (n_shards=1): a=6, b=3, c=2, d=1 interleaved
+    seq = ["a", "b", "a", "c", "a", "b", "d", "a", "c", "a", "b", "a"]
+    rows = [
+        (base + datetime.timedelta(minutes=i), it) for i, it in enumerate(seq)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    src = str(tmp_path / "hh_src")
+    df.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    snaps = run_stream_to_batch(
+        heavy_hitters_stream(stream, capacity=2, n_shards=1), mode="append"
+    )
+    sk = {r.item: r for r in latest_sketch(snaps).collect()}
+    true = {"a": 6, "b": 3, "c": 2, "d": 1}
+    n = len(seq)
+    assert len(sk) == 2  # capacity respected
+    for it, r in sk.items():
+        assert r.n_shard == n
+        assert r.est_count >= true[it] >= r.est_count - r.max_err
+    # every item with true count > n/capacity must be tracked
+    for it, c in true.items():
+        if c > n / 2:
+            assert it in sk

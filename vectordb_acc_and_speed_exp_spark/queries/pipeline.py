@@ -1360,3 +1360,42 @@ def frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_byte_frames(
         with_binary_payload(d), frame_bytes=32, stride=24, max_frames=8
     )
+
+
+# -- Streaming frequent-items maintenance (space-saving sketch) ------------
+@register(
+    "streaming_heavy_hitters",
+    oracle="""
+WITH shards AS (
+  SELECT event_type,
+         CAST(('0x' || substring(md5(event_type), 1, 15)) AS BIGINT) % 4 AS shard
+  FROM events
+)
+SELECT shard, event_type AS item,
+       count(*) AS est_count,
+       CAST(0 AS BIGINT) AS max_err,
+       CAST(sum(count(*)) OVER (PARTITION BY shard) AS BIGINT) AS n_shard
+FROM shards GROUP BY shard, event_type
+""",
+    doc="streaming space-saving heavy hitters (applyInPandasWithState, "
+    "shard-keyed O(capacity) state, full-sketch snapshots per batch): with "
+    "distinct items <= capacity the sketch is exact and order-independent, "
+    "so bounded replay must equal the batch group-by bit-for-bit (est == "
+    "true count, err == 0); the eviction path is pinned at capacity 2 in "
+    "tests/test_streaming.py",
+)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import (
+        heavy_hitters_stream,
+        latest_sketch,
+        read_events_stream,
+        run_stream_to_batch,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    snaps = run_stream_to_batch(
+        heavy_hitters_stream(stream, capacity=32, n_shards=4), mode="append"
+    )
+    return latest_sketch(snaps).select(
+        "shard", "item", "est_count", "max_err", "n_shard"
+    )

@@ -238,3 +238,126 @@ def purchase_click_join_stream(
         "click_ts",
         "purchase_value",
     )
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    capacity: int = 32,
+    n_shards: int = 4,
+    item_col: str = "event_type",
+) -> DataFrame:
+    """Streaming frequent-items maintenance: space-saving sketches
+    (Metwally et al. 2005, "Efficient computation of frequent and top-k
+    elements in data streams") kept fresh at ingest via
+    applyInPandasWithState — the trending-items / hot-domains monitor a
+    training-data ingest pipeline runs next to dedup-at-ingest.
+
+    Items route to shard ``portable_hash64(item) % n_shards`` — each item
+    lives in exactly ONE shard, so per-shard sketches never double-count
+    and the global answer is the plain union of shard snapshots (no sketch
+    merge needed).  Per shard the state is the classic capped counter set:
+    a tracked item increments; an untracked item evicts the current
+    minimum, inheriting its count as the new item's error bound.
+    Guarantees (per shard, n = items seen by the shard): every item with
+    true count > n/capacity is tracked, and
+    ``est_count - max_err <= true <= est_count``.
+
+    Each batch that touches a shard re-emits the shard's FULL sketch as a
+    snapshot tagged with a per-shard batch sequence number (append mode);
+    the live sketch is the max-seq snapshot per shard.  With distinct
+    items <= capacity nothing is ever evicted and the sketch is EXACT and
+    arrival-order-independent — the property the oracled query
+    ``streaming_heavy_hitters`` hash-checks end-to-end; the eviction path
+    is pinned by unit tests at capacity 2.
+
+    Scale: state is O(capacity) per shard, shards bound parallelism, and
+    per-batch work is O(batch + capacity) per touched shard — corpus size
+    never enters."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.hashing import portable_hash64
+
+    out_schema = (
+        "shard bigint, item string, est_count bigint, max_err bigint, "
+        "n_shard bigint, batch_seq bigint"
+    )
+    state_schema = (
+        "items array<string>, counts array<bigint>, errs array<bigint>, "
+        "n_total bigint, seq bigint"
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        (shard,) = key
+        if state.exists:
+            items, counts, errs, n_total, seq = state.get
+            sketch = {
+                it: [int(c), int(e)] for it, c, e in zip(items, counts, errs)
+            }
+            n_total, seq = int(n_total), int(seq)
+        else:
+            sketch, n_total, seq = {}, 0, 0
+        for pdf in pdf_iter:
+            for it in pdf["item"]:
+                n_total += 1
+                if it in sketch:
+                    sketch[it][0] += 1
+                elif len(sketch) < capacity:
+                    sketch[it] = [1, 0]
+                else:
+                    victim = min(sketch.items(), key=lambda kv: kv[1][0])
+                    vmin = victim[1][0]
+                    del sketch[victim[0]]
+                    sketch[it] = [vmin + 1, vmin]
+        seq += 1
+        state.update(
+            (
+                list(sketch.keys()),
+                [v[0] for v in sketch.values()],
+                [v[1] for v in sketch.values()],
+                n_total,
+                seq,
+            )
+        )
+        yield pd.DataFrame(
+            [
+                {
+                    "shard": shard,
+                    "item": it,
+                    "est_count": c,
+                    "max_err": e,
+                    "n_shard": n_total,
+                    "batch_seq": seq,
+                }
+                for it, (c, e) in sketch.items()
+            ]
+        )
+
+    staged = events.withWatermark("ts", "2 hours").select(
+        F.col("ts"),
+        F.col(item_col).cast("string").alias("item"),
+        F.pmod(portable_hash64(F.col(item_col).cast("string")), F.lit(n_shards))
+        .cast("bigint")
+        .alias("shard"),
+    )
+    return staged.groupBy("shard").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def latest_sketch(snapshots: DataFrame) -> DataFrame:
+    """The live sketch from heavy-hitters snapshots: per shard, the rows of
+    the highest batch sequence number (shards untouched by late batches
+    keep their last emitted snapshot)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(F.desc("batch_seq"))
+    return (
+        snapshots.withColumn("_r", F.dense_rank().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
