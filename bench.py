@@ -101,6 +101,11 @@ HEADLINE = [
     "nation_pair_trade",
     "local_supplier_volume",
     "client_facade_knn",
+    "subword_tokenize_counts",
+    "streaming_heavy_hitters",
+    "frame_sample_manifest",
+    "bpe_top_merges",
+    "retrieval_eval_metrics",
 ]
 
 

@@ -118,3 +118,26 @@ def test_parent_doc_retrieval_rollup(spark, sf_dir):
         ids = [r.doc_id for r in rows_q]
         assert len(ids) == len(set(ids))
         assert all(r.n_hit_chunks >= 1 for r in rows_q)
+
+
+def test_retrieval_eval_metrics_invariants(spark, sf_dir):
+    """Metric arithmetic invariants on real data: mrr_s6 is exactly
+    floor(1e6/first_hit_rank), DCG never exceeds IDCG, precision counts
+    match the rank-graded rows."""
+    from vectordb_acc_and_speed_exp_spark.queries.retrieval import (
+        _IDCG_S,
+        retrieval_eval_metrics,
+    )
+
+    rows = retrieval_eval_metrics(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.n_hits <= 10
+        if r.n_hits == 0:
+            assert r.first_hit_rank == 0 and r.mrr_s6 == 0 and r.dcg_s == 0
+        else:
+            assert 1 <= r.first_hit_rank <= 10
+            assert r.mrr_s6 == 1_000_000 // r.first_hit_rank
+            assert 0 < r.dcg_s <= _IDCG_S
+        assert 0.0 <= r.ndcg_r <= 1.0
+        assert abs(r.ndcg_r - round(r.dcg_s / _IDCG_S, 6)) < 1e-12

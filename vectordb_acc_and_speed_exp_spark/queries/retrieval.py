@@ -633,3 +633,140 @@ def embedding_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("max_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval-quality evaluation ([EXT]: the metrics layer every retrieval
+# stack ships — MRR, NDCG@10, precision@10; Järvelin & Kekäläinen 2002 for
+# NDCG): judge the BM25 lexical ranking against the dense exact-cosine
+# top-10 as graded ground truth (relevance = 11 - dense rank).
+#
+# Determinism: the NDCG rank discounts 1/log2(rank+1) are precomputed ONCE
+# as exact integer literals (floor(1e9/log2(i+1)), the same constants
+# inlined in both engines), so DCG is a pure bigint dot product — no
+# transcendental function ever runs inside either engine and summation
+# order cannot matter. MRR on the 1e6 grid, one exact division.
+# Scale: two already-scale-right top-10 rankings joined on (query, doc) —
+# metric cost is O(k) per query.
+# --------------------------------------------------------------------------
+_NDCG_DISC = {
+    1: 1000000000, 2: 630929753, 3: 500000000, 4: 430676558,
+    5: 386852807, 6: 356207187, 7: 333333333, 8: 315464876,
+    9: 301029995, 10: 289064826,
+}
+_IDCG_S = sum((11 - j) * d for j, d in _NDCG_DISC.items())
+_DISC_SQL = (
+    "CASE rank "
+    + " ".join(f"WHEN {i} THEN {d}" for i, d in _NDCG_DISC.items())
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "retrieval_eval_metrics",
+    oracle=f"""
+WITH {_BM25_CONTRIB_SQL},
+lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s6 DESC, doc_id)
+           AS rank
+  FROM bm25
+),
+q AS ({_QUERY_SET_SQL}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS doc_id, CAST(e.embedding AS DOUBLE[]) AS ev,
+         q.qv
+  FROM embeddings e CROSS JOIN q
+),
+dsims AS (
+  SELECT query_id, doc_id, 1.0 - ({_COS_SQL}) AS dist FROM scored
+),
+gt AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, doc_id)
+           AS gt_rank
+  FROM dsims
+  QUALIFY gt_rank <= 10
+),
+graded AS (
+  SELECT l.query_id, l.rank,
+         COALESCE(11 - g.gt_rank, 0) AS rel,
+         {_DISC_SQL} AS disc
+  FROM (SELECT * FROM lex WHERE rank <= 10) l
+  LEFT JOIN gt g ON g.query_id = l.query_id AND g.doc_id = l.doc_id
+)
+SELECT query_id,
+       CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(coalesce(min(CASE WHEN rel > 0 THEN rank END), 0) AS BIGINT)
+         AS first_hit_rank,
+       CAST(coalesce(floor(1000000.0
+                     / min(CASE WHEN rel > 0 THEN rank END)), 0) AS BIGINT)
+         AS mrr_s6,
+       CAST(sum(CAST(rel AS BIGINT) * disc) AS BIGINT) AS dcg_s,
+       round(sum(CAST(rel AS BIGINT) * disc) * 1.0 / {_IDCG_S}, 6) AS ndcg_r
+FROM graded GROUP BY query_id
+""",
+    doc="MRR / NDCG@10 / precision@10 of BM25 against the dense cosine "
+    "top-10 as graded ground truth; log2 discounts inlined as exact "
+    "integer literals in both engines so DCG is a bigint dot product",
+)
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.knn import exact_knn
+    from .vector import _query_set
+
+    lex = _topk(
+        _bm25_scored(spark, sf_dir), [F.desc("s6"), F.asc("doc_id")], 10
+    ).select("query_id", "doc_id", "rank")
+    gt = exact_knn(
+        _query_set(spark, sf_dir),
+        load_table(spark, sf_dir, "embeddings"),
+        k=10,
+        metric="cosine",
+        item_id="vec_id",
+    ).select(
+        "query_id",
+        F.col("item_id").alias("doc_id"),
+        F.col("rank").alias("gt_rank"),
+    )
+    disc = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[
+                    F.lit(v)
+                    for i, d in _NDCG_DISC.items()
+                    for v in (i, d)
+                ]
+            ),
+            F.col("rank").cast("int"),
+        ),
+        F.lit(0),
+    )
+    graded = (
+        lex.join(F.broadcast(gt), ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "rank",
+            F.coalesce(F.lit(11) - F.col("gt_rank"), F.lit(0)).alias("rel"),
+            disc.cast("bigint").alias("disc"),
+        )
+    )
+    hit_rank = F.min(F.when(F.col("rel") > 0, F.col("rank")))
+    return graded.groupBy("query_id").agg(
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hits"),
+        F.coalesce(hit_rank, F.lit(0)).cast("bigint").alias("first_hit_rank"),
+        # floor() on BOTH engines: a bare double->bigint cast truncates in
+        # Spark but rounds in DuckDB (diverges at first_hit_rank 3/6/7/9)
+        F.coalesce(F.floor(F.lit(1000000.0) / hit_rank), F.lit(0))
+        .cast("bigint")
+        .alias("mrr_s6"),
+        F.sum(F.col("rel").cast("bigint") * F.col("disc"))
+        .cast("bigint")
+        .alias("dcg_s"),
+        F.round(
+            F.sum(F.col("rel").cast("bigint") * F.col("disc"))
+            / F.lit(_IDCG_S),
+            6,
+        ).alias("ndcg_r"),
+    )
