@@ -141,3 +141,64 @@ def test_retrieval_eval_metrics_invariants(spark, sf_dir):
             assert 0 < r.dcg_s <= _IDCG_S
         assert 0.0 <= r.ndcg_r <= 1.0
         assert abs(r.ndcg_r - round(r.dcg_s / _IDCG_S, 6)) < 1e-12
+
+
+def test_bm25_weighted_scores(spark, sf_dir):
+    """weight_col semantics: all-1e6 weights == unweighted scores exactly;
+    weight 0 removes a term's contribution; 0.5 weight halves it with
+    floor division."""
+    import pyspark.sql.functions as F
+
+    from vectordb_acc_and_speed_exp_spark.io import load_table
+    from vectordb_acc_and_speed_exp_spark.operators.bm25 import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(
+        [(0, "spark"), (0, "join")], "query_id long, term string"
+    )
+    base = {
+        (r.query_id, r.doc_id): r.s6 for r in bm25_scores(d, qt).collect()
+    }
+    unit = {
+        (r.query_id, r.doc_id): r.s6
+        for r in bm25_scores(
+            d, qt.withColumn("w6", F.lit(1_000_000)), weight_col="w6"
+        ).collect()
+    }
+    assert base == unit
+
+    # zero weight on "join" == dropping the term
+    wz = qt.withColumn(
+        "w6", F.when(F.col("term") == "join", 0).otherwise(1_000_000)
+    )
+    only_spark = {
+        (r.query_id, r.doc_id): r.s6
+        for r in bm25_scores(d, wz, weight_col="w6").collect()
+    }
+    just_spark = {
+        (r.query_id, r.doc_id): r.s6
+        for r in bm25_scores(
+            d, qt.filter(F.col("term") == "spark")
+        ).collect()
+    }
+    # zero-weighted postings still emit rows (c6=0) for docs matching only
+    # "join"; restrict the comparison to scores
+    for k, v in just_spark.items():
+        assert only_spark[k] == v
+    for k, v in only_spark.items():
+        if k not in just_spark:
+            assert v == 0
+
+    # half weight: per-term floor division, verified via single-term query
+    half = {
+        (r.query_id, r.doc_id): r.s6
+        for r in bm25_scores(
+            d,
+            qt.filter(F.col("term") == "spark").withColumn(
+                "w6", F.lit(500_000)
+            ),
+            weight_col="w6",
+        ).collect()
+    }
+    for k, v in just_spark.items():
+        assert half[k] == (v * 500_000) // 1_000_000

@@ -29,13 +29,22 @@ def bm25_scores(
     term_col: str = "term",
     k1: float = 1.2,
     b: float = 0.75,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, s6): BM25 score × 1e6 as an exact bigint, for
     every (query, doc) sharing at least one term. ``queries`` is a
-    (query_id, term) frame — terms should be pre-normalized (lowercase)."""
-    qt = queries.select(
+    (query_id, term) frame — terms should be pre-normalized (lowercase).
+
+    ``weight_col`` names an optional bigint column on ``queries`` holding a
+    per-(query, term) weight on the 1e6 grid (1_000_000 = 1.0): each term's
+    contribution becomes ``(c6 * w6) div 1e6`` — integer floor division, so
+    weighted sums stay exact and order-free (the RM3 expansion hook)."""
+    qcols = [
         F.col(query_id).alias("query_id"), F.col(term_col).alias("term")
-    )
+    ]
+    if weight_col is not None:
+        qcols.append(F.col(weight_col).cast("bigint").alias("_w6"))
+    qt = queries.select(*qcols)
     terms = sorted({r.term for r in qt.select("term").distinct().collect()})
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -58,16 +67,19 @@ def bm25_scores(
     tfnorm = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     )
+    base_c6 = F.round(idf * tfnorm * 1_000_000).cast("bigint")
+    c6 = (
+        F.expr("(_base_c6 * _w6) div 1000000")
+        if weight_col is not None
+        else F.col("_base_c6")
+    )
     contrib = (
         tf.join(F.broadcast(qt), "term")
         .join(F.broadcast(dft), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(idf * tfnorm * 1_000_000).cast("bigint").alias("c6"),
-        )
+        .withColumn("_base_c6", base_c6)
+        .select("query_id", "doc_id", c6.alias("c6"))
     )
     return contrib.groupBy("query_id", "doc_id").agg(F.sum("c6").alias("s6"))
 

@@ -770,3 +770,155 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ndcg_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# RM3-style pseudo-relevance feedback ([EXT]: Lavrenko & Croft 2001
+# relevance models / the Anserini RM3 default — the standard query-
+# expansion stage): first-pass BM25 top-10 per query is the feedback set;
+# the top-5 feedback terms by total term frequency (excluding original
+# query terms and corpus-half stopwords, ties by term) join the query at
+# weight 0.4; the second weighted BM25 pass re-ranks.
+#
+# Determinism: expansion selection is pure integer counting with total
+# tie-breaks; the weighted pass multiplies the exact 1e6-grid
+# contributions by integer weights with floor division, so both passes
+# stay order-free bigint sums.
+# Scale: the feedback set is k docs per query (bounded), its vocabulary is
+# feedback-sized; only candidate-term postings pass the df guard scan —
+# the same isin-pushdown discipline as the first pass. Two corpus scans
+# total, both term-filtered.
+# --------------------------------------------------------------------------
+_RM3_N_FB = 10
+_RM3_N_EXP = 5
+_RM3_W6 = 400_000  # expansion-term weight on the 1e6 grid (0.4)
+
+
+@register(
+    "rm3_expanded_search",
+    oracle=f"""
+WITH {_BM25_CONTRIB_SQL},
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY s6 DESC, doc_id)
+             AS rank
+    FROM bm25
+  ) WHERE rank <= {_RM3_N_FB}
+),
+cand AS (
+  SELECT fb.query_id, tok.term, count(*) AS tf_fb
+  FROM tok JOIN fb ON tok.doc_id = fb.doc_id
+  GROUP BY fb.query_id, tok.term
+),
+cdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN (SELECT DISTINCT term FROM cand)
+  GROUP BY term
+),
+exp AS (
+  SELECT query_id, term FROM (
+    SELECT c.query_id, c.term,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY c.tf_fb DESC, c.term) AS r
+    FROM cand c
+    JOIN cdf ON c.term = cdf.term
+    CROSS JOIN stats s
+    WHERE cdf.df * 2 <= s.n_docs
+      AND NOT EXISTS (SELECT 1 FROM qt
+                      WHERE qt.query_id = c.query_id AND qt.term = c.term)
+  ) WHERE r <= {_RM3_N_EXP}
+),
+qt2 AS (
+  SELECT query_id, term, CAST(1000000 AS BIGINT) AS w6 FROM qt
+  UNION ALL
+  SELECT query_id, term, CAST({_RM3_W6} AS BIGINT) AS w6 FROM exp
+),
+tf2 AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN (SELECT DISTINCT term FROM qt2)
+  GROUP BY doc_id, term
+),
+dft2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+contrib2 AS (
+  SELECT qt2.query_id, tf2.doc_id,
+         (CAST(round(
+           ln(1.0 + (s.n_docs - dft2.df + 0.5) / (dft2.df + 0.5))
+           * (tf2.tf * ({_K1} + 1.0))
+           / (tf2.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))
+           * 1000000) AS BIGINT) * qt2.w6) // 1000000 AS c6
+  FROM qt2
+  JOIN tf2 ON qt2.term = tf2.term
+  JOIN dft2 ON tf2.term = dft2.term
+  JOIN dl ON tf2.doc_id = dl.doc_id
+  CROSS JOIN stats s
+),
+bm25_2 AS (
+  SELECT query_id, doc_id, sum(c6) AS s6 FROM contrib2
+  GROUP BY query_id, doc_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       round(s6 / 1000000.0, 4) AS rm3_r
+FROM (
+  SELECT query_id, doc_id, s6,
+         row_number() OVER (PARTITION BY query_id ORDER BY s6 DESC, doc_id)
+           AS rank
+  FROM bm25_2
+) WHERE rank <= 10
+""",
+    doc="RM3 pseudo-relevance feedback: BM25 top-10 feedback docs -> top-5 "
+    "expansion terms by feedback tf (df-guarded, original terms excluded) "
+    "at weight 0.4 -> weighted second BM25 pass; all arithmetic on exact "
+    "integer grids with floor division",
+)
+def rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bm25 import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
+        "query_id long, term string",
+    )
+    fb = _topk(
+        bm25_scores(d, qt, k1=_K1, b=_B),
+        [F.desc("s6"), F.asc("doc_id")],
+        _RM3_N_FB,
+    ).select("query_id", "doc_id")
+
+    tok = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("term")
+    )
+    n_docs = d.filter(F.length(F.trim("text")) > 0).count()
+    cand = (
+        tok.join(F.broadcast(fb), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf_fb"))
+    )
+    cdf = (
+        tok.join(
+            F.broadcast(cand.select("term").distinct()), "term", "leftsemi"
+        )
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    w_exp = Window.partitionBy("query_id").orderBy(
+        F.desc("tf_fb"), F.asc("term")
+    )
+    exp = (
+        cand.join(F.broadcast(cdf), "term")
+        .filter(F.col("df") * 2 <= F.lit(n_docs))
+        .join(qt, ["query_id", "term"], "left_anti")
+        .withColumn("r", F.row_number().over(w_exp))
+        .filter(F.col("r") <= _RM3_N_EXP)
+        .select("query_id", "term")
+    )
+    qt2 = qt.withColumn("w6", F.lit(1_000_000).cast("bigint")).union(
+        exp.withColumn("w6", F.lit(_RM3_W6).cast("bigint"))
+    )
+    second = bm25_scores(d, qt2, k1=_K1, b=_B, weight_col="w6")
+    return _topk(second, [F.desc("s6"), F.asc("doc_id")], 10).select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.round(F.col("s6") / 1_000_000.0, 4).alias("rm3_r"),
+    )
