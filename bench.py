@@ -106,6 +106,7 @@ HEADLINE = [
     "frame_sample_manifest",
     "bpe_top_merges",
     "retrieval_eval_metrics",
+    "rm3_expanded_search",
 ]
 
 
@@ -243,10 +244,16 @@ def main() -> None:
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
+    # Round inference counts CORRECTNESS files, which is ambiguous by one
+    # depending on whether the driver has already written this round's
+    # file — so ALSO refresh a fixed-name latest twin; consumers wanting
+    # "the most recent bench" read that one unambiguously.
     round_no = len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))) + 1
     detail = os.path.join(here, f"BENCH_DETAIL_r{round_no:02d}.json")
     try:
         with open(detail, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        with open(os.path.join(here, "BENCH_DETAIL_latest.json"), "w") as fh:
             json.dump(payload, fh, indent=1)
     except OSError:
         pass  # read-only checkout: the printed line is still the contract

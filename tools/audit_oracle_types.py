@@ -10,8 +10,12 @@ classes of type drift break the hash even when values are identical:
 2. Unhashable cells: array/map/struct output columns crash the driver's
    pandas sort_values canonicalizer (``unhashable type: 'list'``).
 
-This audit is cheap: Spark schemas are resolved lazily (no job runs) and the
-DuckDB oracles execute at sf0.001.  For each oracled query it flags:
+Cost note: most Spark schemas resolve lazily, but queries whose BUILD step
+executes eagerly (streaming replays, the VectorStore facade's collection
+round-trip, operators that localCheckpoint their result) run real jobs at
+sf0.001 during construction — the audit is a minutes-scale pass, not
+free.  Per-query try/except keeps one failure from blocking the rest.
+The DuckDB oracles execute at sf0.001.  For each oracled query it flags:
 - any Spark output column of Array/Map/Struct type;
 - any DuckDB cell that materializes as list/ndarray/dict;
 - any column integral on the Spark side but float64 out of DuckDB with all

@@ -96,13 +96,22 @@ def main(sizes: list[int]) -> None:
 
             for s in SELECTIVITIES:
                 m = max(1, round(s * 1000))
-                pred = F.col("sel_bucket") < m
-                filtered = big.filter(pred)
 
-                # ground truth + its wall-clock: brute force over survivors
-                gt = exact_knn(qs, filtered, k=K, item_id="vec_id")
-                gt = gt.persist()
-                sec_exact = timed(gt.count)
+                # ground truth strategy: brute force over survivors. Timed
+                # the same way as the index paths — the DataFrame is
+                # rebuilt inside the lambda (no persisted result cache) and
+                # reads the SAME cell-partitioned parquet the IVF paths
+                # read, predicate pushed into the scan, so storage format
+                # and execution are apples-to-apples.
+                def exact_filtered():
+                    corpus = spark.read.parquet(corpus_path).filter(
+                        F.col("sel_bucket") < m
+                    )
+                    return exact_knn(qs, corpus, k=K, item_id="vec_id")
+
+                sec_exact = timed(lambda: exact_filtered().count())
+                gt = exact_filtered().persist()
+                gt.count()  # materialize for the recall joins below
 
                 def prefilter():
                     return ivf_ann_pruned(

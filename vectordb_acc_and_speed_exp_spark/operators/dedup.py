@@ -23,7 +23,7 @@ from ..functions.hashing import portable_hash64
 from ..functions.text import norm_text, tokens, word_shingles_from_tokens
 
 
-def _materialize_and_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+def materialize_and_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Eagerly materialize a (small) result frame, then unpersist the cached
     intermediates it was built from.
 
@@ -185,7 +185,7 @@ def minhash_lsh_pairs(
     # cand feeds three consumers in the verify (two semi-filters + the
     # pair join) — persist so the bucket self-join runs once
     cand = _band_collisions(bands, bands).persist()
-    return _materialize_and_release(
+    return materialize_and_release(
         _jaccard_verify(cand, shingles, jaccard_threshold), shingles, bands, cand
     )
 
@@ -291,7 +291,7 @@ def ngram_jaccard_join(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return _materialize_and_release(
+    return materialize_and_release(
         _attach_jaccard(common, sizes, threshold), shingles
     )
 
@@ -557,6 +557,6 @@ def prefix_jaccard_join(
         )
         .distinct()
     )
-    return _materialize_and_release(
+    return materialize_and_release(
         _jaccard_verify(cand, shingles, threshold), shingles
     )

@@ -234,9 +234,9 @@ def cosine_self_join_bucketed(
     )
     va = src.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"))
     vb = src.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"))
-    from .dedup import _materialize_and_release
+    from .dedup import materialize_and_release
 
-    return _materialize_and_release(
+    return materialize_and_release(
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(

@@ -20,6 +20,7 @@ from ..operators.embedding import embed_documents
 from ..operators.knn import exact_knn
 from ..operators.multimodal import extract_media_features, with_binary_payload
 from ..operators.recall import recall_at_k
+from ..functions.hashing import portable_hash64_sql
 from ..operators.snapshots import snapshot_stats, with_page_seq
 from . import register
 
@@ -1365,10 +1366,10 @@ def frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- Streaming frequent-items maintenance (space-saving sketch) ------------
 @register(
     "streaming_heavy_hitters",
-    oracle="""
+    oracle=f"""
 WITH shards AS (
   SELECT event_type,
-         CAST(('0x' || substring(md5(event_type), 1, 15)) AS BIGINT) % 4 AS shard
+         {portable_hash64_sql("event_type")} % 4 AS shard
   FROM events
 )
 SELECT shard, event_type AS item,

@@ -295,12 +295,12 @@ def minhash_est_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregation per side (the double-recompute minhash_lsh_pairs
     # measured and persists against)
     bands = _band_table(sig, _BAND_SIZE).persist()
-    from ..operators.dedup import _materialize_and_release
+    from ..operators.dedup import materialize_and_release
 
     est = signature_estimate(
         _band_collisions(bands, bands), sig, sig, _N_HASHES
     )
-    return _materialize_and_release(
+    return materialize_and_release(
         est.filter(F.col("est_jaccard_r") >= 0.5), sig, bands
     )
 
@@ -1402,13 +1402,13 @@ def duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a persist the tokenize+shingle pass (the expensive part) runs twice.
     # At 100 TB this is the materialized gram table SCALE.md describes.
     g = g.persist()
-    from ..operators.dedup import _materialize_and_release
+    from ..operators.dedup import materialize_and_release
 
     docs_per = g.groupBy("gh").agg(
         F.countDistinct("doc_id").alias("nd")
     )
     dup = (F.col("nd") > 1).cast("int")
-    return _materialize_and_release(
+    return materialize_and_release(
         g.join(docs_per, "gh")
         .groupBy("doc_id")
         .agg(
@@ -1878,11 +1878,11 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    from ..operators.dedup import _materialize_and_release
+    from ..operators.dedup import materialize_and_release
 
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb"))
-    return _materialize_and_release(
+    return materialize_and_release(
         common.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
         .filter(

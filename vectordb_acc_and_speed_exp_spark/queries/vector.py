@@ -86,14 +86,18 @@ scored AS (
   SELECT query_id, item_id, {_L2_SQL} AS dist FROM scored
 ), ranked AS (
   SELECT query_id, item_id, dist,
-         row_number() OVER (PARTITION BY query_id ORDER BY dist, item_id) AS rank
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, CAST(item_id AS VARCHAR)) AS rank
   FROM dists
 )
 SELECT query_id, rank, item_id, round(dist, 4) AS dist_r
 FROM ranked WHERE rank <= 10
 """,
     doc="VectorStore facade (api.py) under the hard gate: collection "
-    "round-trip + query(mode='exact') must equal knn_exact_l2 bit-for-bit",
+    "round-trip + query(mode='exact') must equal knn_exact_l2 bit-for-bit; "
+    "the oracle tie-breaks equal distances LEXICOGRAPHICALLY because the "
+    "facade's ids are strings (ChromaDB semantics) — with duplicate "
+    "embeddings a numeric tie-break would diverge ('10' < '2')",
 )
 def client_facade_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
