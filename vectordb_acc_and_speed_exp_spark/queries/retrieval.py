@@ -907,7 +907,7 @@ def rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     exp = (
         cand.join(F.broadcast(cdf), "term")
         .filter(F.col("df") * 2 <= F.lit(n_docs))
-        .join(qt, ["query_id", "term"], "left_anti")
+        .join(F.broadcast(qt), ["query_id", "term"], "left_anti")
         .withColumn("r", F.row_number().over(w_exp))
         .filter(F.col("r") <= _RM3_N_EXP)
         .select("query_id", "term")
