@@ -885,14 +885,24 @@ def rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _RM3_N_FB,
     ).select("query_id", "doc_id")
 
-    tok = d.filter(F.length(F.trim("text")) > 0).select(
-        "doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("term")
+    # tokenize ONLY the feedback docs for expansion mining (<= 50 docs:
+    # join before explode, so the candidate stage never scans the corpus);
+    # the df guard below is the single remaining full tokenize pass
+    fb_tok = (
+        d.join(F.broadcast(fb.select("doc_id").distinct()), "doc_id")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("term")
+        )
     )
     n_docs = d.filter(F.length(F.trim("text")) > 0).count()
     cand = (
-        tok.join(F.broadcast(fb), "doc_id")
+        fb_tok.join(F.broadcast(fb), "doc_id")
         .groupBy("query_id", "term")
         .agg(F.count(F.lit(1)).alias("tf_fb"))
+    )
+    tok = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("term")
     )
     cdf = (
         tok.join(
