@@ -23,6 +23,12 @@ QUERIES = [
     "bigram_lm_scores",
     "text_quality",
     "paragraph_dedup",
+    # round-5 token consumers (retrieval_eval_metrics is excluded: it
+    # needs the embeddings table this crafted dir deliberately lacks)
+    "bpe_top_merges",
+    "subword_tokenize_counts",
+    "rm3_expanded_search",
+    "frame_sample_manifest",
 ]
 
 ROWS = [

@@ -921,6 +921,11 @@ def rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("r", F.row_number().over(w_exp))
         .filter(F.col("r") <= _RM3_N_EXP)
         .select("query_id", "term")
+        # <= n_queries * N_EXP rows; checkpoint eagerly so the second
+        # pass's term-list collect (bm25_scores' isin pushdown) and the
+        # final execution don't each re-run the whole first-pass +
+        # expansion subtree
+        .localCheckpoint(eager=True)
     )
     qt2 = qt.withColumn("w6", F.lit(1_000_000).cast("bigint")).union(
         exp.withColumn("w6", F.lit(_RM3_W6).cast("bigint"))
