@@ -32,11 +32,16 @@ QUERIES = [
 ]
 
 ROWS = [
+    # 'hash'/'join'/'merge'/'scan' are _BM25_QUERIES terms: the BM25-family
+    # entries (bm25_topk, rm3_expanded_search, parent_doc_retrieval) need
+    # real postings here or their parity checks compare empty sets
     (0, "the quick brown fox jumps over the lazy dog", "en", "web", 43),
     (1, "", "en", "web", 0),
     (2, "   ", "en", "books", 3),
     (3, "la casa es grande y el sol es de oro", "es", "web", 36),
     (4, "the dog and the fox and the dog again", "en", "books", 37),
+    (5, "hash join beats merge join when the hash side fits", "en", "web", 51),
+    (6, "scan the table then hash the keys then join", "en", "books", 44),
 ]
 
 

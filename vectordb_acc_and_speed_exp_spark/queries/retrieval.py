@@ -885,15 +885,18 @@ def rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _RM3_N_FB,
     ).select("query_id", "doc_id")
 
+    # one tokenize idiom for both passes — the empty-doc guard must stay
+    # identical between the expansion-mining and df-guard scans
+    def _doc_tokens(docs: DataFrame) -> DataFrame:
+        return docs.filter(F.length(F.trim("text")) > 0).select(
+            "doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("term")
+        )
+
     # tokenize ONLY the feedback docs for expansion mining (<= 50 docs:
     # join before explode, so the candidate stage never scans the corpus);
     # the df guard below is the single remaining full tokenize pass
-    fb_tok = (
+    fb_tok = _doc_tokens(
         d.join(F.broadcast(fb.select("doc_id").distinct()), "doc_id")
-        .filter(F.length(F.trim("text")) > 0)
-        .select(
-            "doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("term")
-        )
     )
     n_docs = d.filter(F.length(F.trim("text")) > 0).count()
     cand = (
@@ -901,11 +904,9 @@ def rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "term")
         .agg(F.count(F.lit(1)).alias("tf_fb"))
     )
-    tok = d.filter(F.length(F.trim("text")) > 0).select(
-        "doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("term")
-    )
     cdf = (
-        tok.join(
+        _doc_tokens(d)
+        .join(
             F.broadcast(cand.select("term").distinct()), "term", "leftsemi"
         )
         .groupBy("term")
@@ -914,18 +915,25 @@ def rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_exp = Window.partitionBy("query_id").orderBy(
         F.desc("tf_fb"), F.asc("term")
     )
-    exp = (
+    exp_rows = (
         cand.join(F.broadcast(cdf), "term")
         .filter(F.col("df") * 2 <= F.lit(n_docs))
         .join(F.broadcast(qt), ["query_id", "term"], "left_anti")
         .withColumn("r", F.row_number().over(w_exp))
         .filter(F.col("r") <= _RM3_N_EXP)
         .select("query_id", "term")
-        # <= n_queries * N_EXP rows; checkpoint eagerly so the second
-        # pass's term-list collect (bm25_scores' isin pushdown) and the
-        # final execution don't each re-run the whole first-pass +
-        # expansion subtree
-        .localCheckpoint(eager=True)
+        # <= n_queries * N_EXP rows: collect and rebuild as a local frame
+        # so the second pass's term-list collect (bm25_scores' isin
+        # pushdown) and the final execution don't each re-run the whole
+        # first-pass + expansion subtree. bm25_scores collects the term
+        # list at build time regardless, so this adds no extra eagerness
+        # — and unlike localCheckpoint it leaves no executor-local
+        # lineage truncation behind.
+        .collect()
+    )
+    exp = spark.createDataFrame(
+        [(int(r.query_id), r.term) for r in exp_rows],
+        "query_id long, term string",
     )
     qt2 = qt.withColumn("w6", F.lit(1_000_000).cast("bigint")).union(
         exp.withColumn("w6", F.lit(_RM3_W6).cast("bigint"))
