@@ -244,11 +244,18 @@ def main() -> None:
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    # Round inference counts CORRECTNESS files, which is ambiguous by one
-    # depending on whether the driver has already written this round's
-    # file — so ALSO refresh a fixed-name latest twin; consumers wanting
-    # "the most recent bench" read that one unambiguously.
-    round_no = len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))) + 1
+    # Round number: explicit SPARK_GRAFT_ROUND env wins (the unambiguous
+    # path — set it when running by hand); fall back to counting
+    # CORRECTNESS files, which is off by one depending on whether the
+    # driver already wrote this round's file — so ALSO refresh a
+    # fixed-name latest twin; consumers wanting "the most recent bench"
+    # read that one unambiguously. (ADVICE round 5)
+    env_round = os.environ.get("SPARK_GRAFT_ROUND", "")
+    round_no = (
+        int(env_round)
+        if env_round.isdigit()
+        else len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))) + 1
+    )
     detail = os.path.join(here, f"BENCH_DETAIL_r{round_no:02d}.json")
     try:
         with open(detail, "w") as fh:

@@ -139,8 +139,8 @@ def test_retrieval_eval_metrics_invariants(spark, sf_dir):
             assert 1 <= r.first_hit_rank <= 10
             assert r.mrr_s6 == 1_000_000 // r.first_hit_rank
             assert 0 < r.dcg_s <= _IDCG_S
-        assert 0.0 <= r.ndcg_r <= 1.0
-        assert abs(r.ndcg_r - round(r.dcg_s / _IDCG_S, 6)) < 1e-12
+        assert 0 <= r.ndcg_s6 <= 1_000_000
+        assert r.ndcg_s6 == r.dcg_s * 1_000_000 // _IDCG_S
 
 
 def test_bm25_weighted_scores(spark, sf_dir):

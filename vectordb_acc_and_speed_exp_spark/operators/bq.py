@@ -113,6 +113,16 @@ def bq_train(
             f"bq_train: corpus has vectors wider than dim={dim} "
             f"(saw position {max(by_pos)}) — pass the true dim or slice"
         )
+    # positions can be individually absent even when len(by_pos) == dim is
+    # impossible to falsify by count alone (e.g. mixed shorter+wider
+    # corpora); check membership explicitly so the ragged loop below can
+    # never raise a bare KeyError instead of the diagnostic
+    missing = set(range(dim)) - by_pos.keys()
+    if missing:
+        raise ValueError(
+            f"bq_train: corpus is empty or vectors are shorter than "
+            f"dim={dim} (no values at positions {sorted(missing)[:8]})"
+        )
     n0 = int(by_pos[0].n)
     ragged = {i: int(by_pos[i].n) for i in range(dim) if int(by_pos[i].n) != n0}
     if ragged:

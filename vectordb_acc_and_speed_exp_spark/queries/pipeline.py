@@ -20,7 +20,7 @@ from ..operators.embedding import embed_documents
 from ..operators.knn import exact_knn
 from ..operators.multimodal import extract_media_features, with_binary_payload
 from ..operators.recall import recall_at_k
-from ..functions.hashing import portable_hash64_sql
+from ..functions.hashing import portable_hash64, portable_hash64_sql
 from ..operators.snapshots import snapshot_stats, with_page_seq
 from . import register
 
@@ -1393,9 +1393,33 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_to_batch,
     )
 
+    # the oracle is the exact group-by, valid ONLY while every shard holds
+    # <= capacity distinct items (sketch exact, no evictions). Enforce the
+    # precondition loudly: growth of the events fixture must fail with a
+    # diagnostic, not surface as an opaque hash mismatch (ADVICE round 5).
+    capacity, n_shards = 32, 4
+    ev = load_table(spark, sf_dir, "events")
+    worst = (
+        ev.select(
+            (portable_hash64("event_type") % n_shards).alias("shard"),
+            "event_type",
+        )
+        .groupBy("shard")
+        .agg(F.countDistinct("event_type").alias("n_distinct"))
+        .agg(F.max("n_distinct"))
+        .first()[0]
+    )
+    if worst is not None and worst > capacity:
+        raise ValueError(
+            f"streaming_heavy_hitters: {worst} distinct event_types in one "
+            f"shard exceeds sketch capacity {capacity} — the exactness "
+            "precondition of the oracle no longer holds; raise capacity or "
+            "re-derive the oracle with eviction bounds"
+        )
     stream = read_events_stream(spark, sf_dir)
     snaps = run_stream_to_batch(
-        heavy_hitters_stream(stream, capacity=32, n_shards=4), mode="append"
+        heavy_hitters_stream(stream, capacity=capacity, n_shards=n_shards),
+        mode="append",
     )
     return latest_sketch(snaps).select(
         "shard", "item", "est_count", "max_err", "n_shard"

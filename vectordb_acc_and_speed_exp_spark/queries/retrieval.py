@@ -703,7 +703,8 @@ SELECT query_id,
                      / min(CASE WHEN rel > 0 THEN rank END)), 0) AS BIGINT)
          AS mrr_s6,
        CAST(sum(CAST(rel AS BIGINT) * disc) AS BIGINT) AS dcg_s,
-       round(sum(CAST(rel AS BIGINT) * disc) * 1.0 / {_IDCG_S}, 6) AS ndcg_r
+       CAST(sum(CAST(rel AS BIGINT) * disc) AS BIGINT) * 1000000
+         // {_IDCG_S} AS ndcg_s6
 FROM graded GROUP BY query_id
 """,
     doc="MRR / NDCG@10 / precision@10 of BM25 against the dense cosine "
@@ -764,11 +765,13 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("rel").cast("bigint") * F.col("disc"))
         .cast("bigint")
         .alias("dcg_s"),
-        F.round(
-            F.sum(F.col("rel").cast("bigint") * F.col("disc"))
-            / F.lit(_IDCG_S),
-            6,
-        ).alias("ndcg_r"),
+        # NDCG on the exact 1e6 integer grid (package convention,
+        # queries/__init__.py): bigint floor-division is bit-identical
+        # across engines, unlike a 6-dp double round (ADVICE round 5)
+        F.expr(
+            f"CAST(sum(CAST(rel AS BIGINT) * disc) AS BIGINT) * 1000000"
+            f" div {_IDCG_S}"
+        ).alias("ndcg_s6"),
     )
 
 

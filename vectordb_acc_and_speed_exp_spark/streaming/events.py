@@ -305,7 +305,12 @@ def heavy_hitters_stream(
                 elif len(sketch) < capacity:
                     sketch[it] = [1, 0]
                 else:
-                    victim = min(sketch.items(), key=lambda kv: kv[1][0])
+                    # tie-break ties on min-count by item so eviction (and
+                    # hence sketch contents) is reproducible regardless of
+                    # dict insertion order / arrival order (ADVICE round 5)
+                    victim = min(
+                        sketch.items(), key=lambda kv: (kv[1][0], kv[0])
+                    )
                     vmin = victim[1][0]
                     del sketch[victim[0]]
                     sketch[it] = [vmin + 1, vmin]
