@@ -1,0 +1,149 @@
+"""Postings artifact: the materialized inverted index must be a drop-in,
+bit-identical replacement for the inline tokenize path, with pruned scans.
+
+The equivalence proof here is the same discipline as upsert==rebuild for
+the ANN code tables: collect both paths fully and compare exact values —
+not approximate, not rounded."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, documents, tmp_path_factory) -> str:
+    from vectordb_acc_and_speed_exp_spark.operators.postings import (
+        write_postings_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("lexidx") / "postings_index")
+    write_postings_index(documents, path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def queries_frame(spark):
+    rows = [
+        (0, "spark"), (0, "join"), (0, "window"),
+        (1, "fast"), (1, "scan"), (1, "dup"),
+        (2, "neverappearsanywhere"),  # zero-postings term: contributes nothing
+    ]
+    return spark.createDataFrame(rows, "query_id long, term string")
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_indexed_scores_equal_inline(spark, documents, index_path, queries_frame):
+    from vectordb_acc_and_speed_exp_spark.operators.bm25 import (
+        bm25_scores,
+        bm25_scores_indexed,
+    )
+
+    inline = bm25_scores(documents, queries_frame)
+    indexed = bm25_scores_indexed(spark, index_path, queries_frame)
+    assert _sorted_rows(inline) == _sorted_rows(indexed)
+
+
+def test_indexed_weighted_scores_equal_inline(
+    spark, documents, index_path, queries_frame
+):
+    from vectordb_acc_and_speed_exp_spark.operators.bm25 import (
+        bm25_scores,
+        bm25_scores_indexed,
+    )
+
+    q = queries_frame.withColumn(
+        "w6",
+        F.when(F.col("term") == "join", F.lit(500_000))
+        .otherwise(F.lit(1_000_000))
+        .cast("bigint"),
+    )
+    inline = bm25_scores(documents, q, weight_col="w6")
+    indexed = bm25_scores_indexed(spark, index_path, q, weight_col="w6")
+    assert _sorted_rows(inline) == _sorted_rows(indexed)
+
+
+def test_postings_scan_is_bucket_pruned(spark, index_path):
+    """The serving scan must carry a PartitionFilter on the term bucket —
+    whole directories skipped, not a full-artifact read filtered later."""
+    from vectordb_acc_and_speed_exp_spark.operators.postings import (
+        N_TERM_BUCKETS,
+        bucket_of,
+        query_term_postings,
+    )
+
+    terms = ["spark", "join"]
+    df = query_term_postings(spark, index_path, terms)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    want = sorted({bucket_of(t, N_TERM_BUCKETS) for t in terms})
+    # every returned row's term really lives in a requested bucket
+    got_terms = {r.term for r in df.select("term").distinct().collect()}
+    assert got_terms <= set(terms)
+    # and the python/bucket expression twins agree (a mismatch would make
+    # pruning silently drop postings — this is the load-bearing invariant)
+    n_match = (
+        spark.read.parquet(f"{index_path}/postings")
+        .filter(F.col("term").isin(terms))
+        .select("bucket", "term")
+        .distinct()
+        .collect()
+    )
+    for r in n_match:
+        assert bucket_of(r.term, N_TERM_BUCKETS) == r.bucket
+        assert r.bucket in want
+
+
+def test_forward_index_doc_lookup(spark, documents, index_path):
+    """doc_postings returns exactly the tokenize-derived term vector of the
+    requested docs, through a dbucket-pruned scan."""
+    from vectordb_acc_and_speed_exp_spark.operators.postings import (
+        doc_postings,
+        tokenize,
+    )
+
+    ids = [r.doc_id for r in documents.select("doc_id").limit(3).collect()]
+    got = _sorted_rows(doc_postings(spark, index_path, ids))
+    want = _sorted_rows(
+        tokenize(documents.filter(F.col("doc_id").isin(ids)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    assert got == want
+    plan = (
+        doc_postings(spark, index_path, ids)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "dbucket" in plan
+
+
+def test_stats_and_df_match_inline_derivation(spark, documents, index_path):
+    from vectordb_acc_and_speed_exp_spark.operators.postings import (
+        corpus_stats,
+        term_df,
+        tokenize,
+    )
+
+    tok = tokenize(documents)
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    want_stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    ).first()
+    got_stats = corpus_stats(spark, index_path).first()
+    assert got_stats["n_docs"] == want_stats["n_docs"]
+    assert got_stats["avgdl"] == want_stats["avgdl"]  # exact double equality
+
+    want_df = _sorted_rows(
+        tok.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    got_df = _sorted_rows(term_df(spark, index_path))
+    assert got_df == want_df

@@ -52,18 +52,27 @@ def test_bm25_rare_term_dominates(bm25_rows, documents):
 
 
 def test_bm25_postings_filter_pushed(spark, sf_dir):
-    """The query-term isin filter must reach the documents scan side (i.e.
-    apply before the tf aggregation), so only query-term postings shuffle."""
-    plan = (
+    """bm25_topk now serves from the materialized postings artifact: the
+    plan must show a bucket-pruned postings scan (PartitionFilters) with
+    the term isin pushed into the parquet reader (PushedFilters), and NO
+    tokenize (Generate/explode) anywhere — corpus text never scans at
+    serve time."""
+    opt = (
         bm25_topk(spark, sf_dir)
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
     )
-    # the literal term list appears in a Filter over the token explode,
-    # below the partial aggregate (optimizer keeps it adjacent to Generate)
-    assert "spark" in plan and "dup" in plan
-    assert plan.index("Aggregate") < plan.index("Generate")
+    assert "spark" in opt and "dup" in opt
+    assert "Generate" not in opt  # no serve-time tokenize
+    phys = (
+        bm25_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in phys and "bucket" in phys
+    assert "PushedFilters" in phys
 
 
 def test_hybrid_rrf_bounds_and_fusion(spark, sf_dir):

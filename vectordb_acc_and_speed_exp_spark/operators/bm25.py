@@ -39,12 +39,7 @@ def bm25_scores(
     per-(query, term) weight on the 1e6 grid (1_000_000 = 1.0): each term's
     contribution becomes ``(c6 * w6) div 1e6`` — integer floor division, so
     weighted sums stay exact and order-free (the RM3 expansion hook)."""
-    qcols = [
-        F.col(query_id).alias("query_id"), F.col(term_col).alias("term")
-    ]
-    if weight_col is not None:
-        qcols.append(F.col(weight_col).cast("bigint").alias("_w6"))
-    qt = queries.select(*qcols)
+    qt = _qt(queries, query_id, term_col, weight_col)
     terms = sorted({r.term for r in qt.select("term").distinct().collect()})
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -61,6 +56,34 @@ def bm25_scores(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf_dl = tf.join(dl, "doc_id")
+    return _contrib_scores(
+        tf_dl, qt, dft, stats, k1, b, weighted=weight_col is not None
+    )
+
+
+def _qt(queries: DataFrame, query_id: str, term_col: str, weight_col) -> DataFrame:
+    qcols = [
+        F.col(query_id).alias("query_id"), F.col(term_col).alias("term")
+    ]
+    if weight_col is not None:
+        qcols.append(F.col(weight_col).cast("bigint").alias("_w6"))
+    return queries.select(*qcols)
+
+
+def _contrib_scores(
+    tf_dl: DataFrame,
+    qt: DataFrame,
+    dft: DataFrame,
+    stats: DataFrame,
+    k1: float,
+    b: float,
+    weighted: bool,
+) -> DataFrame:
+    """The BM25 scoring core, shared bit-for-bit between the inline
+    tokenize path (``bm25_scores``) and the postings-artifact path
+    (``bm25_scores_indexed``): tf_dl = (term, doc_id, tf, dl) restricted
+    to query terms, dft = (term, df), stats = 1-row (n_docs, avgdl)."""
     idf = F.log(
         1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
@@ -70,18 +93,45 @@ def bm25_scores(
     base_c6 = F.round(idf * tfnorm * 1_000_000).cast("bigint")
     c6 = (
         F.expr("(_base_c6 * _w6) div 1000000")
-        if weight_col is not None
+        if weighted
         else F.col("_base_c6")
     )
     contrib = (
-        tf.join(F.broadcast(qt), "term")
+        tf_dl.join(F.broadcast(qt), "term")
         .join(F.broadcast(dft), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn("_base_c6", base_c6)
         .select("query_id", "doc_id", c6.alias("c6"))
     )
     return contrib.groupBy("query_id", "doc_id").agg(F.sum("c6").alias("s6"))
+
+
+def bm25_scores_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    query_id: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """``bm25_scores`` served from a materialized postings artifact
+    (operators/postings.py) instead of tokenizing the corpus: the scan
+    prunes to the query terms' buckets, dl rides denormalized on the
+    posting rows, df/stats come from the vocab-sized side tables. Scores
+    are bit-identical to the inline path (same integers in, same double
+    expressions) — hash-proven in tests and by the oracle gate."""
+    from .postings import corpus_stats, query_term_postings, term_df
+
+    qt = _qt(queries, query_id, term_col, weight_col)
+    terms = sorted({r.term for r in qt.select("term").distinct().collect()})
+    tf_dl = query_term_postings(spark, index_path, terms)
+    dft = term_df(spark, index_path, terms)
+    stats = corpus_stats(spark, index_path)
+    return _contrib_scores(
+        tf_dl, qt, dft, stats, k1, b, weighted=weight_col is not None
+    )
 
 
 def bm25_topk(

@@ -8,12 +8,15 @@ corpus adds a lexical channel and fusion — these queries provide that
 surface Spark-first, all of it oracle-checkable relational algebra.
 
 Scale notes (100 TB):
-- BM25 keeps only *query-term postings* past the tokenize stage: the term
-  filter is an ``isin`` over a literal list, pushed below the tf groupBy, so
-  the per-query shuffle carries |terms| × n_docs rows max, never the corpus
-  token stream. Doc-length stats (dl/avgdl) are corpus-wide aggregates a
-  real deployment precomputes once per corpus version (cheap: one narrow
-  groupBy over doc_id).
+- BM25 serves from a MATERIALIZED inverted index (operators/postings.py,
+  built once per corpus version via ``_get_or_build_postings``): the
+  per-query scan prunes to the query terms' hash buckets (partition
+  filter) and reads pre-counted (term, doc_id, tf, dl) rows — no corpus
+  text is tokenized at serve time, for any query in this module's lexical
+  family. df and (n_docs, avgdl) come from the vocab-sized / 1-row side
+  tables. The inline tokenize path survives in operators/bm25.py for
+  ad-hoc frames; both paths share one scoring core and are hash-proven
+  equal.
 - Per-(query,doc) BM25 contributions are summed as exact scaled integers
   (repo convention) so shuffle order can never change a bit.
 - RRF fusion is a full-outer join of two tiny top-k lists (k ≤ 50 per
@@ -94,18 +97,52 @@ bm25 AS (
 """
 
 
-def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, doc_id, s6) — BM25 score × 1e6 as an exact bigint.
-    Delegates to the reusable operator (operators/bm25.py) with the fixed
-    query set; the isin pushdown / exact-int-sum contract lives there."""
-    from ..operators.bm25 import bm25_scores
+def _get_or_build_postings(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the lexical inverted index once per corpus version and
+    share it across every lexical consumer (bm25_topk, hybrid_rrf,
+    rm3_expanded_search, retrieval_eval_metrics): the tokenize ->
+    tf/df/dl/stats derivation runs a single time; every later execution is
+    a bucket-pruned postings scan. Same fingerprint-invalidation +
+    build/serve discipline as the ANN code tables (queries/pipeline.py)
+    and dedup clusters (queries/textops.py)."""
+    import os
 
-    d = load_table(spark, sf_dir, "documents")
-    qt = spark.createDataFrame(
+    from ..operators.postings import write_postings_index
+    from .pipeline import (
+        _build_is_fresh,
+        _index_root,
+        _mark_built,
+        _source_fingerprint,
+    )
+
+    root = _index_root(sf_dir)
+    path = os.path.join(root, "lexical_postings")
+    done = os.path.join(root, "lexical_postings._DONE")
+    fp = _source_fingerprint(sf_dir, table="documents")
+    if not _build_is_fresh(done, fp):
+        os.makedirs(root, exist_ok=True)
+        write_postings_index(load_table(spark, sf_dir, "documents"), path)
+        _mark_built(done, fp)
+    return path
+
+
+def _query_terms_frame(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
         [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
         "query_id long, term string",
     )
-    return bm25_scores(d, qt, k1=_K1, b=_B)
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, s6) — BM25 score × 1e6 as an exact bigint,
+    served from the materialized postings artifact (bit-identical to the
+    inline tokenize path; the scoring core is shared in operators/bm25.py)."""
+    from ..operators.bm25 import bm25_scores_indexed
+
+    path = _get_or_build_postings(spark, sf_dir)
+    return bm25_scores_indexed(
+        spark, path, _query_terms_frame(spark), k1=_K1, b=_B
+    )
 
 
 def _topk(scored: DataFrame, order, k: int) -> DataFrame:
@@ -787,10 +824,10 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tie-breaks; the weighted pass multiplies the exact 1e6-grid
 # contributions by integer weights with floor division, so both passes
 # stay order-free bigint sums.
-# Scale: the feedback set is k docs per query (bounded), its vocabulary is
-# feedback-sized; only candidate-term postings pass the df guard scan —
-# the same isin-pushdown discipline as the first pass. Two corpus scans
-# total, both term-filtered.
+# Scale: the feedback set is k docs per query (bounded); expansion mining
+# reads the doc-bucketed forward index for exactly those docs, the df
+# guard reads the vocab-sized terms table, and both BM25 passes serve from
+# the bucket-pruned inverted index — zero corpus-text scans per execution.
 # --------------------------------------------------------------------------
 _RM3_N_FB = 10
 _RM3_N_EXP = 5
@@ -875,46 +912,42 @@ FROM (
     "integer grids with floor division",
 )
 def rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.bm25 import bm25_scores
+    from ..operators.bm25 import bm25_scores_indexed
+    from ..operators.postings import corpus_stats, doc_postings, term_df
 
-    d = load_table(spark, sf_dir, "documents")
-    qt = spark.createDataFrame(
-        [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
-        "query_id long, term string",
-    )
+    path = _get_or_build_postings(spark, sf_dir)
+    qt = _query_terms_frame(spark)
     fb = _topk(
-        bm25_scores(d, qt, k1=_K1, b=_B),
+        bm25_scores_indexed(spark, path, qt, k1=_K1, b=_B),
         [F.desc("s6"), F.asc("doc_id")],
         _RM3_N_FB,
     ).select("query_id", "doc_id")
 
-    # one tokenize idiom for both passes — the empty-doc guard must stay
-    # identical between the expansion-mining and df-guard scans
-    def _doc_tokens(docs: DataFrame) -> DataFrame:
-        return docs.filter(F.length(F.trim("text")) > 0).select(
-            "doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("term")
-        )
-
-    # tokenize ONLY the feedback docs for expansion mining (<= 50 docs:
-    # join before explode, so the candidate stage never scans the corpus);
-    # the df guard below is the single remaining full tokenize pass
-    fb_tok = _doc_tokens(
-        d.join(F.broadcast(fb.select("doc_id").distinct()), "doc_id")
+    # the feedback set is n_queries * k rows by construction — collect it
+    # so (a) the forward-index scan prunes to the feedback docs' buckets
+    # driver-side and (b) the expansion subtree is never recomputed by the
+    # second pass (the round-5 checkpoint discipline, now via a local frame)
+    fb_rows = fb.collect()
+    fb_ids = sorted({int(r.doc_id) for r in fb_rows})
+    fb_local = spark.createDataFrame(
+        [(int(r.query_id), int(r.doc_id)) for r in fb_rows],
+        "query_id long, doc_id long",
     )
-    n_docs = d.filter(F.length(F.trim("text")) > 0).count()
+    # expansion mining reads the doc-bucketed FORWARD index — pre-counted
+    # (doc, term, tf) rows for exactly the feedback docs; no raw-text
+    # tokenize anywhere in this query anymore
     cand = (
-        fb_tok.join(F.broadcast(fb), "doc_id")
+        doc_postings(spark, path, fb_ids)
+        .join(F.broadcast(fb_local), "doc_id")
         .groupBy("query_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf_fb"))
+        .agg(F.sum("tf").cast("bigint").alias("tf_fb"))
     )
-    cdf = (
-        _doc_tokens(d)
-        .join(
-            F.broadcast(cand.select("term").distinct()), "term", "leftsemi"
-        )
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
+    # the df guard reads the vocab-sized terms table — this used to be the
+    # single remaining full corpus tokenize pass
+    cdf = term_df(spark, path).join(
+        F.broadcast(cand.select("term").distinct()), "term", "leftsemi"
     )
+    n_docs = int(corpus_stats(spark, path).first()["n_docs"])
     w_exp = Window.partitionBy("query_id").orderBy(
         F.desc("tf_fb"), F.asc("term")
     )
@@ -925,13 +958,6 @@ def rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("r", F.row_number().over(w_exp))
         .filter(F.col("r") <= _RM3_N_EXP)
         .select("query_id", "term")
-        # <= n_queries * N_EXP rows: collect and rebuild as a local frame
-        # so the second pass's term-list collect (bm25_scores' isin
-        # pushdown) and the final execution don't each re-run the whole
-        # first-pass + expansion subtree. bm25_scores collects the term
-        # list at build time regardless, so this adds no extra eagerness
-        # — and unlike localCheckpoint it leaves no executor-local
-        # lineage truncation behind.
         .collect()
     )
     exp = spark.createDataFrame(
@@ -941,7 +967,7 @@ def rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qt2 = qt.withColumn("w6", F.lit(1_000_000).cast("bigint")).union(
         exp.withColumn("w6", F.lit(_RM3_W6).cast("bigint"))
     )
-    second = bm25_scores(d, qt2, k1=_K1, b=_B, weight_col="w6")
+    second = bm25_scores_indexed(spark, path, qt2, k1=_K1, b=_B, weight_col="w6")
     return _topk(second, [F.desc("s6"), F.asc("doc_id")], 10).select(
         "query_id",
         "rank",
