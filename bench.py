@@ -138,6 +138,10 @@ def main() -> None:
     registry["ivfpq_build_stats"].fn(spark, sf_dir).count()
     # IVF-BQ build (cell-partitioned packed codes) amortized like the rest
     registry["ann_ivfbq_topk"].fn(spark, sf_dir).count()
+    # lexical postings build (round-6 artifact) amortized like the rest:
+    # the timed bm25/hybrid/rm3/eval entries measure the pruned serving
+    # scans; the one-time tokenize+tf build is EP-documented (EP9)
+    registry["bm25_topk"].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
