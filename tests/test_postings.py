@@ -147,3 +147,141 @@ def test_stats_and_df_match_inline_derivation(spark, documents, index_path):
     )
     got_df = _sorted_rows(term_df(spark, index_path))
     assert got_df == want_df
+
+
+# --------------------------------------------------------------------------
+# Maintenance: upsert == rebuild, the same lockstep contract as the ANN
+# layouts (EP6). Every layout — postings, forward, terms, stats — must be
+# a pure function of the final document set.
+# --------------------------------------------------------------------------
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _artifact_state(spark, path):
+    import os
+
+    inv = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/postings")
+        .select("bucket", "term", "doc_id", "tf", "dl")
+        .collect()
+    )
+    fwd = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/forward")
+        .select("dbucket", "doc_id", "term", "tf")
+        .collect()
+    )
+    terms = sorted(tuple(r) for r in spark.read.parquet(f"{path}/terms").collect())
+    stats = tuple(spark.read.parquet(f"{path}/stats").first())
+    dirs = sorted(
+        d for d in os.listdir(f"{path}/postings") if d.startswith("bucket=")
+    )
+    return inv, fwd, terms, stats, dirs
+
+
+def test_postings_upsert_equals_rebuild(spark, tmp_path):
+    """Upsert replaces same-id docs, adds new ones, evicts terms that no
+    longer occur anywhere (including their now-empty bucket directory),
+    and lands on exactly the artifact a from-scratch build of the final
+    document set produces."""
+    from vectordb_acc_and_speed_exp_spark.operators.postings import (
+        postings_upsert,
+        write_postings_index,
+    )
+
+    base = _docs(
+        spark,
+        [
+            (1, "alpha common alpha"),
+            (2, "common beta"),
+            (3, "qqqquniqueterm common"),
+        ],
+    )
+    path = str(tmp_path / "idx")
+    write_postings_index(base, path)
+
+    batch = _docs(
+        spark,
+        [
+            (3, "common common"),       # replacement: qqqquniqueterm vanishes
+            (4, "gamma alpha"),          # brand-new doc
+        ],
+    )
+    touched = postings_upsert(spark, path, batch)
+    assert touched["term_buckets"] and touched["doc_buckets"]
+
+    final_docs = _docs(
+        spark,
+        [
+            (1, "alpha common alpha"),
+            (2, "common beta"),
+            (3, "common common"),
+            (4, "gamma alpha"),
+        ],
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    write_postings_index(final_docs, rebuilt)
+    assert _artifact_state(spark, path) == _artifact_state(spark, rebuilt)
+    # the vanished term is truly gone from the vocab table
+    terms = {r.term for r in spark.read.parquet(f"{path}/terms").collect()}
+    assert "qqqquniqueterm" not in terms and "gamma" in terms
+
+
+def test_postings_upsert_replay_is_idempotent(spark, tmp_path):
+    from vectordb_acc_and_speed_exp_spark.operators.postings import (
+        postings_upsert,
+        write_postings_index,
+    )
+
+    base = _docs(spark, [(1, "a b a"), (2, "b c")])
+    path = str(tmp_path / "idx")
+    write_postings_index(base, path)
+    batch = _docs(spark, [(2, "c d"), (5, "e")])
+    postings_upsert(spark, path, batch)
+    once = _artifact_state(spark, path)
+    postings_upsert(spark, path, batch)  # replay (at-least-once delivery)
+    assert _artifact_state(spark, path) == once
+
+
+def test_stream_maintains_postings_index(spark, documents, tmp_path):
+    """Micro-batches of documents flow through the streaming sink; after
+    the stream drains the artifact equals a from-scratch build over all
+    docs, and BM25 served from it equals inline scoring (end-to-end)."""
+    from vectordb_acc_and_speed_exp_spark.operators.bm25 import (
+        bm25_scores,
+        bm25_scores_indexed,
+    )
+    from vectordb_acc_and_speed_exp_spark.operators.postings import (
+        write_postings_index,
+    )
+    from vectordb_acc_and_speed_exp_spark.streaming.index_maintenance import (
+        stream_upsert_postings_index,
+    )
+
+    docs = documents.select("doc_id", "text")
+    src_dir = tmp_path / "arrivals"
+    for lo, hi in ((0, 150), (150, 300), (300, 10**9)):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(str(src_dir))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    idx_path = str(tmp_path / "stream_postings_idx")
+    stream_upsert_postings_index(stream, idx_path)
+
+    rebuilt = str(tmp_path / "rebuilt")
+    write_postings_index(docs, rebuilt)
+    assert _artifact_state(spark, idx_path) == _artifact_state(spark, rebuilt)
+
+    q = spark.createDataFrame(
+        [(0, "spark"), (0, "join"), (1, "scan")], "query_id long, term string"
+    )
+    got = _sorted_rows(bm25_scores_indexed(spark, idx_path, q))
+    want = _sorted_rows(bm25_scores(docs, q))
+    assert got == want

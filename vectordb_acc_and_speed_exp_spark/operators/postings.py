@@ -183,6 +183,170 @@ def corpus_stats(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _drop_empty_partition_dirs(path: str, col: str, values) -> None:
+    """Remove ``<col>=<v>`` directories a dynamic-partition-overwrite
+    upsert rewrote to empty (same contract as the IVF layouts'
+    drop_empty_cell_dirs; an object store would prefix-delete)."""
+    import shutil
+
+    for v in values:
+        d = os.path.join(path, f"{col}={v}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+
+def postings_upsert(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Incremental maintenance of a written postings artifact: documents
+    in ``new_docs`` REPLACE same-id documents; every layout is updated
+    touching only the partitions the batch lands in. Returns
+    {"term_buckets": [...], "doc_buckets": [...]} (the rewritten dirs).
+
+    The rewrite set for the inverted layout is the union of the NEW
+    docs' term buckets and the buckets holding the replaced docs' OLD
+    terms (found via the doc-bucket-pruned forward index — the same
+    stale-twin discipline as ivf_index_upsert, so a replaced doc that
+    lost a term can't leave a stale posting in an untouched bucket).
+    df/stats are updated by exact batch-sized deltas. Every layout is a
+    pure function of the final document set, so a replayed micro-batch
+    converges — at-least-once delivery is exactly-once for this sink
+    (hash-proven upsert == rebuild in tests/test_postings.py).
+
+    At 100 TB: batch cost is O(touched term-bucket rows + touched
+    doc-bucket rows + vocab) — the corpus-sized layouts are touched only
+    where the batch lands; the vocab-sized terms table rewrites whole
+    (tiny; a term-bucketed df sidecar would shrink even that if vocab
+    ever grew corpus-like)."""
+    meta = _meta(path)
+    ntb, ndb = meta["n_term_buckets"], meta["n_doc_buckets"]
+    batch_ids_df = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    ids = [r.doc_id for r in batch_ids_df.collect()]  # micro-batch-sized
+
+    # old term vectors of the replaced docs (pruned forward scan);
+    # localCheckpoint breaks lineage to the paths we overwrite below
+    old_fwd = doc_postings(spark, path, ids).localCheckpoint(eager=True)
+    tok = tokenize(new_docs, id_col, text_col)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    new_tf_dl = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+    ).localCheckpoint(eager=True)
+
+    tb = sorted(
+        {
+            r.b
+            for r in old_fwd.select(_bucket_col("term", ntb).alias("b"))
+            .union(new_tf_dl.select(_bucket_col("term", ntb).alias("b")))
+            .distinct()
+            .collect()
+        }
+    )
+    db = sorted({bucket_of(i, ndb) for i in ids})
+
+    inv_path = os.path.join(path, "postings")
+    fwd_path = os.path.join(path, "forward")
+    terms_path = os.path.join(path, "terms")
+    stats_path = os.path.join(path, "stats")
+
+    # ---- inverted layout: touched term buckets only -----------------
+    inv_keep = (
+        spark.read.parquet(inv_path)
+        .filter(F.col("bucket").isin(tb))
+        .join(F.broadcast(batch_ids_df), "doc_id", "left_anti")
+        .select("term", "doc_id", "tf", "dl", "bucket")
+        .localCheckpoint(eager=True)
+    )
+    inv_new = new_tf_dl.select(
+        "term", "doc_id", "tf", "dl", _bucket_col("term", ntb).alias("bucket")
+    )
+    inv_final = inv_keep.unionByName(inv_new).localCheckpoint(eager=True)
+    (
+        inv_final.repartition("bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(inv_path)
+    )
+    present = {r.bucket for r in inv_final.select("bucket").distinct().collect()}
+    _drop_empty_partition_dirs(inv_path, "bucket", set(tb) - present)
+
+    # ---- forward layout: touched doc buckets only --------------------
+    fwd_keep = (
+        spark.read.parquet(fwd_path)
+        .filter(F.col("dbucket").isin(db))
+        .join(F.broadcast(batch_ids_df), "doc_id", "left_anti")
+        .select("doc_id", "term", "tf", "dbucket")
+        .localCheckpoint(eager=True)
+    )
+    fwd_new = new_tf_dl.select(
+        "doc_id", "term", "tf", _bucket_col("doc_id", ndb).alias("dbucket")
+    )
+    fwd_final = fwd_keep.unionByName(fwd_new).localCheckpoint(eager=True)
+    (
+        fwd_final.repartition("dbucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dbucket")
+        .parquet(fwd_path)
+    )
+    present = {
+        r.dbucket for r in fwd_final.select("dbucket").distinct().collect()
+    }
+    _drop_empty_partition_dirs(fwd_path, "dbucket", set(db) - present)
+
+    # ---- df deltas: -docs removed per term, +docs added per term -----
+    delta = (
+        old_fwd.select("term").groupBy("term")
+        .agg((-F.count(F.lit(1))).alias("d"))
+        .unionByName(
+            new_tf_dl.select("term").groupBy("term")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        .groupBy("term")
+        .agg(F.sum("d").alias("d"))
+    )
+    merged = (
+        spark.read.parquet(terms_path)
+        .join(delta, "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("df"), F.lit(0))
+                + F.coalesce(F.col("d"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("df"),
+        )
+        .filter(F.col("df") > 0)
+        .localCheckpoint(eager=True)
+    )
+    merged.coalesce(1).write.mode("overwrite").parquet(terms_path)
+
+    # ---- stats deltas (exact batch-sized scalar arithmetic) ----------
+    old_stats = spark.read.parquet(stats_path).first()
+    old_docs, old_sum = old_fwd.agg(
+        F.countDistinct("doc_id"), F.coalesce(F.sum("tf"), F.lit(0))
+    ).first()
+    new_docs_n, new_sum = new_tf_dl.agg(
+        F.countDistinct("doc_id"), F.coalesce(F.sum("tf"), F.lit(0))
+    ).first()
+    spark.createDataFrame(
+        [
+            (
+                int(old_stats["n_docs"]) - int(old_docs) + int(new_docs_n),
+                int(old_stats["sum_dl"]) - int(old_sum) + int(new_sum),
+            )
+        ],
+        "n_docs long, sum_dl long",
+    ).coalesce(1).write.mode("overwrite").parquet(stats_path)
+
+    return {"term_buckets": [int(b) for b in tb], "doc_buckets": [int(b) for b in db]}
+
+
 def doc_postings(spark: SparkSession, path: str, doc_ids: list) -> DataFrame:
     """(doc_id, term, tf) for exactly the given docs via the doc-bucketed
     forward index — feedback-set mining without touching raw text or the

@@ -257,3 +257,36 @@ def stream_upsert_ivfbq_index(
     _run_available_now(
         embeddings_stream, upsert_batch, checkpoint_dir, "ckpt_ivfbqidx_"
     )
+
+
+def stream_upsert_postings_index(
+    docs_stream: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Streaming maintenance for the lexical postings artifact
+    (operators/postings.py): each micro-batch of documents replaces
+    same-id docs and rewrites only the term/doc buckets it touches
+    (postings_upsert), with df/stats updated by exact batch deltas. The
+    first batch bootstraps the artifact. Same idempotence contract as
+    the ANN sinks: every layout is a pure function of the final document
+    set, so a replayed batch converges and at-least-once delivery is
+    exactly-once — and a streamed artifact equals a from-scratch build
+    exactly (upsert == rebuild, hash-proven in tests)."""
+    from ..operators.postings import postings_upsert, write_postings_index
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = _dedup_batch(batch_df, id_col)
+        spark = batch_df.sparkSession
+        if not os.path.exists(os.path.join(index_path, "_META.json")):
+            write_postings_index(batch_df, index_path, id_col, text_col)
+        else:
+            postings_upsert(spark, index_path, batch_df, id_col, text_col)
+
+    _run_available_now(
+        docs_stream, upsert_batch, checkpoint_dir, "ckpt_postingsidx_"
+    )
