@@ -173,12 +173,25 @@ def _artifact_state(spark, path):
         .select("dbucket", "doc_id", "term", "tf")
         .collect()
     )
-    terms = sorted(tuple(r) for r in spark.read.parquet(f"{path}/terms").collect())
-    stats = tuple(spark.read.parquet(f"{path}/stats").first())
+    terms = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/terms")
+        .select("tbucket", "term", "df")
+        .collect()
+    )
+    stats = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/stats")
+        .select("dbucket", "n_docs", "sum_dl")
+        .collect()
+    )
     dirs = sorted(
         d for d in os.listdir(f"{path}/postings") if d.startswith("bucket=")
     )
-    return inv, fwd, terms, stats, dirs
+    tdirs = sorted(
+        d for d in os.listdir(f"{path}/terms") if d.startswith("tbucket=")
+    )
+    return inv, fwd, terms, stats, dirs, tdirs
 
 
 def test_postings_upsert_equals_rebuild(spark, tmp_path):
@@ -227,6 +240,99 @@ def test_postings_upsert_equals_rebuild(spark, tmp_path):
     # the vanished term is truly gone from the vocab table
     terms = {r.term for r in spark.read.parquet(f"{path}/terms").collect()}
     assert "qqqquniqueterm" not in terms and "gamma" in terms
+
+
+def test_postings_upsert_rejects_duplicate_ids(spark, tmp_path):
+    """Duplicate same-id rows in a directly-passed batch would merge their
+    tokens into inflated tf/dl — the precondition is enforced loudly
+    (ADVICE round 6), not silently corrupted."""
+    from vectordb_acc_and_speed_exp_spark.operators.postings import (
+        postings_upsert,
+        write_postings_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_postings_index(_docs(spark, [(1, "a b")]), path)
+    dup = _docs(spark, [(2, "c d"), (2, "c e")])
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        postings_upsert(spark, path, dup)
+
+
+def test_partial_upsert_heals_on_replay(spark, tmp_path):
+    """Crash-recovery: simulate an upsert that died AFTER overwriting the
+    corpus layouts (postings + forward) but BEFORE recomputing the
+    sidecars — the exact hazard of the round-6 review. The leftover
+    intent marker must carry the old-term buckets (unrecoverable from the
+    now-new forward index) into the replay's recompute set, landing the
+    artifact on the from-scratch build of the final docs."""
+    import json
+    import shutil
+
+    from vectordb_acc_and_speed_exp_spark.operators.postings import (
+        postings_upsert,
+        write_postings_index,
+    )
+
+    base_rows = [
+        (1, "alpha common alpha"),
+        (2, "common beta"),
+        (3, "qqqquniqueterm common"),
+    ]
+    batch_rows = [(3, "common common"), (4, "gamma alpha")]
+    final_rows = [
+        (1, "alpha common alpha"),
+        (2, "common beta"),
+        (3, "common common"),
+        (4, "gamma alpha"),
+    ]
+    # the scenario needs the lost term's bucket disjoint from every
+    # new-term bucket, else the replay would touch it anyway
+    from vectordb_acc_and_speed_exp_spark.operators.postings import (
+        N_TERM_BUCKETS,
+        bucket_of,
+    )
+
+    lost = bucket_of("qqqquniqueterm", N_TERM_BUCKETS)
+    assert lost not in {
+        bucket_of(t, N_TERM_BUCKETS) for t in ("common", "gamma", "alpha")
+    }
+
+    # reference run: a COMPLETED upsert on a twin artifact gives the
+    # post-batch corpus layouts and the true touched-bucket set
+    done = str(tmp_path / "done")
+    write_postings_index(_docs(spark, base_rows), done)
+    touched = postings_upsert(spark, done, _docs(spark, batch_rows))
+    assert lost in touched["term_buckets"]
+
+    # crashed artifact: NEW corpus layouts, OLD sidecars, intent left over
+    path = str(tmp_path / "crashed")
+    write_postings_index(_docs(spark, base_rows), path)
+    for layout in ("postings", "forward"):
+        shutil.rmtree(f"{path}/{layout}")
+        shutil.copytree(f"{done}/{layout}", f"{path}/{layout}")
+    with open(f"{path}/_UPSERT_INTENT.json", "w") as fh:
+        json.dump(touched, fh)
+
+    # redelivered batch (foreachBatch retry) converges the whole artifact
+    postings_upsert(spark, path, _docs(spark, batch_rows))
+    rebuilt = str(tmp_path / "rebuilt")
+    write_postings_index(_docs(spark, final_rows), rebuilt)
+    assert _artifact_state(spark, path) == _artifact_state(spark, rebuilt)
+    import os
+
+    assert not os.path.exists(f"{path}/_UPSERT_INTENT.json")
+
+
+def test_term_df_scan_is_bucket_pruned(spark, index_path):
+    """term_df with a term list must prune to the terms' tbucket
+    directories, same discipline as the postings scan."""
+    from vectordb_acc_and_speed_exp_spark.operators.postings import term_df
+
+    df = term_df(spark, index_path, ["spark", "join"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tbucket" in plan
+    got = {r.term for r in df.collect()}
+    assert got <= {"spark", "join"}
 
 
 def test_postings_upsert_replay_is_idempotent(spark, tmp_path):

@@ -21,11 +21,28 @@ Artifact layout (all parquet under one root):
   term vector), doc-bucketed, for feedback-document mining (RM3) and any
   doc-keyed lookup; pruning by doc bucket keeps "fetch postings of these
   50 docs" off the full artifact.
-- ``terms/`` — (term, df): vocab-sized document frequencies.
-- ``stats/`` — one row (n_docs, sum_dl); avgdl is recomputed as
-  ``sum_dl * 1.0 / n_docs`` at serve time — the same IEEE division the
-  inline path performs, so scores are bit-identical.
+- ``terms/tbucket=B/`` — (term, df): document frequencies, partitioned by
+  the SAME term-bucket hash as the postings (a term's df is derivable
+  entirely from its own bucket's postings, so maintenance and serving both
+  prune). Serving a query reads only its terms' buckets.
+- ``stats/dbucket=D/`` — (n_docs, sum_dl) per doc bucket, derivable
+  entirely from that bucket's forward partition; serve-time avgdl sums the
+  <= n_doc_buckets rows then applies ``sum_dl * 1.0 / n_docs`` — integer
+  sums are exact, so the division is the same IEEE operation the inline
+  path performs and scores stay bit-identical.
 - ``_META.json`` — n_buckets for each layout.
+- ``_UPSERT_INTENT.json`` — transient crash marker (see postings_upsert).
+
+Crash-safety contract: the sidecars (terms/stats) are RECOMPUTED from the
+touched buckets of the just-written corpus layouts, never delta-maintained
+— they are a pure function of the layouts, so they cannot silently
+desynchronize (the round-6 review's partial-upsert hazard). An interrupted
+upsert leaves ``_UPSERT_INTENT.json`` behind; the next upsert unions the
+marker's buckets into its own recompute set, healing any bucket whose
+layout changed without its sidecar. Layout convergence itself relies on
+the streaming engine redelivering a failed micro-batch (the foreachBatch
+retry contract) plus per-directory atomicity of dynamic partition
+overwrite — the standard file-commit assumption.
 
 Equivalence contract (hash-proven in tests/test_postings.py and by the
 oracle gate): serving from the artifact produces byte-identical BM25
@@ -88,22 +105,46 @@ def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
 
 def postings_frames(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> dict[str, DataFrame]:
-    """Derive the four artifact frames from a document frame.
+) -> DataFrame:
+    """The (term, doc_id, tf, dl) frame all four layouts derive from.
 
     tf is one (doc_id, term) groupBy (map-side partial agg); dl = sum of a
     doc's tfs via a window on the already-aggregated tf frame (shuffles tf
-    rows, not raw tokens); terms/stats are narrow rollups of tf."""
+    rows, not raw tokens). The terms/stats sidecars are NOT derived here:
+    they are pure functions of the written corpus layouts
+    (_terms_from_postings / _stats_from_forward), shared between build and
+    incremental maintenance."""
     tok = tokenize(docs, id_col, text_col)
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     w = Window.partitionBy("doc_id")
-    tf_dl = tf.withColumn("dl", F.sum("tf").over(w))
-    terms = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    stats = tf.agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.sum("tf").cast("bigint").alias("sum_dl"),
+    return tf.withColumn("dl", F.sum("tf").over(w))
+
+
+def _terms_from_postings(inv: DataFrame) -> DataFrame:
+    """(term, df, tbucket) from inverted-layout rows (term, doc_id, ...,
+    bucket) — THE df derivation, shared by build and upsert-recompute so
+    the sidecar is always the same pure function of the postings layout
+    (df = posting rows per term; a term lives wholly in its bucket)."""
+    return (
+        inv.groupBy("bucket", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .select("term", "df", F.col("bucket").alias("tbucket"))
     )
-    return {"tf_dl": tf_dl, "terms": terms, "stats": stats}
+
+
+def _stats_from_forward(fwd: DataFrame) -> DataFrame:
+    """(n_docs, sum_dl, dbucket) from forward-layout rows (doc_id, term,
+    tf, dbucket) — THE stats derivation, shared by build and
+    upsert-recompute (a doc lives wholly in its dbucket, so per-bucket
+    rollups sum exactly to the corpus totals)."""
+    return (
+        fwd.groupBy("dbucket")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("tf").cast("bigint").alias("sum_dl"),
+        )
+        .select("n_docs", "sum_dl", "dbucket")
+    )
 
 
 def write_postings_index(
@@ -119,27 +160,34 @@ def write_postings_index(
     repartition on the partition column before partitionBy so each task
     writes whole buckets (no small-file explosion: files-per-bucket is
     bounded by 1, not by shuffle-partition count)."""
-    frames = postings_frames(docs, id_col, text_col)
-    inv = frames["tf_dl"].withColumn("bucket", _bucket_col("term", n_term_buckets))
+    tf_dl = postings_frames(docs, id_col, text_col)
+    inv = tf_dl.withColumn("bucket", _bucket_col("term", n_term_buckets))
     inv.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(path, "postings")
     )
-    fwd = frames["tf_dl"].select(
+    fwd = tf_dl.select(
         "doc_id", "term", "tf"
     ).withColumn("dbucket", _bucket_col("doc_id", n_doc_buckets))
     fwd.repartition("dbucket").write.mode("overwrite").partitionBy("dbucket").parquet(
         os.path.join(path, "forward")
     )
-    frames["terms"].coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "terms")
-    )
-    frames["stats"].coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "stats")
-    )
+    # sidecars derive from the SAME frames just written (identical rows to
+    # a read-back of the layouts — upsert recomputes from the read-back)
+    _terms_from_postings(inv).repartition("tbucket").write.mode(
+        "overwrite"
+    ).partitionBy("tbucket").parquet(os.path.join(path, "terms"))
+    _stats_from_forward(fwd).repartition("dbucket").write.mode(
+        "overwrite"
+    ).partitionBy("dbucket").parquet(os.path.join(path, "stats"))
     with open(os.path.join(path, "_META.json"), "w") as fh:
         json.dump(
             {"n_term_buckets": n_term_buckets, "n_doc_buckets": n_doc_buckets}, fh
         )
+    # a full rebuild rewrites every layout and sidecar — any crash marker
+    # from an interrupted upsert is moot
+    intent = os.path.join(path, "_UPSERT_INTENT.json")
+    if os.path.exists(intent):
+        os.remove(intent)
     return path
 
 
@@ -165,19 +213,31 @@ def query_term_postings(
 
 
 def term_df(spark: SparkSession, path: str, terms: list[str] | None = None) -> DataFrame:
-    """(term, df); optionally filtered to a term list (vocab-sized scan
-    either way — this table is tiny relative to postings)."""
+    """(term, df); a term list prunes the scan to the terms' buckets
+    (PartitionFilter) with the term isin pushed inside — same discipline
+    as query_term_postings, so df lookups stay query-vocabulary-sized."""
     df = spark.read.parquet(os.path.join(path, "terms"))
     if terms is not None:
-        df = df.filter(F.col("term").isin(list(terms)))
-    return df
+        n = _meta(path)["n_term_buckets"]
+        buckets = sorted({bucket_of(t, n) for t in terms})
+        df = df.filter(F.col("tbucket").isin(buckets)).filter(
+            F.col("term").isin(list(terms))
+        )
+    return df.select("term", "df")
 
 
 def corpus_stats(spark: SparkSession, path: str) -> DataFrame:
-    """One-row (n_docs, avgdl) frame, avgdl recomputed with the exact
-    expression shape the inline path uses (bigint * 1.0 / bigint)."""
+    """One-row (n_docs, avgdl) frame from the per-dbucket stats rows
+    (<= n_doc_buckets of them; docs hash-partition disjointly, so bigint
+    sums are the exact corpus totals). avgdl applies the same
+    ``bigint * 1.0 / bigint`` IEEE division as the inline path, so scores
+    stay bit-identical."""
     s = spark.read.parquet(os.path.join(path, "stats"))
-    return s.select(
+    totals = s.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+    )
+    return totals.select(
         F.col("n_docs"),
         (F.col("sum_dl") * 1.0 / F.col("n_docs")).alias("avgdl"),
     )
@@ -212,20 +272,41 @@ def postings_upsert(
     terms (found via the doc-bucket-pruned forward index — the same
     stale-twin discipline as ivf_index_upsert, so a replaced doc that
     lost a term can't leave a stale posting in an untouched bucket).
-    df/stats are updated by exact batch-sized deltas. Every layout is a
-    pure function of the final document set, so a replayed micro-batch
-    converges — at-least-once delivery is exactly-once for this sink
-    (hash-proven upsert == rebuild in tests/test_postings.py).
+
+    The df/stats sidecars are then RECOMPUTED from the touched buckets of
+    the just-written layouts (never delta-maintained): each sidecar
+    partition is a pure function of its corpus-layout partition, so a
+    crash between the layout overwrite and the sidecar write cannot leave
+    them silently inconsistent — the ``_UPSERT_INTENT.json`` marker
+    (written before any overwrite, removed after the last) carries the
+    touched-bucket set across the crash, and the next upsert (the
+    foreachBatch redelivery, or any later batch) unions it into its own
+    recompute set, healing every bucket whose layout may have changed.
+    Every layout is a pure function of the final document set, so a
+    replayed micro-batch converges (hash-proven upsert == rebuild and
+    crash-replay tests in tests/test_postings.py).
+
+    ``new_docs`` must hold ONE row per doc_id: duplicate same-id rows
+    would merge their tokens into inflated tf/dl, so they are rejected
+    loudly (the streaming wrapper dedups before calling; a direct caller
+    must pick a winner per id — see streaming/index_maintenance.py
+    ``_dedup_batch``).
 
     At 100 TB: batch cost is O(touched term-bucket rows + touched
-    doc-bucket rows + vocab) — the corpus-sized layouts are touched only
-    where the batch lands; the vocab-sized terms table rewrites whole
-    (tiny; a term-bucketed df sidecar would shrink even that if vocab
-    ever grew corpus-like)."""
+    doc-bucket rows) — every layout including the vocab sidecar is
+    touched only where the batch lands."""
     meta = _meta(path)
     ntb, ndb = meta["n_term_buckets"], meta["n_doc_buckets"]
     batch_ids_df = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
     ids = [r.doc_id for r in batch_ids_df.collect()]  # micro-batch-sized
+    n_rows = new_docs.count()
+    if len(ids) != n_rows:
+        raise ValueError(
+            f"postings_upsert: {n_rows - len(ids)} duplicate doc_id row(s) "
+            "in the batch — same-id rows would merge into inflated tf/dl; "
+            "collapse to one row per id first (streaming/"
+            "index_maintenance._dedup_batch is the keep-one idiom)"
+        )
 
     # old term vectors of the replaced docs (pruned forward scan);
     # localCheckpoint breaks lineage to the paths we overwrite below
@@ -236,16 +317,29 @@ def postings_upsert(
         "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
     ).localCheckpoint(eager=True)
 
-    tb = sorted(
-        {
-            r.b
-            for r in old_fwd.select(_bucket_col("term", ntb).alias("b"))
-            .union(new_tf_dl.select(_bucket_col("term", ntb).alias("b")))
-            .distinct()
-            .collect()
-        }
-    )
-    db = sorted({bucket_of(i, ndb) for i in ids})
+    tb = {
+        r.b
+        for r in old_fwd.select(_bucket_col("term", ntb).alias("b"))
+        .union(new_tf_dl.select(_bucket_col("term", ntb).alias("b")))
+        .distinct()
+        .collect()
+    }
+    db = {bucket_of(i, ndb) for i in ids}
+
+    # crash healing: a leftover intent marker means a prior upsert died
+    # mid-flight; fold its touched buckets into this run's rewrite +
+    # recompute sets so their sidecars are re-derived from whatever state
+    # the layouts actually reached
+    intent_path = os.path.join(path, "_UPSERT_INTENT.json")
+    if os.path.exists(intent_path):
+        with open(intent_path) as fh:
+            prior = json.load(fh)
+        tb |= set(prior.get("term_buckets", []))
+        db |= set(prior.get("doc_buckets", []))
+    tb, db = sorted(tb), sorted(db)
+    with open(intent_path, "w") as fh:
+        json.dump({"term_buckets": [int(b) for b in tb],
+                   "doc_buckets": [int(b) for b in db]}, fh)
 
     inv_path = os.path.join(path, "postings")
     fwd_path = os.path.join(path, "forward")
@@ -298,52 +392,37 @@ def postings_upsert(
     }
     _drop_empty_partition_dirs(fwd_path, "dbucket", set(db) - present)
 
-    # ---- df deltas: -docs removed per term, +docs added per term -----
-    delta = (
-        old_fwd.select("term").groupBy("term")
-        .agg((-F.count(F.lit(1))).alias("d"))
-        .unionByName(
-            new_tf_dl.select("term").groupBy("term")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        .groupBy("term")
-        .agg(F.sum("d").alias("d"))
+    # ---- terms sidecar: recompute touched buckets from the NEW postings
+    # layout (pure function of the layout — crash-safe by construction)
+    new_terms = _terms_from_postings(
+        spark.read.parquet(inv_path).filter(F.col("bucket").isin(tb))
+    ).localCheckpoint(eager=True)
+    (
+        new_terms.repartition("tbucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tbucket")
+        .parquet(terms_path)
     )
-    merged = (
-        spark.read.parquet(terms_path)
-        .join(delta, "term", "full_outer")
-        .select(
-            "term",
-            (
-                F.coalesce(F.col("df"), F.lit(0))
-                + F.coalesce(F.col("d"), F.lit(0))
-            )
-            .cast("bigint")
-            .alias("df"),
-        )
-        .filter(F.col("df") > 0)
-        .localCheckpoint(eager=True)
+    present = {r.tbucket for r in new_terms.select("tbucket").distinct().collect()}
+    _drop_empty_partition_dirs(terms_path, "tbucket", set(tb) - present)
+
+    # ---- stats sidecar: recompute touched dbuckets from the NEW forward
+    # layout (same discipline)
+    new_stats = _stats_from_forward(
+        spark.read.parquet(fwd_path).filter(F.col("dbucket").isin(db))
+    ).localCheckpoint(eager=True)
+    (
+        new_stats.repartition("dbucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dbucket")
+        .parquet(stats_path)
     )
-    merged.coalesce(1).write.mode("overwrite").parquet(terms_path)
+    present = {r.dbucket for r in new_stats.select("dbucket").distinct().collect()}
+    _drop_empty_partition_dirs(stats_path, "dbucket", set(db) - present)
 
-    # ---- stats deltas (exact batch-sized scalar arithmetic) ----------
-    old_stats = spark.read.parquet(stats_path).first()
-    old_docs, old_sum = old_fwd.agg(
-        F.countDistinct("doc_id"), F.coalesce(F.sum("tf"), F.lit(0))
-    ).first()
-    new_docs_n, new_sum = new_tf_dl.agg(
-        F.countDistinct("doc_id"), F.coalesce(F.sum("tf"), F.lit(0))
-    ).first()
-    spark.createDataFrame(
-        [
-            (
-                int(old_stats["n_docs"]) - int(old_docs) + int(new_docs_n),
-                int(old_stats["sum_dl"]) - int(old_sum) + int(new_sum),
-            )
-        ],
-        "n_docs long, sum_dl long",
-    ).coalesce(1).write.mode("overwrite").parquet(stats_path)
-
+    os.remove(intent_path)  # all layouts + sidecars consistent: clear marker
     return {"term_buckets": [int(b) for b in tb], "doc_buckets": [int(b) for b in db]}
 
 

@@ -20,7 +20,7 @@ from ..operators.embedding import embed_documents
 from ..operators.knn import exact_knn
 from ..operators.multimodal import extract_media_features, with_binary_payload
 from ..operators.recall import recall_at_k
-from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..functions.hashing import portable_hash64_sql
 from ..operators.snapshots import snapshot_stats, with_page_seq
 from . import register
 
@@ -1399,9 +1399,13 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # diagnostic, not surface as an opaque hash mismatch (ADVICE round 5).
     capacity, n_shards = 32, 4
     ev = load_table(spark, sf_dir, "events")
+    # shard_col is THE routing expression of the stream itself — sharing it
+    # keeps this guard and the actual sharding in lockstep (ADVICE round 6)
+    from ..streaming.events import shard_col
+
     worst = (
         ev.select(
-            (portable_hash64("event_type") % n_shards).alias("shard"),
+            shard_col("event_type", n_shards).alias("shard"),
             "event_type",
         )
         .groupBy("shard")

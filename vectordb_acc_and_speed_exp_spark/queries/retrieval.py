@@ -118,7 +118,9 @@ def _get_or_build_postings(spark: SparkSession, sf_dir: str) -> str:
     root = _index_root(sf_dir)
     path = os.path.join(root, "lexical_postings")
     done = os.path.join(root, "lexical_postings._DONE")
-    fp = _source_fingerprint(sf_dir, table="documents")
+    # ":v2" = bucketed terms/stats sidecar layout (round 7) — version the
+    # fingerprint so artifacts written by older code rebuild, not misread
+    fp = _source_fingerprint(sf_dir, table="documents") + ":v2"
     if not _build_is_fresh(done, fp):
         os.makedirs(root, exist_ok=True)
         write_postings_index(load_table(spark, sf_dir, "documents"), path)

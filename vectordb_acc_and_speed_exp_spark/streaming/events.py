@@ -240,6 +240,20 @@ def purchase_click_join_stream(
     )
 
 
+def shard_col(item_col: str, n_shards: int):
+    """THE shard-routing expression of the heavy-hitters stream —
+    ``pmod(portable_hash64(cast(item as string)), n_shards)`` — factored
+    out so the stream and the exactness-precondition guard in
+    queries/pipeline.py (streaming_heavy_hitters) derive shards from one
+    definition and can never silently desynchronize: any future change
+    (seeded hash, signed hash, non-string items) moves both together."""
+    from ..functions.hashing import portable_hash64
+
+    return F.pmod(
+        portable_hash64(F.col(item_col).cast("string")), F.lit(n_shards)
+    ).cast("bigint")
+
+
 def heavy_hitters_stream(
     events: DataFrame,
     capacity: int = 32,
@@ -275,8 +289,6 @@ def heavy_hitters_stream(
     never enters."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    from ..functions.hashing import portable_hash64
 
     out_schema = (
         "shard bigint, item string, est_count bigint, max_err bigint, "
@@ -341,9 +353,7 @@ def heavy_hitters_stream(
     staged = events.withWatermark("ts", "2 hours").select(
         F.col("ts"),
         F.col(item_col).cast("string").alias("item"),
-        F.pmod(portable_hash64(F.col(item_col).cast("string")), F.lit(n_shards))
-        .cast("bigint")
-        .alias("shard"),
+        shard_col(item_col, n_shards).alias("shard"),
     )
     return staged.groupBy("shard").applyInPandasWithState(
         fn,

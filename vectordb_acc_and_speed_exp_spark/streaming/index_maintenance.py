@@ -269,10 +269,13 @@ def stream_upsert_postings_index(
     """Streaming maintenance for the lexical postings artifact
     (operators/postings.py): each micro-batch of documents replaces
     same-id docs and rewrites only the term/doc buckets it touches
-    (postings_upsert), with df/stats updated by exact batch deltas. The
-    first batch bootstraps the artifact. Same idempotence contract as
-    the ANN sinks: every layout is a pure function of the final document
-    set, so a replayed batch converges and at-least-once delivery is
+    (postings_upsert); the df/stats sidecars are recomputed from those
+    same touched buckets — pure functions of the layouts, so a crash
+    between writes cannot leave them silently inconsistent (the intent
+    marker heals partial upserts on redelivery). The first batch
+    bootstraps the artifact. Same idempotence contract as the ANN
+    sinks: every layout is a pure function of the final document set,
+    so a replayed batch converges and at-least-once delivery is
     exactly-once — and a streamed artifact equals a from-scratch build
     exactly (upsert == rebuild, hash-proven in tests)."""
     from ..operators.postings import postings_upsert, write_postings_index
