@@ -40,7 +40,7 @@ def test_query_by_text_finds_itself(store, documents):
 def test_query_modes_agree_on_top1(store, documents):
     texts = [documents.limit(1).first().text]
     tops = {}
-    for mode in ("exact", "blas", "lsh", "graph", "bq"):
+    for mode in ("exact", "blas", "lsh", "graph", "bq", "mtlsh", "ivfbq"):
         r = store.query("papers", query_texts=texts, k=3, mode=mode).collect()
         tops[mode] = [x.item_id for x in sorted(r, key=lambda x: x.rank)][0]
     assert len(set(tops.values())) == 1, tops
@@ -259,3 +259,153 @@ def test_bq_codes_cached_and_invalidated(spark, documents, tmp_path_factory):
     assert not os.path.exists(vs._bq_path("c"))
     r2 = vs.query("c", query_texts=[probe.text], k=3, mode="bq").collect()
     assert r2[0].item_id == probe.id
+
+
+def test_auto_mode_requires_where_and_matches_exact(store, spark, documents):
+    """mode='auto' is the EP8 filtered-search chooser: without where it
+    refuses; with where at test scale it picks the exact branch and must
+    equal exact search over the filtered corpus (same rows, same ranks)."""
+    vs_docs = documents.limit(60).selectExpr(
+        "cast(doc_id as string) as id", "text"
+    )
+    store.create_collection("autocol", vs_docs)
+    probe = vs_docs.limit(2).collect()
+    texts = [r.text for r in probe]
+    with pytest.raises(ValueError, match="auto"):
+        store.query("autocol", query_texts=texts, k=3, mode="auto")
+    pred = "cast(id as bigint) % 2 = 0"
+    a = store.query(
+        "autocol", query_texts=texts, k=5, mode="auto", where=pred
+    ).collect()
+    e = store.query(
+        "autocol", query_texts=texts, k=5, mode="exact", where=pred
+    ).collect()
+    assert sorted((r.query_id, r.rank, r.item_id) for r in a) == sorted(
+        (r.query_id, r.rank, r.item_id) for r in e
+    )
+    # forced IVF branch (chooser knobs): still k rows, all survivors
+    f = store.query(
+        "autocol", query_texts=texts, k=5, mode="auto", where=pred,
+        auto_opts={"exact_crossover_n": 0, "prune_win_frac": 1.1},
+    ).collect()
+    assert len(f) == 10 and all(int(r.item_id) % 2 == 0 for r in f)
+    store.delete_collection("autocol")
+
+
+def test_where_reroutes_index_modes_to_auto(store, spark, documents):
+    """where= + graph/mtlsh/ivfbq re-plans through the chooser: at test
+    scale all three must return the exact filtered answer."""
+    vs_docs = documents.limit(60).selectExpr(
+        "cast(doc_id as string) as id", "text"
+    )
+    store.create_collection("wherecol", vs_docs)
+    texts = [vs_docs.limit(1).first().text]
+    pred = "cast(id as bigint) % 2 = 0"
+    want = sorted(
+        (r.query_id, r.rank, r.item_id)
+        for r in store.query(
+            "wherecol", query_texts=texts, k=5, mode="exact", where=pred
+        ).collect()
+    )
+    for mode in ("graph", "mtlsh", "ivfbq"):
+        got = sorted(
+            (r.query_id, r.rank, r.item_id)
+            for r in store.query(
+                "wherecol", query_texts=texts, k=5, mode=mode, where=pred
+            ).collect()
+        )
+        assert got == want, mode
+    store.delete_collection("wherecol")
+
+
+def test_hybrid_artifact_equals_inline_and_stays_fresh(
+    store, spark, documents
+):
+    """Unfiltered hybrid serves BM25 from the collection's postings
+    artifact; it must be bit-identical to the inline-tokenize path (forced
+    via an always-true where) and stay fresh through add() and upsert()
+    without a rebuild (postings_upsert maintains the buckets)."""
+    import os
+
+    vs_docs = documents.limit(50).selectExpr(
+        "cast(doc_id as string) as id", "text"
+    )
+    store.create_collection("hybcol", vs_docs)
+    texts = [vs_docs.limit(1).first().text, "spark join window"]
+    art = store.query("hybcol", query_texts=texts, k=5, mode="hybrid").collect()
+    meta = os.path.join(store.root, ".postings_index", "hybcol", "_META.json")
+    assert os.path.exists(meta)  # artifact built lazily by the query
+    inline = store.query(
+        "hybcol", query_texts=texts, k=5, mode="hybrid", where="true"
+    ).collect()
+    assert sorted(tuple(r) for r in art) == sorted(tuple(r) for r in inline)
+
+    # add(): a brand-new doc must win its own text query via the artifact
+    store.add(
+        "hybcol",
+        spark.createDataFrame(
+            [("fresh1", "zzqq unique freshness probe")], "id string, text string"
+        ),
+    )
+    assert os.path.exists(meta)  # maintained, not invalidated
+    r = store.query(
+        "hybcol", query_texts=["zzqq unique freshness probe"], k=3,
+        mode="hybrid",
+    ).collect()
+    assert [x.item_id for x in r if x.rank == 1] == ["fresh1"]
+
+    # upsert(): replacing the doc's text must evict its old terms
+    store.upsert(
+        "hybcol",
+        spark.createDataFrame(
+            [("fresh1", "totally different words now")], "id string, text string"
+        ),
+    )
+    r2 = store.query(
+        "hybcol", query_texts=["totally different words now"], k=3,
+        mode="hybrid",
+    ).collect()
+    assert [x.item_id for x in r2 if x.rank == 1] == ["fresh1"]
+    # the OLD unique term is gone from the artifact (stale-posting check)
+    from vectordb_acc_and_speed_exp_spark.operators.postings import (
+        query_term_postings,
+    )
+
+    idx = os.path.join(store.root, ".postings_index", "hybcol")
+    assert query_term_postings(spark, idx, ["zzqq"]).count() == 0
+    store.delete_collection("hybcol")
+
+
+def test_ivfbq_and_mtlsh_freshness_after_add(store, spark, documents):
+    """The scale-star modes stay correct across add(): IVF-BQ absorbs the
+    batch cell-incrementally (codes re-encoded for touched cells only);
+    mt-LSH is invalidated and lazily rebuilt — both must find a doc added
+    after the first build as its own top-1."""
+    import os
+
+    vs_docs = documents.limit(40).selectExpr(
+        "cast(doc_id as string) as id", "text"
+    )
+    store.create_collection("starcol", vs_docs)
+    probe = vs_docs.limit(1).first()
+    for mode in ("ivfbq", "mtlsh"):
+        r = store.query("starcol", query_texts=[probe.text], k=3, mode=mode)
+        assert r.collect()[0].item_id == probe.id
+    ivf_meta = os.path.join(store.root, ".ivf_index", "starcol", "_meta.json")
+    mtlsh_dir = os.path.join(store.root, ".mtlsh_index", "starcol")
+    assert os.path.exists(ivf_meta) and os.path.exists(mtlsh_dir)
+    store.add(
+        "starcol",
+        spark.createDataFrame(
+            [("star9", "unmistakable star probe text")], "id string, text string"
+        ),
+    )
+    assert os.path.exists(ivf_meta)  # absorbed incrementally
+    assert not os.path.exists(mtlsh_dir)  # invalidated, rebuilds lazily
+    for mode in ("ivfbq", "mtlsh"):
+        r = store.query(
+            "starcol", query_texts=["unmistakable star probe text"], k=3,
+            mode=mode,
+        ).collect()
+        assert r[0].item_id == "star9", mode
+    store.delete_collection("starcol")

@@ -42,7 +42,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 K = 10
 OVERFETCH_CAP = 1000
-SELECTIVITIES = [0.1, 0.01, 0.001]
+# 0.5 added in round 7: the selectivity where the auto chooser's IVF branch
+# engages at 1M (widen 4/s = 8 of 256 probes = 3.1% of cells, inside the
+# prune-win budget); the original three all route exact at measured sizes
+SELECTIVITIES = [0.5, 0.1, 0.01, 0.001]
 
 
 def timed(fn) -> float:
@@ -169,6 +172,28 @@ def main(sizes: list[int]) -> None:
                     .collect()[0][0]
                 )
                 n_post = postfilter().count()
+
+                # the chooser (operators/filtered.py): timed END-TO-END
+                # including its survivor-count planning scans — the honest
+                # serve cost of mode="auto"
+                from vectordb_acc_and_speed_exp_spark.operators.filtered import (
+                    filtered_knn_auto,
+                    plan_filtered_knn,
+                )
+
+                def auto():
+                    return filtered_knn_auto(
+                        qs, spark, corpus_path, cents, predicate=F.col("sel_bucket") < m,
+                        k=K, item_id="vec_id",
+                    )
+
+                sec_auto = timed(lambda: auto().count())
+                rec_auto = (
+                    mean_recall(recall_at_k(gt, auto(), K)).collect()[0][0]
+                )
+                plan = plan_filtered_knn(
+                    spark, corpus_path, F.col("sel_bucket") < m, n_cells, k=K
+                )
                 gt.unpersist()
 
                 row = {
@@ -176,16 +201,22 @@ def main(sizes: list[int]) -> None:
                     "selectivity": s,
                     "k_overfetch": k_over,
                     "n_probe_adapt": n_probe_adapt,
+                    "auto_decision": {
+                        "strategy": plan["strategy"],
+                        "n_probe": plan["n_probe"],
+                    },
                     "sec": {
                         "exact_filtered": sec_exact,
                         "ivf_prefilter": sec_pre,
                         "ivf_prefilter_adapt": sec_adapt,
                         "ivf_postfilter": sec_post,
+                        "auto": sec_auto,
                     },
                     "recall_vs_exact": {
                         "ivf_prefilter": round(rec_pre, 4),
                         "ivf_prefilter_adapt": round(rec_adapt, 4),
                         "ivf_postfilter": round(rec_post, 4),
+                        "auto": round(rec_auto, 4),
                     },
                     "rows_returned_postfilter": n_post,
                 }
@@ -195,16 +226,23 @@ def main(sizes: list[int]) -> None:
             shutil.rmtree(root, ignore_errors=True)
         big.unpersist()
 
-    print("\n| n_vectors | sel | exact s | pre s | adapt s (probes) | post s | pre R@10 | adapt R@10 | post R@10 | post rows/50 |")
-    print("|---|---|---|---|---|---|---|---|---|---|")
+    print("\n| n_vectors | sel | exact s | pre s | adapt s (probes) | post s | auto s (decision) | pre R@10 | adapt R@10 | post R@10 | auto R@10 | post rows/50 |")
+    print("|---|---|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
+        d = r["auto_decision"]
+        dec = (
+            "exact" if d["strategy"] == "exact" else f"ivf@{d['n_probe']}"
+        )
         print(
             f"| {r['n_vectors']:,} | {r['selectivity']} "
             f"| {r['sec']['exact_filtered']:.2f} | {r['sec']['ivf_prefilter']:.2f} "
             f"| {r['sec']['ivf_prefilter_adapt']:.2f} ({r['n_probe_adapt']}) "
-            f"| {r['sec']['ivf_postfilter']:.2f} | {r['recall_vs_exact']['ivf_prefilter']:.3f} "
+            f"| {r['sec']['ivf_postfilter']:.2f} "
+            f"| {r['sec']['auto']:.2f} ({dec}) "
+            f"| {r['recall_vs_exact']['ivf_prefilter']:.3f} "
             f"| {r['recall_vs_exact']['ivf_prefilter_adapt']:.3f} "
-            f"| {r['recall_vs_exact']['ivf_postfilter']:.3f} | {r['rows_returned_postfilter']} |"
+            f"| {r['recall_vs_exact']['ivf_postfilter']:.3f} "
+            f"| {r['recall_vs_exact']['auto']:.3f} | {r['rows_returned_postfilter']} |"
         )
 
 

@@ -13,6 +13,12 @@ Query modes map to the engine's search operators:
     graph   operators.graphann             (per-collection NSW index — the
             closest analogue to ChromaDB's per-collection HNSW; built on
             first graph query, kept fresh incrementally by add())
+    mtlsh   operators.mtlsh                (multiprobe multi-table LSH over
+            a table-partitioned signature index — the EP3 scale star)
+    ivfbq   operators.bq.ivfbq_search      (coarse-quantized packed binary
+            codes + exact re-rank — the EP5 composed scale star)
+    auto    operators.filtered             (where= chooser: EP8's measured
+            exact-vs-widened-IVF rule)
 
 Text queries are encoded with the same (pluggable) encoder used at add
 time (V1/V6). Unlike ChromaDB — where every collection owns a private HNSW
@@ -62,9 +68,22 @@ class VectorStore:
             if os.path.isdir(os.path.join(self.root, d)) and not d.startswith(".")
         )
 
+    # every per-collection serving artifact lives under a dot-prefixed
+    # sibling root (invisible to list_collections, invalid as a collection
+    # name); they are pure functions of the collection and are invalidated
+    # or incrementally maintained in lockstep with writes
+    _INDEX_DIRS = (
+        ".graph_index", ".bq_index", ".ivf_index", ".mtlsh_index",
+        ".postings_index",
+    )
+
+    def _invalidate_indexes(self, name: str, dirs=None) -> None:
+        for d in dirs if dirs is not None else self._INDEX_DIRS:
+            shutil.rmtree(os.path.join(self.root, d, name), ignore_errors=True)
+
     def delete_collection(self, name: str) -> None:
         shutil.rmtree(self._path(name), ignore_errors=True)
-        shutil.rmtree(os.path.join(self.root, ".graph_index", name), ignore_errors=True)
+        self._invalidate_indexes(name)
 
     def count(self, name: str) -> int:
         return self.get(name).count()
@@ -128,15 +147,7 @@ class VectorStore:
                     f"add(): {n_clash} id(s) already exist — use upsert()"
                 )
         docs = self._write(name, docs, "id", text_col, mode="append")
-        if os.path.exists(self._graph_path(name)):
-            from .operators.graphann import graph_index_upsert
-
-            graph_index_upsert(
-                self.spark,
-                self._graph_path(name),
-                docs.select("id", "embedding"),
-                item_id="id",
-            )
+        self._freshen_indexes(name, docs)
 
     def upsert(
         self, name: str, docs: DataFrame, id_col: str = "id", text_col: str = "text"
@@ -188,16 +199,13 @@ class VectorStore:
                 .localCheckpoint(eager=True)  # break lineage to path pre-overwrite
             )
             merged.write.mode("overwrite").parquet(path)
+            docs = aligned
         else:
             docs.write.mode("overwrite").parquet(path)
-        shutil.rmtree(self._bq_path(name), ignore_errors=True)
-        if os.path.exists(self._graph_path(name)):
-            from .operators.graphann import graph_index_upsert
-
-            graph_index_upsert(
-                self.spark, self._graph_path(name),
-                docs.select("id", "embedding"), item_id="id",
-            )
+        # whole-corpus artifacts can't absorb a batch: invalidate (they
+        # rebuild lazily); shard/cell/bucket-grained ones absorb it below
+        self._invalidate_indexes(name, dirs=(".bq_index", ".mtlsh_index"))
+        self._freshen_indexes(name, docs)
 
     def delete(
         self, name: str, ids: list | None = None, where: str | None = None
@@ -225,8 +233,9 @@ class VectorStore:
             .localCheckpoint(eager=True)
         )
         kept.write.mode("overwrite").parquet(path)
-        shutil.rmtree(self._graph_path(name), ignore_errors=True)
-        shutil.rmtree(self._bq_path(name), ignore_errors=True)
+        # no index here has a cheap tombstone story — drop them all; the
+        # next query of each mode rebuilds lazily from the post-delete rows
+        self._invalidate_indexes(name)
 
     def _write(self, name, docs, id_col, text_col, mode) -> DataFrame:
         if "embedding" not in docs.columns:
@@ -236,11 +245,61 @@ class VectorStore:
         docs = docs.withColumnRenamed(id_col, "id") if id_col != "id" else docs
         docs.write.mode(mode).parquet(self._path(name))
         if mode == "overwrite":
-            shutil.rmtree(self._graph_path(name), ignore_errors=True)
-        # packed codes are a pure function of the corpus — any write makes
-        # them stale; they rebuild lazily on the next mode="bq" query
-        shutil.rmtree(self._bq_path(name), ignore_errors=True)
+            self._invalidate_indexes(name)
+        else:
+            # append: batch-grained indexes are freshened by the caller
+            # (add); whole-corpus artifacts (flat bq codes, mt-LSH tables)
+            # are pure functions of the corpus — invalidate, rebuild lazily
+            self._invalidate_indexes(name, dirs=(".bq_index", ".mtlsh_index"))
         return docs
+
+    def _freshen_indexes(self, name: str, docs: DataFrame) -> None:
+        """Incremental maintenance after an add/upsert batch: every index
+        with a shard/cell/bucket-grained upsert absorbs the batch touching
+        only the partitions it lands in — graph shards
+        (graph_index_upsert), IVF cells + their packed-code twin
+        (ivf_index_upsert / ivfbq_codes_upsert), lexical postings buckets
+        (postings_upsert). Whole-corpus artifacts were invalidated by the
+        caller. O(batch), never O(collection)."""
+        import json
+
+        if os.path.exists(self._graph_path(name)):
+            from .operators.graphann import graph_index_upsert
+
+            graph_index_upsert(
+                self.spark, self._graph_path(name),
+                docs.select("id", "embedding"), item_id="id",
+            )
+        ivf_root = self._ivf_path(name)
+        if os.path.exists(os.path.join(ivf_root, "_meta.json")):
+            from .operators.ann import ivf_index_upsert
+
+            corpus_path = os.path.join(ivf_root, "corpus")
+            cents = self.spark.read.parquet(os.path.join(ivf_root, "centroids"))
+            cells = ivf_index_upsert(
+                self.spark, corpus_path, docs, cents, item_id="id"
+            )
+            bq_meta = os.path.join(ivf_root, "_bq_meta.json")
+            if os.path.exists(bq_meta):
+                import numpy as np
+
+                from .operators.bq import ivfbq_codes_upsert
+
+                with open(bq_meta) as f:
+                    m = json.load(f)
+                ivfbq_codes_upsert(
+                    self.spark, corpus_path,
+                    os.path.join(ivf_root, "bqcodes"),
+                    np.array(m["sums"], dtype=np.int64), int(m["n"]),
+                    cells, item_id="id",
+                )
+        postings = self._postings_path(name)
+        if os.path.exists(os.path.join(postings, "_META.json")):
+            from .operators.postings import postings_upsert
+
+            postings_upsert(
+                self.spark, postings, docs.select("id", "text"), id_col="id"
+            )
 
     # -- binary-quantization codes (per-collection serving artifact) -------
     def _bq_path(self, name: str) -> str:
@@ -277,6 +336,121 @@ class VectorStore:
             int(m["n"]),
         )
 
+    # -- IVF layout + centroids (per-collection, the 100 TB scan shape) ----
+    def _ivf_path(self, name: str) -> str:
+        return os.path.join(self.root, ".ivf_index", name)
+
+    def _ensure_ivf_index(self, name: str):
+        """Build (or reuse) the collection's cell-partitioned IVF layout +
+        centroid table — the serving shape for mode="auto" (filtered
+        chooser) and mode="ivfbq". Built lazily on first use; add()/
+        upsert() keep it fresh via ivf_index_upsert (only the landed cell
+        directories rewrite). Returns (corpus_path, centroids DataFrame).
+
+        n_cells ~ sqrt(N) (the classic IVF occupancy dial), clamped to
+        [4, 256]; centroids train on a seeded sample when the collection
+        is large (the coarse quantizer needs ~hundreds of points per
+        cell, not the corpus)."""
+        import json
+
+        from .operators.ann import ivf_assign, kmeans_centroids, write_ivf_corpus
+
+        path = self._ivf_path(name)
+        cents_path = os.path.join(path, "centroids")
+        corpus_path = os.path.join(path, "corpus")
+        meta = os.path.join(path, "_meta.json")
+        if not os.path.exists(meta):
+            corpus = self.get(name)
+            n = corpus.count()
+            n_cells = max(4, min(256, int(n ** 0.5)))
+            frac = min(1.0, (512.0 * n_cells) / max(n, 1))
+            cents = kmeans_centroids(
+                corpus, n_cells=n_cells,
+                sample_fraction=None if frac >= 1.0 else frac,
+                item_vec="embedding",
+            )
+            os.makedirs(path, exist_ok=True)
+            cents.write.mode("overwrite").parquet(cents_path)
+            write_ivf_corpus(
+                ivf_assign(corpus, cents, item_vec="embedding"), corpus_path
+            )
+            with open(meta, "w") as f:
+                json.dump({"n_cells": n_cells}, f)
+        return corpus_path, self.spark.read.parquet(cents_path)
+
+    def _ensure_ivfbq_codes(self, name: str):
+        """Packed-code table over the IVF layout (FAISS IndexBinaryIVF
+        shape): directory pruning from the coarse quantizer x 16 B/row
+        Hamming scan inside each probed directory. Thresholds are frozen
+        at build; add()/upsert() re-encode only the touched cells
+        (ivfbq_codes_upsert). Returns (codes_path, corpus_path,
+        centroids, sums, n)."""
+        import json
+
+        import numpy as np
+
+        from .operators.bq import bq_train, write_ivfbq_codes
+
+        corpus_path, cents = self._ensure_ivf_index(name)
+        path = self._ivf_path(name)
+        codes_path = os.path.join(path, "bqcodes")
+        meta = os.path.join(path, "_bq_meta.json")
+        if not os.path.exists(meta):
+            assigned = self.spark.read.parquet(corpus_path)
+            sums, n = bq_train(assigned, item_vec="embedding", dim=self.dim)
+            write_ivfbq_codes(assigned, sums, n, codes_path, item_id="id")
+            with open(meta, "w") as f:
+                json.dump({"sums": [int(x) for x in sums], "n": n}, f)
+        with open(meta) as f:
+            m = json.load(f)
+        return (
+            codes_path,
+            corpus_path,
+            cents,
+            np.array(m["sums"], dtype=np.int64),
+            int(m["n"]),
+        )
+
+    # -- multiprobe multi-table LSH index (per-collection) -----------------
+    def _mtlsh_path(self, name: str) -> str:
+        return os.path.join(self.root, ".mtlsh_index", name)
+
+    def _ensure_mtlsh_index(self, name: str) -> str:
+        """Table-partitioned signature index (operators/mtlsh.py). Built
+        lazily; writes invalidate it rather than patching: the layout
+        partitions by TABLE and every document lives in every table, so
+        any batch touches all L directories — the incremental unit would
+        have to be the bucket, which this layout keeps as row-group sort
+        order, not partitions. Rebuild-on-next-query is the honest
+        contract (same discipline as the bq codes)."""
+        from .operators.mtlsh import write_mt_lsh_index
+
+        path = self._mtlsh_path(name)
+        if not os.path.exists(os.path.join(path, "_mtlsh_meta.json")):
+            write_mt_lsh_index(
+                self.get(name).select("id", "embedding"), path,
+                dim=self.dim, item_id="id",
+            )
+        return path
+
+    # -- lexical postings artifact (per-collection, hybrid channel) --------
+    def _postings_path(self, name: str) -> str:
+        return os.path.join(self.root, ".postings_index", name)
+
+    def _ensure_postings(self, name: str) -> str:
+        """Materialized inverted index over the collection's text
+        (operators/postings.py) so mode="hybrid" scores BM25 from a
+        bucket-pruned scan instead of tokenizing the collection per query.
+        add()/upsert() keep it fresh via postings_upsert."""
+        from .operators.postings import write_postings_index
+
+        path = self._postings_path(name)
+        if not os.path.exists(os.path.join(path, "_META.json")):
+            write_postings_index(
+                self.get(name).select("id", "text"), path, id_col="id"
+            )
+        return path
+
     # -- graph index (V3, per-collection HNSW analogue) --------------------
     def _graph_path(self, name: str) -> str:
         # dot-prefixed root: invisible to list_collections, invalid as a
@@ -306,6 +480,7 @@ class VectorStore:
         mode: str = "exact",
         where: str | None = None,
         mmr_lambda: float = 0.5,
+        auto_opts: dict | None = None,
     ) -> DataFrame:
         """Top-k search. Returns (query_id, rank, item_id, dist); query_id
         is the position in the input list.
@@ -313,11 +488,28 @@ class VectorStore:
         ``where`` is the ChromaDB-style metadata filter (a SQL predicate
         string over the collection's columns) with PRE-filter semantics:
         the predicate restricts the corpus before ranking, so exactly k
-        results come from the eligible set. exact/blas/lsh push it into
-        the corpus scan; the graph index carries no metadata, so
-        where+graph deliberately re-plans to the filtered exact scan
-        (predictable and correct) rather than post-filtering a traversal
-        to fewer than k rows.
+        results come from the eligible set. exact/blas/lsh/bq push it
+        into the corpus scan; the graph/mtlsh/ivfbq indexes carry no
+        usable metadata pre-filter, so where+those re-plans to
+        ``mode="auto"`` — the measured EP8 chooser (operators/filtered.py)
+        that picks exact-over-survivors or selectivity-widened IVF
+        pre-filter, never recall-losing fixed probes and never
+        row-dropping post-filter.
+
+        ``mode="auto"`` (requires ``where``) invokes that chooser
+        directly against the collection's lazily-built IVF layout;
+        ``auto_opts`` overrides its measured constants
+        (exact_crossover_n / widen_factor / prune_win_frac — see
+        operators/filtered.py).
+
+        ``mode="mtlsh"`` / ``mode="ivfbq"`` are the scale-star index
+        paths (EP3/EP5): multiprobe multi-table LSH over a
+        table-partitioned signature index, and coarse-quantized packed
+        binary codes (FAISS IndexBinaryIVF shape) with exact re-rank.
+        Both build their per-collection artifact on first use; add()/
+        upsert() keep IVF-BQ fresh cell-incrementally and invalidate the
+        mt-LSH tables (rebuilt lazily — every doc lives in every table
+        partition, so there is no sub-table incremental unit).
 
         ``mode="mmr"`` adds diversity: exact-cosine 4k-shortlist, then
         greedy MMR selection at ``mmr_lambda`` (operators/rerank.py);
@@ -327,7 +519,11 @@ class VectorStore:
         channel over the collection's text with the dense cosine channel
         by reciprocal-rank fusion (operators/bm25.py), the
         Weaviate/Qdrant-style hybrid search; returns (query_id, rank,
-        item_id, rrf)."""
+        item_id, rrf). Unfiltered hybrid serves BM25 from the
+        collection's materialized postings artifact (bucket-pruned scan,
+        bit-identical scores); where+hybrid falls back to inline scoring
+        over the filtered corpus (the artifact indexes the full
+        collection)."""
         if (query_texts is None) == (query_vecs is None):
             raise ValueError("provide exactly one of query_texts / query_vecs")
         if query_texts is not None:
@@ -344,14 +540,30 @@ class VectorStore:
             )
         corpus = self.get(name)
         if where is not None:
-            corpus = corpus.filter(where)
-            if mode == "graph":
-                mode = "exact"  # re-plan: the graph shards index the full
-                # corpus; a filtered search is served exactly (see docstring)
+            if mode in ("graph", "mtlsh", "ivfbq"):
+                # these indexes carry no metadata pre-filter; route through
+                # the measured chooser instead of post-filtering a
+                # traversal to fewer than k rows (see docstring)
+                mode = "auto"
+            if mode != "auto":
+                corpus = corpus.filter(where)
+        if mode == "auto":
+            if where is None:
+                raise ValueError(
+                    "mode='auto' is the filtered-search chooser — provide "
+                    "where= (unfiltered search: pick exact/graph/ivfbq/...)"
+                )
+            from .operators.filtered import filtered_knn_auto
+
+            corpus_path, cents = self._ensure_ivf_index(name)
+            return filtered_knn_auto(
+                qdf, self.spark, corpus_path, cents, predicate=where,
+                k=k, item_id="id", **(auto_opts or {}),
+            )
         if mode == "hybrid":
             if query_texts is None:
                 raise ValueError("hybrid mode needs query_texts")
-            from .operators.bm25 import bm25_topk, rrf_fuse
+            from .operators.bm25 import bm25_topk, bm25_topk_indexed, rrf_fuse
 
             qt = self.spark.createDataFrame(
                 [
@@ -361,7 +573,18 @@ class VectorStore:
                 ],
                 "query_id bigint, term string",
             )
-            lex = bm25_topk(corpus, qt, k=5 * k, id_col="id").select(
+            if where is None:
+                # serving shape: per-collection postings artifact — the
+                # lexical channel reads O(query terms x posting length)
+                # rows, never the collection's text (kept fresh by add/
+                # upsert via postings_upsert; scores bit-identical to the
+                # inline path — operators/postings.py contract)
+                lex_scored = bm25_topk_indexed(
+                    self.spark, self._ensure_postings(name), qt, k=5 * k
+                )
+            else:
+                lex_scored = bm25_topk(corpus, qt, k=5 * k, id_col="id")
+            lex = lex_scored.select(
                 "query_id", F.col("doc_id").alias("item_id"), "rank"
             )
             den = exact_knn(
@@ -426,6 +649,26 @@ class VectorStore:
                 qdf, corpus, sums, n, k=k, shortlist=max(10 * k, 100),
                 item_id="id", item_vec="embedding", encoded=encoded,
             ).select("query_id", "rank", "item_id", "dist")
+        if mode == "mtlsh":
+            from .operators.mtlsh import mt_lsh_ann_pruned
+
+            path = self._ensure_mtlsh_index(name)
+            return mt_lsh_ann_pruned(
+                qdf, self.spark, path,
+                corpus.select("id", "embedding"),
+                k=k, item_id="id",
+            )
+        if mode == "ivfbq":
+            from .operators.bq import ivfbq_search
+
+            codes_path, corpus_path, cents, sums, n = self._ensure_ivfbq_codes(
+                name
+            )
+            return ivfbq_search(
+                qdf, self.spark, codes_path, corpus_path, cents, sums, n,
+                k=k, n_probe=4, shortlist=max(10 * k, 100), item_id="id",
+            )
         raise ValueError(
-            f"unknown mode {mode!r}; one of exact/blas/lsh/graph/bq/mmr/hybrid"
+            f"unknown mode {mode!r}; one of "
+            "exact/blas/lsh/graph/bq/mtlsh/ivfbq/auto/mmr/hybrid"
         )

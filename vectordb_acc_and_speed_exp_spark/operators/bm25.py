@@ -134,6 +134,15 @@ def bm25_scores_indexed(
     )
 
 
+def _topk_by_score(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("s6"), F.asc("doc_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= k)
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -142,13 +151,21 @@ def bm25_topk(
 ) -> DataFrame:
     """(query_id, rank, doc_id, s6) — BM25 top-k per query, rank 1..k by
     (score desc, doc_id)."""
-    scored = bm25_scores(docs, queries, **kwargs)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("s6"), F.asc("doc_id")
-    )
-    return scored.withColumn(
-        "rank", F.row_number().over(w).cast("bigint")
-    ).filter(F.col("rank") <= k)
+    return _topk_by_score(bm25_scores(docs, queries, **kwargs), k)
+
+
+def bm25_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """``bm25_topk`` served from a materialized postings artifact — same
+    ranking window over ``bm25_scores_indexed``, so results are
+    bit-identical to the inline path at a bucket-pruned scan's cost (the
+    VectorStore facade's hybrid channel)."""
+    return _topk_by_score(bm25_scores_indexed(spark, index_path, queries, **kwargs), k)
 
 
 def rrf_fuse(

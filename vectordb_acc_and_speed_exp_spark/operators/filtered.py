@@ -1,0 +1,161 @@
+"""Selectivity-driven filtered ANN: EP8's measured planner rule as code.
+
+The vector-DB ``where=`` clause (reference: ChromaDB's metadata filter on
+``collection.query``, create_collections.py:245-263 exercises it implicitly
+via collection scoping) has two physical strategies whose crossover
+EP8_FILTERED.md measured against exact filtered ground truth:
+
+- **exact-over-survivors** — predicate pushed into the (cell-partitioned)
+  corpus scan, brute-force kNN over survivors. Always exact; cost is one
+  full-corpus scan regardless of selectivity.
+- **IVF pre-filter with widened probes** — predicate lands in
+  ``PushedFilters`` next to the ``cell IN (...)`` partition filter;
+  probes widen as selectivity falls (EP8: fixed probes lose recall to
+  survivor starvation, 0.14-0.44 measured; widening ~4/s restores it).
+  Cost ~ probes/C of the corpus + probe planning overhead.
+
+Post-filter + overfetch is deliberately absent: EP8 measured it dominated
+on time at 1M with any k' cap silently dropping rows.
+
+The measured decision boundary (this box, EP8_FILTERED.md table):
+
+1. below ~a few 100k vectors every strategy is fixed-overhead-dominated
+   and exact-over-survivors is fastest AND exact → ``EXACT_CROSSOVER_N``;
+2. widened probes only pay when they still prune most of the corpus: at
+   1M/256 cells, 40/256 probes (15.6%) measured SLOWER than the full
+   exact scan (4.69 s vs 3.61 s — probe fan-out overhead), while 4/256
+   (1.6%) measured 2x faster → ``PRUNE_WIN_FRAC`` between them;
+3. when ceil(WIDEN_FACTOR/s) reaches the prune-win budget, widening has
+   eroded the pruning that justified the index — degenerate to
+   exact-over-survivors (simpler plan, exact recall, measured faster).
+
+At 100 TB the same rule holds with cheaper inputs: survivor counts come
+from column statistics / a seeded sample instead of the column-pruned
+count this module runs, and PRUNE_WIN_FRAC rises toward 0.5 as the probe
+fan-out overhead amortizes over bigger cells — the constants are knobs,
+the structure is the deliverable.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Measured on this box (EP8_FILTERED.md): exact-over-survivors wins outright
+# below ~a few 100k vectors.
+EXACT_CROSSOVER_N = 200_000
+# EP8's recall-restoring widening dial: n_probe ~ WIDEN_FACTOR / selectivity
+# (fixed probes measured 0.14-0.44 recall; 4/s measured 0.80-1.00).
+WIDEN_FACTOR = 4.0
+# Probe budget as a fraction of cells: above it the pruned scan no longer
+# pays for probe fan-out (measured: 15.6% of cells lost to exact, 1.6% won).
+PRUNE_WIN_FRAC = 0.125
+
+
+def choose_filtered_strategy(
+    n_corpus: int,
+    n_survivors: int,
+    n_cells: int,
+    k: int = 10,
+    exact_crossover_n: int = EXACT_CROSSOVER_N,
+    widen_factor: float = WIDEN_FACTOR,
+    prune_win_frac: float = PRUNE_WIN_FRAC,
+) -> tuple[str, int | None]:
+    """The planner rule, pure and unit-testable: returns
+    ``("exact", None)`` or ``("ivf_prefilter", n_probe)``.
+
+    n_probe = ceil(widen_factor / s) — EP8's recall dial — floored at 4
+    and at the k-coverage minimum (probed cells must expect >= k
+    survivors: probes >= k * n_cells / n_survivors), capped at n_cells.
+    If that lands at or above prune_win_frac * n_cells, pruning no longer
+    pays and the exact filtered scan is both faster (measured) and exact.
+    """
+    if n_corpus <= exact_crossover_n or n_survivors <= 0:
+        return ("exact", None)
+    s = n_survivors / n_corpus
+    n_probe = max(
+        4,
+        math.ceil(widen_factor / s),
+        math.ceil(k * n_cells / n_survivors),
+    )
+    n_probe = min(n_cells, n_probe)
+    if n_probe >= prune_win_frac * n_cells:
+        return ("exact", None)
+    return ("ivf_prefilter", n_probe)
+
+
+def plan_filtered_knn(
+    spark: SparkSession,
+    corpus_path: str,
+    predicate: Column | str,
+    n_cells: int,
+    k: int = 10,
+    **knobs,
+) -> dict:
+    """Resolve the chooser's inputs against a written cell-partitioned
+    corpus and return the decision with its evidence:
+    {n_corpus, n_survivors, strategy, n_probe}.
+
+    Both counts are column-pruned scans (Catalyst reads only the predicate
+    columns; the unfiltered count reads none) — at 100 TB substitute table
+    statistics / a seeded sample; the decision structure is unchanged and
+    the counts are only planning inputs, never part of the answer."""
+    corpus = spark.read.parquet(corpus_path)
+    n_corpus = corpus.count()
+    n_survivors = corpus.filter(predicate).count()
+    strategy, n_probe = choose_filtered_strategy(
+        n_corpus, n_survivors, n_cells, k=k, **knobs
+    )
+    return {
+        "n_corpus": n_corpus,
+        "n_survivors": n_survivors,
+        "strategy": strategy,
+        "n_probe": n_probe,
+    }
+
+
+def filtered_knn_auto(
+    queries: DataFrame,
+    spark: SparkSession,
+    corpus_path: str,
+    centroids: DataFrame,
+    predicate: Column | str,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+    **knobs,
+) -> DataFrame:
+    """Filtered top-k with the strategy chosen by the measured EP8 rule
+    (``VectorStore.query(where=..., mode="auto")`` routes here).
+
+    Exact branch: predicate pushed into the full cell-partitioned scan,
+    brute-force kNN over survivors (exactly the filtered ground truth).
+    IVF branch: ``ivf_ann_pruned`` with the predicate as a pushed data
+    filter and the selectivity-widened probe count. Returns
+    (query_id, rank, item_id, dist) either way."""
+    from .knn import exact_knn
+
+    n_cells = centroids.count()
+    plan = plan_filtered_knn(
+        spark, corpus_path, predicate, n_cells, k=k, **knobs
+    )
+    if plan["strategy"] == "exact":
+        corpus = spark.read.parquet(corpus_path).filter(predicate)
+        return exact_knn(
+            queries, corpus, k=k, metric="l2",
+            query_id=query_id, query_vec=query_vec,
+            item_id=item_id, item_vec=item_vec,
+        )
+    from .ann import ivf_ann_pruned
+
+    return ivf_ann_pruned(
+        queries, spark, corpus_path, centroids,
+        k=k, n_probe=plan["n_probe"],
+        query_id=query_id, query_vec=query_vec,
+        item_id=item_id, item_vec=item_vec,
+        predicate=predicate,
+    )

@@ -190,6 +190,76 @@ def ann_ivf_filtered_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
 
 
+# -- EP8's measured planner rule as code (operators/filtered.py) -------------
+# Three gate entries, one per chooser outcome: the exact branch and the
+# widen-to-full-probe branch are hash-provable (both degenerate to the
+# filtered exact kNN); the partial-widening branch is genuinely approximate
+# and rides the rows-only check.
+def _filtered_auto(
+    spark: SparkSession, sf_dir: str, predicate: str, expect: str, **knobs
+) -> DataFrame:
+    from ..operators.filtered import filtered_knn_auto, plan_filtered_knn
+
+    corpus_path, cents = _get_or_build_ivf(spark, sf_dir)
+    plan = plan_filtered_knn(
+        spark, corpus_path, predicate, cents.count(), k=10, **knobs
+    )
+    if plan["strategy"] != expect:
+        raise AssertionError(
+            f"filtered-auto chooser picked {plan}, expected {expect!r} — "
+            "the fixture's size/selectivity no longer lands on this branch"
+        )
+    res = filtered_knn_auto(
+        _query_set(spark, sf_dir), spark, corpus_path, cents,
+        predicate=predicate, k=10, item_id="vec_id", **knobs,
+    )
+    return res.select(
+        "query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r")
+    )
+
+
+@register(
+    "filtered_auto_exact_branch",
+    oracle=None,  # knn_filtered_exact's oracle attached at module end
+    doc="EP8 chooser end-to-end, exact branch: corpus below the measured "
+    "crossover (EXACT_CROSSOVER_N) -> exact-over-survivors; the decision "
+    "is asserted, the result hash-checked against the filtered exact "
+    "oracle — mode='auto' of VectorStore.query(where=...) runs this path",
+)
+def filtered_auto_exact_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _filtered_auto(spark, sf_dir, "label < 3", "exact")
+
+
+@register(
+    "filtered_auto_widen_fullprobe",
+    oracle=None,  # knn_filtered_exact-style oracle (label < 1) at module end
+    doc="EP8 chooser, IVF branch at selectivity 0.1: the 4/s widening dial "
+    "reaches every cell (40 -> capped 16), so the selectivity-widened "
+    "pre-filter degenerates to the filtered exact kNN — hash-proven; "
+    "knobs force the IVF decision (crossover=0, budget>1) because the "
+    "honest rule would pick exact at this toy corpus size",
+)
+def filtered_auto_widen_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _filtered_auto(
+        spark, sf_dir, "label < 1", "ivf_prefilter",
+        exact_crossover_n=0, prune_win_frac=1.1,
+    )
+
+
+@register(
+    "filtered_auto_ivf_branch",
+    oracle=None,  # partial probe widening: genuinely approximate, rows-only
+    doc="EP8 chooser, IVF branch at selectivity ~0.5: widening lands at "
+    "8 of 16 probes (partial), the predicate rides the pruned scan as a "
+    "pushed filter — rows-only by design (approximate), branch asserted",
+)
+def filtered_auto_ivf_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _filtered_auto(
+        spark, sf_dir, "label < 5", "ivf_prefilter",
+        exact_crossover_n=0, prune_win_frac=1.1,
+    )
+
+
 # -- Full-fidelity ANN degenerations: ORACLED --------------------------------
 # Probing every cell / re-ranking a corpus-sized short-list makes the ANN
 # machinery exactly equal to brute force — so these entries carry the exact
@@ -352,11 +422,26 @@ def _attach_fullfidelity_oracles() -> None:
     REGISTRY["text_query_search_md5"] = QuerySpec(
         fn=ts.fn, oracle=_text_search_md5_oracle(), doc=ts.doc
     )
-    # filtered full probe == the already-oracled filtered exact kNN
-    ff = REGISTRY["ann_ivf_filtered_fullprobe"]
-    REGISTRY["ann_ivf_filtered_fullprobe"] = QuerySpec(
-        fn=ff.fn, oracle=REGISTRY["knn_filtered_exact"].oracle, doc=ff.doc
-    )
+    # filtered full probe == the already-oracled filtered exact kNN; the
+    # filtered-auto chooser degenerations hash against the same template
+    # (the widen branch at its own selectivity, label < 1)
+    from .vector import _filtered_exact_oracle
+
+    for name, fsql in (
+        ("ann_ivf_filtered_fullprobe", None),
+        ("filtered_auto_exact_branch", None),
+        ("filtered_auto_widen_fullprobe", "label < 1"),
+    ):
+        spec = REGISTRY[name]
+        REGISTRY[name] = QuerySpec(
+            fn=spec.fn,
+            oracle=(
+                REGISTRY["knn_filtered_exact"].oracle
+                if fsql is None
+                else _filtered_exact_oracle(fsql)
+            ),
+            doc=spec.doc,
+        )
     # MMR λ=1 == cosine top-10 with lowest-id tie-break
     from .vector import _COS_SQL, _QUERY_SET_SQL
 

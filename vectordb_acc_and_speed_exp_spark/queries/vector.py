@@ -152,6 +152,88 @@ def client_facade_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# S8 + EP8: the facade's where= served by mode="auto" (the measured
+# filtered-search chooser, operators/filtered.py) under the hard gate. At
+# test SF the chooser's honest decision is the exact branch (corpus below
+# EXACT_CROSSOVER_N), which is SQL-expressible — so this entry gate-proves
+# the whole route: collection round-trip -> lazily built per-collection IVF
+# layout -> selectivity probe -> exact-over-survivors plan.
+# --------------------------------------------------------------------------
+@register(
+    "client_facade_filtered_auto",
+    oracle=f"""
+WITH q AS ({_QUERY_SET_SQL}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS item_id, CAST(e.embedding AS DOUBLE[]) AS ev, q.qv
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label < 3
+), dists AS (
+  SELECT query_id, item_id, {_L2_SQL} AS dist FROM scored
+), ranked AS (
+  SELECT query_id, item_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, CAST(item_id AS VARCHAR)) AS rank
+  FROM dists
+)
+SELECT query_id, rank, item_id, round(dist, 4) AS dist_r
+FROM ranked WHERE rank <= 10
+""",
+    doc="VectorStore.query(where='label < 3', mode='auto') must equal the "
+    "filtered exact kNN bit-for-bit (string-id tie-break, the facade "
+    "convention): the chooser picks exact-over-survivors below the "
+    "measured crossover and the predicate pushes into the IVF layout scan",
+)
+def client_facade_filtered_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..api import VectorStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="facade_auto_gate_")
+    try:
+        store = VectorStore(spark, root, dim=64)
+        store.create_collection(
+            "corpus",
+            emb.select(
+                F.col("vec_id").cast("string").alias("id"),
+                F.col("embedding"),
+                F.col("label"),
+            ),
+        )
+        qrows = (
+            emb.filter(F.col("vec_id") < 5)
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .collect()
+        )
+        res = store.query(
+            "corpus",
+            query_vecs=[[float(x) for x in r.embedding] for r in qrows],
+            k=10,
+            mode="auto",
+            where="label < 3",
+        )
+        qmap = spark.createDataFrame(
+            [(i, int(r.vec_id)) for i, r in enumerate(qrows)],
+            "pos bigint, query_id bigint",
+        )
+        out = (
+            res.withColumnRenamed("query_id", "pos")
+            .join(F.broadcast(qmap), "pos")
+            .select(
+                "query_id",
+                "rank",
+                F.col("item_id").cast("bigint").alias("item_id"),
+                F.round("dist", 4).alias("dist_r"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # V2 cosine variant (similarity ranking; emitted as similarity, ranked by
 # 1 - sim internally).
 # --------------------------------------------------------------------------
@@ -304,15 +386,18 @@ def knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FILTER_SQL = "label < 3"
 
 
-@register(
-    "knn_filtered_exact",
-    oracle=f"""
+def _filtered_exact_oracle(filter_sql: str) -> str:
+    """The filtered exact-kNN oracle, parametrized on the predicate —
+    shared by knn_filtered_exact and the filtered-auto chooser
+    degenerations (queries/pipeline.py), which must hash against the
+    exact answer of a DIFFERENT selectivity."""
+    return f"""
 WITH q AS ({_QUERY_SET_SQL}),
 scored AS (
   SELECT q.query_id, e.vec_id AS item_id, CAST(e.embedding AS DOUBLE[]) AS ev,
          q.qv
   FROM embeddings e CROSS JOIN q
-  WHERE e.{_FILTER_SQL}
+  WHERE e.{filter_sql}
 ), dists AS (
   SELECT query_id, item_id, {_L2_SQL} AS dist FROM scored
 ), ranked AS (
@@ -322,7 +407,12 @@ scored AS (
 )
 SELECT query_id, rank, item_id, round(dist, 4) AS dist_r
 FROM ranked WHERE rank <= 10
-""",
+"""
+
+
+@register(
+    "knn_filtered_exact",
+    oracle=_filtered_exact_oracle(_FILTER_SQL),
     doc="metadata-filtered exact kNN (pre-filter: predicate before ranking, "
     "pushed into the scan)",
 )
