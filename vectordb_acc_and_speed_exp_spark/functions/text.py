@@ -66,6 +66,76 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return word_shingles_from_tokens(tokens(norm_text(text)), n)
 
 
+# A 10M-token document is one parquet row: Spark cannot split a row's
+# explode output across tasks, so whichever task holds the monster does
+# the whole doc's token/shingle work alone — THE straggler of the
+# tokenize-heavy family under length skew (postings build,
+# duplicated_ngram_spans, subword_tokenize_counts). 128k tokens per chunk
+# keeps any one task's share of a skewed doc bounded while normal corpora
+# (every test/bench fixture) stay single-chunk on the zero-shuffle path.
+SKEW_CHUNK_TOKENS = 131_072
+
+
+def chunked_token_stream(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = SKEW_CHUNK_TOKENS,
+    overlap: int = 0,
+):
+    """(doc_id, toks) with every row's token array bounded by
+    chunk + overlap — the skew-bounded form of "tokenize then explode".
+
+    Documents at or under ``chunk`` tokens pass through untouched (no
+    shuffle, no extra explode — the common case costs one size()
+    comparison). Longer documents are sliced into chunk-sized pieces and
+    REDISTRIBUTED (repartition on (doc_id, chunk_idx)) before any
+    per-token work, so a 10M-token doc becomes ~76 tasks' worth of
+    bounded slices instead of one straggler. The chunks of one doc
+    concatenate to exactly the original token array, so every multiset
+    aggregate (tf, dl, word counts) is unchanged.
+
+    ``overlap = n - 1`` preserves n-gram/shingle multisets: slice i
+    carries the next n-1 tokens too, so the shingle starts of slice i are
+    exactly the global starts [i*chunk + 1, (i+1)*chunk]; tail slices too
+    short to hold a full n-gram start are dropped (their starts belong to
+    the previous slice). Single-chunk documents keep
+    word_shingles_from_tokens' shorter-than-n fallback semantics — a
+    multi-chunk document is by construction longer than any n."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(norm_text(F.col(text_col))).alias("_toks"),
+    )
+    small = base.filter(F.size("_toks") <= chunk).select(
+        "doc_id", F.col("_toks").alias("toks")
+    )
+    big = base.filter(F.size("_toks") > chunk)
+    slices = (
+        f"transform(sequence(0, CAST(ceil(size(_toks) / {chunk}.0) AS INT) - 1), "
+        f"i -> slice(_toks, i * {chunk} + 1, {chunk + overlap}))"
+    )
+    # EXPLICIT-count round-robin repartition, not repartition(cols): a
+    # column repartition without a count is an AQE coalesce target — with
+    # few/small chunks AQE merges the shuffle back into one partition and
+    # the monster doc re-concentrates (observed in tests). A user-specified
+    # count is never coalesced, and round-robin spreads chunks evenly
+    # regardless of how their keys would hash.
+    sess = docs.sparkSession
+    try:
+        n_parts = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_parts = sess.sparkContext.defaultParallelism
+    spread = (
+        big.select("doc_id", F.posexplode(F.expr(slices)).alias("_ci", "toks"))
+        .repartition(n_parts)
+        .select("doc_id", "toks")
+    )
+    if overlap:
+        # a tail slice of <= overlap tokens holds no full n-gram start
+        spread = spread.filter(F.size("toks") > overlap)
+    return small.unionByName(spread)
+
+
 def ngram_shingles(text: Column, n: int = 5) -> Column:
     """Character n-gram shingles over the normalized text (dedup features)."""
     t = norm_text(text)

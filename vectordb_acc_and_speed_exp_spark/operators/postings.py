@@ -68,7 +68,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
-from ..functions.text import norm_text, tokens
 
 N_TERM_BUCKETS = 64
 N_DOC_BUCKETS = 64
@@ -96,10 +95,17 @@ def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     """(doc_id, term) token stream — THE tokenize idiom of the lexical
     stack (whitespace split of lowercased, whitespace-collapsed text;
     explode drops token-less docs). Build and any inline consumer must
-    share this so artifact and inline paths agree to the bit."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(norm_text(F.col(text_col)))).alias("term"),
+    share this so artifact and inline paths agree to the bit.
+
+    Length-skew-bounded: documents longer than SKEW_CHUNK_TOKENS are
+    sliced and redistributed BEFORE the explode (chunked_token_stream),
+    so one 10M-token doc cannot pin the build on a single task; the token
+    multiset — hence tf/dl/df/stats — is exactly unchanged (asserted in
+    tests/test_skew_stress.py)."""
+    from ..functions.text import chunked_token_stream
+
+    return chunked_token_stream(docs, id_col, text_col).select(
+        "doc_id", F.explode("toks").alias("term")
     )
 
 

@@ -1384,12 +1384,17 @@ GROUP BY doc_id
     "distinct doc; hash-only shuffles, exact-int emitted fraction",
 )
 def duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import word_shingles_from_tokens
+    from ..functions.text import chunked_token_stream, word_shingles_from_tokens
 
     d = load_table(spark, sf_dir, "documents")
+    # chunked_token_stream(overlap=7) bounds the per-task shingle explode
+    # under doc-length skew: a monster doc's 8-gram starts split exactly
+    # across redistributed slices (multiset unchanged — the oracle still
+    # shingles the whole doc in one pass)
     g = (
-        d.filter(F.length(F.trim("text")) > 0)
-        .select("doc_id", tokens(norm_text(F.col("text"))).alias("toks"))
+        chunked_token_stream(
+            d.filter(F.length(F.trim("text")) > 0), overlap=7
+        )
         .select(
             "doc_id",
             F.explode(
@@ -2099,9 +2104,14 @@ LIMIT 50
     "the oracle replays the identical walk as a recursive CTE",
 )
 def subword_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import chunked_token_stream
+
     d = load_table(spark, sf_dir, "documents")
+    # skew-bounded token stream: the only corpus-sized explode in this
+    # query; everything after operates on the distinct-word table
     words = (
-        d.select(F.explode(tokens(norm_text(F.col("text")))).alias("w"))
+        chunked_token_stream(d)
+        .select(F.explode("toks").alias("w"))
         .filter(F.length("w").between(2, 20))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
