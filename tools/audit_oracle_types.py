@@ -20,7 +20,16 @@ The DuckDB oracles execute at sf0.001.  For each oracled query it flags:
 - any DuckDB cell that materializes as list/ndarray/dict;
 - any column integral on the Spark side but float64 out of DuckDB with all
   integral values (the HUGEINT signature);
-- name-set mismatches between the two sides (hash would fail on schema).
+- name-set mismatches between the two sides (hash would fail on schema);
+- ROUNDING HALF-TIES (VERDICT r06 #7): for every ``round(expr, N) AS col``
+  emission found in the oracle SQL, any value within 1e-9 of an exact
+  half-tie (…5 at the N+1-th decimal).  Spark rounds the double's exact
+  binary expansion HALF_UP via BigDecimal while DuckDB rounds in double
+  arithmetic, so a value ON (or within double-noise of) the boundary can
+  round apart between engines — today's fixtures may pass while a
+  regenerated fixture flips one.  Ties that occur BY CONSTRUCTION (ratios
+  of small integers, NDCG-style) must move to the exact 1e6 integer grid
+  instead (the convention note in queries/__init__.py).
 
 Usage: python tools/audit_oracle_types.py [sf_dir]
 Exit 0 = clean, 1 = findings printed.
@@ -29,6 +38,7 @@ Exit 0 = clean, 1 = findings printed.
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 import duckdb
@@ -84,6 +94,21 @@ def main() -> int:
                 f"oracle={sorted(odf.columns)}"
             )
             continue
+        # rounded emissions: parse `round(expr, N) AS col` from the oracle
+        # (one paren-nesting level), plus the repo's `*_r` naming
+        # convention (round 4) as a fallback for exprs the regex misses
+        rounded_cols = {
+            m.group(2): int(m.group(1))
+            for m in re.finditer(
+                r"round\([^()]*(?:\([^()]*\)[^()]*)*,\s*(\d+)\s*\)\s+"
+                r"AS\s+(\w+)",
+                oracles[name],
+                re.IGNORECASE,
+            )
+        }
+        for col in odf.columns:
+            if col not in rounded_cols and col.endswith("_r"):
+                rounded_cols[col] = 4
         for col in odf.columns:
             s = odf[col]
             if s.dtype == object:
@@ -95,7 +120,23 @@ def main() -> int:
                         f"{name}: oracle column {col!r} materializes "
                         "list/array cells — unhashable in the driver"
                     )
-            elif s.dtype == np.float64 and isinstance(
+            elif s.dtype == np.float64 and col in rounded_cols:
+                # half-tie proximity: |frac(v * 10^dp) - 0.5| inside 1e-9
+                # means the emission sits on (or within double-noise of)
+                # the rounding boundary — engine-divergence risk
+                dp = rounded_cols[col]
+                vals = s.dropna().to_numpy()
+                if len(vals):
+                    frac = np.abs(np.mod(np.abs(vals) * 10.0 ** dp, 1.0) - 0.5)
+                    n_ties = int((frac < 1e-9).sum())
+                    if n_ties:
+                        findings.append(
+                            f"{name}: column {col!r} has {n_ties} value(s) "
+                            f"within 1e-9 of a round(_, {dp}) half-tie — "
+                            "move the emission to the exact 1e6 integer "
+                            "grid (queries/__init__.py conventions)"
+                        )
+            if s.dtype == np.float64 and isinstance(
                 spark_types[col], integral_spark
             ):
                 # NULL-containing int64 also comes back float64 from pandas,

@@ -15,6 +15,16 @@ Conventions (driver contract):
 - DuckDB widens sum(INTEGER/BIGINT) to HUGEINT, which pandas materializes
   as float64 — every integer-sum output column in an oracle must be wrapped
   ``CAST(sum(...) AS BIGINT)`` so the hash sees bigint on both sides;
+- ROUNDING TIES: ``round(x, 4)`` emissions are only engine-stable while no
+  value sits ON the half-tie boundary (…00005): Spark rounds the double's
+  exact binary expansion HALF_UP via BigDecimal, DuckDB computes in double
+  arithmetic — a true tie (or a value within double-noise of one) can round
+  apart. Scores that can tie by construction (NDCG-style ratios of small
+  integers) must be emitted on an exact integer grid (``CAST(round(x * 1e6)
+  AS BIGINT)`` — the 1e6-grid idiom) instead of round(_, 4); for everything
+  else tools/audit_oracle_types.py measures each rounded column's distance
+  to the nearest half-tie and flags anything inside 1e-9 — run it after
+  adding a rounded column or regenerating fixtures;
 - oracle=None marks genuinely non-SQL-expressible operators (ANN, model
   inference, streaming state) — the driver records a rows-only check.
 """
