@@ -565,3 +565,201 @@ def test_heavy_hitters_eviction_bounds(spark, tmp_path):
     for it, c in true.items():
         if c > n / 2:
             assert it in sk
+
+
+def test_gk_summary_bounds_pure():
+    """GK compression at capacity 8 over 500 pseudo-random distinct
+    values: every queried rank lands within the summary's self-described
+    error (max(g+d)//2), that error is <= n/capacity, and the summary
+    stays far below the raw value count."""
+    import math
+
+    from vectordb_acc_and_speed_exp_spark.streaming.events import (
+        gk_compress,
+        gk_insert,
+        gk_query_rank,
+    )
+
+    cap = 8
+    # deterministic pseudo-random permutation (no RNG): multiplicative walk
+    raw = [((i * 2654435761) % 4294967296) / 4294967296 for i in range(500)]
+    vs, gs, ds = [], [], []
+    for n, x in enumerate(raw, start=1):
+        gk_insert(vs, gs, ds, x)
+        if len(vs) > cap:
+            gk_compress(vs, gs, ds, n, cap)
+    n = len(raw)
+    assert sum(gs) == n  # bands conserve mass
+    err = max(g + d for g, d in zip(gs, ds)) // 2
+    assert 0 < err <= n // cap
+    assert len(vs) < n // 4  # genuinely compressed
+    srt = sorted(raw)
+    rank_of = {v: i + 1 for i, v in enumerate(srt)}  # distinct values
+    for p in (0.05, 0.25, 0.5, 0.75, 0.9, 0.99):
+        r = max(1, math.ceil(p * n))
+        ans = gk_query_rank(vs, gs, ds, r)
+        assert abs(rank_of[ans] - r) <= err, (p, r, rank_of[ans], err)
+
+
+def test_gk_exact_path_is_sorted_multiset():
+    """Below capacity no band merges: the summary is the sorted multiset
+    (dup values included), queries return the exact rank element, and
+    the walk is arrival-order independent."""
+    from vectordb_acc_and_speed_exp_spark.streaming.events import (
+        gk_insert,
+        gk_query_rank,
+    )
+
+    for order in ([5.0, 1.0, 3.0, 3.0, 2.0], [3.0, 3.0, 2.0, 5.0, 1.0]):
+        vs, gs, ds = [], [], []
+        for x in order:
+            gk_insert(vs, gs, ds, x)
+        assert vs == [1.0, 2.0, 3.0, 3.0, 5.0]
+        assert gs == [1] * 5 and ds == [0] * 5
+        for r, want in [(1, 1.0), (3, 3.0), (4, 3.0), (5, 5.0)]:
+            assert gk_query_rank(vs, gs, ds, r) == want
+
+
+def test_streaming_quantiles_exact_under_capacity(spark, sf_dir):
+    """total values per group <= capacity -> no GK merges -> every
+    emitted quantile equals the exact rank-ceil(p*n) element of the
+    batch sort, err == 0 (the property the oracle gate hash-checks)."""
+    import math
+
+    from vectordb_acc_and_speed_exp_spark.io import load_table
+    from vectordb_acc_and_speed_exp_spark.streaming.events import (
+        latest_sketch,
+        quantile_sketch_stream,
+        read_events_stream,
+        run_stream_to_batch,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    snaps = run_stream_to_batch(
+        quantile_sketch_stream(stream, capacity=32768), mode="append"
+    )
+    got = {
+        (r.grp, r.q_pct): (r.est_cents, r.n, r.max_rank_err)
+        for r in latest_sketch(snaps, key="grp").collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    by_grp = {}
+    for row in e.select("event_type", "value").collect():
+        if row.value is not None:
+            by_grp.setdefault(row.event_type, []).append(row.value)
+    assert set(g for g, _ in got) == set(by_grp)
+    for grp, vals in by_grp.items():
+        vals.sort()
+        n = len(vals)
+        for q in (50, 90, 99):
+            r = max(1, math.ceil((q / 100.0) * n))
+            est, got_n, err = got[(grp, q)]
+            assert got_n == n and err == 0
+            assert est == int(round(vals[r - 1] * 100))
+
+
+def test_streaming_quantiles_compression_bounds(spark, tmp_path):
+    """capacity 8 with 64 distinct values forces GK merges in the stream
+    itself: emitted err must be positive and <= n/capacity, and each
+    estimate's true rank within err of the target."""
+    import datetime
+    import math
+
+    from vectordb_acc_and_speed_exp_spark.streaming.events import (
+        latest_sketch,
+        quantile_sketch_stream,
+        run_stream_to_batch,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    # x100 so all 64 values stay distinct on the cents grid (verified)
+    raw = [
+        ((i * 2654435761) % 4294967296) / 4294967296 * 100 for i in range(64)
+    ]
+    rows = [
+        (base + datetime.timedelta(minutes=i), "m", x)
+        for i, x in enumerate(raw)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    src = str(tmp_path / "qk_src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(src)
+    snaps = run_stream_to_batch(
+        quantile_sketch_stream(stream, capacity=8), mode="append"
+    )
+    got = {r.q_pct: r for r in latest_sketch(snaps, key="grp").collect()}
+    n = len(raw)
+    srt = sorted(raw)
+    rank_of = {int(round(v * 100)): i + 1 for i, v in enumerate(srt)}
+    # cents collide on a 64-point unit grid? ensure ranks stay resolvable
+    assert len(rank_of) == n
+    for q in (50, 90, 99):
+        r = got[q]
+        assert r.n == n
+        assert 0 < r.max_rank_err <= n // 8
+        target = max(1, math.ceil((q / 100.0) * n))
+        assert abs(rank_of[r.est_cents] - target) <= r.max_rank_err
+
+
+def test_streaming_distinct_exact_under_capacity(spark, sf_dir):
+    """true distinct <= capacity -> no truncation -> the emitted count
+    equals the exact batch COUNT(DISTINCT) per group, exact flag set."""
+    from vectordb_acc_and_speed_exp_spark.io import load_table
+    from vectordb_acc_and_speed_exp_spark.streaming.events import (
+        distinct_sketch_stream,
+        latest_sketch,
+        read_events_stream,
+        run_stream_to_batch,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    snaps = run_stream_to_batch(
+        distinct_sketch_stream(stream, capacity=4096), mode="append"
+    )
+    got = {
+        r.grp: (r.est_distinct, r.exact, r.n_seen)
+        for r in latest_sketch(snaps, key="grp").collect()
+    }
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    exact = {
+        r.event_type: (r.d, r.n)
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for grp, (d, n) in exact.items():
+        assert got[grp] == (d, 1, n)
+
+
+def test_streaming_distinct_kmv_estimator_bounds(spark, tmp_path):
+    """capacity 8 with 64 distinct items forces truncation: the KMV
+    estimator must flag inexactness and land within its coarse error
+    band (k=8 -> ~40% relative error; assert within a factor of 2.5,
+    deterministic given the fixed hash family)."""
+    import datetime
+
+    from vectordb_acc_and_speed_exp_spark.streaming.events import (
+        distinct_sketch_stream,
+        latest_sketch,
+        run_stream_to_batch,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(minutes=i), "m", i % 64) for i in range(128)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, user_id bigint")
+    src = str(tmp_path / "kmv_src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, user_id bigint"
+    ).parquet(src)
+    snaps = run_stream_to_batch(
+        distinct_sketch_stream(stream, capacity=8), mode="append"
+    )
+    (r,) = latest_sketch(snaps, key="grp").collect()
+    assert r.exact == 0 and r.n_seen == 128
+    assert 64 / 2.5 <= r.est_distinct <= 64 * 2.5

@@ -209,9 +209,11 @@ def _filtered_auto(
             f"filtered-auto chooser picked {plan}, expected {expect!r} — "
             "the fixture's size/selectivity no longer lands on this branch"
         )
+    # pin the asserted exact-count plan: the oracle hash assumes THIS
+    # branch; the production estimator path is covered by test_filtered
     res = filtered_knn_auto(
         _query_set(spark, sf_dir), spark, corpus_path, cents,
-        predicate=predicate, k=10, item_id="vec_id", **knobs,
+        predicate=predicate, k=10, item_id="vec_id", plan=plan, **knobs,
     )
     return res.select(
         "query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r")
@@ -1512,4 +1514,121 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return latest_sketch(snaps).select(
         "shard", "item", "est_count", "max_err", "n_shard"
+    )
+
+
+# -- Streaming quantile maintenance (Greenwald–Khanna sketch) --------------
+@register(
+    "streaming_quantiles",
+    oracle="""
+WITH vals AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), q(q_pct, p) AS (VALUES (50, 0.5), (90, 0.9), (99, 0.99))
+SELECT event_type AS grp, CAST(q_pct AS BIGINT) AS q_pct,
+       CAST(round(value * 100) AS BIGINT) AS est_cents,
+       CAST(n AS BIGINT) AS n,
+       CAST(0 AS BIGINT) AS max_rank_err
+FROM vals JOIN q ON vals.rk = CAST(ceil(q.p * vals.n) AS BIGINT)
+""",
+    doc="streaming Greenwald–Khanna quantile summaries "
+    "(applyInPandasWithState, per-event-type O(capacity) state, snapshot "
+    "rows per batch): while total values per group <= capacity no band is "
+    "ever merged, the summary is the sorted multiset and p50/p90/p99 are "
+    "exact at rank ceil(p*n) — the percentile_disc convention, written as "
+    "an explicit row_number rank join so both engines share one double "
+    "expression instead of an internal convention; the GK compression "
+    "path (eps = 1/capacity) is pinned at capacity 8 in "
+    "tests/test_streaming.py",
+)
+def streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import (
+        latest_sketch,
+        quantile_sketch_stream,
+        read_events_stream,
+        run_stream_to_batch,
+    )
+
+    # exactness precondition, enforced loudly (same discipline as
+    # streaming_heavy_hitters): the oracle is the exact rank join, valid
+    # ONLY while no group outgrew the summary capacity (no GK merges)
+    capacity = 32768
+    ev = load_table(spark, sf_dir, "events")
+    worst = (
+        ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy("event_type")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    if worst is not None and worst > capacity:
+        raise ValueError(
+            f"streaming_quantiles: {worst} values in one event_type group "
+            f"exceeds sketch capacity {capacity} — the exactness "
+            "precondition of the oracle no longer holds; raise capacity "
+            "or re-derive the oracle with GK rank-error bounds"
+        )
+    stream = read_events_stream(spark, sf_dir)
+    snaps = run_stream_to_batch(
+        quantile_sketch_stream(stream, capacity=capacity), mode="append"
+    )
+    return latest_sketch(snaps, key="grp").select(
+        "grp", "q_pct", "est_cents", "n", "max_rank_err"
+    )
+
+
+# -- Streaming distinct-count maintenance (KMV sketch) ---------------------
+@register(
+    "streaming_distinct_users",
+    oracle="""
+SELECT event_type AS grp,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS est_distinct,
+       CAST(1 AS INT) AS exact,
+       CAST(count(*) AS BIGINT) AS n_seen
+FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+""",
+    doc="streaming KMV distinct-count sketches (applyInPandasWithState, "
+    "per-event-type O(capacity) state holding the capacity smallest "
+    "distinct portable_hash64 values, hashed JVM-side): while true "
+    "distinct <= capacity nothing is truncated and the count is exact "
+    "and order-independent — the oracle is the exact COUNT(DISTINCT); "
+    "the KMV estimator path ((k-1)*2^60/kth_min) is pinned at capacity "
+    "8 in tests/test_streaming.py — completes the ingest sketch suite "
+    "(frequency/quantiles/cardinality)",
+)
+def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import (
+        distinct_sketch_stream,
+        latest_sketch,
+        read_events_stream,
+        run_stream_to_batch,
+    )
+
+    # exactness precondition, enforced loudly (same discipline as the
+    # other sketch entries): the oracle is exact COUNT(DISTINCT), valid
+    # ONLY while no group's true cardinality outgrew the sketch
+    capacity = 4096
+    ev = load_table(spark, sf_dir, "events")
+    worst = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .agg(F.max("d"))
+        .first()[0]
+    )
+    if worst is not None and worst > capacity:
+        raise ValueError(
+            f"streaming_distinct_users: {worst} distinct user_ids in one "
+            f"event_type group exceeds sketch capacity {capacity} — the "
+            "exactness precondition of the oracle no longer holds; raise "
+            "capacity or accept the KMV estimate with its error band"
+        )
+    stream = read_events_stream(spark, sf_dir)
+    snaps = run_stream_to_batch(
+        distinct_sketch_stream(stream, capacity=capacity), mode="append"
+    )
+    return latest_sketch(snaps, key="grp").select(
+        "grp", "est_distinct", "exact", "n_seen"
     )

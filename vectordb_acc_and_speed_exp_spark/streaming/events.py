@@ -364,15 +364,275 @@ def heavy_hitters_stream(
     )
 
 
-def latest_sketch(snapshots: DataFrame) -> DataFrame:
-    """The live sketch from heavy-hitters snapshots: per shard, the rows of
-    the highest batch sequence number (shards untouched by late batches
-    keep their last emitted snapshot)."""
+def latest_sketch(snapshots: DataFrame, key: str = "shard") -> DataFrame:
+    """The live sketch from per-key snapshot streams (heavy hitters,
+    quantile sketches): per key, the rows of the highest batch sequence
+    number (keys untouched by late batches keep their last emitted
+    snapshot)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("shard").orderBy(F.desc("batch_seq"))
+    w = Window.partitionBy(key).orderBy(F.desc("batch_seq"))
     return (
         snapshots.withColumn("_r", F.dense_rank().over(w))
         .filter(F.col("_r") == 1)
         .drop("_r")
+    )
+
+
+def gk_insert(vs: list, gs: list, ds: list, x: float) -> None:
+    """One Greenwald–Khanna insertion (GK01 §2.3) into the parallel-array
+    summary (vs sorted; gs/ds the G and Delta bands): the new interior
+    tuple inherits ``d = g_succ + d_succ - 1`` (its rank uncertainty is
+    exactly its successor's band), extremes insert with d = 0.  While no
+    compression has happened every tuple is (v, 1, 0) and vs IS the
+    sorted multiset.  bisect on vs directly — O(log n) search + O(n)
+    list insert, no per-insert key-list rebuild."""
+    import bisect
+
+    i = bisect.bisect_left(vs, x)
+    d = 0 if i == 0 or i == len(vs) else gs[i] + ds[i] - 1
+    vs.insert(i, x)
+    gs.insert(i, 1)
+    ds.insert(i, d)
+
+
+def gk_compress(vs: list, gs: list, ds: list, n: int, capacity: int) -> None:
+    """Merge adjacent GK tuples while the combined band fits in
+    ``2n/capacity`` (the GK invariant with eps = 1/capacity), scanning
+    right-to-left; min and max tuples are never merged away.  Post-
+    condition: every surviving band satisfies g + d <= 2n/capacity, so
+    rank queries are within ~n/capacity."""
+    threshold = (2 * n) // capacity
+    i = len(vs) - 2
+    while i >= 1:
+        if gs[i] + gs[i + 1] + ds[i + 1] <= threshold:
+            gs[i + 1] += gs[i]  # successor absorbs g; its v and d stand
+            del vs[i], gs[i], ds[i]
+        i -= 1
+
+
+def gk_query_rank(vs: list, gs: list, ds: list, r: int) -> float:
+    """Value at (1-based) target rank r per the GK query rule: the first
+    tuple whose max possible rank ``rmin + d`` exceeds ``r + err`` ends
+    the walk and the previous value answers.  err = max(g+d)//2 over the
+    summary — self-describing, and exactly 0 on the uncompressed path
+    (all g=1, d=0), where this walk returns the sorted element at rank r
+    bit-for-bit."""
+    err = max(g + d for g, d in zip(gs, ds)) // 2
+    rmin = 0
+    prev_v = vs[0]
+    for v, g, d in zip(vs, gs, ds):
+        rmin += g
+        if rmin + d > r + err:
+            return prev_v
+        prev_v = v
+    return vs[-1]
+
+
+def quantile_sketch_stream(
+    events: DataFrame,
+    capacity: int = 32768,
+    q_pcts: tuple = (50, 90, 99),
+    value_col: str = "value",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Streaming quantile maintenance: Greenwald–Khanna summaries
+    (Greenwald & Khanna 2001, "Space-efficient online computation of
+    quantile summaries") kept fresh at ingest via applyInPandasWithState
+    — the latency/size-percentile monitor a training-data ingest pipeline
+    runs next to dedup-at-ingest and heavy hitters.
+
+    Per group the state is the GK triple list [(v, g, d)] sorted by v:
+    inserts are exact (g=1), and only when the summary outgrows
+    ``capacity`` does gk_compress merge bands (eps = 1/capacity).  While
+    total values <= capacity nothing is ever merged, the summary is the
+    sorted multiset, and every emitted quantile is EXACT and arrival-
+    order-independent — the property the oracled query
+    ``streaming_quantiles`` hash-checks end-to-end (target rank
+    ``ceil(p*n)``, the percentile_disc convention, computed with the
+    same double expression in both engines); the compression path is
+    pinned by unit tests at capacity 8.
+
+    Each batch that touches a group re-emits the group's quantile rows as
+    a snapshot tagged with a per-group batch sequence number (append
+    mode); the live answer is the max-seq snapshot per group
+    (latest_sketch(key="grp")).  ``max_rank_err`` is the summary's
+    max(g+d)//2 — 0 on the exact path.
+
+    Scale: state is O(capacity) per group, groups bound parallelism, and
+    per-batch work is O(batch log capacity + capacity) per touched group
+    — corpus size never enters."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "grp string, q_pct bigint, est_cents bigint, n bigint, "
+        "max_rank_err bigint, batch_seq bigint"
+    )
+    state_schema = (
+        "vs array<double>, gs array<bigint>, ds array<bigint>, "
+        "n_total bigint, seq bigint"
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        (grp,) = key
+        if state.exists:
+            svs, sgs, sds, n_total, seq = state.get
+            vs, gs, ds = list(svs), [int(g) for g in sgs], [int(d) for d in sds]
+            n_total, seq = int(n_total), int(seq)
+        else:
+            vs, gs, ds, n_total, seq = [], [], [], 0, 0
+        for pdf in pdf_iter:
+            for x in pdf["val"]:
+                gk_insert(vs, gs, ds, float(x))
+                n_total += 1
+                if len(vs) > capacity:
+                    gk_compress(vs, gs, ds, n_total, capacity)
+        seq += 1
+        state.update((vs, gs, ds, n_total, seq))
+        err = max(g + d for g, d in zip(gs, ds)) // 2 if vs else 0
+        yield pd.DataFrame(
+            [
+                {
+                    "grp": grp,
+                    "q_pct": q,
+                    # same double expression as the oracle's rank join:
+                    # ceil((q/100) * n) — percentile_disc's convention
+                    "est_cents": int(
+                        round(
+                            gk_query_rank(
+                                vs, gs, ds, max(1, math.ceil((q / 100.0) * n_total))
+                            )
+                            * 100
+                        )
+                    ),
+                    "n": n_total,
+                    "max_rank_err": err,
+                    "batch_seq": seq,
+                }
+                for q in q_pcts
+                if vs
+            ]
+        )
+
+    staged = (
+        events.withWatermark("ts", "2 hours")
+        # NaN/null would silently break the bisect ordering inside the
+        # summary — drop them here, and the oracle filters identically
+        .filter(
+            F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+        )
+        .select(
+            F.col("ts"),
+            F.col(group_col).cast("string").alias("grp_key"),
+            F.col(value_col).cast("double").alias("val"),
+        )
+    )
+    return staged.groupBy("grp_key").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_KMV_HASH_RANGE = 1 << 60  # portable_hash64 is a 60-bit non-negative int
+
+
+def distinct_sketch_stream(
+    events: DataFrame,
+    capacity: int = 4096,
+    item_col: str = "user_id",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Streaming distinct-count maintenance: KMV (k-minimum-values,
+    Bar-Yossef et al. 2002 / Beyer et al. 2007) sketches kept fresh at
+    ingest via applyInPandasWithState — the per-source unique-users /
+    unique-documents monitor that completes the ingest sketch suite next
+    to heavy hitters (frequency) and GK summaries (quantiles).
+
+    Hashing happens JVM-side (portable_hash64 — the repo's engine-
+    reproducible 60-bit hash); Python state is only the set of the
+    ``capacity`` smallest distinct hashes per group plus a truncation
+    flag.  While the group's true distinct count <= capacity nothing is
+    ever truncated and the sketch IS the distinct hash set — the emitted
+    count is EXACT and arrival-order-independent, the property the
+    oracled query ``streaming_distinct_users`` hash-checks end-to-end.
+    Past capacity the classic KMV estimator takes over:
+    ``(capacity - 1) * 2^60 / kth_min`` (relative error ~1/sqrt(capacity),
+    deterministic given the hash family); that path is pinned by unit
+    tests at capacity 8.
+
+    Each batch that touches a group re-emits one snapshot row tagged
+    with a per-group batch sequence number (append mode); the live
+    answer is the max-seq row per group (latest_sketch(key="grp")).
+
+    Scale: state is O(capacity) per group, per-batch work is
+    O(batch + capacity · log) per touched group — corpus size never
+    enters, and the sketch merges by set-union (the same code path) so
+    shard fan-in at 1000 executors is the identical operation."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.hashing import portable_hash64
+
+    out_schema = (
+        "grp string, est_distinct bigint, exact int, n_seen bigint, "
+        "batch_seq bigint"
+    )
+    state_schema = (
+        "hs array<bigint>, truncated boolean, n_total bigint, seq bigint"
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        (grp,) = key
+        if state.exists:
+            hs, truncated, n_total, seq = state.get
+            mins = set(int(h) for h in hs)
+            truncated, n_total, seq = bool(truncated), int(n_total), int(seq)
+        else:
+            mins, truncated, n_total, seq = set(), False, 0, 0
+        for pdf in pdf_iter:
+            n_total += len(pdf)
+            mins.update(int(h) for h in pdf["h"])
+        if len(mins) > capacity:
+            truncated = True
+            mins = set(sorted(mins)[:capacity])
+        seq += 1
+        state.update((sorted(mins), truncated, n_total, seq))
+        if truncated:
+            kth = max(mins)  # the capacity-th smallest distinct hash
+            est = (capacity - 1) * _KMV_HASH_RANGE // max(kth, 1)
+        else:
+            est = len(mins)
+        yield pd.DataFrame(
+            [
+                {
+                    "grp": grp,
+                    "est_distinct": est,
+                    "exact": 0 if truncated else 1,
+                    "n_seen": n_total,
+                    "batch_seq": seq,
+                }
+            ]
+        )
+
+    staged = (
+        events.withWatermark("ts", "2 hours")
+        .filter(F.col(item_col).isNotNull())
+        .select(
+            F.col("ts"),
+            F.col(group_col).cast("string").alias("grp_key"),
+            portable_hash64(F.col(item_col).cast("string")).alias("h"),
+        )
+    )
+    return staged.groupBy("grp_key").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
