@@ -151,7 +151,7 @@ def test_ivf_branch_full_widen_equals_ground_truth(spark, embeddings, ivf_corpus
     assert plan["n_probe"] == cents.count()
     got = filtered_knn_auto(
         qset, spark, path, cents, predicate=pred, k=10, item_id="vec_id",
-        exact_crossover_n=0, prune_win_frac=1.1,
+        plan=plan, exact_crossover_n=0, prune_win_frac=1.1,
     )
     want = exact_knn(
         qset, embeddings.filter(pred), k=10, metric="l2", item_id="vec_id"
@@ -172,8 +172,73 @@ def test_ivf_branch_partial_probe_respects_predicate(spark, ivf_corpus, qset):
     assert plan["n_probe"] < cents.count()  # genuinely partial
     got = filtered_knn_auto(
         qset, spark, path, cents, predicate=pred, k=10, item_id="vec_id",
-        exact_crossover_n=0, prune_win_frac=1.1, widen_factor=2.0,
+        plan=plan, exact_crossover_n=0, prune_win_frac=1.1, widen_factor=2.0,
     ).collect()
     assert len(got) == 3 * 10
     surv = {r.vec_id for r in spark.read.parquet(path).filter(pred).collect()}
     assert all(r.item_id in surv for r in got)
+
+
+def test_plan_estimate_partition_pruned_sample(spark, embeddings, ivf_corpus):
+    """estimate=True keeps n_corpus exact (footer-only count) and derives
+    the selectivity ratio from a partition-pruned sample of cells <
+    ceil(n_cells/8) — survivors estimate = ratio x n_corpus, in [0, n],
+    and the decision at this size is exact either way."""
+    path, cents = ivf_corpus
+    n_cells = cents.count()
+    exact = plan_filtered_knn(spark, path, "label < 3", n_cells, k=10)
+    est = plan_filtered_knn(
+        spark, path, "label < 3", n_cells, k=10, estimate=True
+    )
+    assert est["n_corpus"] == exact["n_corpus"]
+    assert 0 <= est["n_survivors"] <= est["n_corpus"]
+    assert est["strategy"] == "exact"
+
+
+def test_filtered_auto_plan_cache(spark, embeddings, ivf_corpus, qset):
+    """The decision is memoized per (layout, predicate, k, knobs) under a
+    layout fingerprint: a second call reuses the plan without touching
+    plan_filtered_knn; rewriting the layout invalidates it."""
+    import os
+    import time
+
+    import vectordb_acc_and_speed_exp_spark.operators.filtered as filt
+
+    path, cents = ivf_corpus
+    filt.clear_plan_cache()
+    filtered_knn_auto(
+        qset, spark, path, cents, predicate="label < 3", k=10, item_id="vec_id"
+    ).count()
+    assert len(filt._PLAN_CACHE) == 1
+    (key,) = filt._PLAN_CACHE
+    fp0 = filt._PLAN_CACHE[key]["fingerprint"]
+
+    calls = {"n": 0}
+    orig = filt.plan_filtered_knn
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    filt.plan_filtered_knn = counting
+    try:
+        filtered_knn_auto(
+            qset, spark, path, cents, predicate="label < 3", k=10,
+            item_id="vec_id",
+        ).count()
+        assert calls["n"] == 0  # cache hit — no re-plan
+        # a layout touch (what any cell upsert does) bumps the fingerprint
+        entry = next(
+            e.path for e in os.scandir(path) if e.name.startswith("cell=")
+        )
+        t = time.time() + 2
+        os.utime(entry, (t, t))
+        assert filt._layout_fingerprint(path) != fp0
+        filtered_knn_auto(
+            qset, spark, path, cents, predicate="label < 3", k=10,
+            item_id="vec_id",
+        ).count()
+        assert calls["n"] == 1  # re-planned exactly once
+    finally:
+        filt.plan_filtered_knn = orig
+        filt.clear_plan_cache()
