@@ -107,6 +107,10 @@ HEADLINE = [
     "bpe_top_merges",
     "retrieval_eval_metrics",
     "rm3_expanded_search",
+    # round-7 additions (appended — earlier entries keep their order)
+    "streaming_quantiles",
+    "streaming_distinct_users",
+    "filtered_auto_exact_branch",
 ]
 
 

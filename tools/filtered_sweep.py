@@ -113,6 +113,30 @@ def main(sizes: list[int]) -> None:
                     return exact_knn(qs, corpus, k=K, item_id="vec_id")
 
                 sec_exact = timed(lambda: exact_filtered().count())
+
+                # the chooser (operators/filtered.py): timed END-TO-END.
+                # The warm call pays the (sampled) planning scans and
+                # fills the plan cache; the timed call is the cached-plan
+                # serve — the honest repeat-query cost of mode="auto".
+                # MUST be timed BEFORE gt is persisted below: the exact
+                # branch's logical plan is identical to gt's, and Spark's
+                # cache manager substitutes cached data for plan-equal
+                # subtrees — timing after the persist times a cache read
+                # (0.4 s vs the real 1.2 s at 100k; caught in round 7).
+                from vectordb_acc_and_speed_exp_spark.operators.filtered import (
+                    filtered_knn_auto,
+                    plan_filtered_knn,
+                )
+
+                def auto():
+                    return filtered_knn_auto(
+                        qs, spark, corpus_path, cents,
+                        predicate=F.col("sel_bucket") < m,
+                        k=K, item_id="vec_id",
+                    )
+
+                sec_auto = timed(lambda: auto().count())
+
                 gt = exact_filtered().persist()
                 gt.count()  # materialize for the recall joins below
 
@@ -173,21 +197,6 @@ def main(sizes: list[int]) -> None:
                 )
                 n_post = postfilter().count()
 
-                # the chooser (operators/filtered.py): timed END-TO-END
-                # including its survivor-count planning scans — the honest
-                # serve cost of mode="auto"
-                from vectordb_acc_and_speed_exp_spark.operators.filtered import (
-                    filtered_knn_auto,
-                    plan_filtered_knn,
-                )
-
-                def auto():
-                    return filtered_knn_auto(
-                        qs, spark, corpus_path, cents, predicate=F.col("sel_bucket") < m,
-                        k=K, item_id="vec_id",
-                    )
-
-                sec_auto = timed(lambda: auto().count())
                 rec_auto = (
                     mean_recall(recall_at_k(gt, auto(), K)).collect()[0][0]
                 )

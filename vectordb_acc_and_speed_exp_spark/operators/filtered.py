@@ -147,8 +147,12 @@ def plan_filtered_knn(
 # Plan cache: a (layout, predicate shape, k, knobs) -> decision memo with a
 # layout fingerprint, exactly the role of a DB's plan/statistics cache.
 # Repeated queries with the same filter shape plan once; an upsert to any
-# cell directory bumps the fingerprint and forces a re-plan.
+# cell directory bumps the fingerprint and forces a re-plan.  Bounded: a
+# long-lived service seeing unboundedly many predicate shapes must not
+# leak driver memory — oldest entry falls out past the cap (dict preserves
+# insertion order).
 _PLAN_CACHE: dict = {}
+_PLAN_CACHE_MAX = 1024
 
 
 def _layout_fingerprint(path: str) -> tuple:
@@ -226,6 +230,8 @@ def filtered_knn_auto(
                 estimate=True, **knobs
             )
             plan["fingerprint"] = fp
+            while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+                _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
             _PLAN_CACHE[cache_key] = plan
     if plan["strategy"] == "exact":
         corpus = spark.read.parquet(corpus_path).filter(predicate)

@@ -484,9 +484,20 @@ def quantile_sketch_stream(
             n_total, seq = int(n_total), int(seq)
         else:
             vs, gs, ds, n_total, seq = [], [], [], 0, 0
-        for pdf in pdf_iter:
-            for x in pdf["val"]:
-                gk_insert(vs, gs, ds, float(x))
+        vals = [float(x) for pdf in pdf_iter for x in pdf["val"]]
+        if n_total == len(vs) and len(vs) + len(vals) <= capacity:
+            # exact regime (no band has ever merged: every tuple (v,1,0))
+            # and the batch keeps it that way -> the summary is just the
+            # sorted multiset, so merge wholesale instead of per-element
+            # list inserts (O((n+b) log) vs O(n*b) — the 100k-events
+            # bench path)
+            vs = sorted(vs + vals)
+            gs = [1] * len(vs)
+            ds = [0] * len(vs)
+            n_total = len(vs)
+        else:
+            for x in vals:
+                gk_insert(vs, gs, ds, x)
                 n_total += 1
                 if len(vs) > capacity:
                     gk_compress(vs, gs, ds, n_total, capacity)
