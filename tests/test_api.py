@@ -409,3 +409,41 @@ def test_ivfbq_and_mtlsh_freshness_after_add(store, spark, documents):
         ).collect()
         assert r[0].item_id == "star9", mode
     store.delete_collection("starcol")
+
+
+def test_optimize_compacts_then_clusters_collection(
+    spark, documents, tmp_path_factory
+):
+    """VectorStore.optimize: plain call compacts micro-batch file litter;
+    cluster_by rewrites the layout for scan-time pruning. Both are
+    content-identical (rows AND query answers unchanged) and leave the
+    lazily built indexes valid."""
+    import glob
+
+    vs = VectorStore(spark, str(tmp_path_factory.mktemp("optstore")), dim=16)
+    base = documents.limit(60).selectExpr("cast(doc_id as string) as id", "text")
+    vs.create_collection("papers", base.filter("id % 3 = 0"))
+    for rem in (1, 2):  # litter: per-add file sets
+        vs.add("papers", base.filter(f"id % 3 = {rem}"))
+    want = sorted(map(tuple, vs.get("papers").select("id", "text").collect()))
+    probe = vs.get("papers").limit(1).collect()[0]
+    vs.query("papers", query_texts=["warm"], k=1, mode="graph")  # build idx
+
+    n_b, n_a = vs.optimize("papers")
+    assert n_a <= n_b
+    files_compacted = len(glob.glob(vs._path("papers") + "/*.parquet"))
+    assert files_compacted == n_a
+    assert (
+        sorted(map(tuple, vs.get("papers").select("id", "text").collect()))
+        == want
+    )
+
+    vs.optimize("papers", cluster_by=["id"])
+    assert (
+        sorted(map(tuple, vs.get("papers").select("id", "text").collect()))
+        == want
+    )
+    # the graph index survived both rewrites (content unchanged => valid)
+    top = vs.query("papers", query_texts=[probe.text], k=1, mode="graph")
+    assert top.collect()[0].item_id == probe.id
+    vs.delete_collection("papers")

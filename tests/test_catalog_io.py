@@ -89,6 +89,94 @@ def test_compact_table_preserves_rows(spark, embeddings, tmp_path):
     assert not os.path.exists(path + "._pre_compact")
 
 
+def _file_stats(path: str, column: str) -> list[tuple]:
+    """Per-file (min, max) footer statistics for one column — the physical
+    evidence the scan-time pruning argument rests on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(column)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        out.append((min(mins), max(maxs)))
+    return out
+
+
+def test_optimize_layout_clusters_and_preserves_rows(spark, embeddings, tmp_path):
+    """Interleaved appends give every file a full-domain [min, max] on the
+    cluster column (nothing can skip); after optimize_layout the per-file
+    ranges are disjoint, so an equality predicate's pushed filter prunes to
+    a strict subset of files — and the rows are bit-identical."""
+    import os
+
+    from vectordb_acc_and_speed_exp_spark.io.catalog import optimize_layout
+
+    path = str(tmp_path / "clust")
+    src = embeddings.select("vec_id", "label")
+    for i in range(4):
+        src.filter((F.col("vec_id") % 4) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    want = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    before = _file_stats(path, "label")
+    lo = min(mn for mn, _ in before)
+    hi = max(mx for _, mx in before)
+    assert all((mn, mx) == (lo, hi) for mn, mx in before), (
+        "fixture must start unclustered (full-domain stats per file)"
+    )
+
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    n_before, n_after = optimize_layout(
+        spark, path, ["label"], target_bytes_per_file=max(1, total // 4)
+    )
+    assert n_before == 4 and n_after >= 2
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+    assert not os.path.exists(path + "._compact_staged")
+    assert not os.path.exists(path + "._pre_compact")
+
+    after = sorted(_file_stats(path, "label"))
+    # range partitioning sends equal keys to one partition: file ranges
+    # are pairwise disjoint, not merely touching
+    for (_, prev_max), (cur_min, _) in zip(after, after[1:]):
+        assert prev_max < cur_min
+    probe = after[0][1]  # a real label value
+    containing = [1 for mn, mx in after if mn <= probe <= mx]
+    assert len(containing) < len(after)
+
+
+def test_optimize_layout_self_heals_from_crashed_prior_run(
+    spark, embeddings, tmp_path
+):
+    """optimize_layout shares _rewrite_in_place's crash discipline: a crash
+    between the two renames (data only at ._pre_compact) must roll back
+    BEFORE the initial scan — the directory does not exist until healed."""
+    import os
+
+    from vectordb_acc_and_speed_exp_spark.io.catalog import optimize_layout
+
+    path = str(tmp_path / "clust2")
+    embeddings.select("vec_id", "label").limit(100).write.mode(
+        "overwrite"
+    ).parquet(path)
+    want = sorted(map(tuple, spark.read.parquet(path).collect()))
+    os.rename(path, path + "._pre_compact")
+    optimize_layout(spark, path, ["label"])
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+    assert not os.path.exists(path + "._pre_compact")
+
+
 def test_ntz_epoch_stable_if_caller_restores_tz_before_action(spark, tmp_path):
     """The normalization must not rely on session-tz state set inside
     load_table: a caller who changes the session timezone AFTER load_table

@@ -112,6 +112,22 @@ class VectorStore:
         """First n records (ChromaDB ``collection.peek``)."""
         return self.get(name, limit=n)
 
+    def optimize(
+        self, name: str, cluster_by: list[str] | None = None
+    ) -> tuple[int, int]:
+        """Collection maintenance: compact the micro-batch file litter
+        add()/upsert() leave behind, optionally clustering on metadata
+        columns so subsequent ``where=`` predicates prune at scan time
+        (io/catalog.py optimize_layout — tight per-file min/max stats meet
+        the pushed filter). Content-identical, so the derived index
+        artifacts stay valid — no invalidation. Returns
+        (files_before, files_after)."""
+        from .io.catalog import compact_table, optimize_layout
+
+        if cluster_by:
+            return optimize_layout(self.spark, self._path(name), cluster_by)
+        return compact_table(self.spark, self._path(name))
+
     # -- writes (S7) -------------------------------------------------------
     def create_collection(
         self, name: str, docs: DataFrame, id_col: str = "id", text_col: str = "text"

@@ -1,3 +1,17 @@
-from .catalog import TABLES, load_table, load_tables, register_views
+from .catalog import (
+    TABLES,
+    compact_table,
+    load_table,
+    load_tables,
+    optimize_layout,
+    register_views,
+)
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views"]
+__all__ = [
+    "TABLES",
+    "compact_table",
+    "load_table",
+    "load_tables",
+    "optimize_layout",
+    "register_views",
+]

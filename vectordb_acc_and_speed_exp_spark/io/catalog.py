@@ -111,7 +111,98 @@ def compact_table(
     Row-identical by construction (same data, fewer files); partitioned
     layouts should compact per partition directory instead (call this on
     each ``cell=``/``snapshot=`` directory)."""
+    _heal_crashed_rewrite(path)
+    df = spark.read.parquet(path)
+    n_before, n_after = _sized_file_counts(df, target_bytes_per_file)
+    _rewrite_in_place(
+        path,
+        lambda staged: df.coalesce(n_after).write.mode("overwrite").parquet(staged),
+    )
+    return n_before, n_after
+
+
+def optimize_layout(
+    spark: SparkSession,
+    path: str,
+    cluster_by: list[str],
+    target_bytes_per_file: int = 128 << 20,
+) -> tuple[int, int]:
+    """Cluster a parquet directory on ``cluster_by`` so predicates on those
+    columns prune at scan time — the OPTIMIZE/CLUSTER BY maintenance job of
+    a table format, as a plain parquet rewrite.
+
+    Why this is a 100 TB lever: parquet footers carry per-file and
+    per-row-group min/max for every column, and Spark's scan pushes
+    predicates into the reader — but on an unclustered layout every file's
+    [min, max] spans the whole domain and nothing skips. After
+    ``repartitionByRange(cluster_by)`` + ``sortWithinPartitions``, each
+    output file owns a disjoint key range (sampled range boundaries keep
+    file sizes near-equal regardless of value skew — unlike a
+    ``partitionBy(col)`` dir-per-value layout, which explodes into small
+    files on high-cardinality keys), so an equality or range predicate on
+    the cluster key reads ~1/distinct-fraction of the bytes instead of all
+    of them. This composes with the filtered-search exact branch
+    (operators/filtered.py): a ``where=`` on a clustered metadata column
+    turns the exact-over-survivors full scan into a pruned scan with zero
+    logic changes — the pushed filter meets tight row-group stats.
+
+    Same crash discipline as :func:`compact_table` (staged next to the
+    original, two-rename swap, self-healing). Row-identical by
+    construction: only file assignment and intra-file order change.
+    Returns (n_files_before, n_files_after)."""
+    _heal_crashed_rewrite(path)
+    df = spark.read.parquet(path)
+    n_before, n_after = _sized_file_counts(df, target_bytes_per_file)
+    _rewrite_in_place(
+        path,
+        lambda staged: (
+            df.repartitionByRange(n_after, *cluster_by)
+            .sortWithinPartitions(*cluster_by)
+            .write.mode("overwrite")
+            .parquet(staged)
+        ),
+    )
+    return n_before, n_after
+
+
+def _sized_file_counts(df: DataFrame, target_bytes_per_file: int) -> tuple[int, int]:
+    """(current file count, byte-budgeted target file count) for a scanned
+    parquet directory — from the driver-side file listing, no data read."""
     import math
+
+    files = [f[len("file:"):] if f.startswith("file:") else f for f in df.inputFiles()]
+    total = sum(os.path.getsize(f) for f in files)
+    return len(files), max(1, math.ceil(total / target_bytes_per_file))
+
+
+def _rewrite_in_place(path: str, write_staged) -> None:
+    """Crash-safe in-place parquet rewrite shared by compaction and layout
+    clustering: ``write_staged(staged_dir)`` produces the replacement next
+    to the original, then two renames swap it in. The data always exists in
+    full at ``path``, ``._pre_compact`` or ``._compact_staged`` — never a
+    mix — and the next call self-heals: a crash between the renames (path
+    absent, backup present) rolls back by restoring the backup; stale
+    staging/backup dirs from any earlier crash are removed before staging
+    anew. NOTE: ``write_staged`` must re-scan ``path`` lazily (a DataFrame
+    over it is fine — the swap happens only after the write completes), and
+    callers must run :func:`_heal_crashed_rewrite` BEFORE their first read
+    of ``path`` — in the crashed-between-renames state the directory does
+    not exist until healed."""
+    _heal_crashed_rewrite(path)
+    staged = path.rstrip("/") + "._compact_staged"
+    backup = path.rstrip("/") + "._pre_compact"
+    write_staged(staged)
+    os.rename(path, backup)
+    os.rename(staged, path)
+    import shutil
+
+    shutil.rmtree(backup)
+
+
+def _heal_crashed_rewrite(path: str) -> None:
+    """Roll back / clean up any state a crashed :func:`_rewrite_in_place`
+    left behind. Idempotent; cheap (three stats) when there is nothing to
+    heal."""
     import shutil
 
     staged = path.rstrip("/") + "._compact_staged"
@@ -121,13 +212,3 @@ def compact_table(
     for leftover in (staged, backup):
         if os.path.exists(leftover):
             shutil.rmtree(leftover)
-
-    df = spark.read.parquet(path)
-    files = [f[len("file:"):] if f.startswith("file:") else f for f in df.inputFiles()]
-    total = sum(os.path.getsize(f) for f in files)
-    n_after = max(1, math.ceil(total / target_bytes_per_file))
-    df.coalesce(n_after).write.mode("overwrite").parquet(staged)
-    os.rename(path, backup)
-    os.rename(staged, path)
-    shutil.rmtree(backup)
-    return len(files), n_after

@@ -855,3 +855,71 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Physical-layout maintenance (io/catalog.py optimize_layout): rewrite a
+# copy of the corpus range-clustered on (lang, source), then answer a
+# metadata-filtered rollup FROM THE CLUSTERED COPY. The oracle reads the
+# original table, so the hash compare proves the rewrite lossless — while
+# the Spark plan demonstrates the 100 TB point: the pushed lang predicate
+# meets tight per-file min/max stats and skips every file outside the
+# lang range (a pruned scan where the unclustered layout reads all bytes).
+# Build is idempotent per sf_dir via the same fingerprint-marker
+# discipline as the ANN index builds (pipeline._get_or_build_ivf).
+# --------------------------------------------------------------------------
+def _get_or_build_clustered_documents(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from ..io.catalog import optimize_layout
+    from .pipeline import (
+        _build_is_fresh,
+        _index_root,
+        _mark_built,
+        _source_fingerprint,
+    )
+
+    root = _index_root(sf_dir)
+    path = os.path.join(root, "clustered_documents")
+    done = os.path.join(root, "clustered_documents._DONE")
+    fp = _source_fingerprint(sf_dir, "documents")
+    if not _build_is_fresh(done, fp):
+        os.makedirs(root, exist_ok=True)
+        # small target so even the toy SFs produce a multi-file clustered
+        # layout (at real scale the 128 MB default applies)
+        load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(
+            path
+        )
+        optimize_layout(
+            spark, path, ["lang", "source"], target_bytes_per_file=64 << 10
+        )
+        _mark_built(done, fp)
+    return path
+
+
+@register(
+    "layout_clustered_scan",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total
+FROM documents
+WHERE lang = 'de'
+GROUP BY source
+""",
+    doc="metadata-filtered rollup served from a range-clustered rewrite of "
+    "the corpus (optimize_layout by lang,source): pushed predicate + tight "
+    "per-file stats = pruned scan; oracle reads the ORIGINAL table, so "
+    "equality proves the layout rewrite lossless",
+)
+def layout_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _get_or_build_clustered_documents(spark, sf_dir)
+    d = spark.read.parquet(path)
+    return (
+        d.filter(F.col("lang") == "de")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+        )
+    )
