@@ -447,3 +447,30 @@ def test_optimize_compacts_then_clusters_collection(
     top = vs.query("papers", query_texts=[probe.text], k=1, mode="graph")
     assert top.collect()[0].item_id == probe.id
     vs.delete_collection("papers")
+
+
+def test_crashed_optimize_invisible_to_catalog_and_healed_on_read(
+    spark, documents, tmp_path_factory
+):
+    """A crash between optimize()'s two renames leaves the data only at
+    <name>._pre_compact: list_collections must not surface staging dirs
+    as phantom collections, and the next get()/count() must roll the
+    collection back instead of raising PATH_NOT_FOUND."""
+    import os
+
+    vs = VectorStore(spark, str(tmp_path_factory.mktemp("healstore")), dim=16)
+    docs = documents.limit(30).selectExpr("cast(doc_id as string) as id", "text")
+    vs.create_collection("papers", docs)
+    want = sorted(map(tuple, vs.get("papers").select("id", "text").collect()))
+
+    # simulate the mid-swap crash state plus a stale staging dir
+    os.rename(vs._path("papers"), vs._path("papers") + "._pre_compact")
+    os.makedirs(vs._path("papers") + "._compact_staged")
+    assert vs.list_collections() == []  # absent, but no phantom entries
+
+    assert sorted(
+        map(tuple, vs.get("papers").select("id", "text").collect())
+    ) == want  # read path healed the rollback
+    assert vs.list_collections() == ["papers"]
+    vs.delete_collection("papers")
+    assert not os.path.exists(vs._path("papers") + "._compact_staged")

@@ -61,12 +61,30 @@ class VectorStore:
             raise ValueError(f"bad collection name {name!r}")
         return os.path.join(self.root, name)
 
+    # optimize()'s crash-safe rewrite stages sibling dirs with these
+    # suffixes (io/catalog.py::_rewrite_in_place); they are never
+    # collections and must stay invisible to the catalog surface
+    _STAGING_SUFFIXES = ("._compact_staged", "._pre_compact")
+
     def list_collections(self) -> list[str]:
         return sorted(
             d
             for d in os.listdir(self.root)
-            if os.path.isdir(os.path.join(self.root, d)) and not d.startswith(".")
+            if os.path.isdir(os.path.join(self.root, d))
+            and not d.startswith(".")
+            and not d.endswith(self._STAGING_SUFFIXES)
         )
+
+    def _heal_on_read(self, path: str) -> None:
+        """If an optimize() died between its two renames, the collection
+        dir is absent and the data sits in full at ``._pre_compact`` —
+        roll it back before any read. ONLY the rollback half of
+        io/catalog.py::_heal_crashed_rewrite runs here: deleting a
+        leftover staging dir from a read path would race an optimize()
+        mid-write."""
+        backup = path + "._pre_compact"
+        if not os.path.exists(path) and os.path.exists(backup):
+            os.rename(backup, path)
 
     # every per-collection serving artifact lives under a dot-prefixed
     # sibling root (invisible to list_collections, invalid as a collection
@@ -83,6 +101,8 @@ class VectorStore:
 
     def delete_collection(self, name: str) -> None:
         shutil.rmtree(self._path(name), ignore_errors=True)
+        for suf in self._STAGING_SUFFIXES:  # crashed-optimize leftovers
+            shutil.rmtree(self._path(name) + suf, ignore_errors=True)
         self._invalidate_indexes(name)
 
     def count(self, name: str) -> int:
@@ -99,7 +119,9 @@ class VectorStore:
         ``ids`` (id membership), ``where`` (SQL predicate over the
         collection's columns), ``limit``. Filters are plain Catalyst
         predicates, so they push into the parquet scan."""
-        df = self.spark.read.parquet(self._path(name))
+        p = self._path(name)
+        self._heal_on_read(p)
+        df = self.spark.read.parquet(p)
         if ids is not None:
             df = df.filter(F.col("id").isin(list(ids)))
         if where is not None:
