@@ -323,6 +323,46 @@ def test_partial_upsert_heals_on_replay(spark, tmp_path):
     assert not os.path.exists(f"{path}/_UPSERT_INTENT.json")
 
 
+def test_corrupt_intent_marker_falls_back_to_full_sidecar_recompute(
+    spark, tmp_path
+):
+    """An UNREADABLE intent marker (disk-full partial write from a
+    pre-atomic-rename version) must not brick the artifact: the upsert
+    treats the dead run's touched set as unknown and recomputes every
+    bucket's sidecars from the layouts — converging on the from-scratch
+    build instead of raising JSONDecodeError forever."""
+    import shutil
+
+    from vectordb_acc_and_speed_exp_spark.operators.postings import (
+        postings_upsert,
+        write_postings_index,
+    )
+
+    base_rows = [(1, "alpha common alpha"), (2, "common beta"),
+                 (3, "qqqquniqueterm common")]
+    batch_rows = [(3, "common common"), (4, "gamma alpha")]
+    final_rows = [(1, "alpha common alpha"), (2, "common beta"),
+                  (3, "common common"), (4, "gamma alpha")]
+
+    done = str(tmp_path / "done")
+    write_postings_index(_docs(spark, base_rows), done)
+    postings_upsert(spark, done, _docs(spark, batch_rows))
+
+    # crashed artifact with a TRUNCATED marker: layouts new, sidecars old
+    path = str(tmp_path / "crashed")
+    write_postings_index(_docs(spark, base_rows), path)
+    for layout in ("postings", "forward"):
+        shutil.rmtree(f"{path}/{layout}")
+        shutil.copytree(f"{done}/{layout}", f"{path}/{layout}")
+    with open(f"{path}/_UPSERT_INTENT.json", "w") as fh:
+        fh.write('{"term_buckets": [1,')  # mid-write crash
+
+    postings_upsert(spark, path, _docs(spark, batch_rows))
+    rebuilt = str(tmp_path / "rebuilt")
+    write_postings_index(_docs(spark, final_rows), rebuilt)
+    assert _artifact_state(spark, path) == _artifact_state(spark, rebuilt)
+
+
 def test_term_df_scan_is_bucket_pruned(spark, index_path):
     """term_df with a term list must prune to the terms' tbucket
     directories, same discipline as the postings scan."""

@@ -338,14 +338,28 @@ def postings_upsert(
     # the layouts actually reached
     intent_path = os.path.join(path, "_UPSERT_INTENT.json")
     if os.path.exists(intent_path):
-        with open(intent_path) as fh:
-            prior = json.load(fh)
+        try:
+            with open(intent_path) as fh:
+                prior = json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            # unreadable marker (e.g. disk-full partial write from a pre-
+            # atomic-rename version): the dead upsert's touched set is
+            # unknown, so recompute EVERY bucket's sidecars — bounded by
+            # the artifact (not corpus text) and always correct, because
+            # sidecars are pure functions of the layouts
+            prior = {
+                "term_buckets": list(range(ntb)),
+                "doc_buckets": list(range(ndb)),
+            }
         tb |= set(prior.get("term_buckets", []))
         db |= set(prior.get("doc_buckets", []))
     tb, db = sorted(tb), sorted(db)
-    with open(intent_path, "w") as fh:
+    # atomic publish: a crash mid-write must never corrupt the healing
+    # marker itself — write beside, rename over
+    with open(intent_path + ".tmp", "w") as fh:
         json.dump({"term_buckets": [int(b) for b in tb],
                    "doc_buckets": [int(b) for b in db]}, fh)
+    os.replace(intent_path + ".tmp", intent_path)
 
     inv_path = os.path.join(path, "postings")
     fwd_path = os.path.join(path, "forward")
