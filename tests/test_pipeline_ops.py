@@ -43,13 +43,14 @@ class TestRepetitionProfile:
                 _dup_frac_col(_strict_ngrams_col(F.col("t"), 3)).alias("d3"),
             ).collect()
         }
-        # "a b a b a b a b": 7 bigrams, 2 distinct -> 1 - 2/7
-        assert out[0]["d2"] == pytest.approx(1 - 2 / 7, abs=1e-4)
+        # "a b a b a b a b": 7 bigrams, 2 distinct -> (1 - 2/7) on the
+        # 1e6 integer grid
+        assert out[0]["d2"] == round((1 - 2 / 7) * 1_000_000)
         # 6 trigrams, 2 distinct -> 1 - 2/6
-        assert out[0]["d3"] == pytest.approx(1 - 2 / 6, abs=1e-4)
-        assert out[1]["d2"] == 0.0 and out[1]["d3"] == 0.0
-        assert out[2]["d2"] == 0.0  # < n tokens: no grams, frac 0
-        assert out[3]["d2"] == 0.0
+        assert out[0]["d3"] == round((1 - 2 / 6) * 1_000_000)
+        assert out[1]["d2"] == 0 and out[1]["d3"] == 0
+        assert out[2]["d2"] == 0  # < n tokens: no grams, frac 0
+        assert out[3]["d2"] == 0
 
     def test_gate_query_runs(self, spark, sf_dir):
         from vectordb_acc_and_speed_exp_spark.queries import load_all
@@ -57,7 +58,7 @@ class TestRepetitionProfile:
         df = load_all()["repetition_profile"].fn(spark, sf_dir)
         rows = df.collect()
         assert len(rows) > 0
-        assert all(0.0 <= r["dup_2gram_r"] <= 1.0 for r in rows)
+        assert all(0 <= r["dup_2gram_s6"] <= 1_000_000 for r in rows)
 
 
 class TestPiiScrub:

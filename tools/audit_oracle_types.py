@@ -22,8 +22,11 @@ The DuckDB oracles execute at sf0.001.  For each oracled query it flags:
   integral values (the HUGEINT signature);
 - name-set mismatches between the two sides (hash would fail on schema);
 - ROUNDING HALF-TIES (VERDICT r06 #7): for every ``round(expr, N) AS col``
-  emission found in the oracle SQL, any value within 1e-9 of an exact
-  half-tie (…5 at the N+1-th decimal).  Spark rounds the double's exact
+  emission found in the oracle SQL, the round() wrapper is STRIPPED and
+  the modified SQL re-executed so the proximity test sees PRE-round
+  values (a post-round column is always integral at the grid and can
+  never sit near a tie — checking it is vacuous); flags any pre-round
+  value within 1e-9 of an exact half-tie (…5 at the N+1-th decimal).  Spark rounds the double's exact
   binary expansion HALF_UP via BigDecimal while DuckDB rounds in double
   arithmetic, so a value ON (or within double-noise of) the boundary can
   round apart between engines — today's fixtures may pass while a
@@ -94,21 +97,51 @@ def main() -> int:
                 f"oracle={sorted(odf.columns)}"
             )
             continue
-        # rounded emissions: parse `round(expr, N) AS col` from the oracle
-        # (one paren-nesting level), plus the repo's `*_r` naming
-        # convention (round 4) as a fallback for exprs the regex misses
-        rounded_cols = {
-            m.group(2): int(m.group(1))
-            for m in re.finditer(
-                r"round\([^()]*(?:\([^()]*\)[^()]*)*,\s*(\d+)\s*\)\s+"
-                r"AS\s+(\w+)",
-                oracles[name],
-                re.IGNORECASE,
+        # rounded emissions: the tie test MUST see PRE-round values — a
+        # post-round column always sits at frac 0, never near .5, making
+        # a check on the output vacuous — so every `round(expr, N)`
+        # occurrence (see nesting note below, anywhere in the
+        # SQL incl. inside CASE arms) is stripped to `(expr)` and the
+        # modified SQL re-executed as the probe (up to five nesting
+        # levels — covers every oracle in the registry today; a deeper
+        # one trips the explicit could-not-parse finding below). Aliases
+        # are untouched,
+        # so columns line up by name; every float column is then tested
+        # at every decimal-precision the query rounds at (conservative:
+        # may test a column at a dp it doesn't use — over-flagging is
+        # the right failure mode for an audit).
+        expr2 = r"[^()]*"
+        for _ in range(5):
+            expr2 = rf"[^()]*(?:\({expr2}\)[^()]*)*"
+        round_rx = re.compile(
+            rf"round\(({expr2}),\s*(\d+)\s*\)", re.IGNORECASE
+        )
+        matches = list(round_rx.finditer(oracles[name]))
+        round_dps = sorted({int(m.group(2)) for m in matches})
+        pre_round: pd.DataFrame | None = None
+        if matches:
+            probe_sql = round_rx.sub(r"(\1)", oracles[name])
+            try:
+                pre_round = con.execute(probe_sql).df()
+            except Exception as e:  # noqa: BLE001
+                findings.append(
+                    f"{name}: pre-round tie probe failed in DuckDB: "
+                    f"{e!r:.150}"
+                )
+        # dp-less `round(expr)` is the sanctioned integer-grid emission
+        # (engine-stable: identical double in, half-away-from-zero out in
+        # both engines) — strip those too, and flag only a round() that
+        # NEITHER pattern consumed (deeper nesting than the probe parses)
+        intgrid_rx = re.compile(rf"round\(({expr2})\)", re.IGNORECASE)
+        leftover = intgrid_rx.sub(
+            r"(\1)", round_rx.sub(r"(\1)", oracles[name])
+        )
+        if re.search(r"round\s*\(", leftover, re.IGNORECASE):
+            findings.append(
+                f"{name}: oracle contains a round() the probe pattern "
+                "could not parse (>5 paren nesting levels?) — half-tie "
+                "exposure unaudited"
             )
-        }
-        for col in odf.columns:
-            if col not in rounded_cols and col.endswith("_r"):
-                rounded_cols[col] = 4
         for col in odf.columns:
             s = odf[col]
             if s.dtype == object:
@@ -120,13 +153,22 @@ def main() -> int:
                         f"{name}: oracle column {col!r} materializes "
                         "list/array cells — unhashable in the driver"
                     )
-            elif s.dtype == np.float64 and col in rounded_cols:
-                # half-tie proximity: |frac(v * 10^dp) - 0.5| inside 1e-9
-                # means the emission sits on (or within double-noise of)
-                # the rounding boundary — engine-divergence risk
-                dp = rounded_cols[col]
-                vals = s.dropna().to_numpy()
-                if len(vals):
+            elif (
+                pre_round is not None
+                and col in pre_round.columns
+                and pre_round[col].dtype == np.float64
+            ):
+                # half-tie proximity on the PRE-round values:
+                # |frac(v * 10^dp) - 0.5| inside 1e-9 means the emission
+                # sits on (or within double-noise of) the rounding
+                # boundary — engine-divergence risk. Columns no round()
+                # touched have pre == post values; a flag on one means a
+                # continuous emission grazes a grid tie, worth a look
+                # anyway.
+                for dp in round_dps:
+                    vals = pre_round[col].dropna().to_numpy()
+                    if not len(vals):
+                        continue
                     frac = np.abs(np.mod(np.abs(vals) * 10.0 ** dp, 1.0) - 0.5)
                     n_ties = int((frac < 1e-9).sum())
                     if n_ties:

@@ -165,7 +165,8 @@ c AS (
 SELECT source, CAST(floor(cum_before / {_PACK_BUDGET}) AS BIGINT) AS bin_id,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
-       round(CAST(sum(n_tokens) AS BIGINT) / {_PACK_BUDGET}.0, 4) AS fill_r
+       CAST(round(CAST(sum(n_tokens) AS BIGINT) * 1000000.0 / {_PACK_BUDGET})
+            AS BIGINT) AS fill_s6
 FROM c GROUP BY source, bin_id
 """,
     doc="sequence packing (concat-and-chunk): docs stream per source shard "
@@ -191,9 +192,12 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("bin_tokens"),
-            F.round(F.sum("n_tokens") / F.lit(float(_PACK_BUDGET)), 4).alias(
-                "fill_r"
-            ),
+            # small-integer ratio — tie-prone at any decimal grid (audit
+            # flagged 1 exact half-tie at dp=4); 1e6 integer grid per the
+            # queries/__init__.py conventions
+            F.round(F.sum("n_tokens") * 1_000_000.0 / F.lit(float(_PACK_BUDGET)))
+            .cast("bigint")
+            .alias("fill_s6"),
         )
     )
 

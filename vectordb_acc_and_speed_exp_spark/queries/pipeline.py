@@ -1528,7 +1528,7 @@ WITH vals AS (
   FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ), q(q_pct, p) AS (VALUES (50, 0.5), (90, 0.9), (99, 0.99))
 SELECT event_type AS grp, CAST(q_pct AS BIGINT) AS q_pct,
-       CAST(round(value * 100) AS BIGINT) AS est_cents,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS est_cents,
        CAST(n AS BIGINT) AS n,
        CAST(0 AS BIGINT) AS max_rank_err
 FROM vals JOIN q ON vals.rk = CAST(ceil(q.p * vals.n) AS BIGINT)

@@ -41,10 +41,11 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id, lang, n_tokens,
-       round(p_ratio, 4) AS punct_ratio_r,
-       CASE WHEN len(trim(text)) = 0 THEN 0.0
-            ELSE round(len(replace(trim(text), ' ', '')) * 1.0 / greatest(n_tokens, 1), 4)
-       END AS avg_token_len_r,
+       CAST(round(p_ratio * 1000000.0) AS BIGINT) AS punct_ratio_s6,
+       CASE WHEN len(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(round((len(replace(trim(text), ' ', '')) * 1.0
+                             / greatest(n_tokens, 1)) * 1000000.0) AS BIGINT)
+       END AS avg_token_len_s6,
        CASE WHEN n_tokens >= 20 AND p_ratio < 0.1 THEN 1 ELSE 0 END AS is_quality
 FROM t
 """,
@@ -68,10 +69,15 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_tokens",
-        F.round("p_ratio", 4).alias("punct_ratio_r"),
-        F.when(F.length("trimmed") == 0, F.lit(0.0))
-        .otherwise(F.round(avg_tok, 4))
-        .alias("avg_token_len_r"),
+        # small-integer ratios (punct chars / chars, chars / tokens) —
+        # tie-prone at any decimal grid (audit flagged 5 half-ties at
+        # dp=4); 1e6 integer grid per queries/__init__.py conventions
+        F.round(F.col("p_ratio") * 1_000_000.0)
+        .cast("bigint")
+        .alias("punct_ratio_s6"),
+        F.when(F.length("trimmed") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.round(avg_tok * 1_000_000.0).cast("bigint"))
+        .alias("avg_token_len_s6"),
         F.when((F.col("n_tokens") >= 20) & (F.col("p_ratio") < 0.1), 1)
         .otherwise(0)
         .alias("is_quality"),
@@ -820,7 +826,8 @@ grams AS (
 )
 SELECT doc_id, n_chars_norm,
        CAST(len(gs) AS BIGINT) AS n_distinct_5grams,
-       round(len(gs) * 1.0 / greatest(n_chars_norm - 4, 1), 4) AS uniqueness_r
+       CAST(round(len(gs) * 1000000.0 / greatest(n_chars_norm - 4, 1))
+            AS BIGINT) AS uniqueness_s6
 FROM grams
 """,
 )
@@ -837,9 +844,16 @@ def char_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars_norm",
         F.size("gs").cast("bigint").alias("n_distinct_5grams"),
+        # ratio of small integers — tie-by-construction at any decimal
+        # grid (audit flagged 3 exact half-ties at dp=4); the 1e6 integer
+        # grid is engine-stable because both engines round the SAME
+        # double half-away-from-zero (queries/__init__.py conventions)
         F.round(
-            F.size("gs") * 1.0 / F.greatest(F.col("n_chars_norm") - 4, F.lit(1)), 4
-        ).alias("uniqueness_r"),
+            F.size("gs") * 1_000_000.0
+            / F.greatest(F.col("n_chars_norm") - 4, F.lit(1))
+        )
+        .cast("bigint")
+        .alias("uniqueness_s6"),
     )
 
 
@@ -901,14 +915,21 @@ def _strict_ngrams_col(toks, n: int):
 
 
 def _dup_frac_col(grams):
+    # ratio of small integers — tie-by-construction at any decimal grid
+    # (audit flagged 2 exact half-ties at dp=4); the 1e6 integer grid is
+    # engine-stable: both engines compute the identical double and round
+    # it half-away-from-zero at the integer boundary
     return F.when(
         F.size(grams) > 0,
         F.round(
-            1.0
-            - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
-            4,
-        ),
-    ).otherwise(F.lit(0.0))
+            (
+                1.0
+                - F.size(F.array_distinct(grams)).cast("double")
+                / F.size(grams)
+            )
+            * 1_000_000.0
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
 
 
 def _strict_ngrams_sql(n: int) -> str:
@@ -922,8 +943,9 @@ def _strict_ngrams_sql(n: int) -> str:
 
 _DUP_FRAC_SQL = (
     "CASE WHEN len({g}) > 0 THEN "
-    "round(1.0 - len(list_distinct({g})) * 1.0 / len({g}), 4) "
-    "ELSE 0.0 END"
+    "CAST(round((1.0 - len(list_distinct({g})) * 1.0 / len({g})) "
+    "* 1000000.0) AS BIGINT) "
+    "ELSE CAST(0 AS BIGINT) END"
 )
 
 
@@ -939,14 +961,15 @@ g AS (
   FROM t
 )
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       {_DUP_FRAC_SQL.format(g="g2")} AS dup_2gram_r,
-       {_DUP_FRAC_SQL.format(g="g3")} AS dup_3gram_r,
-       CASE WHEN {_DUP_FRAC_SQL.format(g="g3")} > 0.05 THEN 1 ELSE 0 END
+       {_DUP_FRAC_SQL.format(g="g2")} AS dup_2gram_s6,
+       {_DUP_FRAC_SQL.format(g="g3")} AS dup_3gram_s6,
+       CASE WHEN {_DUP_FRAC_SQL.format(g="g3")} > 50000 THEN 1 ELSE 0 END
          AS is_repetitive
 FROM g
 """,
     doc="Gopher-style repetition signal: duplicate 2-/3-gram occurrence "
-    "fraction per doc, strict n-grams, flag at dup_3gram_r > 0.05",
+    "fraction per doc (1e6 integer grid), strict n-grams, flag at "
+    "dup_3gram_s6 > 50000 (= 5%)",
 )
 def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
@@ -964,9 +987,9 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select(
         "doc_id",
         "n_tokens",
-        _dup_frac_col(F.col("g2")).alias("dup_2gram_r"),
-        d3.alias("dup_3gram_r"),
-        F.when(d3 > 0.05, 1).otherwise(0).alias("is_repetitive"),
+        _dup_frac_col(F.col("g2")).alias("dup_2gram_s6"),
+        d3.alias("dup_3gram_s6"),
+        F.when(d3 > 50000, 1).otherwise(0).alias("is_repetitive"),
     )
 
 

@@ -509,14 +509,20 @@ def quantile_sketch_stream(
                 {
                     "grp": grp,
                     "q_pct": q,
-                    # same double expression as the oracle's rank join:
-                    # ceil((q/100) * n) — percentile_disc's convention
+                    # same double expressions as the oracle: target rank
+                    # ceil((q/100) * n) — percentile_disc's convention —
+                    # and cents via floor(v*100 + 0.5), NOT round():
+                    # Python round() ties half-to-even while DuckDB
+                    # rounds half away from zero, so a value landing on
+                    # x.5 cents would diverge; floor(+0.5) is one shared
+                    # tie-free double expression in both engines
                     "est_cents": int(
-                        round(
+                        math.floor(
                             gk_query_rank(
                                 vs, gs, ds, max(1, math.ceil((q / 100.0) * n_total))
                             )
                             * 100
+                            + 0.5
                         )
                     ),
                     "n": n_total,
