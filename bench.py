@@ -111,6 +111,7 @@ HEADLINE = [
     "streaming_quantiles",
     "streaming_distinct_users",
     "filtered_auto_exact_branch",
+    "layout_clustered_scan",
 ]
 
 

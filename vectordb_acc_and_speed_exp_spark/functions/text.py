@@ -102,14 +102,28 @@ def chunked_token_stream(
     the previous slice). Single-chunk documents keep
     word_shingles_from_tokens' shorter-than-n fallback semantics — a
     multi-chunk document is by construction longer than any n."""
-    base = docs.select(
+    # The small/big split must not cost a second tokenize pass: filtering
+    # on size(tokens(...)) from a shared select re-evaluates the
+    # tokenize for EVERY row on BOTH sides of the union (two scans of
+    # the source per action). Instead pre-split on the raw CHAR length —
+    # n whitespace tokens need at least 2n-1 characters, so a doc of
+    # <= 2*chunk - 1 chars can never exceed chunk tokens and skips the
+    # size check entirely; only the rare over-length candidates pay the
+    # tokenize-twice size filter.
+    guard = 2 * chunk - 1
+    short = docs.filter(F.length(F.col(text_col)) <= guard).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(norm_text(F.col(text_col))).alias("toks"),
+    )
+    cand = docs.filter(F.length(F.col(text_col)) > guard).select(
         F.col(id_col).alias("doc_id"),
         tokens(norm_text(F.col(text_col))).alias("_toks"),
     )
-    small = base.filter(F.size("_toks") <= chunk).select(
+    small = cand.filter(F.size("_toks") <= chunk).select(
         "doc_id", F.col("_toks").alias("toks")
     )
-    big = base.filter(F.size("_toks") > chunk)
+    small = short.unionByName(small)
+    big = cand.filter(F.size("_toks") > chunk)
     slices = (
         f"transform(sequence(0, CAST(ceil(size(_toks) / {chunk}.0) AS INT) - 1), "
         f"i -> slice(_toks, i * {chunk} + 1, {chunk + overlap}))"
