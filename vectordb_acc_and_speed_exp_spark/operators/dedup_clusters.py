@@ -1,0 +1,368 @@
+"""Incrementally maintained near-dup CLUSTER artifact.
+
+The batch pipeline (queries/textops.py::_get_or_build_clusters) resolves
+the MinHash-LSH pair graph into clusters with one connected-components
+run over the FULL pair set — correct, but a rebuild per arrival. At
+100 TB new documents trickle in forever, and re-running CC over billions
+of accumulated edges per micro-batch is the textbook non-scalable shape.
+This module keeps the cluster table as a maintained artifact with
+batch-bounded update cost:
+
+    pairs/batch=K/      (id_a, id_b)        append-only pair log — the
+                                            SOURCE OF TRUTH; layouts are a
+                                            pure function of its union
+    nodes/nbucket=B/    (node, cluster_id)  lookup layout: which cluster
+                                            is this doc in? pruned by the
+                                            node's bucket
+    members/cbucket=B/  (cluster_id, node)  relabel layout: which docs are
+                                            in this cluster? pruned by the
+                                            cluster's bucket
+    _META.json                              n_buckets
+    _CLUSTERS_INTENT.json                   torn-write marker
+
+Update algorithm (clusters_upsert): map the batch pairs' endpoints to
+their current cluster labels (nodes/ read pruned to the endpoints'
+buckets — batch-bounded), contract each pair to an edge between LABELS,
+and run connected components on that CLUSTER GRAPH — at most 2x the
+batch's pair count, independent of corpus size, typically a single
+coalesced partition. The resulting old-label -> merged-label map is
+batch-bounded; applying it touches only the merged clusters' members
+(members/ read pruned to the old and new labels' cbuckets) and those
+members' nbuckets. Per-batch cost is O(batch pairs + members of merged
+clusters + touched-bucket rewrite) — never a corpus scan, never a
+full-graph CC.
+
+Crash-safety contract (same discipline as operators/postings.py): the
+intent marker is published atomically (write beside, rename over) BEFORE
+the layout overwrites and removed after both complete. A leftover marker
+means a prior upsert may have torn the two layouts out of lockstep —
+since both are pure functions of the pair log, the next upsert heals by
+REBUILDING them from pairs/* (bounded by the pair graph, not corpus
+text). Replay of a completed batch is a no-op by construction: its pairs
+re-land in the same batch=K directory (overwrite), its endpoints map to
+the already-merged labels, every cluster-graph edge becomes a self-loop,
+and the merge map comes back empty.
+
+Reference tie-in: the reference benchmark's corpus hygiene is a
+whole-collection rebuild (reference create mode re-embeds and re-adds the
+full corpus, chroma_speed_experiment.py:34-58); this is the
+incremental-maintenance counterpart a standing 100 TB corpus needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# bucket twins shared with the postings artifact: bucket_of (Python) and
+# _bucket_col (Spark) are md5-prefix hashes kept in lockstep so driver-side
+# pruning can never miss a partition
+from .dedup import connected_components
+from .postings import _bucket_col, _drop_empty_partition_dirs, bucket_of
+
+DEFAULT_N_BUCKETS = 32
+
+
+def _meta_path(path: str) -> str:
+    return os.path.join(path, "_META.json")
+
+
+def _read_n_buckets(path: str, default: int) -> int:
+    mp = _meta_path(path)
+    if os.path.exists(mp):
+        with open(mp) as fh:
+            return int(json.load(fh)["n_buckets"])
+    os.makedirs(path, exist_ok=True)
+    with open(mp + ".tmp", "w") as fh:
+        json.dump({"n_buckets": int(default)}, fh)
+    os.replace(mp + ".tmp", mp)
+    return default
+
+
+def _write_layouts_full(cc: DataFrame, path: str, n_buckets: int) -> None:
+    """Full (static-overwrite) write of both layouts from a
+    (node, cluster_id) frame — the first build and the heal path."""
+    nodes = cc.select(
+        "node", "cluster_id", _bucket_col("node", n_buckets).alias("nbucket")
+    )
+    (
+        nodes.repartition("nbucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("nbucket")
+        .parquet(os.path.join(path, "nodes"))
+    )
+    members = cc.select(
+        "cluster_id",
+        "node",
+        _bucket_col("cluster_id", n_buckets).alias("cbucket"),
+    )
+    (
+        members.repartition("cbucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("cbucket")
+        .parquet(os.path.join(path, "members"))
+    )
+
+
+def rebuild_clusters(spark: SparkSession, path: str) -> None:
+    """Recompute both layouts from the pair log — the heal path after a
+    torn upsert, and the first build. Cost is bounded by the accumulated
+    pair graph (output-sized), never the corpus."""
+    n_buckets = _read_n_buckets(path, DEFAULT_N_BUCKETS)
+    pairs_root = os.path.join(path, "pairs")
+    intent = os.path.join(path, "_CLUSTERS_INTENT.json")
+    if not os.path.exists(pairs_root):
+        for d in ("nodes", "members"):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        if os.path.exists(intent):
+            os.remove(intent)
+        return
+    all_pairs = spark.read.parquet(pairs_root).select("id_a", "id_b")
+    cc = connected_components(all_pairs).localCheckpoint(eager=True)
+    _write_layouts_full(cc, path, n_buckets)
+    if os.path.exists(intent):
+        os.remove(intent)
+
+
+def clusters_upsert(
+    spark: SparkSession,
+    path: str,
+    new_pairs: DataFrame,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    batch_key: str | None = None,
+) -> dict:
+    """Fold a batch of near-dup pairs into the maintained cluster artifact.
+
+    ``new_pairs``: (id_a, id_b) — id_a != id_b rows are logged and merged;
+    accidental self-pairs are dropped. ``batch_key`` names the pair-log
+    directory so a replayed micro-batch overwrites its own log entry
+    (exactly-once); omitted -> a fresh uuid (append-only semantics; safe
+    for correctness since duplicate edges are CC-idempotent, it only grows
+    the log). Returns the touched bucket lists (the test hook for the
+    pruning contract).
+    """
+    n_buckets = _read_n_buckets(path, n_buckets)
+    key = batch_key if batch_key is not None else uuid.uuid4().hex
+    pairs = (
+        new_pairs.select("id_a", "id_b")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .localCheckpoint(eager=True)
+    )
+    # 1. the pair log is the source of truth: land it before any layout
+    #    mutation so a crash anywhere below is healable by rebuild
+    pairs.write.mode("overwrite").parquet(
+        os.path.join(path, "pairs", f"batch={key}")
+    )
+
+    nodes_p = os.path.join(path, "nodes")
+    members_p = os.path.join(path, "members")
+    intent = os.path.join(path, "_CLUSTERS_INTENT.json")
+    if os.path.exists(intent) or not os.path.exists(nodes_p):
+        # torn prior upsert (marker) or first build: layouts from the log
+        rebuild_clusters(spark, path)
+        return {"rebuilt": True, "nbuckets": [], "cbuckets": []}
+    if pairs.isEmpty():
+        return {"rebuilt": False, "nbuckets": [], "cbuckets": []}
+
+    # 2. endpoints -> current labels; lookup pruned to the endpoints'
+    #    nbuckets (batch-bounded read)
+    eps = (
+        pairs.select(F.col("id_a").alias("node"))
+        .unionByName(pairs.select(F.col("id_b").alias("node")))
+        .distinct()
+        .withColumn("nbucket", _bucket_col("node", n_buckets))
+        .localCheckpoint(eager=True)
+    )
+    ep_nb = sorted(
+        r.nbucket for r in eps.select("nbucket").distinct().collect()
+    )
+    cur = (
+        spark.read.parquet(nodes_p)
+        .filter(F.col("nbucket").isin(ep_nb))
+        .select("node", F.col("cluster_id").alias("_cur"))
+    )
+    lbl = (
+        eps.join(cur, "node", "left")
+        .select(
+            "node",
+            F.coalesce("_cur", "node").alias("lbl"),
+            F.col("_cur").isNull().alias("_is_new"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # 3. contract pairs to LABEL edges and resolve merges on the cluster
+    #    graph — <= 2x batch pairs, regardless of corpus size
+    la = lbl.select(F.col("node").alias("id_a"), F.col("lbl").alias("la"))
+    lb = lbl.select(F.col("node").alias("id_b"), F.col("lbl").alias("lb"))
+    edges = (
+        pairs.join(la, "id_a")
+        .join(lb, "id_b")
+        .select("la", "lb")
+        .filter(F.col("la") != F.col("lb"))
+        .distinct()
+    )
+    if edges.isEmpty():
+        # every pair lies inside one existing cluster: log-only batch
+        # (a batch can't introduce new nodes without a la != lb edge)
+        return {"rebuilt": False, "nbuckets": [], "cbuckets": []}
+    mmap = (
+        connected_components(edges, "la", "lb")
+        .filter(F.col("node") != F.col("cluster_id"))
+        .select(F.col("node").alias("_old"), F.col("cluster_id").alias("_new"))
+        .localCheckpoint(eager=True)
+    )
+
+    # 4. touched cluster buckets = the merged-away labels' buckets plus the
+    #    surviving labels' buckets (new-node rows always land in the
+    #    latter: a new node is either its component's minimum — then every
+    #    other label maps TO it, putting its bucket in the _new set — or it
+    #    maps to the minimum itself)
+    cb_old = {
+        r.b
+        for r in mmap.select(_bucket_col("_old", n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    }
+    cb_new = {
+        r.b
+        for r in mmap.select(_bucket_col("_new", n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    }
+    touched_cb = sorted(cb_old | cb_new)
+
+    # materialize every read of the layouts BEFORE overwriting them
+    old_m = (
+        spark.read.parquet(members_p)
+        .filter(F.col("cbucket").isin(touched_cb))
+        .select("cluster_id", "node")
+        .localCheckpoint(eager=True)
+    )
+    new_eps = lbl.filter(F.col("_is_new")).select("node", "lbl")
+    new_rows = (
+        new_eps.join(F.broadcast(mmap), new_eps["lbl"] == mmap["_old"], "left")
+        .select(F.coalesce("_new", "lbl").alias("cluster_id"), "node")
+        .localCheckpoint(eager=True)
+    )
+    relab = old_m.join(
+        F.broadcast(mmap), old_m["cluster_id"] == mmap["_old"], "left"
+    ).select(
+        F.coalesce("_new", "cluster_id").alias("cluster_id"), "node"
+    )
+    members_final = (
+        relab.unionByName(new_rows)
+        .withColumn("cbucket", _bucket_col("cluster_id", n_buckets))
+        .localCheckpoint(eager=True)
+    )
+
+    # 5. node-layout delta: members of merged clusters get the new label;
+    #    first-seen endpoints are inserted. Touched nbuckets follow the
+    #    delta (collect bucket IDS only — never the nodes themselves)
+    affected = old_m.join(
+        F.broadcast(mmap), old_m["cluster_id"] == mmap["_old"]
+    ).select("node", F.col("_new").alias("cluster_id"))
+    upd = (
+        affected.unionByName(new_rows.select("node", "cluster_id"))
+        .withColumn("nbucket", _bucket_col("node", n_buckets))
+        .localCheckpoint(eager=True)
+    )
+    touched_nb = sorted(
+        r.nbucket for r in upd.select("nbucket").distinct().collect()
+    )
+    cur_n = (
+        spark.read.parquet(nodes_p)
+        .filter(F.col("nbucket").isin(touched_nb))
+        .select("node", "cluster_id")
+        .localCheckpoint(eager=True)
+    )
+    nodes_final = (
+        cur_n.join(
+            upd.select("node", F.col("cluster_id").alias("_u")), "node", "full"
+        )
+        .select("node", F.coalesce("_u", "cluster_id").alias("cluster_id"))
+        .withColumn("nbucket", _bucket_col("node", n_buckets))
+        .localCheckpoint(eager=True)
+    )
+
+    # 6. publish: marker -> both dynamic-partition overwrites -> unmark
+    with open(intent + ".tmp", "w") as fh:
+        json.dump(
+            {
+                "nbuckets": [int(b) for b in touched_nb],
+                "cbuckets": [int(b) for b in touched_cb],
+            },
+            fh,
+        )
+    os.replace(intent + ".tmp", intent)
+
+    (
+        members_final.repartition("cbucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cbucket")
+        .parquet(members_p)
+    )
+    present = {
+        r.cbucket for r in members_final.select("cbucket").distinct().collect()
+    }
+    _drop_empty_partition_dirs(members_p, "cbucket", set(touched_cb) - present)
+
+    (
+        nodes_final.repartition("nbucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("nbucket")
+        .parquet(nodes_p)
+    )
+
+    os.remove(intent)
+    return {
+        "rebuilt": False,
+        "nbuckets": [int(b) for b in touched_nb],
+        "cbuckets": [int(b) for b in touched_cb],
+    }
+
+
+def serve_clusters(spark: SparkSession, path: str) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical) — the batch cluster table's
+    schema, from the maintained artifact. Singletons are absent, same as
+    the batch build."""
+    return spark.read.parquet(os.path.join(path, "nodes")).select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
+def cluster_of(spark: SparkSession, path: str, node_ids: list) -> DataFrame:
+    """(node, cluster_id) for exactly the given docs — pruned to their
+    nbuckets (the serving lookup: 'is this new doc a known near-dup?')."""
+    n = _read_n_buckets(path, DEFAULT_N_BUCKETS)
+    nb = sorted({bucket_of(i, n) for i in node_ids})
+    return (
+        spark.read.parquet(os.path.join(path, "nodes"))
+        .filter(F.col("nbucket").isin(nb))
+        .filter(F.col("node").isin(list(node_ids)))
+        .select("node", "cluster_id")
+    )
+
+
+def cluster_members(spark: SparkSession, path: str, cluster_ids: list) -> DataFrame:
+    """(cluster_id, node) for exactly the given clusters — pruned to their
+    cbuckets (the expansion lookup: 'what else is in this dup group?')."""
+    n = _read_n_buckets(path, DEFAULT_N_BUCKETS)
+    cb = sorted({bucket_of(i, n) for i in cluster_ids})
+    return (
+        spark.read.parquet(os.path.join(path, "members"))
+        .filter(F.col("cbucket").isin(cb))
+        .filter(F.col("cluster_id").isin(list(cluster_ids)))
+        .select("cluster_id", "node")
+    )

@@ -424,6 +424,42 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _get_or_build_clusters(spark, sf_dir)
 
 
+@register(
+    "dedup_clusters_incremental",
+    oracle=_DEDUP_CLUSTERS_ORACLE,
+    doc="the INCREMENTALLY MAINTAINED cluster artifact "
+    "(operators/dedup_clusters.py): the verified pair set arrives in "
+    "three waves, each folded in by clusters_upsert (label-contraction CC "
+    "on the batch's cluster graph + touched-bucket rewrite — never a "
+    "full-graph CC after the first wave); the final table must equal the "
+    "one-shot closure, so the oracle is dedup_clusters' recursive CTE "
+    "verbatim",
+)
+def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup_clusters import clusters_upsert, serve_clusters
+
+    pairs = _get_or_build_pairs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cluster_inc_gate_")
+    try:
+        path = f"{root}/clusters"
+        # deterministic 3-way arrival split; waves cross-reference nodes
+        # from other waves, so later upserts exercise real cluster merges
+        for w in range(3):
+            clusters_upsert(
+                spark,
+                path,
+                pairs.filter(F.pmod(F.col("id_a") + F.col("id_b"), F.lit(3)) == w),
+                batch_key=str(w),
+            )
+        # materialize before the temp artifact the plan reads is dropped
+        return serve_clusters(spark, path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # End-to-end curation: the whole cleaning funnel in one plan — quality
 # gate (text_quality's rule) AND near-dup removal keeping one canonical

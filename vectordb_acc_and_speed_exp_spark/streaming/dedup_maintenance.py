@@ -72,9 +72,17 @@ def stream_dedup_ingest(
     n_hashes: int = DEFAULT_N_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
     est_threshold: float = DEFAULT_EST_THRESHOLD,
+    maintain_clusters: bool = False,
 ) -> None:
     """Run the document stream to completion (availableNow), maintaining
-    the signature index and emitting near-dup pairs per micro-batch."""
+    the signature index and emitting near-dup pairs per micro-batch.
+
+    With ``maintain_clusters`` the per-batch pairs also fold into the
+    incrementally maintained cluster artifact
+    (operators/dedup_clusters.py) at ``index_path/clusters_inc`` — the
+    batch id keys the pair log, so a replayed micro-batch overwrites its
+    own log entry and the label merge is a no-op (exactly-once
+    composition of two idempotent steps)."""
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -120,6 +128,19 @@ def stream_dedup_ingest(
         sig.write.mode("overwrite").parquet(
             f"{index_path}/sigs/ingest_batch={batch_id}"
         )
+        if maintain_clusters:
+            from ..operators.dedup_clusters import clusters_upsert
+
+            # read the batch's pairs back from the just-written parquet:
+            # truncated lineage, and the exact rows any replay would see
+            clusters_upsert(
+                spark,
+                f"{index_path}/clusters_inc",
+                spark.read.parquet(
+                    f"{index_path}/dups/ingest_batch={batch_id}"
+                ).select("id_a", "id_b"),
+                batch_key=str(batch_id),
+            )
 
     ckpt = tempfile.mkdtemp(prefix="ckpt_dedupidx_")
     q = (
