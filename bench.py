@@ -112,6 +112,10 @@ HEADLINE = [
     "streaming_distinct_users",
     "filtered_auto_exact_branch",
     "layout_clustered_scan",
+    # incremental cluster maintenance: timed entry IS the maintenance cost
+    # (3-wave fold of the verified pair set into a fresh artifact); the
+    # pair MINING is amortized by the dedup_clusters warm-up above
+    "dedup_clusters_incremental",
 ]
 
 

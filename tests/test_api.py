@@ -474,3 +474,67 @@ def test_crashed_optimize_invisible_to_catalog_and_healed_on_read(
     assert vs.list_collections() == ["papers"]
     vs.delete_collection("papers")
     assert not os.path.exists(vs._path("papers") + "._compact_staged")
+
+
+def test_near_duplicates_maintained_through_add(
+    spark, documents, tmp_path_factory
+):
+    """The facade's corpus-hygiene surface: clusters come from a
+    maintained artifact that add() folds forward (incremental == a fresh
+    store built from the same final corpus), and upsert() invalidates it
+    (replacement can split a cluster)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    base = documents.limit(40).selectExpr(
+        "cast(doc_id as string) as id", "text"
+    )
+    # clone of one doc inside the initial corpus, a second clone added
+    # later, so the add() must MERGE into the existing cluster
+    row0 = base.first()
+    clone = spark.createDataFrame(
+        [("z_clone1", row0.text)], "id string, text string"
+    )
+    clone2 = spark.createDataFrame(
+        [("z_clone2", row0.text)], "id string, text string"
+    )
+
+    vs = VectorStore(spark, str(tmp_path_factory.mktemp("dstore")), dim=16)
+    vs.create_collection("corpus", base.unionByName(clone))
+    lbl1 = {r.id: r.cluster_id for r in vs.near_duplicates("corpus").collect()}
+    assert lbl1["z_clone1"] == lbl1[row0.id]
+
+    vs.add("corpus", clone2)  # folds batch 1 into the maintained artifact
+    nd2 = {
+        (r.id, r.cluster_id, r.is_canonical)
+        for r in vs.near_duplicates("corpus").collect()
+    }
+    lbl2 = {i: c for i, c, _ in nd2}
+    assert lbl2["z_clone2"] == lbl2[row0.id]
+    assert ("z_clone2", lbl2["z_clone2"], 0) in nd2  # 'z…' is never the min
+
+    # incremental state == a fresh store over the same final corpus
+    vs2 = VectorStore(spark, str(tmp_path_factory.mktemp("dstore2")), dim=16)
+    vs2.create_collection(
+        "corpus", base.unionByName(clone).unionByName(clone2)
+    )
+    assert nd2 == {
+        (r.id, r.cluster_id, r.is_canonical)
+        for r in vs2.near_duplicates("corpus").collect()
+    }
+
+    # replacement invalidates; the lazy rebuild reflects the new text
+    assert os.path.exists(vs._dedup_path("corpus"))
+    vs.upsert(
+        "corpus",
+        spark.createDataFrame(
+            [("z_clone2", "entirely different text about nothing at all")],
+            "id string, text string",
+        ),
+    )
+    assert not os.path.exists(vs._dedup_path("corpus"))
+    lbl3 = {r.id: r.cluster_id for r in vs.near_duplicates("corpus").collect()}
+    assert lbl3["z_clone1"] == lbl3[row0.id]
+    assert "z_clone2" not in lbl3
+    vs.delete_collection("corpus")

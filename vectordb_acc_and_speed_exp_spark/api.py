@@ -92,7 +92,7 @@ class VectorStore:
     # or incrementally maintained in lockstep with writes
     _INDEX_DIRS = (
         ".graph_index", ".bq_index", ".ivf_index", ".mtlsh_index",
-        ".postings_index",
+        ".postings_index", ".dedup_index",
     )
 
     def _invalidate_indexes(self, name: str, dirs=None) -> None:
@@ -241,8 +241,13 @@ class VectorStore:
         else:
             docs.write.mode("overwrite").parquet(path)
         # whole-corpus artifacts can't absorb a batch: invalidate (they
-        # rebuild lazily); shard/cell/bucket-grained ones absorb it below
-        self._invalidate_indexes(name, dirs=(".bq_index", ".mtlsh_index"))
+        # rebuild lazily); shard/cell/bucket-grained ones absorb it below.
+        # The dedup index invalidates too: a REPLACED row's old signatures
+        # would have to leave the index and its cluster might SPLIT —
+        # incremental CC only merges, so replacement means lazy rebuild
+        self._invalidate_indexes(
+            name, dirs=(".bq_index", ".mtlsh_index", ".dedup_index")
+        )
         self._freshen_indexes(name, docs)
 
     def delete(
@@ -337,6 +342,22 @@ class VectorStore:
 
             postings_upsert(
                 self.spark, postings, docs.select("id", "text"), id_col="id"
+            )
+        dd = self._dedup_path(name)
+        if os.path.exists(os.path.join(dd, "bands")):
+            from .streaming.dedup_maintenance import (
+                dedup_index_upsert,
+                next_ingest_batch_id,
+            )
+
+            # batch-grained: new rows mine pairs against the signature
+            # index (never old-vs-old) and the discovered pairs fold into
+            # the maintained cluster table — add() only MERGES clusters,
+            # which is exactly what incremental CC supports
+            dedup_index_upsert(
+                self.spark, dd, docs.select("id", "text"),
+                next_ingest_batch_id(dd), id_col="id", text_col="text",
+                maintain_clusters=True,
             )
 
     # -- binary-quantization codes (per-collection serving artifact) -------
@@ -488,6 +509,54 @@ class VectorStore:
                 self.get(name).select("id", "text"), path, id_col="id"
             )
         return path
+
+    # -- near-dup cluster index (per-collection corpus hygiene) ------------
+    def _dedup_path(self, name: str) -> str:
+        return os.path.join(self.root, ".dedup_index", name)
+
+    def _ensure_dedup_index(self, name: str) -> str:
+        """MinHash signature index + incrementally maintained cluster
+        table over the collection's text (streaming/dedup_maintenance.py +
+        operators/dedup_clusters.py). First call mines the whole
+        collection as ingest batch 0; add() folds each appended batch
+        forward (new-vs-index pair mining + cluster merge, O(batch));
+        upsert()/delete() invalidate — replacement can SPLIT a cluster,
+        and incremental CC only merges."""
+        from .streaming.dedup_maintenance import dedup_index_upsert
+
+        path = self._dedup_path(name)
+        if not os.path.exists(os.path.join(path, "bands")):
+            docs = self.get(name)
+            if "text" not in docs.columns:
+                raise ValueError(
+                    f"near_duplicates({name!r}): collection has no 'text' "
+                    "column to fingerprint"
+                )
+            dedup_index_upsert(
+                self.spark, path, docs.select("id", "text"), 0,
+                id_col="id", text_col="text", maintain_clusters=True,
+            )
+        return path
+
+    def near_duplicates(self, name: str) -> DataFrame:
+        """(id, cluster_id, is_canonical) near-dup clusters of the
+        collection's text — ChromaDB has no corpus-hygiene surface; this
+        is the training-pipeline extension served from a maintained
+        artifact, so repeated calls (and calls after add()) never re-mine
+        the corpus. Docs in no cluster (the vast majority) are absent;
+        cluster_id is the cluster's minimum id, is_canonical=1 marks the
+        keeper under the keep-min-id policy."""
+        from .operators.dedup_clusters import serve_clusters
+
+        root = self._ensure_dedup_index(name)
+        inc = os.path.join(root, "clusters_inc")
+        if not os.path.exists(os.path.join(inc, "nodes")):
+            return self.spark.createDataFrame(
+                [], "id string, cluster_id string, is_canonical int"
+            )
+        return serve_clusters(self.spark, inc).select(
+            F.col("doc_id").alias("id"), "cluster_id", "is_canonical"
+        )
 
     # -- graph index (V3, per-collection HNSW analogue) --------------------
     def _graph_path(self, name: str) -> str:

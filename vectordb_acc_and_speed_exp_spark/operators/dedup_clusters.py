@@ -125,6 +125,14 @@ def rebuild_clusters(spark: SparkSession, path: str) -> None:
             os.remove(intent)
         return
     all_pairs = spark.read.parquet(pairs_root).select("id_a", "id_b")
+    if all_pairs.isEmpty():
+        # no pairs yet: layouts stay absent (an empty partitioned parquet
+        # dir would break schema inference on the next read)
+        for d in ("nodes", "members"):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        if os.path.exists(intent):
+            os.remove(intent)
+        return
     cc = connected_components(all_pairs).localCheckpoint(eager=True)
     _write_layouts_full(cc, path, n_buckets)
     if os.path.exists(intent):

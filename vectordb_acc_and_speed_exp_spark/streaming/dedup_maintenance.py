@@ -64,6 +64,94 @@ def _read_before_batch(
     return spark.read.parquet(path).filter(F.col("ingest_batch") < batch_id)
 
 
+def dedup_index_upsert(
+    spark: SparkSession,
+    index_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_N_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    est_threshold: float = DEFAULT_EST_THRESHOLD,
+    maintain_clusters: bool = False,
+) -> None:
+    """Fold one document batch into the signature index: signatures and
+    band keys land under ``ingest_batch=N``, near-dup pairs are mined
+    new-vs-new plus new-vs-(strictly earlier batches) and written to
+    ``dups/ingest_batch=N``. Callable from the micro-batch sink AND from
+    batch-mode maintainers (the VectorStore facade's add()); the caller
+    guarantees batch ids strictly increase, which is what makes a replay
+    of batch N see exactly its original index state."""
+    if batch_df.isEmpty():
+        return
+    sig = minhash_signatures_df(
+        batch_df, id_col, text_col, n_hashes=n_hashes
+    ).localCheckpoint(eager=True)
+    bands = _band_table(sig, band_size).localCheckpoint(eager=True)
+
+    # new-vs-new (same batch)
+    intra = signature_estimate(
+        _band_collisions(bands, bands), sig, sig, n_hashes
+    )
+    dups = intra
+    # new-vs-index (everything ingested in EARLIER batches)
+    old_bands = _read_before_batch(spark, f"{index_path}/bands", batch_id)
+    if old_bands is not None:
+        old_sigs = _read_before_batch(spark, f"{index_path}/sigs", batch_id)
+        ob = old_bands.select("doc_id", "band", "sig")
+        # one side new, one side old — NEVER old-vs-old (those pairs
+        # were already emitted when the later of the two arrived).
+        # _band_collisions orders id_a < id_b, so the two directions
+        # are disjoint.
+        cross = _band_collisions(bands, ob).unionByName(
+            _band_collisions(ob, bands)
+        )
+        all_sigs = sig.unionByName(
+            old_sigs.select("doc_id", "seed", "minhash")
+        )
+        dups = dups.unionByName(
+            signature_estimate(cross, all_sigs, all_sigs, n_hashes)
+        )
+
+    dups.filter(F.col("est_jaccard_r") >= est_threshold).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/dups/ingest_batch={batch_id}")
+    bands.write.mode("overwrite").parquet(
+        f"{index_path}/bands/ingest_batch={batch_id}"
+    )
+    sig.write.mode("overwrite").parquet(
+        f"{index_path}/sigs/ingest_batch={batch_id}"
+    )
+    if maintain_clusters:
+        from ..operators.dedup_clusters import clusters_upsert
+
+        # read the batch's pairs back from the just-written parquet:
+        # truncated lineage, and the exact rows any replay would see
+        clusters_upsert(
+            spark,
+            f"{index_path}/clusters_inc",
+            spark.read.parquet(
+                f"{index_path}/dups/ingest_batch={batch_id}"
+            ).select("id_a", "id_b"),
+            batch_key=str(batch_id),
+        )
+
+
+def next_ingest_batch_id(index_path: str) -> int:
+    """1 + the highest ``ingest_batch=N`` already landed (0 when empty) —
+    how a batch-mode maintainer keeps the strictly-increasing contract."""
+    base = f"{index_path}/bands"
+    if not os.path.exists(base):
+        return 0
+    ids = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(base)
+        if d.startswith("ingest_batch=")
+    ]
+    return max(ids) + 1 if ids else 0
+
+
 def stream_dedup_ingest(
     docs_stream: DataFrame,
     index_path: str,
@@ -85,62 +173,18 @@ def stream_dedup_ingest(
     composition of two idempotent steps)."""
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        sig = minhash_signatures_df(
-            batch_df, id_col, text_col, n_hashes=n_hashes
-        ).localCheckpoint(eager=True)
-        bands = _band_table(sig, band_size).localCheckpoint(eager=True)
-
-        # new-vs-new (same batch)
-        intra = signature_estimate(
-            _band_collisions(bands, bands), sig, sig, n_hashes
+        dedup_index_upsert(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            batch_id,
+            id_col=id_col,
+            text_col=text_col,
+            n_hashes=n_hashes,
+            band_size=band_size,
+            est_threshold=est_threshold,
+            maintain_clusters=maintain_clusters,
         )
-        dups = intra
-        # new-vs-index (everything ingested in EARLIER batches)
-        old_bands = _read_before_batch(spark, f"{index_path}/bands", batch_id)
-        if old_bands is not None:
-            old_sigs = _read_before_batch(
-                spark, f"{index_path}/sigs", batch_id
-            )
-            ob = old_bands.select("doc_id", "band", "sig")
-            # one side new, one side old — NEVER old-vs-old (those pairs
-            # were already emitted when the later of the two arrived).
-            # _band_collisions orders id_a < id_b, so the two directions
-            # are disjoint.
-            cross = _band_collisions(bands, ob).unionByName(
-                _band_collisions(ob, bands)
-            )
-            all_sigs = sig.unionByName(
-                old_sigs.select("doc_id", "seed", "minhash")
-            )
-            dups = dups.unionByName(
-                signature_estimate(cross, all_sigs, all_sigs, n_hashes)
-            )
-
-        dups.filter(F.col("est_jaccard_r") >= est_threshold).write.mode(
-            "overwrite"
-        ).parquet(f"{index_path}/dups/ingest_batch={batch_id}")
-        bands.write.mode("overwrite").parquet(
-            f"{index_path}/bands/ingest_batch={batch_id}"
-        )
-        sig.write.mode("overwrite").parquet(
-            f"{index_path}/sigs/ingest_batch={batch_id}"
-        )
-        if maintain_clusters:
-            from ..operators.dedup_clusters import clusters_upsert
-
-            # read the batch's pairs back from the just-written parquet:
-            # truncated lineage, and the exact rows any replay would see
-            clusters_upsert(
-                spark,
-                f"{index_path}/clusters_inc",
-                spark.read.parquet(
-                    f"{index_path}/dups/ingest_batch={batch_id}"
-                ).select("id_a", "id_b"),
-                batch_key=str(batch_id),
-            )
 
     ckpt = tempfile.mkdtemp(prefix="ckpt_dedupidx_")
     q = (
