@@ -91,7 +91,7 @@ def _write_layouts_full(cc: DataFrame, path: str, n_buckets: int) -> None:
         "node", "cluster_id", _bucket_col("node", n_buckets).alias("nbucket")
     )
     (
-        nodes.repartition("nbucket")
+        nodes.repartition(n_buckets, "nbucket")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "static")
         .partitionBy("nbucket")
@@ -103,7 +103,7 @@ def _write_layouts_full(cc: DataFrame, path: str, n_buckets: int) -> None:
         _bucket_col("cluster_id", n_buckets).alias("cbucket"),
     )
     (
-        members.repartition("cbucket")
+        members.repartition(n_buckets, "cbucket")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "static")
         .partitionBy("cbucket")
@@ -111,10 +111,16 @@ def _write_layouts_full(cc: DataFrame, path: str, n_buckets: int) -> None:
     )
 
 
-def rebuild_clusters(spark: SparkSession, path: str) -> None:
+def rebuild_clusters(
+    spark: SparkSession, path: str, driver_merge_threshold: int = 100_000
+) -> None:
     """Recompute both layouts from the pair log — the heal path after a
     torn upsert, and the first build. Cost is bounded by the accumulated
-    pair graph (output-sized), never the corpus."""
+    pair graph (output-sized), never the corpus; a log at or under
+    ``driver_merge_threshold`` pairs resolves by collected union-find
+    (one job) instead of the iterative distributed fixpoint."""
+    from pyspark.sql import types as T
+
     n_buckets = _read_n_buckets(path, DEFAULT_N_BUCKETS)
     pairs_root = os.path.join(path, "pairs")
     intent = os.path.join(path, "_CLUSTERS_INTENT.json")
@@ -124,8 +130,13 @@ def rebuild_clusters(spark: SparkSession, path: str) -> None:
         if os.path.exists(intent):
             os.remove(intent)
         return
-    all_pairs = spark.read.parquet(pairs_root).select("id_a", "id_b")
-    if all_pairs.isEmpty():
+    all_pairs = (
+        spark.read.parquet(pairs_root)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    n = all_pairs.count()
+    if n == 0:
         # no pairs yet: layouts stay absent (an empty partitioned parquet
         # dir would break schema inference on the next read)
         for d in ("nodes", "members"):
@@ -133,54 +144,114 @@ def rebuild_clusters(spark: SparkSession, path: str) -> None:
         if os.path.exists(intent):
             os.remove(intent)
         return
-    cc = connected_components(all_pairs).localCheckpoint(eager=True)
+    if n <= driver_merge_threshold:
+        final = _driver_components(
+            [(r.id_a, r.id_b) for r in all_pairs.collect()]
+        )
+        dt = all_pairs.schema["id_a"].dataType
+        cc = spark.createDataFrame(
+            sorted(final.items()),
+            T.StructType(
+                [T.StructField("node", dt), T.StructField("cluster_id", dt)]
+            ),
+        )
+    else:
+        cc = connected_components(all_pairs).localCheckpoint(eager=True)
     _write_layouts_full(cc, path, n_buckets)
     if os.path.exists(intent):
         os.remove(intent)
 
 
-def clusters_upsert(
-    spark: SparkSession,
-    path: str,
-    new_pairs: DataFrame,
-    n_buckets: int = DEFAULT_N_BUCKETS,
-    batch_key: str | None = None,
-) -> dict:
-    """Fold a batch of near-dup pairs into the maintained cluster artifact.
+def _driver_components(edge_rows) -> dict:
+    """Min-label connected components by union-find over a COLLECTED edge
+    list — the merge resolver for batch-bounded graphs, where the
+    distributed fixpoint's per-round job barriers cost more than the
+    whole problem. Returns {node: component_min} for every node that
+    appears in an edge. Exact, any id type with a total order (string
+    ordering is byte order in both engines — UTF-8 code-point order)."""
+    parent: dict = {}
 
-    ``new_pairs``: (id_a, id_b) — id_a != id_b rows are logged and merged;
-    accidental self-pairs are dropped. ``batch_key`` names the pair-log
-    directory so a replayed micro-batch overwrites its own log entry
-    (exactly-once); omitted -> a fresh uuid (append-only semantics; safe
-    for correctness since duplicate edges are CC-idempotent, it only grows
-    the log). Returns the touched bucket lists (the test hook for the
-    pruning contract).
-    """
-    n_buckets = _read_n_buckets(path, n_buckets)
-    key = batch_key if batch_key is not None else uuid.uuid4().hex
-    pairs = (
-        new_pairs.select("id_a", "id_b")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .localCheckpoint(eager=True)
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    groups: dict = {}
+    seen = {x for e in edge_rows for x in e}
+    for n in seen:
+        groups.setdefault(find(n), []).append(n)
+    return {n: min(g) for g in groups.values() for n in g}
+
+
+def _resolve_merges_driver(
+    spark: SparkSession, pairs: DataFrame, nodes_p: str, n_buckets: int
+):
+    """Label lookup + cluster-graph contraction + union-find, with the
+    batch-bounded frames (pairs, endpoints, labels) collected to the
+    driver — ~4 job barriers instead of the distributed path's ~15.
+    Returns (mmap_df, new_rows_df, touched_cb) or None for a log-only
+    batch (every pair inside one existing cluster)."""
+    from pyspark.sql import types as T
+
+    pr = [(r.id_a, r.id_b) for r in pairs.collect()]
+    eps = sorted({x for p in pr for x in p})
+    dt = pairs.schema["id_a"].dataType
+    ep_nb = sorted({bucket_of(e, n_buckets) for e in eps})
+    eps_df = spark.createDataFrame(
+        [(e,) for e in eps], T.StructType([T.StructField("node", dt)])
     )
-    # 1. the pair log is the source of truth: land it before any layout
-    #    mutation so a crash anywhere below is healable by rebuild
-    pairs.write.mode("overwrite").parquet(
-        os.path.join(path, "pairs", f"batch={key}")
+    labels = {e: e for e in eps}
+    known = {
+        r.node: r.cluster_id
+        for r in spark.read.parquet(nodes_p)
+        .filter(F.col("nbucket").isin(ep_nb))
+        .join(F.broadcast(eps_df), "node", "left_semi")
+        .select("node", "cluster_id")
+        .collect()
+    }
+    labels.update(known)
+    final = _driver_components(
+        [(labels[a], labels[b]) for a, b in pr if labels[a] != labels[b]]
     )
+    changed = sorted((o, n) for o, n in final.items() if o != n)
+    if not changed:
+        # every pair lies inside one existing cluster: log-only batch
+        # (a batch can't introduce new nodes without a label merge)
+        return None
+    mmap_df = spark.createDataFrame(
+        changed,
+        T.StructType([T.StructField("_old", dt), T.StructField("_new", dt)]),
+    )
+    new_rows_df = spark.createDataFrame(
+        sorted(
+            (final.get(labels[e], labels[e]), e)
+            for e in eps
+            if e not in known
+        ),
+        T.StructType(
+            [T.StructField("cluster_id", dt), T.StructField("node", dt)]
+        ),
+    )
+    cb = {bucket_of(o, n_buckets) for o, _ in changed} | {
+        bucket_of(n, n_buckets) for _, n in changed
+    }
+    return mmap_df, new_rows_df, sorted(cb)
 
-    nodes_p = os.path.join(path, "nodes")
-    members_p = os.path.join(path, "members")
-    intent = os.path.join(path, "_CLUSTERS_INTENT.json")
-    if os.path.exists(intent) or not os.path.exists(nodes_p):
-        # torn prior upsert (marker) or first build: layouts from the log
-        rebuild_clusters(spark, path)
-        return {"rebuilt": True, "nbuckets": [], "cbuckets": []}
-    if pairs.isEmpty():
-        return {"rebuilt": False, "nbuckets": [], "cbuckets": []}
 
-    # 2. endpoints -> current labels; lookup pruned to the endpoints'
-    #    nbuckets (batch-bounded read)
+def _resolve_merges_distributed(
+    spark: SparkSession, pairs: DataFrame, nodes_p: str, n_buckets: int
+):
+    """The same contraction with every frame distributed — the backfill
+    path for batches too large to collect."""
+    # endpoints -> current labels; lookup pruned to the endpoints'
+    # nbuckets (batch-bounded read)
     eps = (
         pairs.select(F.col("id_a").alias("node"))
         .unionByName(pairs.select(F.col("id_b").alias("node")))
@@ -205,9 +276,8 @@ def clusters_upsert(
         )
         .localCheckpoint(eager=True)
     )
-
-    # 3. contract pairs to LABEL edges and resolve merges on the cluster
-    #    graph — <= 2x batch pairs, regardless of corpus size
+    # contract pairs to LABEL edges; resolve merges on the cluster graph —
+    # <= 2x batch pairs, regardless of corpus size
     la = lbl.select(F.col("node").alias("id_a"), F.col("lbl").alias("la"))
     lb = lbl.select(F.col("node").alias("id_b"), F.col("lbl").alias("lb"))
     edges = (
@@ -218,21 +288,19 @@ def clusters_upsert(
         .distinct()
     )
     if edges.isEmpty():
-        # every pair lies inside one existing cluster: log-only batch
-        # (a batch can't introduce new nodes without a la != lb edge)
-        return {"rebuilt": False, "nbuckets": [], "cbuckets": []}
+        return None
     mmap = (
         connected_components(edges, "la", "lb")
         .filter(F.col("node") != F.col("cluster_id"))
         .select(F.col("node").alias("_old"), F.col("cluster_id").alias("_new"))
         .localCheckpoint(eager=True)
     )
-
-    # 4. touched cluster buckets = the merged-away labels' buckets plus the
-    #    surviving labels' buckets (new-node rows always land in the
-    #    latter: a new node is either its component's minimum — then every
-    #    other label maps TO it, putting its bucket in the _new set — or it
-    #    maps to the minimum itself)
+    new_eps = lbl.filter(F.col("_is_new")).select("node", "lbl")
+    new_rows = (
+        new_eps.join(F.broadcast(mmap), new_eps["lbl"] == mmap["_old"], "left")
+        .select(F.coalesce("_new", "lbl").alias("cluster_id"), "node")
+        .localCheckpoint(eager=True)
+    )
     cb_old = {
         r.b
         for r in mmap.select(_bucket_col("_old", n_buckets).alias("b"))
@@ -245,20 +313,83 @@ def clusters_upsert(
         .distinct()
         .collect()
     }
-    touched_cb = sorted(cb_old | cb_new)
+    return mmap, new_rows, sorted(cb_old | cb_new)
 
-    # materialize every read of the layouts BEFORE overwriting them
+
+def clusters_upsert(
+    spark: SparkSession,
+    path: str,
+    new_pairs: DataFrame,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    batch_key: str | None = None,
+    driver_merge_threshold: int = 100_000,
+) -> dict:
+    """Fold a batch of near-dup pairs into the maintained cluster artifact.
+
+    ``new_pairs``: (id_a, id_b) — id_a != id_b rows are logged and merged;
+    accidental self-pairs are dropped. ``batch_key`` names the pair-log
+    directory so a replayed micro-batch overwrites its own log entry
+    (exactly-once); omitted -> a fresh uuid (append-only semantics; safe
+    for correctness since duplicate edges are CC-idempotent, it only grows
+    the log). Returns the touched bucket lists (the test hook for the
+    pruning contract).
+
+    Merge resolution runs driver-side (collected union-find) when the
+    batch holds at most ``driver_merge_threshold`` pairs — the contracted
+    cluster graph is batch-bounded by construction, and a micro-batch's
+    worth of edges costs less to collect than one Spark job barrier —
+    and distributed (connected_components) above it, for backfills. The
+    member relabel and layout rewrites are distributed in both cases.
+    """
+    n_buckets = _read_n_buckets(path, n_buckets)
+    key = batch_key if batch_key is not None else uuid.uuid4().hex
+    pairs = (
+        new_pairs.select("id_a", "id_b")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .localCheckpoint(eager=True)
+    )
+    # 1. the pair log is the source of truth: land it before any layout
+    #    mutation so a crash anywhere below is healable by rebuild
+    pairs.write.mode("overwrite").parquet(
+        os.path.join(path, "pairs", f"batch={key}")
+    )
+
+    nodes_p = os.path.join(path, "nodes")
+    members_p = os.path.join(path, "members")
+    intent = os.path.join(path, "_CLUSTERS_INTENT.json")
+    if os.path.exists(intent) or not os.path.exists(nodes_p):
+        # torn prior upsert (marker) or first build: layouts from the log
+        rebuild_clusters(spark, path)
+        return {"rebuilt": True, "nbuckets": [], "cbuckets": []}
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return {"rebuilt": False, "nbuckets": [], "cbuckets": []}
+
+    # 2.-4. endpoint label lookup, cluster-graph contraction, merge
+    #       resolution. Touched cluster buckets = the merged-away labels'
+    #       buckets plus the surviving labels' buckets (new-node rows
+    #       always land in the latter: a new node is either its
+    #       component's minimum — then every other label maps TO it,
+    #       putting its bucket in the _new set — or it maps to the
+    #       minimum itself)
+    resolve = (
+        _resolve_merges_driver
+        if n_pairs <= driver_merge_threshold
+        else _resolve_merges_distributed
+    )
+    resolved = resolve(spark, pairs, nodes_p, n_buckets)
+    if resolved is None:
+        return {"rebuilt": False, "nbuckets": [], "cbuckets": []}
+    mmap, new_rows, touched_cb = resolved
+
+    # old_m is NOT checkpointed itself: the two _final checkpoints below
+    # materialize every layout read transitively, and both run BEFORE
+    # either overwrite — one recompute of a bucket-pruned scan costs less
+    # than an extra job barrier
     old_m = (
         spark.read.parquet(members_p)
         .filter(F.col("cbucket").isin(touched_cb))
         .select("cluster_id", "node")
-        .localCheckpoint(eager=True)
-    )
-    new_eps = lbl.filter(F.col("_is_new")).select("node", "lbl")
-    new_rows = (
-        new_eps.join(F.broadcast(mmap), new_eps["lbl"] == mmap["_old"], "left")
-        .select(F.coalesce("_new", "lbl").alias("cluster_id"), "node")
-        .localCheckpoint(eager=True)
     )
     relab = old_m.join(
         F.broadcast(mmap), old_m["cluster_id"] == mmap["_old"], "left"
@@ -277,11 +408,9 @@ def clusters_upsert(
     affected = old_m.join(
         F.broadcast(mmap), old_m["cluster_id"] == mmap["_old"]
     ).select("node", F.col("_new").alias("cluster_id"))
-    upd = (
-        affected.unionByName(new_rows.select("node", "cluster_id"))
-        .withColumn("nbucket", _bucket_col("node", n_buckets))
-        .localCheckpoint(eager=True)
-    )
+    upd = affected.unionByName(
+        new_rows.select("node", "cluster_id")
+    ).withColumn("nbucket", _bucket_col("node", n_buckets))
     touched_nb = sorted(
         r.nbucket for r in upd.select("nbucket").distinct().collect()
     )
@@ -289,7 +418,6 @@ def clusters_upsert(
         spark.read.parquet(nodes_p)
         .filter(F.col("nbucket").isin(touched_nb))
         .select("node", "cluster_id")
-        .localCheckpoint(eager=True)
     )
     nodes_final = (
         cur_n.join(
@@ -312,7 +440,9 @@ def clusters_upsert(
     os.replace(intent + ".tmp", intent)
 
     (
-        members_final.repartition("cbucket")
+        # one shuffle task per touched bucket — a 32-task shuffle for a
+        # few touched partitions is pure scheduling overhead
+        members_final.repartition(len(touched_cb), "cbucket")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cbucket")
@@ -324,7 +454,7 @@ def clusters_upsert(
     _drop_empty_partition_dirs(members_p, "cbucket", set(touched_cb) - present)
 
     (
-        nodes_final.repartition("nbucket")
+        nodes_final.repartition(max(1, len(touched_nb)), "nbucket")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("nbucket")

@@ -429,11 +429,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_DEDUP_CLUSTERS_ORACLE,
     doc="the INCREMENTALLY MAINTAINED cluster artifact "
     "(operators/dedup_clusters.py): the verified pair set arrives in "
-    "three waves, each folded in by clusters_upsert (label-contraction CC "
-    "on the batch's cluster graph + touched-bucket rewrite — never a "
-    "full-graph CC after the first wave); the final table must equal the "
-    "one-shot closure, so the oracle is dedup_clusters' recursive CTE "
-    "verbatim",
+    "two waves, the second folded in by clusters_upsert (driver "
+    "union-find on the batch's CONTRACTED cluster graph + touched-bucket "
+    "rewrite — never a full-graph CC after the first wave); the final "
+    "table must equal the one-shot closure, so the oracle is "
+    "dedup_clusters' recursive CTE verbatim (deeper merge chains — four "
+    "batches, any order — are pinned in tests/test_cluster_maintenance)",
 )
 def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -445,13 +446,17 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="cluster_inc_gate_")
     try:
         path = f"{root}/clusters"
-        # deterministic 3-way arrival split; waves cross-reference nodes
-        # from other waves, so later upserts exercise real cluster merges
-        for w in range(3):
+        # deterministic 2-way arrival split; waves cross-reference nodes
+        # from each other, so the second upsert exercises real merges
+        # n_buckets is a layout knob like shuffle partitions: 8 fits the
+        # gate-scale pair graph (hundreds of pairs); production picks by
+        # expected cluster count
+        for w in range(2):
             clusters_upsert(
                 spark,
                 path,
-                pairs.filter(F.pmod(F.col("id_a") + F.col("id_b"), F.lit(3)) == w),
+                pairs.filter(F.pmod(F.col("id_a") + F.col("id_b"), F.lit(2)) == w),
+                n_buckets=8,
                 batch_key=str(w),
             )
         # materialize before the temp artifact the plan reads is dropped
