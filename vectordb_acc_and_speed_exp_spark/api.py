@@ -35,6 +35,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .io.local import local_df
 from .operators.embedding import DEFAULT_DIM, embed_documents
 from .operators.knn import exact_knn
 
@@ -551,8 +552,8 @@ class VectorStore:
         root = self._ensure_dedup_index(name)
         inc = os.path.join(root, "clusters_inc")
         if not os.path.exists(os.path.join(inc, "nodes")):
-            return self.spark.createDataFrame(
-                [], "id string, cluster_id string, is_canonical int"
+            return local_df(
+                self.spark, [], "id string, cluster_id string, is_canonical int"
             )
         return serve_clusters(self.spark, inc).select(
             F.col("doc_id").alias("id"), "cluster_id", "is_canonical"
@@ -634,8 +635,10 @@ class VectorStore:
         if (query_texts is None) == (query_vecs is None):
             raise ValueError("provide exactly one of query_texts / query_vecs")
         if query_texts is not None:
-            qdf = self.spark.createDataFrame(
-                list(enumerate(query_texts)), "query_id bigint, text string"
+            qdf = local_df(
+                self.spark,
+                list(enumerate(query_texts)),
+                "query_id bigint, text string",
             )
             qdf = embed_documents(
                 qdf, text_col="text", dim=self.dim, model_path=self.model_path
@@ -672,7 +675,8 @@ class VectorStore:
                 raise ValueError("hybrid mode needs query_texts")
             from .operators.bm25 import bm25_topk, bm25_topk_indexed, rrf_fuse
 
-            qt = self.spark.createDataFrame(
+            qt = local_df(
+                self.spark,
                 [
                     (qid, t)
                     for qid, text in enumerate(query_texts)

@@ -65,6 +65,28 @@ from pyspark.sql import functions as F
 from .dedup import connected_components
 from .postings import _bucket_col, _drop_empty_partition_dirs, bucket_of
 
+_LOCAL_DDL = {"string": "string", "bigint": "long", "int": "int", "double": "double"}
+
+
+def _local_typed(spark: SparkSession, rows, fields) -> DataFrame:
+    """Driver-local frame with schema-derived column types: a VALUES
+    LocalRelation (io/local.py) when every type is scalar — these frames
+    execute inside every maintenance batch's plans, and a
+    parallelize-backed relation re-enters Python workers per execution —
+    falling back to createDataFrame for exotic id types."""
+    from pyspark.sql import types as T
+
+    simple = [d.simpleString() for _, d in fields]
+    if all(t in _LOCAL_DDL for t in simple):
+        from ..io.local import local_df
+
+        ddl = ", ".join(f"{n} {_LOCAL_DDL[t]}" for (n, _), t in zip(fields, simple))
+        return local_df(spark, [tuple(r) for r in rows], ddl)
+    return spark.createDataFrame(
+        rows, T.StructType([T.StructField(n, d) for n, d in fields])
+    )
+
+
 DEFAULT_N_BUCKETS = 32
 
 
@@ -149,11 +171,8 @@ def rebuild_clusters(
             [(r.id_a, r.id_b) for r in all_pairs.collect()]
         )
         dt = all_pairs.schema["id_a"].dataType
-        cc = spark.createDataFrame(
-            sorted(final.items()),
-            T.StructType(
-                [T.StructField("node", dt), T.StructField("cluster_id", dt)]
-            ),
+        cc = _local_typed(
+            spark, sorted(final.items()), [("node", dt), ("cluster_id", dt)]
         )
     else:
         cc = connected_components(all_pairs).localCheckpoint(eager=True)
@@ -204,9 +223,7 @@ def _resolve_merges_driver(
     eps = sorted({x for p in pr for x in p})
     dt = pairs.schema["id_a"].dataType
     ep_nb = sorted({bucket_of(e, n_buckets) for e in eps})
-    eps_df = spark.createDataFrame(
-        [(e,) for e in eps], T.StructType([T.StructField("node", dt)])
-    )
+    eps_df = _local_typed(spark, [(e,) for e in eps], [("node", dt)])
     labels = {e: e for e in eps}
     known = {
         r.node: r.cluster_id
@@ -225,19 +242,15 @@ def _resolve_merges_driver(
         # every pair lies inside one existing cluster: log-only batch
         # (a batch can't introduce new nodes without a label merge)
         return None
-    mmap_df = spark.createDataFrame(
-        changed,
-        T.StructType([T.StructField("_old", dt), T.StructField("_new", dt)]),
-    )
-    new_rows_df = spark.createDataFrame(
+    mmap_df = _local_typed(spark, changed, [("_old", dt), ("_new", dt)])
+    new_rows_df = _local_typed(
+        spark,
         sorted(
             (final.get(labels[e], labels[e]), e)
             for e in eps
             if e not in known
         ),
-        T.StructType(
-            [T.StructField("cluster_id", dt), T.StructField("node", dt)]
-        ),
+        [("cluster_id", dt), ("node", dt)],
     )
     cb = {bucket_of(o, n_buckets) for o, _ in changed} | {
         bucket_of(n, n_buckets) for _, n in changed

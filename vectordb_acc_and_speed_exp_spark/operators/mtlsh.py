@@ -198,10 +198,19 @@ def _probe_df(
         flip_pool=flip_pool, max_flips=max_flips,
     )
     qid_t = dict(queries.dtypes)[query_id]
-    probe = spark.createDataFrame(
-        [(r[0], r[1], r[2]) for r in plan],
-        f"query_id {qid_t}, table int, bucket bigint",
-    )
+    if qid_t in ("bigint", "long", "int", "integer", "double", "string"):
+        from ..io.local import local_df
+
+        probe = local_df(
+            spark,
+            [(r[0], r[1], r[2]) for r in plan],
+            f"query_id {qid_t}, table int, bucket bigint",
+        )
+    else:
+        probe = spark.createDataFrame(
+            [(r[0], r[1], r[2]) for r in plan],
+            f"query_id {qid_t}, table int, bucket bigint",
+        )
     qv = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec")
     )

@@ -235,17 +235,41 @@ def term_df(spark: SparkSession, path: str, terms: list[str] | None = None) -> D
 def corpus_stats(spark: SparkSession, path: str) -> DataFrame:
     """One-row (n_docs, avgdl) frame from the per-dbucket stats rows
     (<= n_doc_buckets of them; docs hash-partition disjointly, so bigint
-    sums are the exact corpus totals). avgdl applies the same
-    ``bigint * 1.0 / bigint`` IEEE division as the inline path, so scores
-    stay bit-identical."""
-    s = spark.read.parquet(os.path.join(path, "stats"))
-    totals = s.agg(
-        F.sum("n_docs").cast("bigint").alias("n_docs"),
-        F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+    sums are the exact corpus totals).
+
+    The sidecar is O(n_doc_buckets) one-row files BY CONSTRUCTION — its
+    size is bounded by the bucket count, never the corpus — so the totals
+    are summed driver-side with pyarrow (a few KB of local IO) instead of
+    paying a file-listing job + per-file footer reads + a shuffle
+    aggregate on every BM25 pass (measured 0.6-1.1 s/call at sf0.1, ×2
+    passes for RM3). avgdl is then computed by the SAME
+    ``bigint * 1.0 / bigint`` Spark expression on a local 1-row relation,
+    so the IEEE division is literally the inline path's and scores stay
+    bit-identical."""
+    import glob as _glob
+
+    import pyarrow.dataset as _ds
+
+    files = sorted(
+        _glob.glob(os.path.join(path, "stats", "dbucket=*", "*.parquet"))
     )
-    return totals.select(
-        F.col("n_docs"),
-        (F.col("sum_dl") * 1.0 / F.col("n_docs")).alias("avgdl"),
+    n_docs = sum_dl = None
+    if files:
+        t = _ds.dataset(files, format="parquet").to_table(
+            columns=["n_docs", "sum_dl"]
+        )
+        n_docs = sum(t.column("n_docs").to_pylist())
+        sum_dl = sum(t.column("sum_dl").to_pylist())
+    # one JVM-local row, NOT createDataFrame: a parallelize-backed relation
+    # launches Python workers just to serve this row inside every scoring
+    # plan; range(1)+literals stays a LocalTableScan and the division
+    # constant-folds JVM-side (same IEEE op, scores bit-identical)
+    return spark.range(1).select(
+        F.lit(n_docs).cast("bigint").alias("n_docs"),
+        (
+            F.lit(sum_dl).cast("bigint") * 1.0
+            / F.lit(n_docs).cast("bigint")
+        ).alias("avgdl"),
     )
 
 

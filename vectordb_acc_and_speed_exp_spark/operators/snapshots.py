@@ -45,8 +45,10 @@ def snapshot_stats(df_with_seq: DataFrame, sizes: list[int]) -> DataFrame:
     snapshot (the reference loops collections, chromadb_speed_experiment.py:
     438-442), tag each row with every snapshot it belongs to via a range
     join against the (tiny, broadcast) size ladder and aggregate once."""
+    from ..io.local import local_df
+
     spark = df_with_seq.sparkSession
-    ladder = spark.createDataFrame([(s,) for s in sizes], "snapshot_size int")
+    ladder = local_df(spark, [(s,) for s in sizes], "snapshot_size int")
     tagged = df_with_seq.join(
         F.broadcast(ladder), F.col("page_seq") <= F.col("snapshot_size")
     )

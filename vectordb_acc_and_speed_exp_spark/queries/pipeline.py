@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..io.local import local_df
 from ..operators.ann import ivf_assign, kmeans_centroids, lsh_ann, write_ivf_corpus
 from ..operators.embedding import embed_documents
 from ..operators.knn import exact_knn
@@ -685,7 +686,7 @@ def text_query_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.embedding import embed_documents
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qtexts = spark.createDataFrame(
+    qtexts = local_df(spark, 
         [
             (1, "vector database benchmark latency"),
             (2, "approximate nearest neighbor recall"),
@@ -757,7 +758,7 @@ def text_query_search_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.embedding import make_md5_encoder_udf
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qtexts = spark.createDataFrame(
+    qtexts = local_df(spark, 
         list(_QTEXTS), "query_id int, query_text string"
     )
     enc = make_md5_encoder_udf(dim=64)

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..io.local import local_df
 from . import register
 
 
@@ -760,7 +761,7 @@ def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.skew import salted_join
 
     e = load_table(spark, sf_dir, "events")
-    dim = spark.createDataFrame(
+    dim = local_df(spark, 
         [
             ("click", "engagement", 1),
             ("view", "engagement", 0),

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import norm_text, tokens
 from ..io import load_table
+from ..io.local import local_df
 from . import register
 from .textops import _TOKENS_SQL
 from .vector import _COS_SQL, _L2_SQL, _QUERY_SET_SQL
@@ -129,7 +130,8 @@ def _get_or_build_postings(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _query_terms_frame(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
         "query_id long, term string",
     )
@@ -372,7 +374,8 @@ def rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.crossencoder import cross_encoder_rerank
 
     d = load_table(spark, sf_dir, "documents")
-    qtexts = spark.createDataFrame(
+    qtexts = local_df(
+        spark,
         [(qid, " ".join(ts)) for qid, ts in _BM25_QUERIES],
         "query_id long, query_text string",
     )
@@ -471,7 +474,8 @@ FROM ranked WHERE rank <= 10
 def parent_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     terms = sorted({t for _, ts in _BM25_QUERIES for t in ts})
-    qt = spark.createDataFrame(
+    qt = local_df(
+        spark,
         [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
         "query_id long, term string",
     )
@@ -931,7 +935,8 @@ def rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second pass (the round-5 checkpoint discipline, now via a local frame)
     fb_rows = fb.collect()
     fb_ids = sorted({int(r.doc_id) for r in fb_rows})
-    fb_local = spark.createDataFrame(
+    fb_local = local_df(
+        spark,
         [(int(r.query_id), int(r.doc_id)) for r in fb_rows],
         "query_id long, doc_id long",
     )
@@ -962,7 +967,8 @@ def rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "term")
         .collect()
     )
-    exp = spark.createDataFrame(
+    exp = local_df(
+        spark,
         [(int(r.query_id), r.term) for r in exp_rows],
         "query_id long, term string",
     )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import norm_text, punct_ratio, token_count, tokens
 from ..io import load_table
+from ..io.local import local_df
 from . import REGISTRY, register
 
 # DuckDB-side equivalents of functions/text.py (kept adjacent for parity).
@@ -642,7 +643,7 @@ def lang_id_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    lex = d.sparkSession.createDataFrame(
+    lex = local_df(d.sparkSession, 
         [(lang, w) for lang, ws in _LEXICON.items() for w in ws],
         "lex_lang string, word string",
     )

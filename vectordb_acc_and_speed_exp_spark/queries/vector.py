@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 
 from ..io import load_table
+from ..io.local import local_df
 from ..operators.knn import exact_knn
 from . import register
 
@@ -131,7 +132,7 @@ def client_facade_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=10,
             mode="exact",
         )
-        qmap = spark.createDataFrame(
+        qmap = local_df(spark, 
             [(i, int(r.vec_id)) for i, r in enumerate(qrows)],
             "pos bigint, query_id bigint",
         )
@@ -214,7 +215,7 @@ def client_facade_filtered_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
             mode="auto",
             where="label < 3",
         )
-        qmap = spark.createDataFrame(
+        qmap = local_df(spark, 
             [(i, int(r.vec_id)) for i, r in enumerate(qrows)],
             "pos bigint, query_id bigint",
         )
@@ -592,7 +593,7 @@ def knn_snapshot_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qs = _query_set(spark, sf_dir, n=3)
-    ladder = spark.createDataFrame([(100,), (300,), (500,)], "snapshot_size int")
+    ladder = local_df(spark, [(100,), (300,), (500,)], "snapshot_size int")
     scored = emb.alias("c").crossJoin(F.broadcast(qs.alias("q"))).select(
         F.col("q.query_id").alias("query_id"),
         F.col("c.vec_id").alias("item_id"),
