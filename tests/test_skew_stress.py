@@ -133,3 +133,58 @@ def test_postings_build_on_skewed_corpus_matches_inline(spark, skewed, tmp_path)
     assert _rows(bm25_scores_indexed(spark, path, q)) == _rows(
         bm25_scores(skewed, q)
     )
+
+
+def test_long_docs_possible_false_is_plain_single_scan(spark, skewed):
+    """The memoized fast path: a caller-guaranteed no-long-docs corpus
+    gets the plain single-scan tokenize — identical rows to the
+    defensive two-branch shape, and exactly ONE scan of the source in
+    the physical plan (the two-branch union scans it twice)."""
+    short_only = skewed.filter(F.col("doc_id") > 0)  # drop the monster
+    fast = chunked_token_stream(
+        short_only, chunk=CHUNK, long_docs_possible=False
+    )
+    defensive = chunked_token_stream(short_only, chunk=CHUNK)
+    got = _rows(fast.select("doc_id", F.explode("toks").alias("t")))
+    want = _rows(defensive.select("doc_id", F.explode("toks").alias("t")))
+    assert got == want
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_corpus_long_docs_memoizes_per_fingerprint(spark, tmp_path):
+    """_corpus_long_docs computes max(length(text)) once per corpus
+    version: the memo file short-circuits the second call, and a corpus
+    rewrite (new fingerprint) invalidates it."""
+    import json
+    import os
+
+    from vectordb_acc_and_speed_exp_spark.queries.pipeline import _index_root
+    from vectordb_acc_and_speed_exp_spark.queries.textops import (
+        _corpus_long_docs,
+    )
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(1, "short doc")], "doc_id long, text string"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    assert _corpus_long_docs(spark, sf) is False
+    memo = os.path.join(_index_root(sf), "text_maxlen.json")
+    assert json.load(open(memo))["long"] is False
+    # poison the memo: if it is honored, the cached value comes back
+    j = json.load(open(memo))
+    j["long"] = True
+    json.dump(j, open(memo, "w"))
+    assert _corpus_long_docs(spark, sf) is True
+    # rewrite the corpus with a monster doc: fingerprint changes, memo
+    # recomputes honestly
+    from vectordb_acc_and_speed_exp_spark.functions.text import (
+        SKEW_CHUNK_TOKENS,
+    )
+
+    spark.createDataFrame(
+        [(1, "x " * (2 * SKEW_CHUNK_TOKENS))], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    assert _corpus_long_docs(spark, sf) is True
+    assert json.load(open(memo))["long"] is True

@@ -82,6 +82,7 @@ def chunked_token_stream(
     text_col: str = "text",
     chunk: int = SKEW_CHUNK_TOKENS,
     overlap: int = 0,
+    long_docs_possible: bool | None = None,
 ):
     """(doc_id, toks) with every row's token array bounded by
     chunk + overlap — the skew-bounded form of "tokenize then explode".
@@ -101,7 +102,22 @@ def chunked_token_stream(
     short to hold a full n-gram start are dropped (their starts belong to
     the previous slice). Single-chunk documents keep
     word_shingles_from_tokens' shorter-than-n fallback semantics — a
-    multi-chunk document is by construction longer than any n."""
+    multi-chunk document is by construction longer than any n.
+
+    ``long_docs_possible=False`` is a caller-supplied guarantee that no
+    document can exceed ``chunk`` tokens (e.g. a memoized
+    max(length(text)) over the corpus version — queries/textops.py::
+    _corpus_long_docs): the stream then returns the plain single-scan
+    tokenize — identical rows, but without the two-branch union, whose
+    second source scan doubles the text IO of every query embedding this
+    stream (and costs ~0.3 s of extra stages at sf0.1 even with zero
+    long docs). None (default) keeps the defensive two-branch shape;
+    True behaves like None."""
+    if long_docs_possible is False:
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            tokens(norm_text(F.col(text_col))).alias("toks"),
+        )
     # The small/big split must not cost a second tokenize pass: filtering
     # on size(tokens(...)) from a shared select re-evaluates the
     # tokenize for EVERY row on BOTH sides of the union (two scans of

@@ -351,6 +351,45 @@ FROM reach GROUP BY u
 )
 
 
+def _corpus_long_docs(spark: SparkSession, sf_dir: str) -> bool:
+    """True iff any document's raw text can exceed SKEW_CHUNK_TOKENS
+    tokens (checked via the same 2*chunk-1 char guard the stream uses) —
+    computed ONCE per corpus version and memoized beside the other index
+    artifacts, so per-query plans only pay chunked_token_stream's
+    defensive two-branch shape (a second full text scan per execution)
+    when a long document actually exists. One max(length(text)) pass per
+    corpus version amortizes across every later query; same
+    fingerprint-invalidation discipline as the postings/cluster builds."""
+    import json
+    import os
+
+    from ..functions.text import SKEW_CHUNK_TOKENS
+    from .pipeline import _index_root, _source_fingerprint
+
+    guard = 2 * SKEW_CHUNK_TOKENS - 1
+    root = _index_root(sf_dir)
+    memo = os.path.join(root, "text_maxlen.json")
+    fp = _source_fingerprint(sf_dir, table="documents")
+    try:
+        with open(memo) as fh:
+            j = json.load(fh)
+        if j.get("fp") == fp and j.get("guard") == guard:
+            return bool(j["long"])
+    except (OSError, ValueError, KeyError):
+        pass
+    mx = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.max(F.length("text")))
+        .first()[0]
+        or 0
+    )
+    os.makedirs(root, exist_ok=True)
+    with open(memo + ".tmp", "w") as fh:
+        json.dump({"fp": fp, "guard": guard, "long": mx > guard}, fh)
+    os.replace(memo + ".tmp", memo)
+    return mx > guard
+
+
 def _get_or_build_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize the near-dup cluster table (doc_id, cluster_id,
     is_canonical) once per corpus and share it between every consumer
@@ -1458,7 +1497,9 @@ def duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles the whole doc in one pass)
     g = (
         chunked_token_stream(
-            d.filter(F.length(F.trim("text")) > 0), overlap=7
+            d.filter(F.length(F.trim("text")) > 0),
+            overlap=7,
+            long_docs_possible=_corpus_long_docs(spark, sf_dir),
         )
         .select(
             "doc_id",
@@ -2175,7 +2216,9 @@ def subword_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-bounded token stream: the only corpus-sized explode in this
     # query; everything after operates on the distinct-word table
     words = (
-        chunked_token_stream(d)
+        chunked_token_stream(
+            d, long_docs_possible=_corpus_long_docs(spark, sf_dir)
+        )
         .select(F.explode("toks").alias("w"))
         .filter(F.length("w").between(2, 20))
         .groupBy("w")
