@@ -97,7 +97,7 @@ def test_int_type_and_nulls(spark):
 
 def test_rejects_unsupported_type(spark):
     with pytest.raises(ValueError, match="local_df supports only"):
-        local_df(spark, [([1.0],)], "v array<double>")
+        local_df(spark, [({"a": 1},)], "v map<string,int>")
 
 
 def test_is_local_relation(spark):
@@ -107,3 +107,41 @@ def test_is_local_relation(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Scan ExistingRDD" not in plan
+
+def test_array_float_matches_createdataframe(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(64)]) for i in range(5)
+    ] + [(9, []), (10, None), (11, [float("nan"), float("inf"), 0.0])]
+    ddl = "query_id bigint, query_vec array<float>"
+    a = local_df(spark, rows, ddl)
+    b = spark.createDataFrame(rows, ddl)
+    assert _names_types(a) == _names_types(b)
+    got = {r.query_id: r.query_vec for r in a.collect()}
+    want = {r.query_id: r.query_vec for r in b.collect()}
+    assert set(got) == set(want)
+    for k in got:
+        if want[k] is None:
+            assert got[k] is None
+            continue
+        assert len(got[k]) == len(want[k])
+        for x, y in zip(got[k], want[k]):
+            # float32 bit-identity (NaN-aware)
+            assert x == y or (x != x and y != y)
+
+
+def test_array_int_matches_createdataframe(spark):
+    rows = [(1, [3, 1, 2]), (2, []), (3, None), (4, [0])]
+    ddl = "query_id bigint, cells array<int>"
+    a = local_df(spark, rows, ddl)
+    b = spark.createDataFrame(rows, ddl)
+    assert _names_types(a) == _names_types(b)
+    assert {tuple(r) if r.cells is None else (r.query_id, tuple(r.cells)) for r in a.collect()} == \
+           {tuple(r) if r.cells is None else (r.query_id, tuple(r.cells)) for r in b.collect()}
+
+
+def test_rejects_nested_array(spark):
+    with pytest.raises(ValueError, match="local_df supports only"):
+        local_df(spark, [([[1.0]],)], "v array<array<double>>")

@@ -644,7 +644,8 @@ class VectorStore:
                 qdf, text_col="text", dim=self.dim, model_path=self.model_path
             ).select("query_id", F.col("embedding").alias("query_vec"))
         else:
-            qdf = self.spark.createDataFrame(
+            qdf = local_df(
+                self.spark,
                 [(i, [float(x) for x in v]) for i, v in enumerate(query_vecs)],
                 "query_id bigint, query_vec array<float>",
             )

@@ -8,11 +8,11 @@ two scoring passes plus expansion mining over such frames). A ``VALUES``
 literal parses to a Catalyst LocalRelation instead: zero Python-worker
 involvement, constant-folded, broadcastable for free.
 
-Only the scalar types the serve paths put in driver-local frames are
-supported (bigint/long, int, double, string). Anything fancier (arrays,
-timestamps) should stay on ``createDataFrame`` — those frames are built
-once per *session*, not once per query, and correctness beats the floor
-cost there.
+Supported: the scalar types serve paths put in driver-local frames
+(bigint/long, int, float, double, string) plus arrays of those (query
+vectors, probe cell lists). Anything fancier (maps, structs, timestamps)
+should stay on ``createDataFrame`` — those frames are built once per
+*session*, not once per query, and correctness beats the floor cost there.
 """
 
 from __future__ import annotations
@@ -21,27 +21,54 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 
-_TYPES = {
+_SCALARS = {
     "long": "BIGINT",
     "bigint": "BIGINT",
     "int": "INT",
     "integer": "INT",
+    "float": "FLOAT",
     "double": "DOUBLE",
     "string": "STRING",
 }
 
 
+def _sql_type(t: str) -> str:
+    """DDL type name -> SQL render type; ValueError on anything local_df
+    cannot literal-render."""
+    t = t.strip().lower()
+    if t in _SCALARS:
+        return _SCALARS[t]
+    if t.startswith("array<") and t.endswith(">"):
+        elem = t[len("array<") : -1].strip()
+        if elem in _SCALARS:
+            return f"ARRAY<{_SCALARS[elem]}>"
+    raise ValueError(
+        f"local_df supports only {sorted(set(_SCALARS))} and arrays of "
+        f"them; got {t!r} (use createDataFrame for this frame)"
+    )
+
+
 def _parse_ddl(ddl: str) -> list[tuple[str, str]]:
     cols = []
-    for part in ddl.split(","):
-        name, typ = part.strip().split()
-        t = typ.strip().lower()
-        if t not in _TYPES:
-            raise ValueError(
-                f"local_df supports only {sorted(set(_TYPES))}; got {typ!r} "
-                f"for column {name!r} (use createDataFrame for this frame)"
-            )
-        cols.append((name.strip(), _TYPES[t]))
+    # split on top-level commas only: array<...> of a scalar never
+    # contains one, so a simple depth counter suffices
+    depth = 0
+    part = []
+    parts = []
+    for ch in ddl:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(part))
+            part = []
+        else:
+            part.append(ch)
+    parts.append("".join(part))
+    for p in parts:
+        name, typ = p.strip().split(None, 1)
+        cols.append((name.strip(), _sql_type(typ)))
     return cols
 
 
@@ -54,18 +81,25 @@ def _esc(s: str) -> str:
 def _render(v, sql_type: str) -> str:
     if v is None:
         return f"CAST(NULL AS {sql_type})"
+    if sql_type.startswith("ARRAY<"):
+        elem = sql_type[len("ARRAY<") : -1]
+        items = list(v)
+        if not items:
+            return f"CAST(array() AS {sql_type})"
+        return "array(" + ", ".join(_render(e, elem) for e in items) + ")"
     if sql_type == "STRING":
         return f"'{_esc(str(v))}'"
-    if sql_type == "DOUBLE":
+    if sql_type in ("DOUBLE", "FLOAT"):
         f = float(v)
         if math.isnan(f):
-            return "CAST('NaN' AS DOUBLE)"
+            return f"CAST('NaN' AS {sql_type})"
         if math.isinf(f):
             sign = "-" if f < 0 else ""
-            return f"CAST('{sign}Infinity' AS DOUBLE)"
-        # repr() is the shortest round-trip decimal; parsing it back yields
-        # the identical IEEE double in both engines
-        return f"CAST('{f!r}' AS DOUBLE)"
+            return f"CAST('{sign}Infinity' AS {sql_type})"
+        # repr() is the shortest round-trip decimal: parsing it back yields
+        # the identical IEEE double, and the FLOAT cast then performs the
+        # same double->float rounding createDataFrame does
+        return f"CAST('{f!r}' AS {sql_type})"
     # BIGINT / INT
     return f"CAST({int(v)} AS {sql_type})"
 

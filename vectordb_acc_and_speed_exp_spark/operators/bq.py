@@ -449,10 +449,15 @@ def ivfbq_search(
         _F.col("code_lo").alias("q_lo"),
         _F.col("code_hi").alias("q_hi"),
     )
-    allow_df = spark.createDataFrame(
-        [(qid, sorted(cs)) for qid, cs in allowed.items()],
-        f"query_id {dict(queries.dtypes)[query_id]}, cells array<int>",
-    )
+    qid_t = dict(queries.dtypes)[query_id]
+    allow_rows = [(qid, sorted(cs)) for qid, cs in allowed.items()]
+    allow_ddl = f"query_id {qid_t}, cells array<int>"
+    if qid_t in ("bigint", "long", "int", "integer", "double", "string"):
+        from ..io.local import local_df
+
+        allow_df = local_df(spark, allow_rows, allow_ddl)
+    else:
+        allow_df = spark.createDataFrame(allow_rows, allow_ddl)
     qside = qcodes.join(allow_df, "query_id")
 
     codes = spark.read.parquet(codes_path).filter(_F.col("cell").isin(probed))
