@@ -431,3 +431,45 @@ def test_stream_maintains_postings_index(spark, documents, tmp_path):
     got = _sorted_rows(bm25_scores_indexed(spark, idx_path, q))
     want = _sorted_rows(bm25_scores(docs, q))
     assert got == want
+
+
+def test_layout_relation_caches_and_invalidates(spark, tmp_path):
+    """The serve-path relation cache returns the SAME DataFrame while the
+    layout is untouched (skipping the per-call listing job) and a NEW,
+    fresh one after an upsert rewrites bucket files — staleness here
+    would not just serve old rows, it would point the FileIndex at
+    deleted files."""
+    from vectordb_acc_and_speed_exp_spark.operators.postings import (
+        _layout_relation,
+        postings_upsert,
+        query_term_postings,
+        write_postings_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    write_postings_index(docs, path)
+    import os
+
+    inv = os.path.join(path, "postings")
+    a = _layout_relation(spark, inv)
+    b = _layout_relation(spark, inv)
+    assert a is b
+    before = {
+        (r.term, r.doc_id, r.tf)
+        for r in query_term_postings(spark, path, ["beta", "delta"]).collect()
+    }
+    assert before == {("beta", 1, 1), ("beta", 2, 1)}
+    batch = spark.createDataFrame(
+        [(3, "delta beta")], "doc_id long, text string"
+    )
+    postings_upsert(spark, path, batch)
+    c = _layout_relation(spark, inv)
+    assert c is not a
+    after = {
+        (r.term, r.doc_id, r.tf)
+        for r in query_term_postings(spark, path, ["beta", "delta"]).collect()
+    }
+    assert after == {("beta", 1, 1), ("beta", 2, 1), ("beta", 3, 1), ("delta", 3, 1)}

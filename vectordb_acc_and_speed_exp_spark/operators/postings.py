@@ -202,6 +202,45 @@ def _meta(path: str) -> dict:
         return json.load(fh)
 
 
+def _layout_sig(path: str) -> str:
+    """Stat-based content signature of one artifact layout directory
+    (paths + mtimes + sizes, same idea as the builds' source
+    fingerprints). O(bucket count) driver-side stats — bounded by the
+    layout's partitioning, never the corpus."""
+    parts = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            parts.append(f"{p}:{st.st_mtime_ns}:{st.st_size}")
+    return hashlib.md5("|".join(sorted(parts)).encode()).hexdigest()
+
+
+_REL_CACHE: dict = {}
+
+
+def _layout_relation(spark: SparkSession, path: str) -> DataFrame:
+    """Session-cached DataFrame for an artifact layout, invalidated by the
+    stat signature. Re-instantiating ``spark.read.parquet`` per query
+    re-runs the file-listing job (~0.12-0.15 s/call measured at sf0.1);
+    reusing the relation keeps its FileIndex. Invalidation is
+    correctness, not just speed: an upsert's dynamic partition overwrite
+    DELETES the old bucket files, so a stale FileIndex would throw (or
+    worse, silently miss new buckets). Keyed by applicationId so a new
+    session never sees a dead session's plans."""
+    key = (spark.sparkContext.applicationId, path)
+    sig = _layout_sig(path)
+    hit = _REL_CACHE.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    df = spark.read.parquet(path)
+    _REL_CACHE[key] = (sig, df)
+    return df
+
+
 def query_term_postings(
     spark: SparkSession, path: str, terms: list[str]
 ) -> DataFrame:
@@ -211,7 +250,7 @@ def query_term_postings(
     n = _meta(path)["n_term_buckets"]
     buckets = sorted({bucket_of(t, n) for t in terms})
     return (
-        spark.read.parquet(os.path.join(path, "postings"))
+        _layout_relation(spark, os.path.join(path, "postings"))
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(list(terms)))
         .select("term", "doc_id", "tf", "dl")
@@ -222,7 +261,7 @@ def term_df(spark: SparkSession, path: str, terms: list[str] | None = None) -> D
     """(term, df); a term list prunes the scan to the terms' buckets
     (PartitionFilter) with the term isin pushed inside — same discipline
     as query_term_postings, so df lookups stay query-vocabulary-sized."""
-    df = spark.read.parquet(os.path.join(path, "terms"))
+    df = _layout_relation(spark, os.path.join(path, "terms"))
     if terms is not None:
         n = _meta(path)["n_term_buckets"]
         buckets = sorted({bucket_of(t, n) for t in terms})
@@ -477,7 +516,7 @@ def doc_postings(spark: SparkSession, path: str, doc_ids: list) -> DataFrame:
     n = _meta(path)["n_doc_buckets"]
     dbuckets = sorted({bucket_of(i, n) for i in doc_ids})
     return (
-        spark.read.parquet(os.path.join(path, "forward"))
+        _layout_relation(spark, os.path.join(path, "forward"))
         .filter(F.col("dbucket").isin(dbuckets))
         .filter(F.col("doc_id").isin(list(doc_ids)))
         .select("doc_id", "term", "tf")
