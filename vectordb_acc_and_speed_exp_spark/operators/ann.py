@@ -28,6 +28,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..io.relcache import read_layout
+
 from ..functions.vector import l2_dist
 from .knn import exact_knn
 
@@ -304,7 +306,7 @@ def ivf_index_upsert(
     assigned = ivf_assign(new_rows, centroids, item_vec=item_vec)
     new_ids = assigned.select(item_id).distinct()
     stale_cells = (
-        spark.read.parquet(corpus_path)
+        read_layout(spark, corpus_path)
         .select(item_id, "cell")
         .join(F.broadcast(new_ids), item_id, "left_semi")
         .select("cell")
@@ -317,7 +319,7 @@ def ivf_index_upsert(
     # localCheckpoint breaks lineage to corpus_path so the dynamic
     # overwrite isn't a read-from/write-to-same-path conflict
     old = (
-        spark.read.parquet(corpus_path)
+        read_layout(spark, corpus_path)
         .filter(F.col("cell").isin(affected))
         .join(assigned.select(item_id), item_id, "left_anti")
         .localCheckpoint(eager=True)
@@ -370,7 +372,7 @@ def ivf_cell_split(
     import shutil
 
     old_rows = (
-        spark.read.parquet(corpus_path)
+        read_layout(spark, corpus_path)
         .filter(F.col("cell") == cell)
         .drop("cell")
         .localCheckpoint(eager=True)
@@ -455,7 +457,7 @@ def ivf_ann_pruned(
         item_vec="centroid",
     ).select(F.col("query_id"), F.col("item_id").alias("cell"))
     probed = sorted({r.cell for r in qcells.collect()})
-    corpus = spark.read.parquet(corpus_path).filter(F.col("cell").isin(probed))
+    corpus = read_layout(spark, corpus_path).filter(F.col("cell").isin(probed))
     if predicate is not None:
         corpus = corpus.filter(predicate)
     q = queries.select(
@@ -527,7 +529,7 @@ def lsh_ann_pruned(
         "query_id", "_qvec", F.explode(F.array(*probes)).alias("bucket")
     ).dropDuplicates(["query_id", "bucket"])
     probed = sorted({r.bucket for r in q.select("bucket").distinct().collect()})
-    corpus = spark.read.parquet(corpus_path).filter(F.col("bucket").isin(probed))
+    corpus = read_layout(spark, corpus_path).filter(F.col("bucket").isin(probed))
     cand = q.join(corpus, "bucket").select(
         "query_id",
         F.col(item_id).alias("item_id"),

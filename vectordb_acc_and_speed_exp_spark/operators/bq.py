@@ -47,6 +47,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..io.relcache import read_layout
+
 GRID = 1_000_000  # the repo-wide exact-int grid (1e-6 resolution)
 
 
@@ -374,7 +376,7 @@ def ivfbq_codes_upsert(
 
     from .ann import drop_empty_cell_dirs
 
-    fresh = spark.read.parquet(corpus_path).filter(
+    fresh = read_layout(spark, corpus_path).filter(
         _F.col("cell").isin(list(cells))
     )
     (
@@ -460,7 +462,7 @@ def ivfbq_search(
         allow_df = spark.createDataFrame(allow_rows, allow_ddl)
     qside = qcodes.join(allow_df, "query_id")
 
-    codes = spark.read.parquet(codes_path).filter(_F.col("cell").isin(probed))
+    codes = read_layout(spark, codes_path).filter(_F.col("cell").isin(probed))
     scored = codes.crossJoin(_F.broadcast(qside)).filter(
         _F.array_contains(_F.col("cells"), _F.col("cell").cast("int"))
     ).select(
@@ -470,7 +472,7 @@ def ivfbq_search(
             _F.col("q_lo"), _F.col("q_hi"), _F.col("code_lo"), _F.col("code_hi")
         ).alias("hamming"),
     )
-    pruned_vecs = spark.read.parquet(corpus_path).filter(
+    pruned_vecs = read_layout(spark, corpus_path).filter(
         _F.col("cell").isin(probed)
     )
     return _shortlist_rerank(

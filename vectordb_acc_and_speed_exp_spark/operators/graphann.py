@@ -41,6 +41,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..io.relcache import read_layout
+
 DEFAULT_M = 12  # edges added per insert (degree cap = 2*M)
 DEFAULT_EF_BUILD = 48
 DEFAULT_EF_SEARCH = 48
@@ -346,7 +348,7 @@ def graph_index_upsert(
     # localCheckpoint breaks the lineage back to index_path so the dynamic
     # overwrite below isn't a read-from/write-to-same-path conflict
     old = (
-        spark.read.parquet(index_path)
+        read_layout(spark, index_path)
         .filter(F.col("shard").isin(affected))
         .select("item_id", "embedding", F.col("shard").cast("bigint").alias("shard"))
         .join(src.select("item_id"), "item_id", "left_anti")
@@ -376,7 +378,7 @@ def graph_ann_pruned(
     """Search a written graph index."""
     return graph_ann(
         queries,
-        spark.read.parquet(index_path),
+        read_layout(spark, index_path),
         k=k,
         ef_search=ef_search,
         query_id=query_id,
@@ -439,7 +441,7 @@ def graph_ann_cell_probed(
         queries, centroids, n_probe, query_id=query_id, query_vec=query_vec
     )
     probed = sorted(set().union(*probe_map.values())) if probe_map else []
-    idx = spark.read.parquet(index_path).filter(F.col("shard").isin(probed))
+    idx = read_layout(spark, index_path).filter(F.col("shard").isin(probed))
     return graph_ann(
         queries,
         idx,

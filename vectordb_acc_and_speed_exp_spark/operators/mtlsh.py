@@ -45,6 +45,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..io.relcache import read_layout
+
 from ..functions.vector import l2_dist
 
 DEFAULT_N_TABLES = 32
@@ -463,7 +465,7 @@ def mt_lsh_ann_pruned(
         query_id, query_vec, DEFAULT_FLIP_POOL, DEFAULT_MAX_FLIPS,
     )
     tables = [r.table for r in probe.select("table").distinct().collect()]
-    sig = spark.read.parquet(index_path).filter(F.col("table").isin(tables))
+    sig = read_layout(spark, index_path).filter(F.col("table").isin(tables))
     cand = (
         F.broadcast(probe)
         .join(sig, ["table", "bucket"])

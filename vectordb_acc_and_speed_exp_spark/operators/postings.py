@@ -69,6 +69,11 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
 
+# Shared artifact-relation cache (io/relcache.py): one DataFrame per
+# (session, layout path), stat-signature invalidated — see that module for
+# the listing-job economics and the staleness-correctness argument.
+from ..io.relcache import read_layout as _layout_relation
+
 N_TERM_BUCKETS = 64
 N_DOC_BUCKETS = 64
 
@@ -200,45 +205,6 @@ def write_postings_index(
 def _meta(path: str) -> dict:
     with open(os.path.join(path, "_META.json")) as fh:
         return json.load(fh)
-
-
-def _layout_sig(path: str) -> str:
-    """Stat-based content signature of one artifact layout directory
-    (paths + mtimes + sizes, same idea as the builds' source
-    fingerprints). O(bucket count) driver-side stats — bounded by the
-    layout's partitioning, never the corpus."""
-    parts = []
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            p = os.path.join(root, f)
-            try:
-                st = os.stat(p)
-            except OSError:
-                continue
-            parts.append(f"{p}:{st.st_mtime_ns}:{st.st_size}")
-    return hashlib.md5("|".join(sorted(parts)).encode()).hexdigest()
-
-
-_REL_CACHE: dict = {}
-
-
-def _layout_relation(spark: SparkSession, path: str) -> DataFrame:
-    """Session-cached DataFrame for an artifact layout, invalidated by the
-    stat signature. Re-instantiating ``spark.read.parquet`` per query
-    re-runs the file-listing job (~0.12-0.15 s/call measured at sf0.1);
-    reusing the relation keeps its FileIndex. Invalidation is
-    correctness, not just speed: an upsert's dynamic partition overwrite
-    DELETES the old bucket files, so a stale FileIndex would throw (or
-    worse, silently miss new buckets). Keyed by applicationId so a new
-    session never sees a dead session's plans."""
-    key = (spark.sparkContext.applicationId, path)
-    sig = _layout_sig(path)
-    hit = _REL_CACHE.get(key)
-    if hit is not None and hit[0] == sig:
-        return hit[1]
-    df = spark.read.parquet(path)
-    _REL_CACHE[key] = (sig, df)
-    return df
 
 
 def query_term_postings(

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..io.relcache import read_layout
+
 
 def pq_train(
     corpus: DataFrame,
@@ -241,7 +243,7 @@ def ivfpq_codes_upsert(
         return
     from .ann import drop_empty_cell_dirs
 
-    fresh = spark.read.parquet(corpus_path).filter(F.col("cell").isin(list(cells)))
+    fresh = read_layout(spark, corpus_path).filter(F.col("cell").isin(list(cells)))
     (
         pq_encode(
             fresh, codebooks, item_id=item_id, item_vec=item_vec,
@@ -318,7 +320,7 @@ def ivfpq_search(
         {q: np.array(sorted(cs)) for q, cs in allowed.items()}
     )
 
-    codes = spark.read.parquet(codes_path).filter(F.col("cell").isin(probed))
+    codes = read_layout(spark, codes_path).filter(F.col("cell").isin(probed))
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         L, Qi, allow = b_luts.value, b_qids.value, b_allowed.value
@@ -365,7 +367,7 @@ def ivfpq_search(
     )
 
     vecs = (
-        spark.read.parquet(corpus_path)
+        read_layout(spark, corpus_path)
         .filter(F.col("cell").isin(probed))
         .select(F.col(item_id).alias("item_id"), F.col(item_vec).alias("_cvec"))
     )

@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..io.relcache import read_layout
+
 
 def sq_train(
     corpus: DataFrame,
@@ -233,7 +235,7 @@ def ivfsq_codes_upsert(
         return
     from .ann import drop_empty_cell_dirs
 
-    fresh = spark.read.parquet(corpus_path).filter(F.col("cell").isin(list(cells)))
+    fresh = read_layout(spark, corpus_path).filter(F.col("cell").isin(list(cells)))
     (
         sq_encode(
             fresh, vmin, scale, item_id=item_id, item_vec=item_vec,
@@ -302,7 +304,7 @@ def ivfsq_search(
         (qids, Q, vmin, scale, {q: np.array(sorted(cs)) for q, cs in allowed.items()})
     )
 
-    codes = spark.read.parquet(codes_path).filter(F.col("cell").isin(probed))
+    codes = read_layout(spark, codes_path).filter(F.col("cell").isin(probed))
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qi, q, mn, sc, allow = b.value
@@ -356,7 +358,7 @@ def ivfsq_search(
         .select("query_id", "item_id")
     )
     vecs = (
-        spark.read.parquet(corpus_path)
+        read_layout(spark, corpus_path)
         .filter(F.col("cell").isin(probed))
         .select(F.col(item_id).alias("item_id"), F.col(item_vec).alias("_cvec"))
     )

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..io.relcache import read_layout
+
 from ..io import load_table
 from ..io.local import local_df
 from ..operators.ann import ivf_assign, kmeans_centroids, lsh_ann, write_ivf_corpus
@@ -115,7 +117,7 @@ def _get_or_build_ivf(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]
         write_ivf_corpus(assigned, corpus_path)
         cents.write.mode("overwrite").parquet(cent_path)
         _mark_built(done, fp)
-    return corpus_path, spark.read.parquet(cent_path)
+    return corpus_path, read_layout(spark, cent_path)
 
 
 @register(
@@ -126,7 +128,7 @@ def _get_or_build_ivf(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]
 )
 def ivf_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_path, _ = _get_or_build_ivf(spark, sf_dir)
-    layout = spark.read.parquet(corpus_path)
+    layout = read_layout(spark, corpus_path)
     return (
         layout.groupBy("cell")
         .agg(F.count("*").alias("n_vectors"))
@@ -349,7 +351,7 @@ def _get_or_build_ivfbq(spark: SparkSession, sf_dir: str):
     codes_path = os.path.join(root, "ivfbq_codes")
     done = os.path.join(root, "ivfbq._DONE")
     corpus_path, cents = _get_or_build_ivf(spark, sf_dir)
-    corpus = spark.read.parquet(corpus_path)
+    corpus = read_layout(spark, corpus_path)
     sums, n = bq_train(corpus, item_vec="embedding", dim=64)
     fp = _source_fingerprint(sf_dir)
     if not _build_is_fresh(done, fp):
@@ -794,7 +796,7 @@ def _get_or_build_pq(spark: SparkSession, sf_dir: str):
             codes_path
         )
         _mark_built(done, fp)
-    return spark.read.parquet(codes_path), np.load(books_path)
+    return read_layout(spark, codes_path), np.load(books_path)
 
 
 @register(
@@ -935,12 +937,12 @@ def _get_or_build_sq(spark: SparkSession, sf_dir: str):
         _mark_built(done, fp)
     params = {
         r.dim: (r.vmin, r.scale)
-        for r in spark.read.parquet(params_path).collect()
+        for r in read_layout(spark, params_path).collect()
     }
     dim = max(params)
     vmin = np.array([params[i + 1][0] for i in range(dim)])
     scale = np.array([params[i + 1][1] for i in range(dim)])
-    return spark.read.parquet(codes_path), vmin, scale
+    return read_layout(spark, codes_path), vmin, scale
 
 
 @register(
@@ -965,7 +967,7 @@ def sq_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     params_path = os.path.join(_index_root(sf_dir), "sq_params")
-    return spark.read.parquet(params_path).select(
+    return read_layout(spark, params_path).select(
         "dim",
         F.round("vmin", 6).alias("vmin_r"),
         F.round("scale", 6).alias("scale_r"),
@@ -1030,7 +1032,7 @@ def _get_or_build_ivfsq(spark: SparkSession, sf_dir: str):
     _, vmin, scale = _get_or_build_sq(spark, sf_dir)
     fp = _source_fingerprint(sf_dir)
     if not _build_is_fresh(done, fp):
-        assigned = spark.read.parquet(corpus_path)
+        assigned = read_layout(spark, corpus_path)
         write_ivfsq_codes(
             assigned, vmin, scale, codes_path, item_id="vec_id"
         )
@@ -1100,7 +1102,7 @@ def _get_or_build_ivfpq(spark: SparkSession, sf_dir: str):
     _, books = _get_or_build_pq(spark, sf_dir)
     fp = _source_fingerprint(sf_dir)
     if not _build_is_fresh(done, fp):
-        assigned = spark.read.parquet(corpus_path).select(
+        assigned = read_layout(spark, corpus_path).select(
             F.col("vec_id"), F.col("embedding"), F.col("cell")
         )
         write_ivfpq_codes(assigned, books, codes_path, item_id="vec_id")
@@ -1118,7 +1120,7 @@ def _get_or_build_ivfpq(spark: SparkSession, sf_dir: str):
 def ivfpq_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes_path, _, _, _ = _get_or_build_ivfpq(spark, sf_dir)
     return (
-        spark.read.parquet(codes_path)
+        read_layout(spark, codes_path)
         .groupBy("cell")
         .agg(F.count("*").alias("n_codes"))
         .orderBy("cell")
@@ -1308,7 +1310,7 @@ def graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _get_or_build_graph(spark, sf_dir)
-    idx = spark.read.parquet(path)
+    idx = read_layout(spark, path)
     return (
         idx.groupBy("shard")
         .agg(
@@ -1333,7 +1335,7 @@ def _get_or_build_cell_graph(spark: SparkSession, sf_dir: str) -> tuple[str, Dat
     done = os.path.join(root, "cell_graph._DONE")
     fp = _source_fingerprint(sf_dir)
     if not _build_is_fresh(done, fp):
-        assigned = spark.read.parquet(corpus_path)
+        assigned = read_layout(spark, corpus_path)
         write_graph_index(
             build_graph_index(assigned, item_id="vec_id", shard_col="cell"), path
         )
