@@ -338,25 +338,39 @@ def ann_sq_fullrerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _get_or_build_ivfbq(spark: SparkSession, sf_dir: str):
     """Idempotent IVF-BQ build: reuses the IVF layout's cell assignment;
-    BQ thresholds are NOT persisted — bq_train is exact-integer
-    deterministic, so recomputing it at search time always reproduces the
-    bit-identical thresholds the codes were written with (cheap: one
-    narrow posexplode aggregate). Returns (codes_path, corpus_path,
-    centroids, sums, n)."""
+    BQ thresholds are PERSISTED beside the codes (bq_params.json, exact
+    int64 sums + count — bq_train is exact-integer deterministic, so the
+    JSON round-trip is lossless and the codes/thresholds pair can never
+    skew). Serving a fresh artifact therefore reads 64 longs from disk
+    instead of re-running a corpus-sized aggregate per query — the
+    difference between O(1) and O(corpus) serve-time work at 100 TB.
+    Returns (codes_path, corpus_path, centroids, sums, n)."""
+    import json as _json
     import os
+
+    import numpy as np
 
     from ..operators.bq import bq_train, write_ivfbq_codes
 
     root = _index_root(sf_dir)
     codes_path = os.path.join(root, "ivfbq_codes")
     done = os.path.join(root, "ivfbq._DONE")
+    params_path = os.path.join(root, "ivfbq_params.json")
     corpus_path, cents = _get_or_build_ivf(spark, sf_dir)
-    corpus = read_layout(spark, corpus_path)
-    sums, n = bq_train(corpus, item_vec="embedding", dim=64)
     fp = _source_fingerprint(sf_dir)
-    if not _build_is_fresh(done, fp):
+    if not _build_is_fresh(done, fp) or not os.path.exists(params_path):
+        corpus = read_layout(spark, corpus_path)
+        sums, n = bq_train(corpus, item_vec="embedding", dim=64)
         write_ivfbq_codes(corpus, sums, n, codes_path, item_id="vec_id")
+        with open(params_path + ".tmp", "w") as fh:
+            _json.dump({"sums": [int(s) for s in sums], "n": int(n)}, fh)
+        os.replace(params_path + ".tmp", params_path)
         _mark_built(done, fp)
+    else:
+        with open(params_path) as fh:
+            j = _json.load(fh)
+        sums = np.array(j["sums"], dtype=np.int64)
+        n = int(j["n"])
     return codes_path, corpus_path, cents, sums, n
 
 
