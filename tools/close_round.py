@@ -1,0 +1,143 @@
+"""Round-close runbook as one command: full gate + N bench runs + a
+host-steal verdict.
+
+The recurring trap this automates away (BENCH_NOTES rounds 4-7): a
+CPU-stolen VM run inflates a contiguous WINDOW of untouched entries
+20-80% while load-average stays near zero, and a single contended sample
+has repeatedly masqueraded as a regression (r03's bf_codegen 12.2 s,
+r07's rm3 5.05 s). Discipline: judge only across >=2 non-adjacent quiet
+runs; this script runs the gate once, the bench twice (or --runs N),
+compares per-entry times between runs, and flags any run whose entries
+collectively diverge from the per-entry minima — the steal-window
+signature — so a contended sample never lands as the committed artifact
+unexamined.
+
+Usage:
+    python tools/close_round.py --round 8 [--runs 2] [--skip-gate]
+
+Exit code 0 = gate green and at least one bench run is clean;
+non-zero = gate failures or every bench run looked contended (rerun on a
+quieter box before committing artifacts).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+# a run is "contended" when its total exceeds the per-entry-minimum
+# composite by this factor — the composite is what a fully quiet box
+# would have produced, so 12% over it across 80+ entries is systematic
+# steal, not per-entry noise
+CONTENTION_FACTOR = 1.12
+
+
+def run_gate(round_no: int) -> bool:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_GATE_OUT"] = f"GATE_r{round_no:02d}.json"
+    print(f"[close] full oracle gate -> GATE_r{round_no:02d}.json", flush=True)
+    p = subprocess.run(
+        [sys.executable, os.path.join(HERE, "check_oracle.py")],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    tail = "\n".join(p.stdout.strip().splitlines()[-3:])
+    print(tail, flush=True)
+    return p.returncode == 0 and "0 failed" not in tail and " FAIL " not in tail
+
+
+def run_bench(round_no: int, tag: str) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_ROUND"] = str(round_no)
+    print(f"[close] bench run {tag} ...", flush=True)
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+    payload = json.loads(line)
+    print(
+        f"[close]   total {payload['value']:.2f} s over "
+        f"{len(payload['queries'])} entries",
+        flush=True,
+    )
+    return payload
+
+
+def steal_verdict(runs: list[dict]) -> list[tuple[str, float, float, bool]]:
+    """Per run: (tag, total, ratio_to_composite, contended?). Composite =
+    sum of per-entry minima across runs — the quiet-box estimate."""
+    keys = set.intersection(*(set(r["queries"]) for _, r in runs))
+    composite = sum(min(r["queries"][k] for _, r in runs) for k in keys)
+    out = []
+    for tag, r in runs:
+        tot = sum(r["queries"][k] for k in keys)
+        ratio = tot / composite if composite else 1.0
+        out.append((tag, tot, ratio, ratio > CONTENTION_FACTOR))
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--skip-gate", action="store_true")
+    args = ap.parse_args()
+
+    if not args.skip_gate:
+        if not run_gate(args.round):
+            print("[close] GATE FAILURES — fix before closing", flush=True)
+            return 2
+
+    runs = [
+        (f"run{i+1}", run_bench(args.round, f"run{i+1}"))
+        for i in range(max(2, args.runs))
+    ]
+    verdicts = steal_verdict(runs)
+    clean = [v for v in verdicts if not v[3]]
+    print("[close] steal verdict (total / ratio-to-quiet-composite):")
+    for tag, tot, ratio, contended in verdicts:
+        mark = "CONTENDED" if contended else "clean"
+        print(f"[close]   {tag}: {tot:.2f} s  x{ratio:.3f}  {mark}")
+    if not clean:
+        print(
+            "[close] every run looks contended — rerun on a quieter box "
+            "before committing BENCH_DETAIL",
+            flush=True,
+        )
+        return 3
+    # leave the LAST CLEAN run as the committed artifact: bench.py already
+    # wrote BENCH_DETAIL on each run, so rewrite it from the clean payload
+    best = clean[-1]
+    payload = dict(runs[[v[0] for v in verdicts].index(best[0])][1])
+    detail = os.path.join(REPO, f"BENCH_DETAIL_r{args.round:02d}.json")
+    with open(detail, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    with open(os.path.join(REPO, "BENCH_DETAIL_latest.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(
+        f"[close] committed-artifact candidate: {best[0]} "
+        f"({best[1]:.2f} s) -> {os.path.basename(detail)}",
+        flush=True,
+    )
+    print(
+        "[close] next: git add GATE_r{0:02d}.json BENCH_DETAIL_r{0:02d}.json "
+        "BENCH_DETAIL_latest.json && commit".format(args.round),
+        flush=True,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
