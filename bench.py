@@ -277,7 +277,28 @@ def main() -> None:
             json.dump(payload, fh, indent=1)
     except OSError:
         pass  # read-only checkout: the printed line is still the contract
-    print(json.dumps(payload))
+    # The driver records only a 2,000-char TAIL of stdout; a full 89-entry
+    # queries map is ~2.4k chars, so BENCH_r04..r07 all recorded a
+    # head-truncated metric line (parsed: null).  Print a line that is
+    # guaranteed to fit: totals + a queries map filled in HEADLINE order
+    # only while the serialized line stays under budget, plus a pointer at
+    # the detail file holding every entry.  (VERDICT r07 #1.)
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "queries": {},
+        "n_queries": len(timings),
+        "detail": os.path.basename(detail),
+        "sf": payload["sf"],
+    }
+    budget = 1800  # < 2000-char tail, with margin for driver framing
+    for name, secs in timings.items():
+        compact["queries"][name] = secs
+        if len(json.dumps(compact)) > budget:
+            del compact["queries"][name]
+            break
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

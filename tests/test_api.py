@@ -125,12 +125,24 @@ def test_query_hybrid_mode(store, documents):
 
 def test_query_hybrid_respects_where(store, documents):
     """where= composes with hybrid: both channels search only the
-    filtered corpus."""
+    filtered corpus — AND the lexical channel serves from the postings
+    artifact (survivor semi-join), never a corpus-text tokenize (no
+    Generate/explode in the serve plan; doclens read for eligible-set
+    stats — VERDICT r07 #2)."""
     probe = documents.limit(1).collect()
     pred = "cast(id as bigint) % 2 = 0"
-    res = store.query(
+    df = store.query(
         "papers", query_texts=[probe[0].text], k=5, mode="hybrid", where=pred
-    ).collect()
+    )
+    spark = df.sparkSession
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "explode" not in plan.lower()  # no inline tokenize anywhere
+    assert "doclens" in plan  # filtered stats from the artifact sidecar
+    res = df.collect()
     assert res
     for r in res:
         assert int(r.item_id) % 2 == 0
@@ -322,9 +334,11 @@ def test_hybrid_artifact_equals_inline_and_stays_fresh(
     store, spark, documents
 ):
     """Unfiltered hybrid serves BM25 from the collection's postings
-    artifact; it must be bit-identical to the inline-tokenize path (forced
-    via an always-true where) and stay fresh through add() and upsert()
-    without a rebuild (postings_upsert maintains the buckets)."""
+    artifact; an always-true where must give bit-identical results through
+    the FILTERED artifact path (survivor-restricted stats == sidecar
+    stats when everyone survives), and the artifact stays fresh through
+    add() and upsert() without a rebuild (postings_upsert maintains the
+    buckets) — on both the filtered and unfiltered serve paths."""
     import os
 
     vs_docs = documents.limit(50).selectExpr(
@@ -353,6 +367,13 @@ def test_hybrid_artifact_equals_inline_and_stays_fresh(
         mode="hybrid",
     ).collect()
     assert [x.item_id for x in r if x.rank == 1] == ["fresh1"]
+    # the FILTERED hybrid path reads the same maintained artifact: a
+    # where= that admits the fresh doc must surface it immediately
+    rf = store.query(
+        "hybcol", query_texts=["zzqq unique freshness probe"], k=3,
+        mode="hybrid", where="id = 'fresh1' or length(id) < 4",
+    ).collect()
+    assert [x.item_id for x in rf if x.rank == 1] == ["fresh1"]
 
     # upsert(): replacing the doc's text must evict its old terms
     store.upsert(
@@ -374,6 +395,45 @@ def test_hybrid_artifact_equals_inline_and_stays_fresh(
     idx = os.path.join(store.root, ".postings_index", "hybcol")
     assert query_term_postings(spark, idx, ["zzqq"]).count() == 0
     store.delete_collection("hybcol")
+
+
+def test_torn_freshen_marker_forces_index_rebuild(store, spark, documents):
+    """ADVICE r07 (medium): a crash mid-_freshen_indexes leaves torn
+    incremental artifacts (e.g. postings layout written, forward layout
+    not) with no micro-batch redelivery to converge them. A leftover
+    facade intent marker must make the next add() DROP the incrementally
+    maintained indexes — lazy rebuild from the landed collection rows is
+    correct by construction — instead of upserting into torn state."""
+    import os
+
+    vs_docs = documents.limit(30).selectExpr(
+        "cast(doc_id as string) as id", "text"
+    )
+    store.create_collection("torncol", vs_docs)
+    store.query("torncol", query_texts=["warm"], k=1, mode="hybrid")
+    idx_meta = os.path.join(
+        store.root, ".postings_index", "torncol", "_META.json"
+    )
+    assert os.path.exists(idx_meta)
+    # simulate the crash: a marker left over from a dead freshen
+    ip = store._freshen_intent_path("torncol")
+    os.makedirs(os.path.dirname(ip), exist_ok=True)
+    with open(ip, "w") as fh:
+        fh.write("{}")
+    store.add(
+        "torncol",
+        spark.createDataFrame(
+            [("t1", "zznew torn probe")], "id string, text string"
+        ),
+    )
+    assert not os.path.exists(ip)  # marker consumed by the heal + freshen
+    # the possibly-torn postings artifact was dropped, and the next hybrid
+    # query rebuilds it lazily INCLUDING the new row
+    r = store.query(
+        "torncol", query_texts=["zznew torn probe"], k=1, mode="hybrid"
+    ).collect()
+    assert r[0].item_id == "t1"
+    store.delete_collection("torncol")
 
 
 def test_ivfbq_and_mtlsh_freshness_after_add(store, spark, documents):
@@ -409,6 +469,63 @@ def test_ivfbq_and_mtlsh_freshness_after_add(store, spark, documents):
         ).collect()
         assert r[0].item_id == "star9", mode
     store.delete_collection("starcol")
+
+
+def test_pq_sq_ivfpq_facade_modes_and_freshness(store, spark, documents):
+    """VERDICT r07 #7: the remaining index families exposed through the
+    facade. Each mode serves from a persisted per-collection artifact;
+    after add(), IVF-PQ absorbs the batch cell-incrementally (codes
+    re-encoded for touched cells only, frozen codebooks) while the flat
+    pq/sq code tables are invalidated and lazily rebuilt — all three must
+    find a doc added after the first build as its own top-1."""
+    import os
+
+    vs_docs = documents.limit(40).selectExpr(
+        "cast(doc_id as string) as id", "text"
+    )
+    store.create_collection("qcol", vs_docs)
+    probe = vs_docs.limit(1).first()
+    for mode in ("pq", "sq", "ivfpq"):
+        r = store.query("qcol", query_texts=[probe.text], k=3, mode=mode)
+        assert r.collect()[0].item_id == probe.id, mode
+    pq_dir = os.path.join(store.root, ".pq_index", "qcol")
+    sq_dir = os.path.join(store.root, ".sq_index", "qcol")
+    ivfpq_meta = os.path.join(store.root, ".ivf_index", "qcol", "_pq_meta.json")
+    assert os.path.exists(pq_dir) and os.path.exists(sq_dir)
+    assert os.path.exists(ivfpq_meta)
+    store.add(
+        "qcol",
+        spark.createDataFrame(
+            [("q9", "unmistakable quantizer probe text")],
+            "id string, text string",
+        ),
+    )
+    assert os.path.exists(ivfpq_meta)  # absorbed cell-incrementally
+    assert not os.path.exists(pq_dir)  # invalidated, rebuilds lazily
+    assert not os.path.exists(sq_dir)
+    for mode in ("pq", "sq", "ivfpq"):
+        r = store.query(
+            "qcol", query_texts=["unmistakable quantizer probe text"], k=3,
+            mode=mode,
+        ).collect()
+        assert r[0].item_id == "q9", mode
+    # upsert(): replacement text must rank under its NEW embedding in the
+    # incrementally maintained ivfpq layout (same id ⇒ same-or-moved cell,
+    # both rewritten) and in the lazily rebuilt flat codes
+    store.upsert(
+        "qcol",
+        spark.createDataFrame(
+            [("q9", "completely different replacement probe")],
+            "id string, text string",
+        ),
+    )
+    for mode in ("pq", "sq", "ivfpq"):
+        r = store.query(
+            "qcol", query_texts=["completely different replacement probe"],
+            k=3, mode=mode,
+        ).collect()
+        assert r[0].item_id == "q9", mode
+    store.delete_collection("qcol")
 
 
 def test_optimize_compacts_then_clusters_collection(

@@ -134,6 +134,45 @@ def test_torn_state_heals_from_pair_log(spark, tmp_path):
     }
 
 
+def test_crash_after_pair_log_heals(spark, tmp_path):
+    """ADVICE r07 (medium): a crash AFTER the pair log lands but BEFORE
+    any layout write used to leave the logged pairs invisible forever —
+    no marker meant no heal trigger, and add() has no micro-batch
+    redelivery. The intent marker now publishes BEFORE the log, so this
+    crash window leaves it behind and the next upsert rebuilds from
+    pairs/*, folding the orphan batch in."""
+    path = str(tmp_path / "art")
+    for j, batch in enumerate(BATCHES[:2]):
+        clusters_upsert(spark, path, _pairs(spark, batch), batch_key=str(j))
+    # simulate the crash window exactly as clusters_upsert step 1 leaves
+    # it: marker published, pair log landed, resolution never ran
+    with open(os.path.join(path, "_CLUSTERS_INTENT.json"), "w") as fh:
+        json.dump({"stage": "pairs-landing", "batch": "2"}, fh)
+    _pairs(spark, BATCHES[2]).write.mode("overwrite").parquet(
+        os.path.join(path, "pairs", "batch=2")
+    )
+    out = clusters_upsert(spark, path, _pairs(spark, BATCHES[3]), batch_key="3")
+    assert out["rebuilt"]
+    assert not os.path.exists(os.path.join(path, "_CLUSTERS_INTENT.json"))
+    assert _served(spark, path) == _oneshot(spark, ALL)
+
+
+def test_read_paths_raise_on_missing_meta(spark, tmp_path):
+    """ADVICE r07 (low): a lost _META.json beside existing layouts must
+    raise on read paths, not silently fabricate the default bucket count —
+    a wrong count prunes lookups to the wrong partitions (empty/partial
+    answers) and a fabricated meta file would cement it."""
+    path = str(tmp_path / "art")
+    clusters_upsert(
+        spark, path, _pairs(spark, BATCHES[0]), batch_key="0", n_buckets=8
+    )
+    os.remove(os.path.join(path, "_META.json"))
+    with pytest.raises(FileNotFoundError, match="_META"):
+        cluster_of(spark, path, [1])
+    with pytest.raises(FileNotFoundError, match="_META"):
+        cluster_members(spark, path, [1])
+
+
 def test_pruned_lookups(spark, tmp_path):
     path = str(tmp_path / "art")
     for j, batch in enumerate(BATCHES):

@@ -181,9 +181,11 @@ def test_ivf_branch_partial_probe_respects_predicate(spark, ivf_corpus, qset):
 
 def test_plan_estimate_partition_pruned_sample(spark, embeddings, ivf_corpus):
     """estimate=True keeps n_corpus exact (footer-only count) and derives
-    the selectivity ratio from a partition-pruned sample of cells <
-    ceil(n_cells/8) — survivors estimate = ratio x n_corpus, in [0, n],
-    and the decision at this size is exact either way."""
+    the selectivity ratio from a partition-pruned STRIDED sample of cells
+    (cell % 8 == 0 — spread across the index ordering, not a contiguous
+    embedding-space-localized range; ADVICE r07) — survivors estimate =
+    ratio x n_corpus, in [0, n], and the decision at this size is exact
+    either way."""
     path, cents = ivf_corpus
     n_cells = cents.count()
     exact = plan_filtered_knn(spark, path, "label < 3", n_cells, k=10)

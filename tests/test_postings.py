@@ -66,6 +66,111 @@ def test_indexed_weighted_scores_equal_inline(
     assert _sorted_rows(inline) == _sorted_rows(indexed)
 
 
+def test_filtered_indexed_scores_equal_inline(
+    spark, documents, index_path, queries_frame
+):
+    """Metadata-filtered BM25 from the artifact (survivor semi-join +
+    eligible-set stats) must equal tokenizing the FILTERED corpus inline —
+    the round-7 facade fallback this path replaces (VERDICT r07 #2).
+    df/n_docs/avgdl all change under the filter, so this exercises the
+    full recompute, not just row filtering."""
+    from vectordb_acc_and_speed_exp_spark.operators.bm25 import (
+        bm25_scores,
+        bm25_scores_indexed_filtered,
+        bm25_topk,
+        bm25_topk_indexed_filtered,
+    )
+
+    pred = F.col("doc_id") % 3 != 0
+    survivors = documents.filter(pred).select("doc_id")
+    inline = bm25_scores(documents.filter(pred), queries_frame)
+    indexed = bm25_scores_indexed_filtered(
+        spark, index_path, queries_frame, survivors
+    )
+    assert _sorted_rows(inline) == _sorted_rows(indexed)
+    assert _sorted_rows(
+        bm25_topk(documents.filter(pred), queries_frame, k=5)
+    ) == _sorted_rows(
+        bm25_topk_indexed_filtered(spark, index_path, queries_frame, survivors, k=5)
+    )
+
+
+def test_filtered_indexed_weighted_scores_equal_inline(
+    spark, documents, index_path, queries_frame
+):
+    """The RM3 weighted-term hook composes with the filtered path."""
+    from vectordb_acc_and_speed_exp_spark.operators.bm25 import (
+        bm25_scores,
+        bm25_scores_indexed_filtered,
+    )
+
+    q = queries_frame.withColumn(
+        "w6",
+        F.when(F.col("term") == "join", F.lit(500_000))
+        .otherwise(F.lit(1_000_000))
+        .cast("bigint"),
+    )
+    pred = F.col("doc_id") % 2 == 0
+    survivors = documents.filter(pred).select("doc_id")
+    inline = bm25_scores(documents.filter(pred), q, weight_col="w6")
+    indexed = bm25_scores_indexed_filtered(
+        spark, index_path, q, survivors, weight_col="w6"
+    )
+    assert _sorted_rows(inline) == _sorted_rows(indexed)
+
+
+def test_filtered_stats_plan_reads_doclens_not_text(
+    spark, documents, index_path, queries_frame
+):
+    """The filtered serve plan must contain NO tokenize of corpus text —
+    no Generate/explode node anywhere — and must read the O(docs) doclens
+    layout for the eligible-set stats."""
+    from vectordb_acc_and_speed_exp_spark.operators.bm25 import (
+        bm25_topk_indexed_filtered,
+    )
+
+    survivors = documents.filter(F.col("doc_id") % 3 != 0).select("doc_id")
+    df = bm25_topk_indexed_filtered(
+        spark, index_path, queries_frame, survivors, k=5
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "explode" not in plan.lower()
+    assert "doclens" in plan
+
+
+def test_doclens_heals_for_pre_doclens_artifact(spark, documents, tmp_path):
+    """An artifact built before the doclens layout existed self-heals on
+    first filtered call: the layout derives from the forward index (a pure
+    function of it), after which filtered stats equal the inline rollup."""
+    import os
+    import shutil
+
+    from vectordb_acc_and_speed_exp_spark.operators.postings import (
+        filtered_corpus_stats,
+        tokenize,
+        write_postings_index,
+    )
+
+    path = str(tmp_path / "oldidx")
+    write_postings_index(documents.limit(40), path)
+    shutil.rmtree(os.path.join(path, "doclens"))  # simulate pre-doclens build
+    sv = documents.limit(40).select("doc_id")
+    got = filtered_corpus_stats(spark, path, sv).first()
+    assert os.path.isdir(os.path.join(path, "doclens"))  # healed
+    tok = tokenize(documents.limit(40))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    want = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    ).first()
+    assert got["n_docs"] == want["n_docs"]
+    assert got["avgdl"] == want["avgdl"]  # exact double equality
+
+
 def test_postings_scan_is_bucket_pruned(spark, index_path):
     """The serving scan must carry a PartitionFilter on the term bucket —
     whole directories skipped, not a full-artifact read filtered later."""
@@ -185,13 +290,19 @@ def _artifact_state(spark, path):
         .select("dbucket", "n_docs", "sum_dl")
         .collect()
     )
+    doclens = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/doclens")
+        .select("dbucket", "doc_id", "dl")
+        .collect()
+    )
     dirs = sorted(
         d for d in os.listdir(f"{path}/postings") if d.startswith("bucket=")
     )
     tdirs = sorted(
         d for d in os.listdir(f"{path}/terms") if d.startswith("tbucket=")
     )
-    return inv, fwd, terms, stats, dirs, tdirs
+    return inv, fwd, terms, stats, doclens, dirs, tdirs
 
 
 def test_postings_upsert_equals_rebuild(spark, tmp_path):

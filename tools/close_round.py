@@ -33,9 +33,13 @@ REPO = os.path.dirname(HERE)
 
 # a run is "contended" when its total exceeds the per-entry-minimum
 # composite by this factor — the composite is what a fully quiet box
-# would have produced, so 12% over it across 80+ entries is systematic
-# steal, not per-entry noise
-CONTENTION_FACTOR = 1.12
+# would have produced, so 5% over it across 80+ entries is systematic
+# steal, not per-entry noise.  Tightened 1.12 -> 1.05 (VERDICT r07 #5:
+# round 7's "clean" run was 3.4% over composite yet 9% over the driver's
+# own quieter measurement) — and the committed artifact is now the
+# MINIMUM-total clean run, not the last one, so a mild steal window
+# can't become the round's number just by running second.
+CONTENTION_FACTOR = 1.05
 
 
 def run_gate(round_no: int) -> bool:
@@ -117,9 +121,9 @@ def main() -> int:
             flush=True,
         )
         return 3
-    # leave the LAST CLEAN run as the committed artifact: bench.py already
-    # wrote BENCH_DETAIL on each run, so rewrite it from the clean payload
-    best = clean[-1]
+    # commit the MINIMUM-TOTAL clean run: bench.py already wrote
+    # BENCH_DETAIL on each run, so rewrite it from the chosen payload
+    best = min(clean, key=lambda v: v[1])
     payload = dict(runs[[v[0] for v in verdicts].index(best[0])][1])
     detail = os.path.join(REPO, f"BENCH_DETAIL_r{args.round:02d}.json")
     with open(detail, "w") as fh:

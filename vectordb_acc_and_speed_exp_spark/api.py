@@ -93,12 +93,19 @@ class VectorStore:
     # or incrementally maintained in lockstep with writes
     _INDEX_DIRS = (
         ".graph_index", ".bq_index", ".ivf_index", ".mtlsh_index",
-        ".postings_index", ".dedup_index",
+        ".postings_index", ".dedup_index", ".pq_index", ".sq_index",
     )
 
     def _invalidate_indexes(self, name: str, dirs=None) -> None:
         for d in dirs if dirs is not None else self._INDEX_DIRS:
             shutil.rmtree(os.path.join(self.root, d, name), ignore_errors=True)
+        if dirs is None:
+            # full invalidation clears any torn-freshen marker too: the
+            # artifacts it guards no longer exist
+            try:
+                os.remove(self._freshen_intent_path(name))
+            except OSError:
+                pass
 
     def delete_collection(self, name: str) -> None:
         shutil.rmtree(self._path(name), ignore_errors=True)
@@ -247,7 +254,9 @@ class VectorStore:
         # would have to leave the index and its cluster might SPLIT —
         # incremental CC only merges, so replacement means lazy rebuild
         self._invalidate_indexes(
-            name, dirs=(".bq_index", ".mtlsh_index", ".dedup_index")
+            name,
+            dirs=(".bq_index", ".mtlsh_index", ".dedup_index",
+                  ".pq_index", ".sq_index"),
         )
         self._freshen_indexes(name, docs)
 
@@ -292,10 +301,17 @@ class VectorStore:
             self._invalidate_indexes(name)
         else:
             # append: batch-grained indexes are freshened by the caller
-            # (add); whole-corpus artifacts (flat bq codes, mt-LSH tables)
-            # are pure functions of the corpus — invalidate, rebuild lazily
-            self._invalidate_indexes(name, dirs=(".bq_index", ".mtlsh_index"))
+            # (add); whole-corpus artifacts (flat bq/pq/sq codes, mt-LSH
+            # tables) are pure functions of the corpus — invalidate,
+            # rebuild lazily
+            self._invalidate_indexes(
+                name,
+                dirs=(".bq_index", ".mtlsh_index", ".pq_index", ".sq_index"),
+            )
         return docs
+
+    def _freshen_intent_path(self, name: str) -> str:
+        return os.path.join(self.root, ".facade_intent", name + ".json")
 
     def _freshen_indexes(self, name: str, docs: DataFrame) -> None:
         """Incremental maintenance after an add/upsert batch: every index
@@ -304,8 +320,33 @@ class VectorStore:
         (graph_index_upsert), IVF cells + their packed-code twin
         (ivf_index_upsert / ivfbq_codes_upsert), lexical postings buckets
         (postings_upsert). Whole-corpus artifacts were invalidated by the
-        caller. O(batch), never O(collection)."""
+        caller. O(batch), never O(collection).
+
+        Crash contract (ADVICE r07): the upsert primitives assume
+        micro-batch REDELIVERY to converge a torn write, but the batch
+        facade has none — a crash mid-freshen (e.g. postings layout
+        written, forward layout not) would otherwise serve inconsistent
+        artifacts until an unrelated rebuild.  So: publish a facade-level
+        intent marker before touching any index; if a previous add()/
+        upsert() left one behind, drop every incrementally-maintained
+        index for lazy rebuild from the already-landed collection rows
+        (correct by construction), then absorb this batch; unmark only
+        after every index absorbed it."""
         import json
+
+        ip = self._freshen_intent_path(name)
+        if os.path.exists(ip):
+            # torn prior freshen: the collection rows are durable (landed
+            # before _freshen_indexes), the derived artifacts may not be
+            self._invalidate_indexes(
+                name,
+                dirs=(".graph_index", ".ivf_index", ".postings_index",
+                      ".dedup_index"),
+            )
+            os.remove(ip)
+        from .io.commitproto import publish_marker
+
+        publish_marker(ip, {"stage": "freshen-in-flight"})
 
         if os.path.exists(self._graph_path(name)):
             from .operators.graphann import graph_index_upsert
@@ -337,6 +378,18 @@ class VectorStore:
                     np.array(m["sums"], dtype=np.int64), int(m["n"]),
                     cells, item_id="id",
                 )
+            pq_meta = os.path.join(ivf_root, "_pq_meta.json")
+            if os.path.exists(pq_meta):
+                import numpy as np
+
+                from .operators.pq import ivfpq_codes_upsert
+
+                ivfpq_codes_upsert(
+                    self.spark, corpus_path,
+                    os.path.join(ivf_root, "pqcodes"),
+                    np.load(os.path.join(ivf_root, "pq_books.npy")),
+                    cells, item_id="id",
+                )
         postings = self._postings_path(name)
         if os.path.exists(os.path.join(postings, "_META.json")):
             from .operators.postings import postings_upsert
@@ -360,6 +413,7 @@ class VectorStore:
                 next_ingest_batch_id(dd), id_col="id", text_col="text",
                 maintain_clusters=True,
             )
+        os.remove(ip)
 
     # -- binary-quantization codes (per-collection serving artifact) -------
     def _bq_path(self, name: str) -> str:
@@ -470,6 +524,105 @@ class VectorStore:
             np.array(m["sums"], dtype=np.int64),
             int(m["n"]),
         )
+
+    # -- flat PQ / SQ code tables (per-collection serving artifacts) -------
+    def _pq_path(self, name: str) -> str:
+        return os.path.join(self.root, ".pq_index", name)
+
+    def _ensure_pq_codes(self, name: str, corpus: DataFrame):
+        """Build (or reuse) the collection's flat PQ code table +
+        persisted codebooks — the serving shape for mode="pq" (ADC
+        short-list + exact re-rank, operators/pq.py). Same whole-corpus
+        discipline as the flat bq codes: any write invalidates (pure
+        function of the corpus), rebuild is lazy. Returns
+        (codes DataFrame, codebooks ndarray)."""
+        import json
+
+        import numpy as np
+
+        from .operators.pq import pq_encode, pq_train
+
+        path = self._pq_path(name)
+        meta = os.path.join(path, "_meta.json")
+        codes = os.path.join(path, "codes")
+        books_path = os.path.join(path, "books.npy")
+        if not os.path.exists(meta):
+            m = 8 if self.dim % 8 == 0 else 4
+            books = pq_train(corpus, item_vec="embedding", m=m, k=16)
+            os.makedirs(path, exist_ok=True)
+            np.save(books_path, books)
+            pq_encode(corpus, books, item_id="id").write.mode(
+                "overwrite"
+            ).parquet(codes)
+            with open(meta, "w") as f:
+                json.dump({"m": m, "k": 16}, f)
+        return self.spark.read.parquet(codes), np.load(books_path)
+
+    def _sq_path(self, name: str) -> str:
+        return os.path.join(self.root, ".sq_index", name)
+
+    def _ensure_sq_codes(self, name: str, corpus: DataFrame):
+        """Build (or reuse) the collection's flat SQ(int8) code table +
+        persisted per-dimension (vmin, scale) — the serving shape for
+        mode="sq". Params persist beside the codes (the ivfbq_params
+        pattern: serve does O(1) work, never re-runs the corpus min/max
+        aggregate; JSON float round-trip is exact — shortest-repr
+        doubles). Returns (codes DataFrame, vmin, scale)."""
+        import json
+
+        import numpy as np
+
+        from .operators.sq import sq_encode, sq_train
+
+        path = self._sq_path(name)
+        meta = os.path.join(path, "_meta.json")
+        codes = os.path.join(path, "codes")
+        if not os.path.exists(meta):
+            vmin, scale = sq_train(corpus, item_vec="embedding", dim=self.dim)
+            os.makedirs(path, exist_ok=True)
+            sq_encode(corpus, vmin, scale, item_id="id").write.mode(
+                "overwrite"
+            ).parquet(codes)
+            with open(meta, "w") as f:
+                json.dump(
+                    {"vmin": [float(x) for x in vmin],
+                     "scale": [float(x) for x in scale]}, f
+                )
+        with open(meta) as f:
+            p = json.load(f)
+        return (
+            self.spark.read.parquet(codes),
+            np.array(p["vmin"], dtype=np.float64),
+            np.array(p["scale"], dtype=np.float64),
+        )
+
+    def _ensure_ivfpq_codes(self, name: str):
+        """PQ code table partitioned by the IVF layout's cells (FAISS
+        IVFPQ shape): coarse-quantizer directory pruning × ADC scan of
+        ~dim/m bytes per row inside each probed directory. Codebooks are
+        frozen at build; add()/upsert() re-encode only the touched cells
+        (ivfpq_codes_upsert, same lockstep as the bq twin). Returns
+        (codes_path, corpus_path, centroids, codebooks)."""
+        import json
+
+        import numpy as np
+
+        from .operators.pq import pq_train, write_ivfpq_codes
+
+        corpus_path, cents = self._ensure_ivf_index(name)
+        path = self._ivf_path(name)
+        codes_path = os.path.join(path, "pqcodes")
+        books_path = os.path.join(path, "pq_books.npy")
+        meta = os.path.join(path, "_pq_meta.json")
+        if not os.path.exists(meta):
+            assigned = self.spark.read.parquet(corpus_path)
+            m = 8 if self.dim % 8 == 0 else 4
+            books = pq_train(assigned, item_vec="embedding", m=m, k=16)
+            np.save(books_path, books)
+            write_ivfpq_codes(assigned, books, codes_path, item_id="id")
+            with open(meta, "w") as f:
+                json.dump({"m": m, "k": 16}, f)
+        return codes_path, corpus_path, cents, np.load(books_path)
 
     # -- multiprobe multi-table LSH index (per-collection) -----------------
     def _mtlsh_path(self, name: str) -> str:
@@ -589,6 +742,8 @@ class VectorStore:
         where: str | None = None,
         mmr_lambda: float = 0.5,
         auto_opts: dict | None = None,
+        shortlist: int | None = None,
+        n_probe: int | None = None,
     ) -> DataFrame:
         """Top-k search. Returns (query_id, rank, item_id, dist); query_id
         is the position in the input list.
@@ -619,6 +774,18 @@ class VectorStore:
         mt-LSH tables (rebuilt lazily — every doc lives in every table
         partition, so there is no sub-table incremental unit).
 
+        ``mode="pq"`` / ``mode="sq"`` are the flat compressed-scan paths
+        (ADC over 8x16 product-quantizer codes / int8 scalar-quantizer
+        codes, exact re-rank of the short-list); ``mode="ivfpq"`` is the
+        FAISS-IVFPQ composition (coarse directory pruning x ADC inside
+        probed cells). All serve from persisted per-collection code
+        tables: flat pq/sq codes are whole-corpus artifacts (writes
+        invalidate, rebuild lazy — the bq discipline); ivfpq codes ride
+        the IVF layout and add()/upsert() re-encode only the touched
+        cells. ``shortlist=`` / ``n_probe=`` override the serving
+        defaults (shortlist >= corpus and n_probe = n_cells degenerate to
+        exact — the oracled identity).
+
         ``mode="mmr"`` adds diversity: exact-cosine 4k-shortlist, then
         greedy MMR selection at ``mmr_lambda`` (operators/rerank.py);
         returns (query_id, rank, item_id, mmr_score).
@@ -627,11 +794,12 @@ class VectorStore:
         channel over the collection's text with the dense cosine channel
         by reciprocal-rank fusion (operators/bm25.py), the
         Weaviate/Qdrant-style hybrid search; returns (query_id, rank,
-        item_id, rrf). Unfiltered hybrid serves BM25 from the
-        collection's materialized postings artifact (bucket-pruned scan,
-        bit-identical scores); where+hybrid falls back to inline scoring
-        over the filtered corpus (the artifact indexes the full
-        collection)."""
+        item_id, rrf). Both filtered and unfiltered hybrid serve BM25
+        from the collection's materialized postings artifact
+        (bucket-pruned scan, bit-identical scores); where+hybrid
+        semi-joins the survivor set into the pruned postings read and
+        recomputes df/n_docs/avgdl over the eligible set — no
+        corpus-text scan on any hybrid path."""
         if (query_texts is None) == (query_vecs is None):
             raise ValueError("provide exactly one of query_texts / query_vecs")
         if query_texts is not None:
@@ -651,7 +819,7 @@ class VectorStore:
             )
         corpus = self.get(name)
         if where is not None:
-            if mode in ("graph", "mtlsh", "ivfbq"):
+            if mode in ("graph", "mtlsh", "ivfbq", "ivfpq"):
                 # these indexes carry no metadata pre-filter; route through
                 # the measured chooser instead of post-filtering a
                 # traversal to fewer than k rows (see docstring)
@@ -674,7 +842,7 @@ class VectorStore:
         if mode == "hybrid":
             if query_texts is None:
                 raise ValueError("hybrid mode needs query_texts")
-            from .operators.bm25 import bm25_topk, bm25_topk_indexed, rrf_fuse
+            from .operators.bm25 import bm25_topk_indexed, rrf_fuse
 
             qt = local_df(
                 self.spark,
@@ -695,7 +863,20 @@ class VectorStore:
                     self.spark, self._ensure_postings(name), qt, k=5 * k
                 )
             else:
-                lex_scored = bm25_topk(corpus, qt, k=5 * k, id_col="id")
+                # filtered hybrid serves from the SAME artifact: the
+                # survivor set (predicate over metadata columns — a
+                # column-pruned scan, no text) semi-joins into the pruned
+                # postings read, and df/n_docs/avgdl recompute over the
+                # eligible set, so scores equal the inline
+                # tokenize-the-filtered-corpus path to the bit
+                # (operators/bm25.py::bm25_scores_indexed_filtered)
+                from .operators.bm25 import bm25_topk_indexed_filtered
+
+                survivors = corpus.select(F.col("id").alias("doc_id"))
+                lex_scored = bm25_topk_indexed_filtered(
+                    self.spark, self._ensure_postings(name), qt, survivors,
+                    k=5 * k,
+                )
             lex = lex_scored.select(
                 "query_id", F.col("doc_id").alias("item_id"), "rank"
             )
@@ -758,9 +939,55 @@ class VectorStore:
                 sums, n = bq_train(corpus, item_vec="embedding", dim=self.dim)
                 encoded = None
             return bq_search_rerank(
-                qdf, corpus, sums, n, k=k, shortlist=max(10 * k, 100),
+                qdf, corpus, sums, n, k=k,
+                shortlist=shortlist or max(10 * k, 100),
                 item_id="id", item_vec="embedding", encoded=encoded,
             ).select("query_id", "rank", "item_id", "dist")
+        if mode == "pq":
+            from .operators.pq import pq_search_rerank, pq_train
+            from .operators.pq import pq_encode
+
+            if where is None:
+                # serving shape: persisted code table + codebooks (built
+                # once, invalidated by writes) — ADC scans dim/m bytes/row
+                encoded, books = self._ensure_pq_codes(name, corpus)
+            else:
+                # pre-filter semantics: codebooks/codes must cover the
+                # ELIGIBLE set only, so a filtered query trains inline
+                m = 8 if self.dim % 8 == 0 else 4
+                books = pq_train(corpus, item_vec="embedding", m=m, k=16)
+                encoded = pq_encode(corpus, books, item_id="id")
+            return pq_search_rerank(
+                qdf, corpus, encoded, books, k=k,
+                shortlist=shortlist or max(10 * k, 100),
+                item_id="id", item_vec="embedding",
+            ).select("query_id", "rank", "item_id", "dist")
+        if mode == "sq":
+            from .operators.sq import sq_encode, sq_search_rerank, sq_train
+
+            if where is None:
+                encoded, vmin, scale = self._ensure_sq_codes(name, corpus)
+            else:
+                vmin, scale = sq_train(
+                    corpus, item_vec="embedding", dim=self.dim
+                )
+                encoded = sq_encode(corpus, vmin, scale, item_id="id")
+            return sq_search_rerank(
+                qdf, corpus, encoded, vmin, scale, k=k,
+                shortlist=shortlist or max(10 * k, 100),
+                item_id="id", item_vec="embedding",
+            ).select("query_id", "rank", "item_id", "dist")
+        if mode == "ivfpq":
+            from .operators.pq import ivfpq_search
+
+            codes_path, corpus_path, cents, books = self._ensure_ivfpq_codes(
+                name
+            )
+            return ivfpq_search(
+                qdf, self.spark, codes_path, corpus_path, cents, books,
+                k=k, n_probe=n_probe or 4,
+                shortlist=shortlist or max(10 * k, 100), item_id="id",
+            )
         if mode == "mtlsh":
             from .operators.mtlsh import mt_lsh_ann_pruned
 
@@ -778,9 +1005,10 @@ class VectorStore:
             )
             return ivfbq_search(
                 qdf, self.spark, codes_path, corpus_path, cents, sums, n,
-                k=k, n_probe=4, shortlist=max(10 * k, 100), item_id="id",
+                k=k, n_probe=n_probe or 4,
+                shortlist=shortlist or max(10 * k, 100), item_id="id",
             )
         raise ValueError(
             f"unknown mode {mode!r}; one of "
-            "exact/blas/lsh/graph/bq/mtlsh/ivfbq/auto/mmr/hybrid"
+            "exact/blas/lsh/graph/bq/pq/sq/mtlsh/ivfbq/ivfpq/auto/mmr/hybrid"
         )

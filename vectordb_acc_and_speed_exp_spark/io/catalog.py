@@ -177,38 +177,22 @@ def _sized_file_counts(df: DataFrame, target_bytes_per_file: int) -> tuple[int, 
 
 def _rewrite_in_place(path: str, write_staged) -> None:
     """Crash-safe in-place parquet rewrite shared by compaction and layout
-    clustering: ``write_staged(staged_dir)`` produces the replacement next
-    to the original, then two renames swap it in. The data always exists in
-    full at ``path``, ``._pre_compact`` or ``._compact_staged`` — never a
-    mix — and the next call self-heals: a crash between the renames (path
-    absent, backup present) rolls back by restoring the backup; stale
-    staging/backup dirs from any earlier crash are removed before staging
-    anew. NOTE: ``write_staged`` must re-scan ``path`` lazily (a DataFrame
-    over it is fine — the swap happens only after the write completes), and
-    callers must run :func:`_heal_crashed_rewrite` BEFORE their first read
-    of ``path`` — in the crashed-between-renames state the directory does
-    not exist until healed."""
-    _heal_crashed_rewrite(path)
-    staged = path.rstrip("/") + "._compact_staged"
-    backup = path.rstrip("/") + "._pre_compact"
-    write_staged(staged)
-    os.rename(path, backup)
-    os.rename(staged, path)
-    import shutil
+    clustering — now a thin alias for the commit-protocol seam
+    (io/commitproto.py::swap_directory), where the local-FS atomic-rename
+    assumption and its object-store replacement are stated once
+    (VERDICT r07 #8). Contract unchanged: the data always exists in full
+    at ``path``, the backup, or the staging dir — never a mix;
+    ``write_staged`` must re-scan ``path`` lazily; callers run
+    :func:`_heal_crashed_rewrite` before their first read of ``path``."""
+    from .commitproto import swap_directory
 
-    shutil.rmtree(backup)
+    swap_directory(path, write_staged)
 
 
 def _heal_crashed_rewrite(path: str) -> None:
     """Roll back / clean up any state a crashed :func:`_rewrite_in_place`
-    left behind. Idempotent; cheap (three stats) when there is nothing to
-    heal."""
-    import shutil
+    left behind (commitproto.heal_swap). Idempotent; cheap (three stats)
+    when there is nothing to heal."""
+    from .commitproto import heal_swap
 
-    staged = path.rstrip("/") + "._compact_staged"
-    backup = path.rstrip("/") + "._pre_compact"
-    if not os.path.exists(path) and os.path.exists(backup):
-        os.rename(backup, path)  # prior run died between the two renames
-    for leftover in (staged, backup):
-        if os.path.exists(leftover):
-            shutil.rmtree(leftover)
+    heal_swap(path)

@@ -134,6 +134,63 @@ def bm25_scores_indexed(
     )
 
 
+def bm25_scores_indexed_filtered(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    survivors: DataFrame,
+    query_id: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Metadata-filtered BM25 from the postings artifact: every statistic
+    (tf/dl rows, df, n_docs, avgdl) is restricted to the surviving doc
+    set, so scores are bit-identical to
+    ``bm25_scores(corpus.filter(pred), ...)`` — the inline filtered path
+    — while the plan reads only the query terms' pruned posting buckets
+    plus the O(docs) doclens sidecar (never corpus text).
+
+    ``survivors``: a (doc_id) frame, the eligible set after the caller
+    evaluated the predicate over the collection's metadata columns.
+
+    df is re-derived from the survivor-restricted posting rows with the
+    inline derivation (rows per term); n_docs/avgdl come from
+    postings.filtered_corpus_stats — same integers, same expressions,
+    same bits (VERDICT r07 #2: the last corpus-sized serve scan reachable
+    from the facade)."""
+    from .postings import filtered_corpus_stats, query_term_postings
+
+    qt = _qt(queries, query_id, term_col, weight_col)
+    terms = sorted({r.term for r in qt.select("term").distinct().collect()})
+    sv = survivors.select("doc_id")
+    tf_dl = query_term_postings(spark, index_path, terms).join(
+        sv, "doc_id", "left_semi"
+    )
+    dft = tf_dl.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = filtered_corpus_stats(spark, index_path, sv)
+    return _contrib_scores(
+        tf_dl, qt, dft, stats, k1, b, weighted=weight_col is not None
+    )
+
+
+def bm25_topk_indexed_filtered(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    survivors: DataFrame,
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Top-k over ``bm25_scores_indexed_filtered`` — same ranking window
+    as the other bm25_topk variants."""
+    return _topk_by_score(
+        bm25_scores_indexed_filtered(spark, index_path, queries, survivors, **kwargs),
+        k,
+    )
+
+
 def _topk_by_score(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.desc("s6"), F.asc("doc_id")

@@ -94,15 +94,28 @@ def _meta_path(path: str) -> str:
     return os.path.join(path, "_META.json")
 
 
-def _read_n_buckets(path: str, default: int) -> int:
+def _read_n_buckets(path: str, default: int, create: bool = True) -> int:
+    """Bucket count from the artifact's _META.json.  Writers
+    (clusters_upsert / rebuild_clusters) pass create=True and pin the
+    count on first build; READ paths pass create=False and must raise
+    when the meta file is missing beside existing layouts — fabricating
+    the default there would silently prune lookups to the wrong
+    partitions (empty/partial answers) and cement the wrong count
+    (ADVICE r07)."""
     mp = _meta_path(path)
     if os.path.exists(mp):
         with open(mp) as fh:
             return int(json.load(fh)["n_buckets"])
+    if not create:
+        raise FileNotFoundError(
+            f"{mp} missing — bucket count unknown; layouts were built by "
+            "clusters_upsert/rebuild_clusters which write it. Restore the "
+            "meta file or rebuild the artifact."
+        )
+    from ..io.commitproto import publish_marker
+
     os.makedirs(path, exist_ok=True)
-    with open(mp + ".tmp", "w") as fh:
-        json.dump({"n_buckets": int(default)}, fh)
-    os.replace(mp + ".tmp", mp)
+    publish_marker(mp, {"n_buckets": int(default)})
     return default
 
 
@@ -361,21 +374,31 @@ def clusters_upsert(
         .filter(F.col("id_a") != F.col("id_b"))
         .localCheckpoint(eager=True)
     )
-    # 1. the pair log is the source of truth: land it before any layout
-    #    mutation so a crash anywhere below is healable by rebuild
-    pairs.write.mode("overwrite").parquet(
-        os.path.join(path, "pairs", f"batch={key}")
-    )
-
     nodes_p = os.path.join(path, "nodes")
     members_p = os.path.join(path, "members")
     intent = os.path.join(path, "_CLUSTERS_INTENT.json")
-    if os.path.exists(intent) or not os.path.exists(nodes_p):
-        # torn prior upsert (marker) or first build: layouts from the log
+    torn = os.path.exists(intent)
+    # 1. publish the intent marker BEFORE the pair log lands (ADVICE r07):
+    #    the log is the source of truth, but logged pairs with no marker
+    #    are invisible to later upserts — a crash between the log write
+    #    and the final unmark must leave the marker so the next upsert
+    #    heals by rebuild.  (Previously the marker only appeared at
+    #    publish time, so a crash during merge resolution left that
+    #    batch's merges permanently unfolded.)
+    from ..io.commitproto import publish_marker
+
+    publish_marker(intent, {"stage": "pairs-landing", "batch": key})
+    pairs.write.mode("overwrite").parquet(
+        os.path.join(path, "pairs", f"batch={key}")
+    )
+    if torn or not os.path.exists(nodes_p):
+        # torn prior upsert (leftover marker) or first build: layouts
+        # from the full log (rebuild_clusters removes the marker)
         rebuild_clusters(spark, path)
         return {"rebuilt": True, "nbuckets": [], "cbuckets": []}
     n_pairs = pairs.count()
     if n_pairs == 0:
+        os.remove(intent)
         return {"rebuilt": False, "nbuckets": [], "cbuckets": []}
 
     # 2.-4. endpoint label lookup, cluster-graph contraction, merge
@@ -392,6 +415,8 @@ def clusters_upsert(
     )
     resolved = resolve(spark, pairs, nodes_p, n_buckets)
     if resolved is None:
+        # log-only batch: layouts untouched, the marker can clear
+        os.remove(intent)
         return {"rebuilt": False, "nbuckets": [], "cbuckets": []}
     mmap, new_rows, touched_cb = resolved
 
@@ -441,16 +466,16 @@ def clusters_upsert(
         .localCheckpoint(eager=True)
     )
 
-    # 6. publish: marker -> both dynamic-partition overwrites -> unmark
-    with open(intent + ".tmp", "w") as fh:
-        json.dump(
-            {
-                "nbuckets": [int(b) for b in touched_nb],
-                "cbuckets": [int(b) for b in touched_cb],
-            },
-            fh,
-        )
-    os.replace(intent + ".tmp", intent)
+    # 6. publish: refresh the marker with the touched buckets (it has
+    #    been up since step 1) -> both dynamic-partition overwrites ->
+    #    unmark
+    publish_marker(
+        intent,
+        {
+            "nbuckets": [int(b) for b in touched_nb],
+            "cbuckets": [int(b) for b in touched_cb],
+        },
+    )
 
     (
         # one shuffle task per touched bucket — a 32-task shuffle for a
@@ -496,7 +521,7 @@ def serve_clusters(spark: SparkSession, path: str) -> DataFrame:
 def cluster_of(spark: SparkSession, path: str, node_ids: list) -> DataFrame:
     """(node, cluster_id) for exactly the given docs — pruned to their
     nbuckets (the serving lookup: 'is this new doc a known near-dup?')."""
-    n = _read_n_buckets(path, DEFAULT_N_BUCKETS)
+    n = _read_n_buckets(path, DEFAULT_N_BUCKETS, create=False)
     nb = sorted({bucket_of(i, n) for i in node_ids})
     return (
         spark.read.parquet(os.path.join(path, "nodes"))
@@ -509,7 +534,7 @@ def cluster_of(spark: SparkSession, path: str, node_ids: list) -> DataFrame:
 def cluster_members(spark: SparkSession, path: str, cluster_ids: list) -> DataFrame:
     """(cluster_id, node) for exactly the given clusters — pruned to their
     cbuckets (the expansion lookup: 'what else is in this dup group?')."""
-    n = _read_n_buckets(path, DEFAULT_N_BUCKETS)
+    n = _read_n_buckets(path, DEFAULT_N_BUCKETS, create=False)
     cb = sorted({bucket_of(i, n) for i in cluster_ids})
     return (
         spark.read.parquet(os.path.join(path, "members"))

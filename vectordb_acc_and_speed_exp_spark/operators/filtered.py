@@ -107,20 +107,30 @@ def plan_filtered_knn(
     column-pruned scans.  ``estimate=True`` (the serving path):
     ``n_corpus`` stays exact but costs only a parquet-footer count (no
     column data read), and the SELECTIVITY comes from a
-    PARTITION-PRUNED sample — the predicate scans only cells <
-    ceil(n_cells/8); the ratio survivors/rows within the sample is
-    robust to cell-size skew (kmeans cells vary wildly) and unbiased
-    under the one modeling assumption (metadata uncorrelated with the
-    coarse-quantizer cells — documented, and the decision is a planning
-    input, never part of the answer).  This is the 100 TB discipline:
+    PARTITION-PRUNED sample — the predicate scans only the strided cell
+    subset ``cell % 8 == 0`` (~1/8 of cells, spread across the index
+    ordering rather than a contiguous — and therefore
+    embedding-space-localized — range); the ratio survivors/rows within
+    the sample is robust to cell-size skew (kmeans cells vary wildly)
+    and the striding weakens the one modeling assumption (metadata
+    correlated with the coarse-quantizer cells biases any fixed cell
+    subset; the decision is a planning input, never part of the
+    answer).  This is the 100 TB discipline:
     planning cost is a footer scan + a fixed fraction of one probe, not
     two full-corpus data scans per query.  An empty sample falls back
     to the exact counts."""
     corpus = spark.read.parquet(corpus_path)
     n_corpus = corpus.count()  # footer-only: no column data materializes
     if estimate and n_cells > 1:
-        n_sample_cells = max(1, math.ceil(n_cells / 8))
-        sample = corpus.filter(F.col("cell") < n_sample_cells)
+        # STRIDED cell subset (cell % 8 == 0), not the contiguous range
+        # cell < n/8: kmeans cells partition embedding space, so metadata
+        # correlated with embeddings (common in practice) would bias a
+        # contiguous sample — an overestimated selectivity under-widens
+        # n_probe and silently erodes recall below the 4/s dial (ADVICE
+        # r07). Striding spreads the sample across the index ordering;
+        # still a PartitionFilter, so the scan stays pruned.
+        stride = min(8, n_cells)
+        sample = corpus.filter(F.col("cell") % stride == 0)
         n_rows, n_surv = (
             sample.select(
                 F.count(F.lit(1)).alias("n"),

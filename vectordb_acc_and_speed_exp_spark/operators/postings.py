@@ -30,6 +30,11 @@ Artifact layout (all parquet under one root):
   <= n_doc_buckets rows then applies ``sum_dl * 1.0 / n_docs`` — integer
   sums are exact, so the division is the same IEEE operation the inline
   path performs and scores stay bit-identical.
+- ``doclens/dbucket=D/`` — (doc_id, dl): per-doc lengths, derivable
+  entirely from that bucket's forward partition. Exists for FILTERED
+  serving: a metadata-filtered BM25 needs n_docs/avgdl/df over the
+  eligible set only, which a survivor semi-join against this O(docs)
+  layout answers without touching corpus text (filtered_corpus_stats).
 - ``_META.json`` — n_buckets for each layout.
 - ``_UPSERT_INTENT.json`` — transient crash marker (see postings_upsert).
 
@@ -143,6 +148,20 @@ def _terms_from_postings(inv: DataFrame) -> DataFrame:
     )
 
 
+def _doclens_from_forward(fwd: DataFrame) -> DataFrame:
+    """(doc_id, dl, dbucket) from forward-layout rows — THE per-doc
+    length derivation (dl = sum of the doc's tfs), shared by build and
+    upsert-recompute like the other sidecars. O(docs) narrow rows; it
+    exists so FILTERED serving (eligible-set n_docs/avgdl for
+    metadata-filtered BM25) reads one row per doc instead of
+    re-aggregating corpus-sized posting rows."""
+    return (
+        fwd.groupBy("dbucket", "doc_id")
+        .agg(F.sum("tf").cast("bigint").alias("dl"))
+        .select("doc_id", "dl", "dbucket")
+    )
+
+
 def _stats_from_forward(fwd: DataFrame) -> DataFrame:
     """(n_docs, sum_dl, dbucket) from forward-layout rows (doc_id, term,
     tf, dbucket) — THE stats derivation, shared by build and
@@ -190,6 +209,9 @@ def write_postings_index(
     _stats_from_forward(fwd).repartition("dbucket").write.mode(
         "overwrite"
     ).partitionBy("dbucket").parquet(os.path.join(path, "stats"))
+    _doclens_from_forward(fwd).repartition("dbucket").write.mode(
+        "overwrite"
+    ).partitionBy("dbucket").parquet(os.path.join(path, "doclens"))
     with open(os.path.join(path, "_META.json"), "w") as fh:
         json.dump(
             {"n_term_buckets": n_term_buckets, "n_doc_buckets": n_doc_buckets}, fh
@@ -383,12 +405,15 @@ def postings_upsert(
         tb |= set(prior.get("term_buckets", []))
         db |= set(prior.get("doc_buckets", []))
     tb, db = sorted(tb), sorted(db)
-    # atomic publish: a crash mid-write must never corrupt the healing
-    # marker itself — write beside, rename over
-    with open(intent_path + ".tmp", "w") as fh:
-        json.dump({"term_buckets": [int(b) for b in tb],
-                   "doc_buckets": [int(b) for b in db]}, fh)
-    os.replace(intent_path + ".tmp", intent_path)
+    # atomic publish via the commit-protocol seam (io/commitproto.py): a
+    # crash mid-write must never corrupt the healing marker itself
+    from ..io.commitproto import publish_marker
+
+    publish_marker(
+        intent_path,
+        {"term_buckets": [int(b) for b in tb],
+         "doc_buckets": [int(b) for b in db]},
+    )
 
     inv_path = os.path.join(path, "postings")
     fwd_path = os.path.join(path, "forward")
@@ -471,8 +496,63 @@ def postings_upsert(
     present = {r.dbucket for r in new_stats.select("dbucket").distinct().collect()}
     _drop_empty_partition_dirs(stats_path, "dbucket", set(db) - present)
 
-    os.remove(intent_path)  # all layouts + sidecars consistent: clear marker
+    # ---- doclens sidecar: same recompute discipline (pure function of
+    # the forward layout); an artifact built before this layout existed
+    # heals by a one-time full derivation
+    doclens_path = os.path.join(path, "doclens")
+    fwd_scope = spark.read.parquet(fwd_path)
+    if os.path.exists(doclens_path):
+        fwd_scope = fwd_scope.filter(F.col("dbucket").isin(db))
+    new_dls = _doclens_from_forward(fwd_scope).localCheckpoint(eager=True)
+    (
+        new_dls.repartition("dbucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dbucket")
+        .parquet(doclens_path)
+    )
+    present = {r.dbucket for r in new_dls.select("dbucket").distinct().collect()}
+    _drop_empty_partition_dirs(doclens_path, "dbucket", set(db) - present)
+
+    from ..io.commitproto import clear_marker
+
+    clear_marker(intent_path)  # all layouts + sidecars consistent
     return {"term_buckets": [int(b) for b in tb], "doc_buckets": [int(b) for b in db]}
+
+
+def ensure_doclens(spark: SparkSession, path: str) -> str:
+    """Heal path for artifacts built before the doclens layout existed:
+    derive it once from the forward layout (a pure function of it — the
+    same derivation build and upsert use), then serve normally."""
+    dp = os.path.join(path, "doclens")
+    if not os.path.exists(dp):
+        fwd = spark.read.parquet(os.path.join(path, "forward"))
+        _doclens_from_forward(fwd).repartition("dbucket").write.mode(
+            "overwrite"
+        ).partitionBy("dbucket").parquet(dp)
+    return dp
+
+
+def filtered_corpus_stats(
+    spark: SparkSession, path: str, survivors: DataFrame
+) -> DataFrame:
+    """One-row (n_docs, avgdl) over exactly the given surviving docs —
+    the filtered twin of ``corpus_stats``, for metadata-filtered BM25.
+    Reads the O(docs) doclens layout (doc_id, dl), never corpus text;
+    the aggregate is structurally the inline path's dl rollup
+    (bm25.py::bm25_scores), so the integers and the one IEEE division
+    match the tokenize-the-filtered-corpus path to the bit.
+
+    ``survivors``: a (doc_id) frame — the eligible set (predicate already
+    applied by the caller on the collection's metadata columns)."""
+    ensure_doclens(spark, path)
+    dls = _layout_relation(spark, os.path.join(path, "doclens")).join(
+        survivors.select("doc_id"), "doc_id", "left_semi"
+    )
+    return dls.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
 
 
 def doc_postings(spark: SparkSession, path: str, doc_ids: list) -> DataFrame:

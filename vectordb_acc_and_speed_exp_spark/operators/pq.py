@@ -250,7 +250,10 @@ def ivfpq_codes_upsert(
             passthrough=("cell",),
         )
         .repartition("cell")
-        .sortWithinPartitions(item_id)
+        # pq_encode normalizes the id column to "item_id" whatever the
+        # caller's name is — sorting by the caller's name breaks for any
+        # item_id != "item_id" (found by the facade's id-named corpus)
+        .sortWithinPartitions("item_id")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell")

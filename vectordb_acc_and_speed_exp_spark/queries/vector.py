@@ -235,6 +235,127 @@ def client_facade_filtered_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# S8 + V3: the round-7 facade gap — PQ/SQ/IVF-PQ served through the client
+# surface (VERDICT r07 #7). Each mode gets ONE oracled degeneration: budgets
+# widened to the exact identity (shortlist >= corpus; ivfpq additionally
+# probes every cell), so the whole facade route — collection round-trip,
+# lazily built per-collection code artifacts, ADC scan, exact re-rank —
+# hash-checks against the brute-force L2 oracle with the facade's
+# string-id tie-break. The ANN-budget behavior of the same operators is
+# covered by the ann_{pq,sq,ivfpq}_topk rows-only entries + recall floors.
+# --------------------------------------------------------------------------
+_FACADE_EXACT_SQL = f"""
+WITH q AS ({_QUERY_SET_SQL}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS item_id, CAST(e.embedding AS DOUBLE[]) AS ev, q.qv
+  FROM embeddings e CROSS JOIN q
+), dists AS (
+  SELECT query_id, item_id, {_L2_SQL} AS dist FROM scored
+), ranked AS (
+  SELECT query_id, item_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, CAST(item_id AS VARCHAR)) AS rank
+  FROM dists
+)
+SELECT query_id, rank, item_id, round(dist, 4) AS dist_r
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _facade_exact_roundtrip(
+    spark: SparkSession, sf_dir: str, prefix: str, **query_kwargs
+) -> DataFrame:
+    """Shared harness for the facade degeneration entries: collection
+    round-trip -> store.query(k=10, shortlist=corpus, **kwargs) ->
+    position->vec_id remap -> (query_id, rank, item_id bigint, dist_r)."""
+    import shutil
+    import tempfile
+
+    from ..api import VectorStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix=prefix)
+    try:
+        store = VectorStore(spark, root, dim=64)
+        store.create_collection(
+            "corpus",
+            emb.select(
+                F.col("vec_id").cast("string").alias("id"), F.col("embedding")
+            ),
+        )
+        n = emb.count()
+        qrows = (
+            emb.filter(F.col("vec_id") < 5)
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .collect()
+        )
+        res = store.query(
+            "corpus",
+            query_vecs=[[float(x) for x in r.embedding] for r in qrows],
+            k=10,
+            shortlist=n,
+            **query_kwargs,
+        )
+        qmap = local_df(
+            spark,
+            [(i, int(r.vec_id)) for i, r in enumerate(qrows)],
+            "pos bigint, query_id bigint",
+        )
+        out = (
+            res.withColumnRenamed("query_id", "pos")
+            .join(F.broadcast(qmap), "pos")
+            .select(
+                "query_id",
+                "rank",
+                F.col("item_id").cast("bigint").alias("item_id"),
+                F.round("dist", 4).alias("dist_r"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "client_facade_pq_fullrerank",
+    oracle=_FACADE_EXACT_SQL,
+    doc="VectorStore.query(mode='pq', shortlist=corpus): the lazily-built "
+    "per-collection PQ code artifact + ADC scan + exact re-rank must equal "
+    "exact kNN bit-for-bit when the short-list covers everything — "
+    "gate-proves the facade's persisted codebook/code round-trip",
+)
+def client_facade_pq_fullrerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _facade_exact_roundtrip(spark, sf_dir, "facade_pq_", mode="pq")
+
+
+@register(
+    "client_facade_sq_fullrerank",
+    oracle=_FACADE_EXACT_SQL,
+    doc="VectorStore.query(mode='sq', shortlist=corpus): persisted int8 "
+    "codes + per-dimension (vmin, scale) params round-trip through JSON "
+    "exactly; full-shortlist re-rank == exact kNN",
+)
+def client_facade_sq_fullrerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _facade_exact_roundtrip(spark, sf_dir, "facade_sq_", mode="sq")
+
+
+@register(
+    "client_facade_ivfpq_fullprobe",
+    oracle=_FACADE_EXACT_SQL,
+    doc="VectorStore.query(mode='ivfpq', n_probe=all, shortlist=corpus): "
+    "coarse probe of every cell + full-shortlist ADC + exact re-rank == "
+    "exact kNN — gate-proves the cell-partitioned facade code layout",
+)
+def client_facade_ivfpq_fullprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _facade_exact_roundtrip(
+        spark, sf_dir, "facade_ivfpq_", mode="ivfpq", n_probe=10**6
+    )
+
+
+# --------------------------------------------------------------------------
 # V2 cosine variant (similarity ranking; emitted as similarity, ranked by
 # 1 - sim internally).
 # --------------------------------------------------------------------------
