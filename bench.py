@@ -116,6 +116,10 @@ HEADLINE = [
     # (3-wave fold of the verified pair set into a fresh artifact); the
     # pair MINING is amortized by the dedup_clusters warm-up above
     "dedup_clusters_incremental",
+    # round-8 additions (appended — earlier entries keep their order)
+    # metadata-filtered BM25 from the postings artifact: survivor
+    # semi-join + eligible-set stats via the doclens sidecar (no text scan)
+    "bm25_filtered_topk",
 ]
 
 

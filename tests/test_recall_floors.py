@@ -1,0 +1,46 @@
+"""Per-family ANN recall floors (VERDICT r07 #4): the reference's own
+methodology (Recall@K vs the brute-force oracle, README.md:28-31) as a
+regression test, through the SAME harness that feeds the round-stamped
+RECALL_r{N}.json artifact (tools/recall_report.py).
+
+Two layers:
+- here (sf0.001, cheap): per-family floors pinned just under today's
+  measured values — a probe-budget or quantizer regression in any
+  family trips its floor.
+- at the close (sf0.1, matched scale): tools/close_round.py runs the
+  report and FAILS the close if any family drops below the reference's
+  degraded-HNSW floor of 0.70 (BASELINE.md: HNSW recall@10 at 58k docs)
+  — the apples-to-apples comparison, since fixed probe budgets on the
+  sf0.001 fixture (e.g. 4-of-16 cells over a few hundred isotropic
+  vectors) sit at ~0.66-0.70 by construction, not by regression.
+"""
+
+from __future__ import annotations
+
+# measured at sf0.001 (round 8): lsh .88, mtlsh .94, ivf .70, pq .78,
+# sq 1.0, ivfsq .70, ivfpq .66, bq .88, ivfbq .70, graph 1.0,
+# graph_ivf .70 — floors sit one noise-step (~0.04-0.06) under those
+FLOORS = {
+    "ann_lsh_topk": 0.82,
+    "mt_lsh_ann_topk": 0.88,
+    "ann_ivf_topk": 0.64,
+    "ann_pq_topk": 0.72,
+    "ann_sq_topk": 0.95,
+    "ann_ivfsq_topk": 0.64,
+    "ann_ivfpq_topk": 0.60,
+    "ann_bq_topk": 0.82,
+    "ann_ivfbq_topk": 0.64,
+    "graph_ann_topk": 0.95,
+    "graph_ivf_ann_topk": 0.64,
+}
+
+
+def test_every_family_beats_its_floor(spark, sf_dir):
+    from tools.recall_report import compute_recalls
+
+    recalls = compute_recalls(spark, sf_dir)
+    assert set(recalls) == set(FLOORS)  # the full family table
+    low = {
+        n: (r, FLOORS[n]) for n, r in recalls.items() if r < FLOORS[n]
+    }
+    assert not low, f"families below their pinned floor: {low}"

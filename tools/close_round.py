@@ -58,6 +58,41 @@ def run_gate(round_no: int) -> bool:
     return p.returncode == 0 and "0 failed" not in tail and " FAIL " not in tail
 
 
+def run_recall(round_no: int) -> bool:
+    """RECALL_r{N}.json at every close (VERDICT r07 #4): the accuracy
+    half of the reference's methodology, round-stamped like the latency
+    bench. Untimed — runs before the bench samples."""
+    env = dict(os.environ)
+    env["SPARK_GRAFT_ROUND"] = str(round_no)
+    print(
+        f"[close] recall report -> RECALL_r{round_no:02d}.json", flush=True
+    )
+    p = subprocess.run(
+        [sys.executable, os.path.join(HERE, "recall_report.py")],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    try:
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        payload = json.loads(line)
+    except (IndexError, json.JSONDecodeError):
+        print("[close]   recall report FAILED to produce a payload", flush=True)
+        print(p.stderr.strip().splitlines()[-5:], flush=True)
+        return False
+    floor = payload["reference_hnsw_floor"]
+    low = {f: r for f, r in payload["families"].items() if r < floor}
+    print(
+        f"[close]   min family recall {payload['min_family']:.2f} "
+        f"(reference floor {floor})",
+        flush=True,
+    )
+    if low:
+        print(f"[close]   BELOW FLOOR: {low}", flush=True)
+    return p.returncode == 0 and not low
+
+
 def run_bench(round_no: int, tag: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_ROUND"] = str(round_no)
@@ -97,12 +132,20 @@ def main() -> int:
     ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--skip-gate", action="store_true")
+    ap.add_argument("--skip-recall", action="store_true")
     args = ap.parse_args()
 
     if not args.skip_gate:
         if not run_gate(args.round):
             print("[close] GATE FAILURES — fix before closing", flush=True)
             return 2
+
+    if not args.skip_recall and not run_recall(args.round):
+        print(
+            "[close] RECALL below reference floor — fix before closing",
+            flush=True,
+        )
+        return 4
 
     runs = [
         (f"run{i+1}", run_bench(args.round, f"run{i+1}"))
@@ -137,7 +180,8 @@ def main() -> int:
     )
     print(
         "[close] next: git add GATE_r{0:02d}.json BENCH_DETAIL_r{0:02d}.json "
-        "BENCH_DETAIL_latest.json && commit".format(args.round),
+        "BENCH_DETAIL_latest.json RECALL_r{0:02d}.json RECALL_latest.json "
+        "&& commit".format(args.round),
         flush=True,
     )
     return 0

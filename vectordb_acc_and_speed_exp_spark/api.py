@@ -469,6 +469,8 @@ class VectorStore:
 
         from .operators.ann import ivf_assign, kmeans_centroids, write_ivf_corpus
 
+        from .operators.drift import mean_coarse_qerr, write_drift_baseline
+
         path = self._ivf_path(name)
         cents_path = os.path.join(path, "centroids")
         corpus_path = os.path.join(path, "corpus")
@@ -485,12 +487,39 @@ class VectorStore:
             )
             os.makedirs(path, exist_ok=True)
             cents.write.mode("overwrite").parquet(cents_path)
-            write_ivf_corpus(
-                ivf_assign(corpus, cents, item_vec="embedding"), corpus_path
-            )
+            assigned = ivf_assign(
+                corpus, cents, item_vec="embedding", keep_dist="_qerr"
+            ).localCheckpoint(eager=True)
+            # training-time coarse quantization error = the drift
+            # baseline (EP13): upserts fold their batch error into the
+            # ratio that tells the operator when this frozen quantizer
+            # needs the offline retrain (operators/drift.py)
+            qerr_mean, qerr_n = mean_coarse_qerr(assigned, "_qerr")
+            write_ivf_corpus(assigned.drop("_qerr"), corpus_path)
+            write_drift_baseline(path, qerr_mean, qerr_n)
             with open(meta, "w") as f:
                 json.dump({"n_cells": n_cells}, f)
         return corpus_path, self.spark.read.parquet(cents_path)
+
+    def drift_status(self, name: str) -> dict:
+        """Quantizer-drift status of the collection's IVF-family indexes
+        (EP13): {"train_mean_qerr", "upsert_mean_qerr", "ratio",
+        "retrain_recommended", ...} — empty when no IVF artifact exists
+        yet. The ratio compares upserted rows' mean coarse quantization
+        error to the frozen training baseline; past the measured trigger
+        (drift.DRIFT_TRIGGER_RATIO), call :meth:`retrain_quantizers`."""
+        from .operators.drift import drift_status
+
+        return drift_status(self._ivf_path(name))
+
+    def retrain_quantizers(self, name: str) -> None:
+        """The offline rebuild the drift trigger recommends: drop the
+        IVF artifact (and its derived bq/pq code twins, which live under
+        the same root and are functions of the same frozen quantizer);
+        the next query retrains centroids on the CURRENT corpus and
+        writes a fresh baseline — restoring ratio ≈ 1 and the recall the
+        drift eroded (pinned in tests/test_drift.py)."""
+        self._invalidate_indexes(name, dirs=(".ivf_index",))
 
     def _ensure_ivfbq_codes(self, name: str):
         """Packed-code table over the IVF layout (FAISS IndexBinaryIVF

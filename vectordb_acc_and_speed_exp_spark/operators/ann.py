@@ -177,10 +177,16 @@ def ivf_assign(
     item_vec: str = "embedding",
     centroid_id: str = "cell",
     centroid_vec: str = "centroid",
+    keep_dist: str | None = None,
 ) -> DataFrame:
     """Assign every corpus row to its nearest centroid (broadcast join +
     window min). Output: corpus columns + ``cell``. At scale, write the
-    result partitioned by cell so searches prune."""
+    result partitioned by cell so searches prune.
+
+    ``keep_dist`` names an output column carrying each row's distance to
+    its assigned centroid — the coarse quantization error the drift
+    tracker aggregates (operators/drift.py); the assignment join computes
+    it anyway, so keeping it is free."""
     w = Window.partitionBy(F.col("_row")).orderBy(F.asc("_cdist"), F.asc(centroid_id))
     assigned = (
         corpus.withColumn("_row", F.monotonically_increasing_id())
@@ -188,9 +194,11 @@ def ivf_assign(
         .withColumn("_cdist", l2_dist(F.col(item_vec), F.col(centroid_vec)))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_cdist", centroid_vec, "_row")
+        .drop("_rn", centroid_vec, "_row")
     )
-    return assigned
+    if keep_dist is not None:
+        return assigned.withColumnRenamed("_cdist", keep_dist)
+    return assigned.drop("_cdist")
 
 
 def kmeans_centroids(
@@ -295,15 +303,33 @@ def ivf_index_upsert(
     contract. Centroids intentionally do NOT move here: re-training is an
     offline build job (kmeans_centroids on a fresh sample + full
     write_ivf_corpus); serving-time assignment drift is the standard
-    IVF operational model (FAISS add() does the same).
+    IVF operational model (FAISS add() does the same). WHEN that offline
+    rebuild is due is measured, not guessed (EP13): if the artifact root
+    (the corpus path's parent) carries a ``_drift.json`` baseline, each
+    batch's mean coarse quantization error — computed from the assignment
+    join this upsert already performs — folds into the running drift
+    ratio (operators/drift.py; ratio > trigger ⇒ retrain_recommended).
+    Artifacts without a baseline behave exactly as before.
 
     At 100 TB: a micro-batch touching f of n_cells directories costs f/n
     of a full rebuild plus one two-column id scan for the stale-cell
     lookup (amortizable with an id→cell sidecar table if even that scan
     matters), and the rewrite parallelizes per cell."""
+    import os as _os
+
+    from .drift import drift_path, mean_coarse_qerr, record_batch_qerr
+
     # keep ALL of new_rows' columns — the layout may carry metadata
     # (e.g. the label column filtered ANN pushes down on)
-    assigned = ivf_assign(new_rows, centroids, item_vec=item_vec)
+    track = _os.path.exists(drift_path(_os.path.dirname(corpus_path)))
+    assigned = ivf_assign(
+        new_rows, centroids, item_vec=item_vec,
+        keep_dist="_qerr" if track else None,
+    )
+    if track:
+        m, n = mean_coarse_qerr(assigned, "_qerr")
+        record_batch_qerr(_os.path.dirname(corpus_path), m, n)
+        assigned = assigned.drop("_qerr")
     new_ids = assigned.select(item_id).distinct()
     stale_cells = (
         read_layout(spark, corpus_path)

@@ -111,10 +111,19 @@ def _get_or_build_ivf(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]
     done = os.path.join(root, "ivf._DONE")
     fp = _source_fingerprint(sf_dir)
     if not _build_is_fresh(done, fp):
+        from ..operators.drift import mean_coarse_qerr, write_drift_baseline
+
         emb = load_table(spark, sf_dir, "embeddings")
         cents = kmeans_centroids(emb, n_cells=16, sample_fraction=0.5)
-        assigned = ivf_assign(emb, cents)
-        write_ivf_corpus(assigned, corpus_path)
+        assigned = ivf_assign(emb, cents, keep_dist="_qerr").localCheckpoint(
+            eager=True
+        )
+        # training-time coarse quantization error = the EP13 drift
+        # baseline; any later ivf_index_upsert against this layout folds
+        # its batch error into the retrain-trigger ratio
+        qerr_mean, qerr_n = mean_coarse_qerr(assigned, "_qerr")
+        write_ivf_corpus(assigned.drop("_qerr"), corpus_path)
+        write_drift_baseline(root, qerr_mean, qerr_n)
         cents.write.mode("overwrite").parquet(cent_path)
         _mark_built(done, fp)
     return corpus_path, read_layout(spark, cent_path)

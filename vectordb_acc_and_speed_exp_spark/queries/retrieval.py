@@ -187,6 +187,61 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Metadata-FILTERED BM25, served from the same postings artifact (round 8,
+# VERDICT r07 #2): the survivor set semi-joins into the pruned postings
+# scan and df/n_docs/avgdl recompute over the eligible docs only (the
+# doclens sidecar) — no corpus-text scan. The oracle folds the predicate
+# into the token stream, which makes every downstream statistic filtered
+# the same way.
+# --------------------------------------------------------------------------
+_BM25_FILTER_PRED_SQL = "doc_id % 3 <> 0"
+_BM25_CONTRIB_FILTERED_SQL = _BM25_CONTRIB_SQL.replace(
+    "WHERE length(trim(text)) > 0",
+    f"WHERE length(trim(text)) > 0 AND {_BM25_FILTER_PRED_SQL}",
+)
+
+
+@register(
+    "bm25_filtered_topk",
+    oracle=f"""
+WITH {_BM25_CONTRIB_FILTERED_SQL},
+ranked AS (
+  SELECT query_id, doc_id, s6,
+         row_number() OVER (PARTITION BY query_id ORDER BY s6 DESC, doc_id)
+           AS rank
+  FROM bm25
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       round(s6 / 1000000.0, 4) AS bm25_r
+FROM ranked WHERE rank <= 10
+""",
+    doc="BM25 top-10 over the eligible subset (doc_id % 3 != 0) served "
+    "from the postings artifact: survivor semi-join into the pruned "
+    "postings scan, df/n_docs/avgdl recomputed over survivors via the "
+    "O(docs) doclens sidecar — bit-identical to tokenizing the filtered "
+    "corpus, with no text scan in the plan",
+)
+def bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bm25 import bm25_topk_indexed_filtered
+
+    path = _get_or_build_postings(spark, sf_dir)
+    survivors = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 != 0)
+        .select("doc_id")
+    )
+    res = bm25_topk_indexed_filtered(
+        spark, path, _query_terms_frame(spark), survivors, k=10, k1=_K1, b=_B
+    )
+    return res.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.round(F.col("s6") / 1_000_000.0, 4).alias("bm25_r"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Hybrid retrieval: reciprocal-rank fusion of the BM25 channel with the
 # dense cosine channel (dense query = embeddings vec_id == query_id, dense
 # candidates = docs that have an embedding, doc_id == vec_id). RRF is the
