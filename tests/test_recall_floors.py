@@ -17,6 +17,8 @@ Two layers:
 
 from __future__ import annotations
 
+REFERENCE_FLOOR = 0.70  # the reference's HNSW recall@10 at 58k docs
+
 # measured at sf0.001 (round 8): lsh .88, mtlsh .94, ivf .70, pq .78,
 # sq 1.0, ivfsq .70, ivfpq .66, bq .88, ivfbq .70, graph 1.0,
 # graph_ivf .70 — floors sit one noise-step (~0.04-0.06) under those
@@ -44,3 +46,17 @@ def test_every_family_beats_its_floor(spark, sf_dir):
         n: (r, FLOORS[n]) for n, r in recalls.items() if r < FLOORS[n]
     }
     assert not low, f"families below their pinned floor: {low}"
+
+
+def test_floor_budgets_clear_reference_floor(spark, sf_dir):
+    """The matched floor budgets (8-of-16 probes / shortlist 400 — what
+    an operator dials for the reference's recall on an unstructured
+    corpus) must clear the reference HNSW floor of 0.70 for every
+    cell-pruned and short-list family — the same gate the round close
+    applies at sf0.1."""
+    from tools.recall_report import compute_floor_recalls
+
+    floors = compute_floor_recalls(spark, sf_dir)
+    assert len(floors) == 7
+    low = {n: r for n, r in floors.items() if r < REFERENCE_FLOOR}
+    assert not low, f"floor budgets below the reference floor: {low}"

