@@ -107,8 +107,18 @@ def run_bench(round_no: int, tag: str) -> dict:
         capture_output=True,
         text=True,
     )
-    line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-    payload = json.loads(line)
+    if p.returncode != 0:
+        raise RuntimeError(
+            f"bench run {tag} failed:\n" + "\n".join(
+                p.stderr.strip().splitlines()[-5:]
+            )
+        )
+    # read the FULL payload from the detail file bench.py just wrote —
+    # the final stdout line is the driver-tail-sized COMPACT summary
+    # (truncated queries map), which must never feed the steal verdict
+    # or be re-committed as BENCH_DETAIL
+    with open(os.path.join(REPO, "BENCH_DETAIL_latest.json")) as fh:
+        payload = json.load(fh)
     print(
         f"[close]   total {payload['value']:.2f} s over "
         f"{len(payload['queries'])} entries",
