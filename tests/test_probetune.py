@@ -1,0 +1,118 @@
+"""Probe autotuner (operators/probetune.py): the measured
+recall-vs-probes curve must be a valid cumulative curve whose
+predictions hold on fresh queries, and the facade's target_recall=
+dial must route through it."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from vectordb_acc_and_speed_exp_spark.operators.probetune import (
+    choose_n_probe,
+    probe_recall_curve,
+    read_probe_curve,
+    write_probe_curve,
+)
+
+
+@pytest.fixture(scope="module")
+def ivf(spark, sf_dir):
+    from vectordb_acc_and_speed_exp_spark.queries.pipeline import (
+        _get_or_build_ivf,
+    )
+
+    return _get_or_build_ivf(spark, sf_dir)
+
+
+def test_curve_is_cumulative_and_complete(spark, ivf):
+    corpus_path, cents = ivf
+    curve = probe_recall_curve(
+        spark, corpus_path, cents, k=10, item_id="vec_id"
+    )
+    n_cells = cents.count()
+    assert set(curve) == set(range(1, n_cells + 1))
+    vals = [curve[p] for p in sorted(curve)]
+    assert vals == sorted(vals)  # nondecreasing
+    assert vals[-1] == 1.0  # full probe reaches every true neighbour
+    assert 0.0 < vals[0] < 1.0  # probing 1 cell finds some, not all
+
+
+def test_curve_predicts_fresh_query_recall(spark, embeddings, ivf):
+    """The curve is calibrated on a hash-sample; its prediction must
+    hold (within sampling tolerance) for a DIFFERENT query set run
+    through the real probed search."""
+    from vectordb_acc_and_speed_exp_spark.operators.ann import ivf_ann_pruned
+    from vectordb_acc_and_speed_exp_spark.operators.knn import exact_knn
+    from vectordb_acc_and_speed_exp_spark.operators.recall import (
+        mean_recall,
+        recall_at_k,
+    )
+
+    corpus_path, cents = ivf
+    curve = probe_recall_curve(
+        spark, corpus_path, cents, k=10, item_id="vec_id"
+    )
+    qs = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    gt = exact_knn(qs, embeddings, k=10, item_id="vec_id").select(
+        "query_id", "rank", "item_id"
+    )
+    p = choose_n_probe(curve, 0.85)
+    got = ivf_ann_pruned(
+        spark=spark, queries=qs, corpus_path=corpus_path, centroids=cents,
+        k=10, n_probe=p, item_id="vec_id",
+    ).select("query_id", "rank", "item_id")
+    r = mean_recall(recall_at_k(gt, got, k=10)).first().mean_recall
+    assert r >= 0.85 - 0.25  # 5-query validation set: wide tolerance
+    # and a bigger budget than the curve demands can only help
+    assert p <= cents.count()
+
+
+def test_choose_n_probe_semantics():
+    curve = {1: 0.3, 2: 0.55, 3: 0.8, 4: 0.97, 5: 1.0, 6: 1.0}
+    assert choose_n_probe(curve, 0.5) == 2
+    assert choose_n_probe(curve, 0.8) == 3
+    assert choose_n_probe(curve, 0.98) == 5
+    # sampled 1.0 at p=5 does NOT shortcut the guarantee: full probe
+    assert choose_n_probe(curve, 1.0) == 6
+    assert choose_n_probe(curve, 0.0) == 1
+
+
+def test_curve_sidecar_roundtrip(tmp_path):
+    curve = {1: 0.25, 2: 0.5, 3: 1.0}
+    write_probe_curve(str(tmp_path), curve, k=10, n_sample=32)
+    assert read_probe_curve(str(tmp_path)) == curve
+    assert read_probe_curve(str(tmp_path / "nowhere")) is None
+
+
+def test_facade_target_recall_dial(spark, embeddings, tmp_path):
+    """query(target_recall=...) builds the curve lazily, persists it,
+    and serves at the chosen budget; target+explicit n_probe is an
+    error; target on a non-probed mode is an error."""
+    from vectordb_acc_and_speed_exp_spark.api import VectorStore
+
+    dim = len(embeddings.select("embedding").first()[0])
+    vs = VectorStore(spark, str(tmp_path / "store"), dim=dim)
+    vs.create_collection(
+        "c",
+        embeddings.select(
+            F.col("vec_id").cast("string").alias("id"), "embedding"
+        ),
+    )
+    probe = [[float(x) for x in r.embedding]
+             for r in embeddings.limit(2).collect()]
+    res = vs.query("c", query_vecs=probe, k=5, mode="ivfbq",
+                   target_recall=0.9).collect()
+    assert {r.query_id for r in res} == {0, 1}
+    assert os.path.exists(
+        os.path.join(vs.root, ".ivf_index", "c", "_probe_curve.json")
+    )
+    with pytest.raises(ValueError, match="not both"):
+        vs.query("c", query_vecs=probe, k=5, mode="ivfbq",
+                 target_recall=0.9, n_probe=4)
+    with pytest.raises(ValueError, match="probe-budgeted"):
+        vs.query("c", query_vecs=probe, k=5, mode="exact", target_recall=0.9)

@@ -93,7 +93,22 @@ def run_recall(round_no: int) -> bool:
     )
     if low:
         print(f"[close]   BELOW FLOOR: {low}", flush=True)
-    return p.returncode == 0 and not low
+    # round-over-round regression check: a family may sit legitimately
+    # below the floor at its serving budget (isotropy-priced), but a
+    # DROP vs the previous round's artifact means the served path
+    # regressed — exactly the blind spot VERDICT r07 #4 named
+    prev_path = os.path.join(REPO, f"RECALL_r{round_no - 1:02d}.json")
+    dropped = {}
+    if os.path.exists(prev_path):
+        with open(prev_path) as fh:
+            prev = json.load(fh).get("families", {})
+        for fam, r in payload["families"].items():
+            if fam in prev and r < prev[fam] - 0.05:
+                dropped[fam] = (prev[fam], r)
+        if dropped:
+            print(f"[close]   RECALL REGRESSION vs r{round_no - 1}: "
+                  f"{dropped}", flush=True)
+    return p.returncode == 0 and not low and not dropped
 
 
 def run_bench(round_no: int, tag: str) -> dict:

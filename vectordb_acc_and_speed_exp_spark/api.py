@@ -501,6 +501,30 @@ class VectorStore:
                 json.dump({"n_cells": n_cells}, f)
         return corpus_path, self.spark.read.parquet(cents_path)
 
+    def _ensure_probe_curve(self, name: str) -> dict:
+        """Measured recall-vs-probes curve for the collection's IVF
+        layout (operators/probetune.py), built lazily on the first
+        ``target_recall=`` query and persisted beside the centroids.
+        Rebuilt with the artifact (invalidation drops the whole
+        .ivf_index root); upserts rely on the drift tracker to decide
+        when the quantizer — and with it this curve — needs refresh."""
+        from .operators.probetune import (
+            DEFAULT_N_SAMPLE,
+            probe_recall_curve,
+            read_probe_curve,
+            write_probe_curve,
+        )
+
+        corpus_path, cents = self._ensure_ivf_index(name)
+        root = self._ivf_path(name)
+        curve = read_probe_curve(root)
+        if curve is None:
+            curve = probe_recall_curve(
+                self.spark, corpus_path, cents, k=10, item_id="id"
+            )
+            write_probe_curve(root, curve, 10, DEFAULT_N_SAMPLE)
+        return curve
+
     def drift_status(self, name: str) -> dict:
         """Quantizer-drift status of the collection's IVF-family indexes
         (EP13): {"train_mean_qerr", "upsert_mean_qerr", "ratio",
@@ -773,6 +797,7 @@ class VectorStore:
         auto_opts: dict | None = None,
         shortlist: int | None = None,
         n_probe: int | None = None,
+        target_recall: float | None = None,
     ) -> DataFrame:
         """Top-k search. Returns (query_id, rank, item_id, dist); query_id
         is the position in the input list.
@@ -813,7 +838,11 @@ class VectorStore:
         the IVF layout and add()/upsert() re-encode only the touched
         cells. ``shortlist=`` / ``n_probe=`` override the serving
         defaults (shortlist >= corpus and n_probe = n_cells degenerate to
-        exact — the oracled identity).
+        exact — the oracled identity). ``target_recall=`` (ivfbq/ivfpq)
+        picks n_probe from the collection's MEASURED recall-vs-probes
+        curve instead (operators/probetune.py — the FAISS-autotune dial;
+        curve built lazily, persisted beside the centroids;
+        target_recall=1.0 ⇒ full probe).
 
         ``mode="mmr"`` adds diversity: exact-cosine 4k-shortlist, then
         greedy MMR selection at ``mmr_lambda`` (operators/rerank.py);
@@ -845,6 +874,23 @@ class VectorStore:
                 self.spark,
                 [(i, [float(x) for x in v]) for i, v in enumerate(query_vecs)],
                 "query_id bigint, query_vec array<float>",
+            )
+        if target_recall is not None:
+            # the measured dial (operators/probetune.py): pick the
+            # smallest probe budget whose calibrated recall ceiling
+            # meets the target; target >= 1.0 degenerates to full probe
+            # (the oracled identity)
+            if mode not in ("ivfbq", "ivfpq"):
+                raise ValueError(
+                    "target_recall= applies to the probe-budgeted modes "
+                    "(ivfbq/ivfpq)"
+                )
+            if n_probe is not None:
+                raise ValueError("give target_recall= OR n_probe=, not both")
+            from .operators.probetune import choose_n_probe
+
+            n_probe = choose_n_probe(
+                self._ensure_probe_curve(name), target_recall
             )
         corpus = self.get(name)
         if where is not None:

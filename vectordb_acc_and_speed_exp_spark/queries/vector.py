@@ -355,6 +355,24 @@ def client_facade_ivfpq_fullprobe(
     )
 
 
+@register(
+    "client_facade_target_recall1",
+    oracle=_FACADE_EXACT_SQL,
+    doc="VectorStore.query(mode='ivfbq', target_recall=1.0, shortlist="
+    "corpus): the probe autotuner (operators/probetune.py — n_probe from "
+    "the collection's measured recall-vs-probes curve) at its provable "
+    "fixed point: target 1.0 must choose full probe, and full probe + "
+    "full shortlist == exact kNN — gate-proves the curve build, the "
+    "persisted-sidecar round-trip, and the chooser end-to-end",
+)
+def client_facade_target_recall1(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _facade_exact_roundtrip(
+        spark, sf_dir, "facade_tr1_", mode="ivfbq", target_recall=1.0
+    )
+
+
 # --------------------------------------------------------------------------
 # V2 cosine variant (similarity ranking; emitted as similarity, ranked by
 # 1 - sim internally).
