@@ -528,6 +528,45 @@ def test_pq_sq_ivfpq_facade_modes_and_freshness(store, spark, documents):
     store.delete_collection("qcol")
 
 
+def test_filtered_compressed_modes_use_artifact_and_match_exact(
+    store, spark, documents
+):
+    """where= + bq/pq/sq serves from the persisted full-collection code
+    artifact with a survivor semi-join — no per-query quantizer
+    re-train/re-encode (the round-7 corpus-sized serve job) — and with a
+    survivor-covering shortlist each equals the filtered exact kNN
+    (strict pre-filter semantics through the code scan)."""
+    import os
+
+    vs_docs = documents.limit(60).selectExpr(
+        "cast(doc_id as string) as id", "text"
+    )
+    store.create_collection("fqcol", vs_docs)
+    probe = vs_docs.limit(1).first()
+    pred = "cast(id as bigint) % 2 = 0"
+    n_surv = store.get("fqcol").filter(pred).count()
+    want = sorted(
+        (r.query_id, r.rank, r.item_id)
+        for r in store.query(
+            "fqcol", query_texts=[probe.text], k=5, mode="exact", where=pred
+        ).collect()
+    )
+    for mode, art in (("bq", ".bq_index"), ("pq", ".pq_index"),
+                      ("sq", ".sq_index")):
+        got = sorted(
+            (r.query_id, r.rank, r.item_id)
+            for r in store.query(
+                "fqcol", query_texts=[probe.text], k=5, mode=mode,
+                where=pred, shortlist=n_surv,
+            ).collect()
+        )
+        assert got == want, mode
+        # the filtered query built/used the persisted artifact (the old
+        # inline path never materialized one)
+        assert os.path.exists(os.path.join(store.root, art, "fqcol")), mode
+    store.delete_collection("fqcol")
+
+
 def test_optimize_compacts_then_clusters_collection(
     spark, documents, tmp_path_factory
 ):

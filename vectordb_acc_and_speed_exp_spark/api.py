@@ -805,8 +805,11 @@ class VectorStore:
         ``where`` is the ChromaDB-style metadata filter (a SQL predicate
         string over the collection's columns) with PRE-filter semantics:
         the predicate restricts the corpus before ranking, so exactly k
-        results come from the eligible set. exact/blas/lsh/bq push it
-        into the corpus scan; the graph/mtlsh/ivfbq indexes carry no
+        results come from the eligible set. exact/blas/lsh push it into
+        the corpus scan; bq/pq/sq semi-join the survivor set into their
+        persisted code scans (short-list selection over ELIGIBLE rows
+        only, exact re-rank over the filtered corpus — no per-query
+        quantizer re-train/re-encode); the graph/mtlsh/ivfbq indexes carry no
         usable metadata pre-filter, so where+those re-plans to
         ``mode="auto"`` — the measured EP8 chooser (operators/filtered.py)
         that picks exact-over-survivors or selectivity-widened IVF
@@ -1000,55 +1003,51 @@ class VectorStore:
                 qdf.select("query_id", F.col("query_vec").cast("array<double>").alias("query_vec")),
                 self.spark, path, k=k,
             )
-        if mode == "bq":
-            from .operators.bq import bq_search_rerank, bq_train
-
+        # The compressed-scan modes always serve from the PERSISTED
+        # full-collection code artifact. A ``where=`` restricts the CODE
+        # scan to the survivor set (semi-join BEFORE short-list
+        # selection — the short-list is the top-N ELIGIBLE rows by
+        # approximate distance, never a post-filter), and the exact
+        # re-rank runs over the filtered corpus, so strict pre-filter
+        # semantics hold. Quantizer parameters (thresholds / codebooks /
+        # affine params) are approximation machinery, not result
+        # semantics — re-training them per filtered query (the round-7
+        # behavior) was a corpus-sized job in the serve path; the
+        # short-list size remains the recall dial either way, and
+        # shortlist >= survivors stays exactly the filtered exact kNN.
+        def _survivor_codes(encoded):
             if where is None:
-                # serving shape: persisted per-collection code table +
-                # thresholds (built once, invalidated by writes) — the
-                # scan reads 16 B/row instead of re-encoding the corpus
-                encoded, sums, n = self._ensure_bq_codes(name, corpus)
-            else:
-                # pre-filter semantics: thresholds/codes must cover the
-                # ELIGIBLE set only, so a filtered query encodes inline
-                sums, n = bq_train(corpus, item_vec="embedding", dim=self.dim)
-                encoded = None
+                return encoded
+            return encoded.join(
+                corpus.select(F.col("id").alias("item_id")),
+                "item_id", "left_semi",
+            )
+
+        if mode == "bq":
+            from .operators.bq import bq_search_rerank
+
+            encoded, sums, n = self._ensure_bq_codes(name, self.get(name))
             return bq_search_rerank(
                 qdf, corpus, sums, n, k=k,
                 shortlist=shortlist or max(10 * k, 100),
-                item_id="id", item_vec="embedding", encoded=encoded,
+                item_id="id", item_vec="embedding",
+                encoded=_survivor_codes(encoded),
             ).select("query_id", "rank", "item_id", "dist")
         if mode == "pq":
-            from .operators.pq import pq_search_rerank, pq_train
-            from .operators.pq import pq_encode
+            from .operators.pq import pq_search_rerank
 
-            if where is None:
-                # serving shape: persisted code table + codebooks (built
-                # once, invalidated by writes) — ADC scans dim/m bytes/row
-                encoded, books = self._ensure_pq_codes(name, corpus)
-            else:
-                # pre-filter semantics: codebooks/codes must cover the
-                # ELIGIBLE set only, so a filtered query trains inline
-                m = 8 if self.dim % 8 == 0 else 4
-                books = pq_train(corpus, item_vec="embedding", m=m, k=16)
-                encoded = pq_encode(corpus, books, item_id="id")
+            encoded, books = self._ensure_pq_codes(name, self.get(name))
             return pq_search_rerank(
-                qdf, corpus, encoded, books, k=k,
+                qdf, corpus, _survivor_codes(encoded), books, k=k,
                 shortlist=shortlist or max(10 * k, 100),
                 item_id="id", item_vec="embedding",
             ).select("query_id", "rank", "item_id", "dist")
         if mode == "sq":
-            from .operators.sq import sq_encode, sq_search_rerank, sq_train
+            from .operators.sq import sq_search_rerank
 
-            if where is None:
-                encoded, vmin, scale = self._ensure_sq_codes(name, corpus)
-            else:
-                vmin, scale = sq_train(
-                    corpus, item_vec="embedding", dim=self.dim
-                )
-                encoded = sq_encode(corpus, vmin, scale, item_id="id")
+            encoded, vmin, scale = self._ensure_sq_codes(name, self.get(name))
             return sq_search_rerank(
-                qdf, corpus, encoded, vmin, scale, k=k,
+                qdf, corpus, _survivor_codes(encoded), vmin, scale, k=k,
                 shortlist=shortlist or max(10 * k, 100),
                 item_id="id", item_vec="embedding",
             ).select("query_id", "rank", "item_id", "dist")
