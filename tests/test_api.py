@@ -694,3 +694,43 @@ def test_near_duplicates_maintained_through_add(
     assert lbl3["z_clone1"] == lbl3[row0.id]
     assert "z_clone2" not in lbl3
     vs.delete_collection("corpus")
+
+
+def test_torn_freshen_marker_heals_on_first_query(store, spark, documents):
+    """ADVICE r08 (read-side half of the crash contract): a marker left
+    by a dead freshen must be consumed by the FIRST query, not the next
+    write — queries between a crash and the next add() were the window
+    still serving torn artifacts."""
+    import os
+
+    vs_docs = documents.limit(20).selectExpr(
+        "cast(doc_id as string) as id", "text"
+    )
+    store.create_collection("tornq", vs_docs)
+    store.query("tornq", query_texts=["warm"], k=1, mode="hybrid")
+    idx_meta = os.path.join(store.root, ".postings_index", "tornq", "_META.json")
+    assert os.path.exists(idx_meta)
+    ip = store._freshen_intent_path("tornq")
+    os.makedirs(os.path.dirname(ip), exist_ok=True)
+    with open(ip, "w") as fh:
+        fh.write("{}")
+    # a READ heals: marker consumed, possibly-torn artifact dropped and
+    # lazily rebuilt from the durable collection rows within this call
+    r = store.query("tornq", query_texts=["warm"], k=1, mode="hybrid").collect()
+    assert not os.path.exists(ip)
+    assert len(r) == 1
+    assert os.path.exists(idx_meta)  # rebuilt lazily inside the query
+    store.delete_collection("tornq")
+
+
+def test_target_recall_with_where_refused(store):
+    """ADVICE r08: where+ivf-modes re-plan to the filtered chooser, which
+    ignores n_probe — a curve-chosen budget would be paid for and then
+    silently dropped. The combination must refuse up front."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="target_recall"):
+        store.query(
+            "papers", query_texts=["x"], mode="ivfbq",
+            target_recall=0.9, where="id is not null",
+        )

@@ -239,3 +239,39 @@ def test_compact_table_self_heals_from_crashed_prior_run(spark, embeddings, tmp_
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
     assert not os.path.exists(path + "._pre_compact")
     shutil.rmtree(path)
+
+
+def test_layout_sig_sees_second_level_changes(tmp_path):
+    """ADVICE r08: a two-level partitioned layout changes state two dirs
+    deep without touching top-level mtimes — the signature must move."""
+    import os
+    import time
+
+    from vectordb_acc_and_speed_exp_spark.io.relcache import layout_sig
+
+    root = tmp_path / "lay"
+    leaf = root / "a=1" / "b=2"
+    leaf.mkdir(parents=True)
+    (leaf / "part-0").write_text("x")
+    s1 = layout_sig(str(root))
+    time.sleep(0.02)  # ensure distinct mtime_ns even on coarse clocks
+    (leaf / "part-1").write_text("y")  # bumps b=2 mtime, NOT a=1
+    # guard the scenario: the top-level child's mtime really is unchanged
+    s2 = layout_sig(str(root))
+    assert s1 != s2
+
+
+def test_read_layout_cache_is_lru(spark, tmp_path):
+    """ADVICE r08: a cache hit must refresh recency so eviction targets
+    cold entries, not the hot corpus layout inserted first."""
+    from vectordb_acc_and_speed_exp_spark.io import relcache
+
+    pa = str(tmp_path / "a")
+    pb = str(tmp_path / "b")
+    spark.range(3).write.parquet(pa)
+    spark.range(3).write.parquet(pb)
+    relcache.read_layout(spark, pa)
+    relcache.read_layout(spark, pb)
+    relcache.read_layout(spark, pa)  # hit → must move to the end
+    keys = [k for k in relcache._REL_CACHE if k[1] in (pa, pb)]
+    assert keys[-1][1] == pa

@@ -584,3 +584,36 @@ def test_layout_relation_caches_and_invalidates(spark, tmp_path):
         for r in query_term_postings(spark, path, ["beta", "delta"]).collect()
     }
     assert after == {("beta", 1, 1), ("beta", 2, 1), ("beta", 3, 1), ("delta", 3, 1)}
+
+
+def test_ensure_doclens_heal_is_crash_safe(spark, documents, tmp_path):
+    """ADVICE r08 (medium): the one-time doclens heal must stage+rename,
+    not write into the final path — Spark creates the directory at job
+    start, so a crash mid-heal would leave a partial layout that
+    os.path.exists() treats as complete forever."""
+    import os
+    import shutil
+
+    from vectordb_acc_and_speed_exp_spark.operators.postings import (
+        ensure_doclens,
+        filtered_corpus_stats,
+        write_postings_index,
+    )
+
+    path = str(tmp_path / "pidx")
+    docs = documents.limit(30).selectExpr("cast(doc_id as string) as doc_id", "text")
+    write_postings_index(docs, path, id_col="doc_id")
+    dp = os.path.join(path, "doclens")
+    sv = docs.select("doc_id")
+    want = filtered_corpus_stats(spark, path, sv).first()
+    # simulate a pre-doclens artifact with a crashed heal: doclens gone,
+    # a partial staging dir left behind
+    shutil.rmtree(dp)
+    os.makedirs(dp + "._heal_staged")
+    with open(os.path.join(dp + "._heal_staged", "part-junk"), "w") as fh:
+        fh.write("torn")
+    got_dp = ensure_doclens(spark, path)
+    assert got_dp == dp and os.path.exists(dp)
+    assert not os.path.exists(dp + "._heal_staged")
+    got = filtered_corpus_stats(spark, path, sv).first()
+    assert (got.n_docs, got.avgdl) == (want.n_docs, want.avgdl)

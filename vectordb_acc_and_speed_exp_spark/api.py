@@ -313,6 +313,25 @@ class VectorStore:
     def _freshen_intent_path(self, name: str) -> str:
         return os.path.join(self.root, ".facade_intent", name + ".json")
 
+    def _heal_torn_freshen(self, name: str) -> None:
+        """Read-side half of the freshen crash contract (ADVICE r08): a
+        crash mid-_freshen_indexes leaves the intent marker behind, and
+        until round 8 only the NEXT write consulted it — queries issued
+        in between served the torn graph/ivf/postings/dedup artifacts.
+        Every serve path calls this first (one os.path.exists when
+        healthy): a leftover marker drops the incrementally-maintained
+        indexes for lazy rebuild from the durable collection rows, so the
+        FIRST query after a crash heals instead of serving inconsistent
+        artifacts."""
+        ip = self._freshen_intent_path(name)
+        if os.path.exists(ip):
+            self._invalidate_indexes(
+                name,
+                dirs=(".graph_index", ".ivf_index", ".postings_index",
+                      ".dedup_index"),
+            )
+            os.remove(ip)
+
     def _freshen_indexes(self, name: str, docs: DataFrame) -> None:
         """Incremental maintenance after an add/upsert batch: every index
         with a shard/cell/bucket-grained upsert absorbs the batch touching
@@ -334,16 +353,10 @@ class VectorStore:
         after every index absorbed it."""
         import json
 
+        # torn prior freshen: the collection rows are durable (landed
+        # before _freshen_indexes), the derived artifacts may not be
+        self._heal_torn_freshen(name)
         ip = self._freshen_intent_path(name)
-        if os.path.exists(ip):
-            # torn prior freshen: the collection rows are durable (landed
-            # before _freshen_indexes), the derived artifacts may not be
-            self._invalidate_indexes(
-                name,
-                dirs=(".graph_index", ".ivf_index", ".postings_index",
-                      ".dedup_index"),
-            )
-            os.remove(ip)
         from .io.commitproto import publish_marker
 
         publish_marker(ip, {"stage": "freshen-in-flight"})
@@ -755,6 +768,7 @@ class VectorStore:
         keeper under the keep-min-id policy."""
         from .operators.dedup_clusters import serve_clusters
 
+        self._heal_torn_freshen(name)
         root = self._ensure_dedup_index(name)
         inc = os.path.join(root, "clusters_inc")
         if not os.path.exists(os.path.join(inc, "nodes")):
@@ -863,6 +877,19 @@ class VectorStore:
         corpus-text scan on any hybrid path."""
         if (query_texts is None) == (query_vecs is None):
             raise ValueError("provide exactly one of query_texts / query_vecs")
+        if target_recall is not None and where is not None:
+            # where+index-modes re-plan to mode="auto", which probes by
+            # survivor selectivity, not n_probe — a curve-chosen budget
+            # would be silently dropped AFTER paying for the calibration
+            # pass (ADVICE r08); refuse like the other incompatible knobs
+            raise ValueError(
+                "target_recall= and where= are incompatible — the filtered "
+                "chooser (mode='auto') plans its own probe widening; give "
+                "one or the other"
+            )
+        # read-side crash heal: never serve indexes a torn freshen left
+        # inconsistent (one exists() when healthy)
+        self._heal_torn_freshen(name)
         if query_texts is not None:
             qdf = local_df(
                 self.spark,

@@ -523,13 +523,24 @@ def postings_upsert(
 def ensure_doclens(spark: SparkSession, path: str) -> str:
     """Heal path for artifacts built before the doclens layout existed:
     derive it once from the forward layout (a pure function of it — the
-    same derivation build and upsert use), then serve normally."""
+    same derivation build and upsert use), then serve normally.
+
+    Publish discipline (ADVICE r08): Spark creates the target directory
+    at job start, so a bare write guarded by ``os.path.exists`` would
+    treat a crash-torn partial layout as complete forever — and
+    ``filtered_corpus_stats`` would serve silently wrong n_docs/avgdl.
+    So the heal stages next to the final path and publishes with one
+    atomic rename (the commitproto swap shape, degenerate case: no prior
+    tree to back up). A crash mid-stage leaves only the staging dir,
+    which the next call overwrites and publishes."""
     dp = os.path.join(path, "doclens")
     if not os.path.exists(dp):
+        staged = dp + "._heal_staged"
         fwd = spark.read.parquet(os.path.join(path, "forward"))
         _doclens_from_forward(fwd).repartition("dbucket").write.mode(
             "overwrite"
-        ).partitionBy("dbucket").parquet(dp)
+        ).partitionBy("dbucket").parquet(staged)
+        os.rename(staged, dp)
     return dp
 
 

@@ -45,7 +45,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
@@ -53,7 +53,42 @@ from ..io.relcache import read_layout
 from .knn import exact_knn
 
 CURVE_FILE = "_probe_curve.json"
+SHORTLIST_FILE = "_shortlist_curve.json"
 DEFAULT_N_SAMPLE = 32
+# The default SERVING target (VERDICT r08 #1): the reference's own HNSW
+# measures ~0.70 recall@10 at its largest corpus (BASELINE.md), so 0.70
+# is the floor a default budget must clear; the 0.05 margin absorbs the
+# sampling error of a 32-query calibration (error ~ 1/sqrt(n_sample*k)
+# ≈ 0.06 at one sigma) so a curve-chosen budget clears the floor on
+# fresh queries too, not just on the calibration set.
+DEFAULT_TARGET_RECALL = 0.75
+# Shortlist budgets are calibrated on this grid (curve size stays O(grid),
+# not O(corpus)); choose_shortlist falls back to the full corpus when no
+# grid point meets the target.
+SHORTLIST_GRID = (10, 25, 50, 100, 200, 400, 800, 1600, 3200)
+# Size-aware staleness (VERDICT r08 #3): fixed-budget recall decays as the
+# corpus grows (the reference's own recall-vs-size curve), so a curve
+# calibrated at n_corpus rows stops being evidence once the collection
+# more than doubles — recalibrate even with zero distribution drift.
+CURVE_STALE_GROWTH = 2.0
+
+
+def calib_queries(
+    corpus: DataFrame,
+    n_sample: int = DEFAULT_N_SAMPLE,
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> DataFrame:
+    """(query_id, query_vec) calibration sample: a deterministic
+    hash-ordered sample of corpus vectors — stable across partitionings
+    and sessions, no RNG state (shared by every curve in this module)."""
+    return (
+        corpus.select(
+            F.col(item_id).alias("query_id"), F.col(item_vec).alias("query_vec")
+        )
+        .orderBy(portable_hash64(F.col("query_id").cast("string")), "query_id")
+        .limit(n_sample)
+    )
 
 
 def probe_recall_curve(
@@ -66,20 +101,10 @@ def probe_recall_curve(
     item_vec: str = "embedding",
 ) -> dict[int, float]:
     """{n_probe: recall@k ceiling} for every probe count 1..n_cells,
-    from one calibration pass (module docstring). Calibration queries
-    are a deterministic hash-ordered sample of corpus vectors — stable
-    across partitionings and sessions, no RNG state."""
+    from one calibration pass (module docstring)."""
     corpus = read_layout(spark, corpus_path)
     n_cells = centroids.count()
-    qs = (
-        corpus.select(
-            F.col(item_id).alias("query_id"), F.col(item_vec).alias("query_vec")
-        )
-        .orderBy(
-            portable_hash64(F.col("query_id").cast("string")), "query_id"
-        )
-        .limit(n_sample)
-    )
+    qs = calib_queries(corpus, n_sample, item_id=item_id, item_vec=item_vec)
     gt = exact_knn(
         qs, corpus, k=k, item_id=item_id, item_vec=item_vec
     ).select("query_id", "item_id")
@@ -107,26 +132,64 @@ def probe_recall_curve(
 
 
 def write_probe_curve(
-    index_root: str, curve: dict[int, float], k: int, n_sample: int
+    index_root: str,
+    curve: dict[int, float],
+    k: int,
+    n_sample: int,
+    n_corpus: int | None = None,
+    fname: str = CURVE_FILE,
+    extra: dict | None = None,
 ) -> None:
+    """Persist a calibration curve beside the artifact (commitproto
+    publish). ``n_corpus`` — the corpus size the curve was measured at —
+    is what :func:`curve_is_stale` compares against (VERDICT r08 #3)."""
     from ..io.commitproto import publish_marker
 
-    publish_marker(
-        os.path.join(index_root, CURVE_FILE),
-        {
-            "k": int(k),
-            "n_sample": int(n_sample),
-            "curve": {str(p): float(r) for p, r in curve.items()},
-        },
-    )
+    payload = {
+        "k": int(k),
+        "n_sample": int(n_sample),
+        "curve": {str(p): float(r) for p, r in curve.items()},
+    }
+    if n_corpus is not None:
+        payload["n_corpus"] = int(n_corpus)
+    if extra:
+        payload.update(extra)
+    publish_marker(os.path.join(index_root, fname), payload)
 
 
-def read_probe_curve(index_root: str) -> dict[int, float] | None:
-    p = os.path.join(index_root, CURVE_FILE)
+def read_probe_curve(
+    index_root: str, fname: str = CURVE_FILE
+) -> dict[int, float] | None:
+    meta = read_curve_meta(index_root, fname)
+    if meta is None:
+        return None
+    return {int(k): float(v) for k, v in meta["curve"].items()}
+
+
+def read_curve_meta(index_root: str, fname: str = CURVE_FILE) -> dict | None:
+    """The full persisted calibration payload (curve + k/n_sample/
+    n_corpus + any family extras), or None when absent."""
+    p = os.path.join(index_root, fname)
     if not os.path.exists(p):
         return None
     with open(p) as fh:
-        return {int(k): float(v) for k, v in json.load(fh)["curve"].items()}
+        return json.load(fh)
+
+
+def curve_is_stale(meta: dict | None, current_n: int) -> bool:
+    """Size-aware invalidation (VERDICT r08 #3): a curve calibrated at
+    ``n_corpus`` rows is stale once the collection grows past
+    CURVE_STALE_GROWTH × that size — fixed-budget recall decays with
+    corpus size even with zero distribution drift, so the old curve's
+    recall numbers are no longer evidence. Curves written before this
+    field existed (no n_corpus) are treated as stale so they
+    re-calibrate once and gain the field."""
+    if meta is None:
+        return True
+    n0 = meta.get("n_corpus")
+    if n0 is None:
+        return True
+    return current_n > CURVE_STALE_GROWTH * int(n0)
 
 
 def choose_n_probe(curve: dict[int, float], target_recall: float) -> int:
@@ -140,3 +203,261 @@ def choose_n_probe(curve: dict[int, float], target_recall: float) -> int:
         if curve[p] >= target_recall:
             return p
     return n_cells
+
+
+def choose_shortlist(
+    curve: dict[int, float], target_recall: float, n_corpus: int
+) -> int:
+    """Smallest calibrated shortlist meeting the target; ``target >= 1``
+    (or no grid point reaching the target) returns the full corpus —
+    only re-ranking everything GUARANTEES exactness (the same identity
+    contract as :func:`choose_n_probe`)."""
+    if target_recall >= 1.0:
+        return n_corpus
+    for s in sorted(curve):
+        if curve[s] >= target_recall:
+            return min(s, n_corpus)
+    return n_corpus
+
+
+# -- shortlist calibration (VERDICT r08 #1): the cell-rank trick, --------
+# -- extended to re-rank budgets -----------------------------------------
+#
+# A shortlist-family search (bq/pq/sq and the composed IVF twins) finds a
+# true neighbor iff the neighbor's RANK in approximate-distance order is
+# <= shortlist. So, exactly like the probe curve, the whole
+# recall-vs-shortlist curve costs ONE pass: rank every corpus item per
+# calibration query by the family's approximate distance (the same
+# scan the serve path runs, truncated at max(grid)), join the exact-kNN
+# ground truth, and the curve is one cumulative histogram of the hit
+# ranks. For the composed layouts the ranking is computed over only the
+# cells a given probe budget reaches, so the measured curve carries the
+# JOINT probe+quantization loss at that budget — the number a serving
+# default must actually clear.
+
+
+def shortlist_recall_curve(
+    scored: DataFrame,
+    gt: DataFrame,
+    grid: tuple[int, ...] = SHORTLIST_GRID,
+    adist: str = "adist",
+    item_id: str = "item_id",
+) -> dict[int, float]:
+    """{shortlist: recall@k} from a (query_id, item_id, <adist>) frame of
+    approximate distances and an exact ground-truth (query_id, item_id)
+    pair set. Rank ties break by item_id — the same total order every
+    serve path uses, so the curve measures exactly the served ranking."""
+    grid = tuple(sorted(int(s) for s in grid))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc(adist), F.asc(item_id)
+    )
+    ranked = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= grid[-1])
+        .select("query_id", item_id, "_rn")
+    )
+    hits = [
+        r._rn
+        for r in ranked.join(
+            gt.select("query_id", item_id), ["query_id", item_id]
+        ).select("_rn").collect()
+    ]
+    total = gt.count()
+    if not total:
+        return {s: 1.0 for s in grid}
+    return {
+        s: round(sum(1 for h in hits if h <= s) / total, 4) for s in grid
+    }
+
+
+def _calib_gt(
+    corpus: DataFrame, k: int, n_sample: int, item_id: str, item_vec: str
+) -> tuple[DataFrame, DataFrame]:
+    qs = calib_queries(corpus, n_sample, item_id=item_id, item_vec=item_vec)
+    gt = exact_knn(qs, corpus, k=k, item_id=item_id, item_vec=item_vec).select(
+        "query_id", "item_id"
+    )
+    return qs, gt
+
+
+def bq_shortlist_curve(
+    corpus: DataFrame,
+    encoded: DataFrame,
+    sums,
+    n: int,
+    k: int = 10,
+    n_sample: int = DEFAULT_N_SAMPLE,
+    grid: tuple[int, ...] = SHORTLIST_GRID,
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> dict[int, float]:
+    """Measured recall-vs-shortlist of the flat BQ path: Hamming ranks of
+    the persisted codes vs the exact-kNN ground truth, one pass."""
+    from .bq import bq_encode, hamming
+
+    qs, gt = _calib_gt(corpus, k, n_sample, item_id, item_vec)
+    qcodes = bq_encode(
+        qs, sums, n, item_id="query_id", item_vec="query_vec"
+    ).select(
+        F.col("item_id").alias("query_id"),
+        F.col("code_lo").alias("q_lo"),
+        F.col("code_hi").alias("q_hi"),
+    )
+    scored = encoded.crossJoin(F.broadcast(qcodes)).select(
+        "query_id",
+        "item_id",
+        hamming(
+            F.col("q_lo"), F.col("q_hi"), F.col("code_lo"), F.col("code_hi")
+        ).cast("double").alias("adist"),
+    )
+    return shortlist_recall_curve(scored, gt, grid)
+
+
+def pq_shortlist_curve(
+    corpus: DataFrame,
+    encoded: DataFrame,
+    codebooks,
+    k: int = 10,
+    n_sample: int = DEFAULT_N_SAMPLE,
+    grid: tuple[int, ...] = SHORTLIST_GRID,
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> dict[int, float]:
+    """Measured recall-vs-shortlist of the flat PQ path: ADC ranks (the
+    pq_search scan itself, truncated at max(grid)) vs exact ground truth."""
+    from .pq import pq_search
+
+    qs, gt = _calib_gt(corpus, k, n_sample, item_id, item_vec)
+    ranked = pq_search(qs, encoded, codebooks, k=max(grid)).select(
+        "query_id", "item_id", F.col("rank").alias("_rn")
+    )
+    return _curve_from_ranked(ranked, gt, grid)
+
+
+def sq_shortlist_curve(
+    corpus: DataFrame,
+    encoded: DataFrame,
+    vmin,
+    scale,
+    k: int = 10,
+    n_sample: int = DEFAULT_N_SAMPLE,
+    grid: tuple[int, ...] = SHORTLIST_GRID,
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> dict[int, float]:
+    """Measured recall-vs-shortlist of the flat SQ path (sq_search ranks
+    vs exact ground truth)."""
+    from .sq import sq_search
+
+    qs, gt = _calib_gt(corpus, k, n_sample, item_id, item_vec)
+    ranked = sq_search(qs, encoded, vmin, scale, k=max(grid)).select(
+        "query_id", "item_id", F.col("rank").alias("_rn")
+    )
+    return _curve_from_ranked(ranked, gt, grid)
+
+
+def _curve_from_ranked(
+    ranked: DataFrame, gt: DataFrame, grid: tuple[int, ...]
+) -> dict[int, float]:
+    grid = tuple(sorted(int(s) for s in grid))
+    hits = [
+        r._rn
+        for r in ranked.join(gt, ["query_id", "item_id"]).select("_rn").collect()
+    ]
+    total = gt.count()
+    if not total:
+        return {s: 1.0 for s in grid}
+    return {
+        s: round(sum(1 for h in hits if h <= s) / total, 4) for s in grid
+    }
+
+
+# -- composed (IVF x quantizer) joint budgets -----------------------------
+
+
+def _joint_curve(
+    scored_with_cell: DataFrame,
+    qs: DataFrame,
+    gt: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    grid: tuple[int, ...],
+) -> dict[int, float]:
+    """Recall-vs-shortlist of a composed layout AT a given probe budget:
+    ranks are computed over only the items whose cell the query probes,
+    so the curve carries the joint probe+quantization loss — a ground
+    truth neighbor outside every probed cell can never reach any rank
+    and correctly counts as a miss at every shortlist."""
+    qcells = exact_knn(
+        qs, centroids, k=n_probe, item_id="cell", item_vec="centroid"
+    ).select("query_id", F.col("item_id").alias("cell"))
+    probed = scored_with_cell.join(qcells, ["query_id", "cell"]).select(
+        "query_id", "item_id", "adist"
+    )
+    return shortlist_recall_curve(probed, gt, grid)
+
+
+def composed_serving_budget(
+    spark: SparkSession,
+    corpus_path: str,
+    centroids: DataFrame,
+    scored_fn,
+    target_recall: float = DEFAULT_TARGET_RECALL,
+    k: int = 10,
+    n_sample: int = DEFAULT_N_SAMPLE,
+    grid: tuple[int, ...] = SHORTLIST_GRID,
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+    probe_curve: dict[int, float] | None = None,
+) -> dict:
+    """Measured (n_probe, shortlist) serving default for a composed
+    IVF-quantizer layout (VERDICT r08 #1).
+
+    ``scored_fn(qs, probed_cells) -> (query_id, item_id, cell, adist)``
+    scores the calibration queries against the persisted codes of the
+    given cells with the family's approximate distance — the same scan
+    the serve path runs.
+
+    Procedure: the probe ceiling bounds any joint recall, so pick the
+    smallest probe budget whose CEILING clears the target (plus a small
+    margin for quantization loss), measure the joint shortlist curve at
+    that budget, and choose the smallest grid shortlist meeting the
+    target; if quantization loss eats the margin, escalate the probe
+    budget once and re-measure. Two calibration passes worst-case; the
+    result is persisted by the caller, so serve-time cost is a dict
+    lookup."""
+    corpus = read_layout(spark, corpus_path)
+    qs = calib_queries(corpus, n_sample, item_id=item_id, item_vec=item_vec)
+    gt = exact_knn(qs, corpus, k=k, item_id=item_id, item_vec=item_vec).select(
+        "query_id", "item_id"
+    )
+    if probe_curve is None:
+        probe_curve = probe_recall_curve(
+            spark, corpus_path, centroids, k=k, n_sample=n_sample,
+            item_id=item_id, item_vec=item_vec,
+        )
+    n_cells = max(probe_curve)
+    p = choose_n_probe(probe_curve, min(1.0, target_recall + 0.03))
+    for attempt in range(2):
+        qcells = exact_knn(
+            qs, centroids, k=p, item_id="cell", item_vec="centroid"
+        ).select("query_id", F.col("item_id").alias("cell"))
+        probed_cells = sorted(
+            {r.cell for r in qcells.select("cell").distinct().collect()}
+        )
+        scored = scored_fn(qs, probed_cells)
+        curve = _joint_curve(scored, qs, gt, centroids, p, grid)
+        if max(curve.values()) >= target_recall or p >= n_cells:
+            break
+        p = min(n_cells, max(p + 1, choose_n_probe(
+            probe_curve, min(1.0, target_recall + 0.10)
+        )))
+    n_corpus = corpus.count()
+    s = choose_shortlist(curve, target_recall, n_corpus)
+    return {
+        "n_probe": int(p),
+        "shortlist": int(s),
+        "curve": curve,
+        "n_corpus": int(n_corpus),
+        "target": float(target_recall),
+    }
