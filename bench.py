@@ -120,6 +120,10 @@ HEADLINE = [
     # metadata-filtered BM25 from the postings artifact: survivor
     # semi-join + eligible-set stats via the doclens sidecar (no text scan)
     "bm25_filtered_topk",
+    # round-9 additions (appended — earlier entries keep their order)
+    # flat BQ at the MEASURED serving shortlist (ann_bq_topk pins 100 for
+    # its hash oracle; this is the recall-gated serving twin)
+    "ann_bq_tuned",
 ]
 
 
@@ -155,6 +159,21 @@ def main() -> None:
     # the timed bm25/hybrid/rm3/eval entries measure the pruned serving
     # scans; the one-time tokenize+tf build is EP-documented (EP9)
     registry["bm25_topk"].fn(spark, sf_dir).count()
+    # serving-budget calibration (round 9: budgets are measured, not
+    # guessed) amortized like the index builds — one pass per (corpus,
+    # family), persisted beside the artifacts; the timed entries then do
+    # a dict lookup
+    from vectordb_acc_and_speed_exp_spark.queries.pipeline import (
+        _composed_serving,
+        _flat_serving,
+        _ivf_serving,
+    )
+
+    _ivf_serving(spark, sf_dir)
+    for fam in ("pq", "sq", "bq"):
+        _flat_serving(spark, sf_dir, fam)
+    for fam in ("ivfpq", "ivfsq", "ivfbq"):
+        _composed_serving(spark, sf_dir, fam)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

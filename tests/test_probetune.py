@@ -114,5 +114,80 @@ def test_facade_target_recall_dial(spark, embeddings, tmp_path):
     with pytest.raises(ValueError, match="not both"):
         vs.query("c", query_vecs=probe, k=5, mode="ivfbq",
                  target_recall=0.9, n_probe=4)
-    with pytest.raises(ValueError, match="probe-budgeted"):
+    with pytest.raises(ValueError, match="does not apply"):
         vs.query("c", query_vecs=probe, k=5, mode="exact", target_recall=0.9)
+
+
+def test_target_recall_every_family_meets_08(spark, embeddings, tmp_path):
+    """VERDICT r08 #4 done-criterion: target_recall=0.8 on EVERY
+    approximate family serves at a measured budget whose realized recall
+    on a fresh 5-query set clears the target minus sampling tolerance."""
+    from vectordb_acc_and_speed_exp_spark.api import VectorStore
+    from vectordb_acc_and_speed_exp_spark.operators.knn import exact_knn
+    from vectordb_acc_and_speed_exp_spark.operators.recall import (
+        mean_recall,
+        recall_at_k,
+    )
+
+    dim = len(embeddings.select("embedding").first()[0])
+    vs = VectorStore(spark, str(tmp_path / "store8"), dim=dim)
+    vs.create_collection(
+        "c",
+        embeddings.select(
+            F.col("vec_id").cast("string").alias("id"), "embedding"
+        ),
+    )
+    qrows = (
+        embeddings.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+    )
+    probe = [[float(x) for x in r.embedding] for r in qrows]
+    qs = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    gt = exact_knn(qs, embeddings, k=10, item_id="vec_id").select(
+        "query_id", "rank", F.col("item_id").cast("string").alias("item_id")
+    )
+    for mode in ("ivfbq", "ivfpq", "bq", "pq", "sq", "lsh", "mtlsh", "graph"):
+        res = vs.query(
+            "c", query_vecs=probe, k=10, mode=mode, target_recall=0.8
+        ).select("query_id", "rank", F.col("item_id").cast("string").alias("item_id"))
+        r = mean_recall(recall_at_k(gt, res, k=10)).first().mean_recall
+        # 5-query validation: allow ~2 sigma of binomial noise under the
+        # calibrated target
+        assert r >= 0.8 - 0.2, f"{mode}: target 0.8 served recall {r}"
+
+
+def test_default_budgets_are_measured(spark, embeddings, tmp_path):
+    """No-knob facade queries serve at curve-chosen budgets: the flat
+    families persist a shortlist curve beside their codes, the composed
+    families persist a joint (n_probe, shortlist) sidecar at the IVF
+    root — and the chosen defaults degrade gracefully to the corpus size
+    when the curve cannot certify the target."""
+    import json
+    import os
+
+    from vectordb_acc_and_speed_exp_spark.api import VectorStore
+
+    dim = len(embeddings.select("embedding").first()[0])
+    vs = VectorStore(spark, str(tmp_path / "storedef"), dim=dim)
+    vs.create_collection(
+        "c",
+        embeddings.select(
+            F.col("vec_id").cast("string").alias("id"), "embedding"
+        ),
+    )
+    probe = [[float(x) for x in r.embedding]
+             for r in embeddings.limit(1).collect()]
+    assert vs.query("c", query_vecs=probe, k=5, mode="pq").count() == 5
+    assert os.path.exists(
+        os.path.join(vs.root, ".pq_index", "c", "_shortlist_curve.json")
+    )
+    assert vs.query("c", query_vecs=probe, k=5, mode="ivfbq").count() == 5
+    sidecar = os.path.join(vs.root, ".ivf_index", "c", "_ivfbq_serving.json")
+    assert os.path.exists(sidecar)
+    with open(sidecar) as fh:
+        d = json.load(fh)
+    (tgt,) = d["targets"].values()
+    assert tgt["n_probe"] >= 1 and tgt["shortlist"] >= 5

@@ -514,29 +514,206 @@ class VectorStore:
                 json.dump({"n_cells": n_cells}, f)
         return corpus_path, self.spark.read.parquet(cents_path)
 
+    def _collection_nrows(self, name: str) -> int:
+        """Collection row count from parquet footers (pyarrow metadata —
+        no Spark job, no data read; ~ms). Feeds the size-aware curve
+        staleness checks (VERDICT r08 #3)."""
+        import pyarrow.dataset as ds
+
+        return ds.dataset(self._path(name), format="parquet").count_rows()
+
     def _ensure_probe_curve(self, name: str) -> dict:
         """Measured recall-vs-probes curve for the collection's IVF
         layout (operators/probetune.py), built lazily on the first
         ``target_recall=`` query and persisted beside the centroids.
         Rebuilt with the artifact (invalidation drops the whole
-        .ivf_index root); upserts rely on the drift tracker to decide
-        when the quantizer — and with it this curve — needs refresh."""
+        .ivf_index root); between rebuilds TWO triggers refresh it:
+        the drift tracker's quantizer retrain (distribution change), and
+        the size check here — once the collection grows past 2x the
+        calibration size the old curve's recall numbers are no longer
+        evidence, drift or no drift (VERDICT r08 #3: fixed-probe recall
+        decays with corpus size, the reference's own recall-vs-size
+        curve)."""
         from .operators.probetune import (
             DEFAULT_N_SAMPLE,
+            curve_is_stale,
             probe_recall_curve,
-            read_probe_curve,
+            read_curve_meta,
             write_probe_curve,
         )
 
         corpus_path, cents = self._ensure_ivf_index(name)
         root = self._ivf_path(name)
-        curve = read_probe_curve(root)
-        if curve is None:
+        meta = read_curve_meta(root)
+        n = self._collection_nrows(name)
+        if curve_is_stale(meta, n):
             curve = probe_recall_curve(
                 self.spark, corpus_path, cents, k=10, item_id="id"
             )
-            write_probe_curve(root, curve, 10, DEFAULT_N_SAMPLE)
+            write_probe_curve(root, curve, 10, DEFAULT_N_SAMPLE, n_corpus=n)
+            return curve
+        return {int(p): float(r) for p, r in meta["curve"].items()}
+
+    def _ensure_flat_shortlist_curve(self, name: str, fam: str) -> dict:
+        """Measured recall-vs-shortlist curve for a flat code family
+        (fam in {bq, pq, sq}) — probetune's approximate-rank calibration
+        over the PERSISTED code artifact, published beside it. The code
+        artifacts are whole-corpus (any write invalidates their
+        directory, taking this sidecar with them), so the only extra
+        staleness trigger needed is the 2x-growth check, which covers
+        sidecars written before a code-table rebuild was observed."""
+        from .operators.probetune import (
+            DEFAULT_N_SAMPLE,
+            SHORTLIST_FILE,
+            bq_shortlist_curve,
+            curve_is_stale,
+            pq_shortlist_curve,
+            read_curve_meta,
+            sq_shortlist_curve,
+            write_probe_curve,
+        )
+
+        root = {"bq": self._bq_path, "pq": self._pq_path, "sq": self._sq_path}[
+            fam
+        ](name)
+        corpus = self.get(name)
+        n = self._collection_nrows(name)
+        meta = read_curve_meta(root, SHORTLIST_FILE)
+        if not curve_is_stale(meta, n):
+            return {int(s): float(r) for s, r in meta["curve"].items()}
+        if fam == "bq":
+            encoded, sums, bn = self._ensure_bq_codes(name, corpus)
+            curve = bq_shortlist_curve(
+                corpus, encoded, sums, bn, item_id="id"
+            )
+        elif fam == "pq":
+            encoded, books = self._ensure_pq_codes(name, corpus)
+            curve = pq_shortlist_curve(corpus, encoded, books, item_id="id")
+        else:
+            encoded, vmin, scale = self._ensure_sq_codes(name, corpus)
+            curve = sq_shortlist_curve(
+                corpus, encoded, vmin, scale, item_id="id"
+            )
+        write_probe_curve(
+            root, curve, 10, DEFAULT_N_SAMPLE, n_corpus=n,
+            fname=SHORTLIST_FILE,
+        )
         return curve
+
+    def _ensure_composed_budget(
+        self, name: str, mode: str, target: float
+    ) -> dict:
+        """Measured joint (n_probe, shortlist) for mode in {ivfbq, ivfpq}
+        at the given recall target — probetune's composed calibration
+        over the persisted cell-partitioned codes, cached per rounded
+        target in a sidecar at the IVF root (new targets append; the
+        2x-growth staleness check drops the whole table)."""
+        import numpy as np
+
+        from .io.commitproto import publish_marker
+        from .operators.probetune import (
+            composed_serving_budget,
+            curve_is_stale,
+            read_curve_meta,
+        )
+
+        corpus_path, cents = self._ensure_ivf_index(name)
+        root = self._ivf_path(name)
+        fname = f"_{mode}_serving.json"
+        key = f"{target:.2f}"
+        meta = read_curve_meta(root, fname)
+        n = self._collection_nrows(name)
+        stale = curve_is_stale(meta, n)
+        if not stale and key in meta.get("targets", {}):
+            return meta["targets"][key]
+        probe_curve = self._ensure_probe_curve(name)
+        if mode == "ivfbq":
+            from .operators.bq import bq_encode, hamming
+
+            codes_path, _, _, sums, bn = self._ensure_ivfbq_codes(name)
+
+            def scored(qs, cells):
+                codes = self.spark.read.parquet(codes_path).filter(
+                    F.col("cell").isin(cells)
+                )
+                qcodes = bq_encode(
+                    qs, sums, bn, item_id="query_id", item_vec="query_vec"
+                ).select(
+                    F.col("item_id").alias("query_id"),
+                    F.col("code_lo").alias("q_lo"),
+                    F.col("code_hi").alias("q_hi"),
+                )
+                return codes.crossJoin(F.broadcast(qcodes)).select(
+                    "query_id", "item_id", "cell",
+                    hamming(
+                        F.col("q_lo"), F.col("q_hi"),
+                        F.col("code_lo"), F.col("code_hi"),
+                    ).cast("double").alias("adist"),
+                )
+
+        else:
+            from .operators.pq import pq_search
+
+            codes_path, _, _, books = self._ensure_ivfpq_codes(name)
+
+            def scored(qs, cells):
+                codes = self.spark.read.parquet(codes_path).filter(
+                    F.col("cell").isin(cells)
+                )
+                ranked = pq_search(qs, codes, books, k=1 << 30).select(
+                    "query_id", "item_id", F.col("adc_dist").alias("adist")
+                )
+                return ranked.join(codes.select("item_id", "cell"), "item_id")
+
+        b = composed_serving_budget(
+            self.spark, corpus_path, cents, scored,
+            target_recall=target, item_id="id", probe_curve=probe_curve,
+        )
+        entry = {"n_probe": int(b["n_probe"]), "shortlist": int(b["shortlist"])}
+        targets = {} if stale else dict((meta or {}).get("targets", {}))
+        targets[key] = entry
+        publish_marker(
+            os.path.join(root, fname),
+            {"targets": targets, "n_corpus": int(n), "curve": {}},
+        )
+        return entry
+
+    def _resolve_shortlist(
+        self, name: str, fam: str, k: int, shortlist: int | None
+    ) -> int:
+        """Serving shortlist for a flat code family: the caller's explicit
+        value, else the smallest calibrated budget meeting
+        DEFAULT_TARGET_RECALL (VERDICT r08 #1 — the default is measured,
+        not guessed; until round 9 it was the max(10k, 100) folklore
+        constant, which measured 0.56-0.68 recall at sf0.1)."""
+        if shortlist is not None:
+            return shortlist
+        from .operators.probetune import (
+            DEFAULT_TARGET_RECALL,
+            choose_shortlist,
+        )
+
+        return max(k, choose_shortlist(
+            self._ensure_flat_shortlist_curve(name, fam),
+            DEFAULT_TARGET_RECALL,
+            self._collection_nrows(name),
+        ))
+
+    def _resolve_composed(
+        self, name: str, mode: str, n_probe: int | None, shortlist: int | None
+    ) -> tuple[int, int]:
+        """Serving (n_probe, shortlist) for ivfbq/ivfpq: explicit values
+        win; anything unspecified comes from the measured joint budget at
+        DEFAULT_TARGET_RECALL (same rationale as _resolve_shortlist)."""
+        if n_probe is not None and shortlist is not None:
+            return n_probe, shortlist
+        from .operators.probetune import DEFAULT_TARGET_RECALL
+
+        b = self._ensure_composed_budget(name, mode, DEFAULT_TARGET_RECALL)
+        return (
+            n_probe if n_probe is not None else b["n_probe"],
+            shortlist if shortlist is not None else b["shortlist"],
+        )
 
     def drift_status(self, name: str) -> dict:
         """Quantizer-drift status of the collection's IVF-family indexes
@@ -689,6 +866,158 @@ class VectorStore:
             with open(meta, "w") as f:
                 json.dump({"m": m, "k": 16}, f)
         return codes_path, corpus_path, cents, np.load(books_path)
+
+    def _ensure_lsh_bits_curve(self, name: str) -> dict:
+        """Measured recall-vs-probe-bits curve for mode="lsh" (VERDICT
+        r08 #4): a ground-truth neighbor is reachable at probe depth b
+        iff its signature differs from the query's in <= b bits, so the
+        whole curve is ONE signature pass + a Hamming histogram — the
+        cell-rank trick with buckets in place of cells. b = n_planes
+        probes every bucket, so target_recall >= 1 is GUARANTEED exact
+        (the whole corpus becomes the candidate set)."""
+        import json
+
+        from .io.commitproto import publish_marker
+        from .operators.ann import _hyperplanes, signature_buckets
+        from .operators.knn import exact_knn
+        from .operators.probetune import calib_queries, curve_is_stale
+
+        path = os.path.join(self.root, ".lsh_calib", name + ".json")
+        n = self._collection_nrows(name)
+        meta = None
+        if os.path.exists(path):
+            with open(path) as fh:
+                meta = json.load(fh)
+        if not curve_is_stale(meta, n):
+            return {int(b): float(r) for b, r in meta["curve"].items()}
+        n_planes = 6  # lsh_ann serving defaults (operators/ann.py)
+        corpus = self.get(name).select("id", "embedding")
+        qs = calib_queries(corpus, item_id="id", item_vec="embedding")
+        gt = exact_knn(qs, corpus, k=10, item_id="id").select(
+            "query_id", "item_id"
+        )
+        planes = _hyperplanes(self.dim, n_planes, seed=42)
+        qsig = signature_buckets(
+            qs.select("query_id", "query_vec"), planes, "query_vec", "qsig"
+        ).select("query_id", "qsig")
+        csig = signature_buckets(
+            corpus.select(F.col("id").alias("item_id"), "embedding"),
+            planes, "embedding", "csig",
+        ).select("item_id", "csig")
+        hist = (
+            gt.join(csig, "item_id")
+            .join(F.broadcast(qsig), "query_id")
+            .select(
+                F.bit_count(
+                    F.col("qsig").bitwiseXOR(F.col("csig")).cast("bigint")
+                ).alias("hd")
+            )
+            .groupBy("hd").count().collect()
+        )
+        total = sum(r["count"] for r in hist) or 1
+        by_hd = {int(r.hd): int(r["count"]) for r in hist}
+        curve, cum = {}, 0
+        for b in range(0, n_planes + 1):
+            cum += by_hd.get(b, 0)
+            curve[b] = round(cum / total, 4)
+        publish_marker(
+            path,
+            {"n_corpus": int(n), "n_planes": n_planes,
+             "curve": {str(b): r for b, r in curve.items()}},
+        )
+        return curve
+
+    def _ensure_mtlsh_budget_curve(self, name: str) -> dict:
+        """Measured recall-vs-probe-budget curve for mode="mtlsh": the
+        existing EP3 budget-curve harness (operators/mtlsh.py::
+        mt_lsh_budget_curve — candidate coverage of the exact ground
+        truth, signatures computed once) over a geometric budget grid,
+        persisted beside the signature index. The flip pool does NOT
+        enumerate every bucket, so no finite budget guarantees
+        exactness — target_recall >= 1 reroutes to the exact scan."""
+        from .io.commitproto import publish_marker
+        from .operators.knn import exact_knn
+        from .operators.mtlsh import mt_lsh_budget_curve, read_mt_lsh_meta
+        from .operators.probetune import (
+            calib_queries,
+            curve_is_stale,
+            read_curve_meta,
+        )
+
+        idx = self._ensure_mtlsh_index(name)
+        fname = "_budget_curve.json"
+        meta = read_curve_meta(idx, fname)
+        n = self._collection_nrows(name)
+        if not curve_is_stale(meta, n):
+            return {int(b): float(r) for b, r in meta["curve"].items()}
+        im = read_mt_lsh_meta(idx)
+        L, planes = im["n_tables"], im["n_planes"]
+        budgets = sorted({
+            min(m * L, L * (1 << planes)) for m in (1, 2, 4, 8, 16, 32)
+        })
+        corpus = self.get(name).select("id", "embedding")
+        qs = calib_queries(corpus, item_id="id", item_vec="embedding")
+        gt = exact_knn(qs, corpus, k=10, item_id="id")
+        rows = mt_lsh_budget_curve(
+            qs, corpus, gt, budgets, k=10,
+            n_planes=planes, n_tables=L, dim=im["dim"], seed=im["seed"],
+            item_id="id",
+        ).collect()
+        curve = {int(r.budget): float(r.mean_recall) for r in rows}
+        publish_marker(
+            os.path.join(idx, fname),
+            {"n_corpus": int(n),
+             "curve": {str(b): r for b, r in curve.items()}},
+        )
+        return curve
+
+    def _ensure_graph_ef_curve(self, name: str) -> dict:
+        """Measured recall-vs-beam-width curve for mode="graph" over the
+        PERSISTED degree-capped NSW index (one beam pass per grid point —
+        beam recall has no closed-form rank trick). The degree cap can
+        drop a node's last inbound edge, so no finite beam guarantees
+        exactness on this index — target_recall >= 1 reroutes to the
+        exact scan (graph_ann_fullbeam's provable config needs an
+        uncapped rebuild)."""
+        from .io.commitproto import publish_marker
+        from .operators.graphann import graph_ann_pruned
+        from .operators.knn import exact_knn
+        from .operators.probetune import (
+            calib_queries,
+            curve_is_stale,
+            read_curve_meta,
+        )
+
+        idx = self._ensure_graph_index(name)
+        fname = "_ef_curve.json"
+        meta = read_curve_meta(idx, fname)
+        n = self._collection_nrows(name)
+        if not curve_is_stale(meta, n):
+            return {int(ef): float(r) for ef, r in meta["curve"].items()}
+        corpus = self.get(name).select("id", "embedding")
+        qs = calib_queries(corpus, item_id="id", item_vec="embedding")
+        gt = exact_knn(qs, corpus, k=10, item_id="id").select(
+            "query_id", "item_id"
+        )
+        total = gt.count() or 1
+        qsd = qs.select(
+            "query_id", F.col("query_vec").cast("array<double>").alias("query_vec")
+        )
+        curve = {}
+        for ef in (48, 96, 192, 384):
+            res = graph_ann_pruned(qsd, self.spark, idx, k=10, ef_search=ef)
+            hits = res.select("query_id", "item_id").join(
+                gt, ["query_id", "item_id"]
+            ).count()
+            curve[ef] = round(hits / total, 4)
+            if curve[ef] >= 1.0:
+                break
+        publish_marker(
+            os.path.join(idx, fname),
+            {"n_corpus": int(n),
+             "curve": {str(ef): r for ef, r in curve.items()}},
+        )
+        return curve
 
     # -- multiprobe multi-table LSH index (per-collection) -----------------
     def _mtlsh_path(self, name: str) -> str:
@@ -855,11 +1184,29 @@ class VectorStore:
         the IVF layout and add()/upsert() re-encode only the touched
         cells. ``shortlist=`` / ``n_probe=`` override the serving
         defaults (shortlist >= corpus and n_probe = n_cells degenerate to
-        exact — the oracled identity). ``target_recall=`` (ivfbq/ivfpq)
-        picks n_probe from the collection's MEASURED recall-vs-probes
-        curve instead (operators/probetune.py — the FAISS-autotune dial;
-        curve built lazily, persisted beside the centroids;
-        target_recall=1.0 ⇒ full probe).
+        exact — the oracled identity). Unspecified budgets are MEASURED,
+        not guessed (VERDICT r08 #1): each family lazily calibrates a
+        recall-vs-budget curve against the exact-kNN oracle
+        (operators/probetune.py) and serves at the smallest budget whose
+        measured recall clears DEFAULT_TARGET_RECALL; curves persist
+        beside the artifacts and recalibrate once the collection more
+        than doubles (size-aware staleness) or the drift-triggered
+        rebuild drops them.
+
+        ``target_recall=`` turns that dial per query on EVERY
+        approximate family: ivfbq/ivfpq resolve (n_probe, shortlist)
+        from the joint composed curve, bq/pq/sq resolve shortlist from
+        the approximate-rank curve, lsh resolves probe bits from the
+        signature-Hamming curve, mtlsh resolves its bucket budget from
+        the EP3 coverage curve, and graph resolves beam width from a
+        measured ef sweep. target_recall=1.0 serves a GUARANTEED-exact
+        configuration: full probe + full re-rank where the structure
+        proves it (ivf*/bq/pq/sq; lsh probes all buckets at b=n_planes),
+        and a reroute to the exact scan for mtlsh/graph (their index
+        structures cannot certify 1.0 — the flip pool does not
+        enumerate every bucket; the degree cap can orphan a node).
+        Incompatible with explicit budgets and with ``where=`` (the
+        filtered chooser plans its own widening).
 
         ``mode="mmr"`` adds diversity: exact-cosine 4k-shortlist, then
         greedy MMR selection at ``mmr_lambda`` (operators/rerank.py);
@@ -905,23 +1252,82 @@ class VectorStore:
                 [(i, [float(x) for x in v]) for i, v in enumerate(query_vecs)],
                 "query_id bigint, query_vec array<float>",
             )
+        # -- target_recall: the measured dial on EVERY approximate family
+        # (operators/probetune.py + the per-family curve builders above;
+        # VERDICT r08 #4). Each family resolves its own budget knob from
+        # its persisted calibration curve; target >= 1.0 degenerates to a
+        # GUARANTEED-exact configuration: full probe + full re-rank where
+        # the structure can prove it (ivf*/bq/pq/sq; lsh probes all 2^b
+        # buckets at b = n_planes), and a reroute to the exact scan where
+        # it cannot (mtlsh's flip pool does not enumerate every bucket;
+        # the degree-capped graph can drop a node's last inbound edge).
+        lsh_bits: int | None = None
+        graph_ef: int | None = None
+        mtlsh_budget: int | None = None
         if target_recall is not None:
-            # the measured dial (operators/probetune.py): pick the
-            # smallest probe budget whose calibrated recall ceiling
-            # meets the target; target >= 1.0 degenerates to full probe
-            # (the oracled identity)
-            if mode not in ("ivfbq", "ivfpq"):
+            if n_probe is not None or shortlist is not None:
                 raise ValueError(
-                    "target_recall= applies to the probe-budgeted modes "
-                    "(ivfbq/ivfpq)"
+                    "give target_recall= OR explicit n_probe=/shortlist= "
+                    "budgets, not both"
                 )
-            if n_probe is not None:
-                raise ValueError("give target_recall= OR n_probe=, not both")
-            from .operators.probetune import choose_n_probe
+            if mode in ("exact", "blas", "mmr", "hybrid", "auto"):
+                raise ValueError(
+                    f"target_recall= does not apply to mode={mode!r} — "
+                    "exact scans and rank-fusion modes have no recall dial"
+                )
+            if mode in ("ivfbq", "ivfpq"):
+                from .operators.probetune import choose_n_probe
 
-            n_probe = choose_n_probe(
-                self._ensure_probe_curve(name), target_recall
-            )
+                if target_recall >= 1.0:
+                    n_probe = choose_n_probe(
+                        self._ensure_probe_curve(name), 1.0
+                    )
+                    shortlist = self._collection_nrows(name)
+                else:
+                    b = self._ensure_composed_budget(name, mode, target_recall)
+                    n_probe, shortlist = b["n_probe"], b["shortlist"]
+            elif mode in ("bq", "pq", "sq"):
+                from .operators.probetune import choose_shortlist
+
+                ncoll = self._collection_nrows(name)
+                if target_recall >= 1.0:
+                    shortlist = ncoll
+                else:
+                    shortlist = max(k, choose_shortlist(
+                        self._ensure_flat_shortlist_curve(name, mode),
+                        target_recall, ncoll,
+                    ))
+            elif mode == "lsh":
+                curve = self._ensure_lsh_bits_curve(name)
+                nb = max(curve)
+                lsh_bits = nb if target_recall >= 1.0 else next(
+                    (b for b in sorted(curve) if curve[b] >= target_recall),
+                    nb,
+                )
+            elif mode == "mtlsh":
+                if target_recall >= 1.0:
+                    mode = "exact"
+                else:
+                    curve = self._ensure_mtlsh_budget_curve(name)
+                    mtlsh_budget = next(
+                        (b for b in sorted(curve)
+                         if curve[b] >= target_recall),
+                        None,
+                    )
+                    if mtlsh_budget is None:
+                        mode = "exact"  # no measured budget certifies it
+            elif mode == "graph":
+                if target_recall >= 1.0:
+                    mode = "exact"
+                else:
+                    curve = self._ensure_graph_ef_curve(name)
+                    graph_ef = next(
+                        (ef for ef in sorted(curve)
+                         if curve[ef] >= target_recall),
+                        None,
+                    )
+                    if graph_ef is None:
+                        mode = "exact"  # no measured beam certifies it
         corpus = self.get(name)
         if where is not None:
             if mode in ("graph", "mtlsh", "ivfbq", "ivfpq"):
@@ -1017,7 +1423,8 @@ class VectorStore:
             from .operators.ann import lsh_ann
 
             return lsh_ann(
-                qdf, corpus, k=k, dim=self.dim, n_probe_bits=3,
+                qdf, corpus, k=k, dim=self.dim,
+                n_probe_bits=lsh_bits if lsh_bits is not None else 3,
                 item_id="id", item_vec="embedding",
             )
         if mode == "graph":
@@ -1029,6 +1436,7 @@ class VectorStore:
             return graph_ann_pruned(
                 qdf.select("query_id", F.col("query_vec").cast("array<double>").alias("query_vec")),
                 self.spark, path, k=k,
+                **({"ef_search": graph_ef} if graph_ef is not None else {}),
             )
         # The compressed-scan modes always serve from the PERSISTED
         # full-collection code artifact. A ``where=`` restricts the CODE
@@ -1056,7 +1464,7 @@ class VectorStore:
             encoded, sums, n = self._ensure_bq_codes(name, self.get(name))
             return bq_search_rerank(
                 qdf, corpus, sums, n, k=k,
-                shortlist=shortlist or max(10 * k, 100),
+                shortlist=self._resolve_shortlist(name, "bq", k, shortlist),
                 item_id="id", item_vec="embedding",
                 encoded=_survivor_codes(encoded),
             ).select("query_id", "rank", "item_id", "dist")
@@ -1066,7 +1474,7 @@ class VectorStore:
             encoded, books = self._ensure_pq_codes(name, self.get(name))
             return pq_search_rerank(
                 qdf, corpus, _survivor_codes(encoded), books, k=k,
-                shortlist=shortlist or max(10 * k, 100),
+                shortlist=self._resolve_shortlist(name, "pq", k, shortlist),
                 item_id="id", item_vec="embedding",
             ).select("query_id", "rank", "item_id", "dist")
         if mode == "sq":
@@ -1075,7 +1483,7 @@ class VectorStore:
             encoded, vmin, scale = self._ensure_sq_codes(name, self.get(name))
             return sq_search_rerank(
                 qdf, corpus, _survivor_codes(encoded), vmin, scale, k=k,
-                shortlist=shortlist or max(10 * k, 100),
+                shortlist=self._resolve_shortlist(name, "sq", k, shortlist),
                 item_id="id", item_vec="embedding",
             ).select("query_id", "rank", "item_id", "dist")
         if mode == "ivfpq":
@@ -1084,10 +1492,12 @@ class VectorStore:
             codes_path, corpus_path, cents, books = self._ensure_ivfpq_codes(
                 name
             )
+            n_probe, shortlist = self._resolve_composed(
+                name, "ivfpq", n_probe, shortlist
+            )
             return ivfpq_search(
                 qdf, self.spark, codes_path, corpus_path, cents, books,
-                k=k, n_probe=n_probe or 4,
-                shortlist=shortlist or max(10 * k, 100), item_id="id",
+                k=k, n_probe=n_probe, shortlist=shortlist, item_id="id",
             )
         if mode == "mtlsh":
             from .operators.mtlsh import mt_lsh_ann_pruned
@@ -1096,7 +1506,7 @@ class VectorStore:
             return mt_lsh_ann_pruned(
                 qdf, self.spark, path,
                 corpus.select("id", "embedding"),
-                k=k, item_id="id",
+                k=k, n_probe_buckets=mtlsh_budget, item_id="id",
             )
         if mode == "ivfbq":
             from .operators.bq import ivfbq_search
@@ -1104,10 +1514,12 @@ class VectorStore:
             codes_path, corpus_path, cents, sums, n = self._ensure_ivfbq_codes(
                 name
             )
+            n_probe, shortlist = self._resolve_composed(
+                name, "ivfbq", n_probe, shortlist
+            )
             return ivfbq_search(
                 qdf, self.spark, codes_path, corpus_path, cents, sums, n,
-                k=k, n_probe=n_probe or 4,
-                shortlist=shortlist or max(10 * k, 100), item_id="id",
+                k=k, n_probe=n_probe, shortlist=shortlist, item_id="id",
             )
         raise ValueError(
             f"unknown mode {mode!r}; one of "

@@ -57,11 +57,17 @@ SHORTLIST_FILE = "_shortlist_curve.json"
 DEFAULT_N_SAMPLE = 32
 # The default SERVING target (VERDICT r08 #1): the reference's own HNSW
 # measures ~0.70 recall@10 at its largest corpus (BASELINE.md), so 0.70
-# is the floor a default budget must clear; the 0.05 margin absorbs the
-# sampling error of a 32-query calibration (error ~ 1/sqrt(n_sample*k)
-# ≈ 0.06 at one sigma) so a curve-chosen budget clears the floor on
-# fresh queries too, not just on the calibration set.
-DEFAULT_TARGET_RECALL = 0.75
+# is the floor a default budget must clear on FRESH queries. The target
+# carries a 0.15 margin because both sides of the comparison are small
+# samples: the calibration curve is measured on 32 queries x k pairs
+# (one-sigma binomial error ~ 0.05-0.06) and any fresh evaluation set is
+# itself noisy — the recall gate's 5-query set measures ~0.10-0.14 BELOW
+# the 32-query calibration at every mid-curve budget (sf0.1, r09:
+# curve 0.83 @ 7 probes vs eval 0.68; curve 0.87 @ 8 vs eval 0.74), a
+# ~2.5-sigma-hard query draw that a 0.80 target does not absorb. 0.85
+# keeps every family's measured EVAL recall at or above 0.74 while still
+# pruning 40-50% of the scan at the IVF families.
+DEFAULT_TARGET_RECALL = 0.85
 # Shortlist budgets are calibrated on this grid (curve size stays O(grid),
 # not O(corpus)); choose_shortlist falls back to the full corpus when no
 # grid point meets the target.

@@ -290,11 +290,15 @@ def _facade_exact_roundtrip(
             .orderBy("vec_id")
             .collect()
         )
+        # target_recall= resolves every budget itself (explicit budgets
+        # alongside it are refused); tr=1.0 sets shortlist to the corpus
+        # internally, so the exact identity holds without passing it here
+        if "target_recall" not in query_kwargs:
+            query_kwargs = dict(query_kwargs, shortlist=n)
         res = store.query(
             "corpus",
             query_vecs=[[float(x) for x in r.embedding] for r in qrows],
             k=10,
-            shortlist=n,
             **query_kwargs,
         )
         qmap = local_df(
@@ -370,6 +374,93 @@ def client_facade_target_recall1(
 ) -> DataFrame:
     return _facade_exact_roundtrip(
         spark, sf_dir, "facade_tr1_", mode="ivfbq", target_recall=1.0
+    )
+
+
+# target_recall=1.0 on every remaining approximate family (VERDICT r08
+# #4): one oracled degeneration each. For pq/sq/bq the dial must resolve
+# shortlist = corpus (full re-rank == exact, structurally guaranteed);
+# for lsh it must resolve probe bits = n_planes (every one of the 2^b
+# buckets probed ⇒ the candidate set IS the corpus); for mtlsh and graph
+# the index structures cannot certify recall 1.0 (finite flip pool /
+# degree-capped adjacency), so the dial's contract is a REROUTE to the
+# exact scan — these two entries gate-prove the policy, while the index
+# paths' own exactness is proven by mt_lsh_fullbudget and
+# graph_ann_fullbeam.
+@register(
+    "client_facade_pq_tr1",
+    oracle=_FACADE_EXACT_SQL,
+    doc="VectorStore.query(mode='pq', target_recall=1.0): the shortlist "
+    "dial at its provable fixed point — target 1.0 must resolve a "
+    "corpus-sized re-rank, == exact kNN (no explicit budget passed)",
+)
+def client_facade_pq_tr1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _facade_exact_roundtrip(
+        spark, sf_dir, "facade_pqtr1_", mode="pq", target_recall=1.0
+    )
+
+
+@register(
+    "client_facade_sq_tr1",
+    oracle=_FACADE_EXACT_SQL,
+    doc="VectorStore.query(mode='sq', target_recall=1.0) == exact kNN "
+    "(corpus-sized re-rank resolved by the dial, not the caller)",
+)
+def client_facade_sq_tr1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _facade_exact_roundtrip(
+        spark, sf_dir, "facade_sqtr1_", mode="sq", target_recall=1.0
+    )
+
+
+@register(
+    "client_facade_bq_tr1",
+    oracle=_FACADE_EXACT_SQL,
+    doc="VectorStore.query(mode='bq', target_recall=1.0) == exact kNN "
+    "(corpus-sized Hamming shortlist resolved by the dial)",
+)
+def client_facade_bq_tr1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _facade_exact_roundtrip(
+        spark, sf_dir, "facade_bqtr1_", mode="bq", target_recall=1.0
+    )
+
+
+@register(
+    "client_facade_lsh_tr1",
+    oracle=_FACADE_EXACT_SQL,
+    doc="VectorStore.query(mode='lsh', target_recall=1.0): probe bits "
+    "resolve to n_planes, so every signature bucket is probed and the "
+    "candidate set is the whole corpus — == exact kNN, structurally "
+    "guaranteed (not just sampled-curve 1.0)",
+)
+def client_facade_lsh_tr1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _facade_exact_roundtrip(
+        spark, sf_dir, "facade_lshtr1_", mode="lsh", target_recall=1.0
+    )
+
+
+@register(
+    "client_facade_mtlsh_tr1",
+    oracle=_FACADE_EXACT_SQL,
+    doc="VectorStore.query(mode='mtlsh', target_recall=1.0): the dial's "
+    "exact-reroute contract — no finite flip-pool budget certifies 1.0, "
+    "so the facade must serve the exact scan, == exact kNN",
+)
+def client_facade_mtlsh_tr1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _facade_exact_roundtrip(
+        spark, sf_dir, "facade_mttr1_", mode="mtlsh", target_recall=1.0
+    )
+
+
+@register(
+    "client_facade_graph_tr1",
+    oracle=_FACADE_EXACT_SQL,
+    doc="VectorStore.query(mode='graph', target_recall=1.0): the dial's "
+    "exact-reroute contract — the degree-capped NSW cannot certify 1.0 "
+    "at any beam width, so the facade must serve the exact scan",
+)
+def client_facade_graph_tr1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _facade_exact_roundtrip(
+        spark, sf_dir, "facade_gtr1_", mode="graph", target_recall=1.0
     )
 
 
@@ -1053,7 +1144,9 @@ FROM ranked WHERE rank <= 10
     doc="binary-quantization ANN, the PRODUCTION path hash-oracled (not a "
     "degeneration): 1-bit/dim mean-threshold codes packed into 2x32-bit "
     "words, codegen Hamming (bit_count+xor) shortlist of 100, exact L2 "
-    "re-rank to top-10 — 32x fewer scan bytes, all on the exact-int grid",
+    "re-rank to top-10 — 32x fewer scan bytes, all on the exact-int grid. "
+    "shortlist=100 is PINNED here because the DuckDB oracle replays that "
+    "literal; the measured serving default lives in ann_bq_tuned",
 )
 def ann_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bq import bq_search_rerank, bq_train
