@@ -253,7 +253,13 @@ def test_delete_where_null_predicate_keeps_rows(spark, tmp_path_factory):
     assert kept == ["b", "c"]  # NULL-year row b survives
 
 
-def test_bq_codes_cached_and_invalidated(spark, documents, tmp_path_factory):
+def test_bq_codes_incremental_on_add_invalidated_on_upsert(
+    spark, documents, tmp_path_factory
+):
+    """Round-9 contract (VERDICT r08 #2): add() absorbs into the flat
+    code table with the FROZEN quantizer (O(batch) encode, artifact
+    survives, appended rows served); upsert() still invalidates — a
+    replaced row's old codes can't be patched out of a flat table."""
     import os
 
     vs = VectorStore(spark, str(tmp_path_factory.mktemp("bqstore")), dim=16)
@@ -263,14 +269,25 @@ def test_bq_codes_cached_and_invalidated(spark, documents, tmp_path_factory):
     r1 = vs.query("c", query_texts=[probe.text], k=3, mode="bq").collect()
     assert os.path.exists(vs._bq_path("c"))  # artifact built
     assert r1[0].item_id == probe.id
-    # a write invalidates; the next bq query rebuilds and still works
     extra = documents.limit(40).subtract(documents.limit(30)).selectExpr(
         "cast(doc_id as string) as id", "text"
     )
     vs.add("c", extra)
+    # artifact SURVIVED the append and serves the appended rows
+    assert os.path.exists(os.path.join(vs._bq_path("c"), "_meta.json"))
+    new_probe = extra.limit(1).first()
+    r2 = vs.query(
+        "c", query_texts=[new_probe.text], k=3, mode="bq", shortlist=1000
+    ).collect()
+    assert r2[0].item_id == new_probe.id
+    # upsert (replacement) cannot be absorbed: invalidate + lazy rebuild
+    vs.upsert(
+        "c",
+        spark.createDataFrame([(probe.id, "replaced text")], "id string, text string"),
+    )
     assert not os.path.exists(vs._bq_path("c"))
-    r2 = vs.query("c", query_texts=[probe.text], k=3, mode="bq").collect()
-    assert r2[0].item_id == probe.id
+    r3 = vs.query("c", query_texts=["replaced text"], k=3, mode="bq").collect()
+    assert r3[0].item_id == probe.id
 
 
 def test_auto_mode_requires_where_and_matches_exact(store, spark, documents):
@@ -475,9 +492,11 @@ def test_pq_sq_ivfpq_facade_modes_and_freshness(store, spark, documents):
     """VERDICT r07 #7: the remaining index families exposed through the
     facade. Each mode serves from a persisted per-collection artifact;
     after add(), IVF-PQ absorbs the batch cell-incrementally (codes
-    re-encoded for touched cells only, frozen codebooks) while the flat
-    pq/sq code tables are invalidated and lazily rebuilt — all three must
-    find a doc added after the first build as its own top-1."""
+    re-encoded for touched cells only, frozen codebooks) and — since
+    round 9 (VERDICT r08 #2) — the flat pq/sq code tables ALSO absorb
+    it (O(batch) encode with frozen params, drift-tracked) instead of
+    invalidating; all three must find a doc added after the first build
+    as its own top-1."""
     import os
 
     vs_docs = documents.limit(40).selectExpr(
@@ -501,8 +520,9 @@ def test_pq_sq_ivfpq_facade_modes_and_freshness(store, spark, documents):
         ),
     )
     assert os.path.exists(ivfpq_meta)  # absorbed cell-incrementally
-    assert not os.path.exists(pq_dir)  # invalidated, rebuilds lazily
-    assert not os.path.exists(sq_dir)
+    # flat code tables absorbed the batch too (frozen-quantizer append)
+    assert os.path.exists(os.path.join(pq_dir, "_meta.json"))
+    assert os.path.exists(os.path.join(sq_dir, "_meta.json"))
     for mode in ("pq", "sq", "ivfpq"):
         r = store.query(
             "qcol", query_texts=["unmistakable quantizer probe text"], k=3,

@@ -119,3 +119,82 @@ def test_facade_drift_trigger_and_rebuild_restores_recall(
     assert len(gt & got) / len(gt) >= 0.8  # fresh centroids cover the drift
     st = vs.drift_status("c")
     assert st["upsert_n"] == 0 and st["ratio"] is None  # baseline reset
+
+
+def test_flat_pq_drift_trigger_and_rebuild_restores_recall(
+    drift_store, embeddings, spark
+):
+    """VERDICT r08 #2, flat-quantizer half: the first mode='pq' query
+    builds the code table + a reconstruction-error baseline; an
+    in-distribution add() appends O(batch) codes with the FROZEN
+    codebooks (no corpus re-encode) and keeps the ratio near 1; a
+    drifted add() trips the flat-PQ trigger; the recommended rebuild
+    retrains the codebooks on the current corpus, restores recall for
+    drifted queries, and resets the accumulator."""
+    vs = drift_store
+    probe = [[float(x) for x in r.embedding]
+             for r in embeddings.limit(3).collect()]
+    vs.query("c", query_vecs=probe, k=5, mode="pq", shortlist=100)
+    pq_root = os.path.join(vs.root, ".pq_index", "c")
+    assert os.path.exists(os.path.join(pq_root, "_drift.json"))
+
+    # in-distribution append: absorbed incrementally (artifact NOT
+    # invalidated), served fresh, ratio ~ 1
+    indist = embeddings.limit(MIN_UPSERT_ROWS + 10).select(
+        F.concat(F.lit("a"), F.col("vec_id").cast("string")).alias("id"),
+        "embedding",
+    )
+    vs.add("c", indist)
+    assert os.path.exists(os.path.join(pq_root, "_meta.json"))  # survived
+    st = vs.drift_status("c")["families"]["pq"]
+    assert st["upsert_n"] >= MIN_UPSERT_ROWS
+    assert st["ratio"] < 1.2 and not st["retrain_recommended"]
+    # freshness: an appended row is reachable through the pq serve path
+    # (query with its own vector, full re-rank of a wide shortlist)
+    a0 = indist.first()
+    got = vs.query(
+        "c", query_vecs=[[float(x) for x in a0.embedding]], k=5, mode="pq",
+        shortlist=10_000,
+    ).collect()
+    assert any(r.item_id == a0.id for r in got)
+
+    # drifted append: frozen codebooks reconstruct it badly -> trigger
+    drifted = _shifted(embeddings, MIN_UPSERT_ROWS + 30, 25.0, "d")
+    vs.add("c", drifted)
+    st = vs.drift_status("c")["families"]["pq"]
+    assert st["ratio"] > st["trigger_ratio"]
+    assert st["retrain_recommended"]
+
+    # the recommended rebuild: retrain flat quantizers on current corpus
+    dq = [[float(x) for x in r.embedding]
+          for r in drifted.limit(3).collect()]
+    vs.retrain_quantizers("c", families=["pq"])
+    got = {
+        (r.query_id, r.item_id)
+        for r in vs.query(
+            "c", query_vecs=dq, k=5, mode="pq", shortlist=100
+        ).collect()
+    }
+    gt = {
+        (r.query_id, r.item_id)
+        for r in vs.query("c", query_vecs=dq, k=5, mode="exact").collect()
+    }
+    assert len(gt & got) / len(gt) >= 0.8  # fresh codebooks cover the drift
+    st = vs.drift_status("c")["families"]["pq"]
+    assert st["upsert_n"] == 0 and st["ratio"] is None  # baseline reset
+
+
+def test_drift_status_covers_all_six_families(drift_store, embeddings):
+    """drift_status()['families'] reports every quantized family once its
+    artifact exists (VERDICT r08 #2 done-criterion)."""
+    vs = drift_store
+    probe = [[float(x) for x in r.embedding]
+             for r in embeddings.limit(1).collect()]
+    for mode in ("ivfbq", "ivfpq", "bq", "pq", "sq"):
+        vs.query("c", query_vecs=probe, k=3, mode=mode, shortlist=50,
+                 n_probe=2)
+    fams = vs.drift_status("c")["families"]
+    assert set(fams) == {"ivf", "ivfbq", "ivfpq", "bq", "pq", "sq"}
+    for f, st in fams.items():
+        assert st and st["train_mean_qerr"] >= 0.0, f
+        assert not st["retrain_recommended"], f

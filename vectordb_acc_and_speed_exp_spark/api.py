@@ -301,13 +301,27 @@ class VectorStore:
             self._invalidate_indexes(name)
         else:
             # append: batch-grained indexes are freshened by the caller
-            # (add); whole-corpus artifacts (flat bq/pq/sq codes, mt-LSH
-            # tables) are pure functions of the corpus — invalidate,
-            # rebuild lazily
-            self._invalidate_indexes(
-                name,
-                dirs=(".bq_index", ".mtlsh_index", ".pq_index", ".sq_index"),
-            )
+            # (add). Flat bq/pq/sq code tables are ALSO append-grained
+            # since round 9 (VERDICT r08 #2): the quantizer params are
+            # frozen (the FAISS add() model), the batch encodes O(batch)
+            # with them in _freshen_indexes, and the drift tracker
+            # (operators/drift.py) measures when the frozen params need
+            # the offline retrain — re-encoding the whole corpus per
+            # append was O(collection) work the 100 TB shape can't pay.
+            # mt-LSH stays invalidate-and-rebuild: every doc lives in
+            # every table partition, so there is no sub-table
+            # incremental unit (its _ensure docstring). Pre-round-9 flat
+            # artifacts (no drift baseline) also invalidate — their code
+            # tables predate the incremental contract.
+            dirs = [".mtlsh_index"]
+            from .operators.drift import drift_path
+
+            for d, p in ((".bq_index", self._bq_path(name)),
+                         (".pq_index", self._pq_path(name)),
+                         (".sq_index", self._sq_path(name))):
+                if os.path.exists(p) and not os.path.exists(drift_path(p)):
+                    dirs.append(d)
+            self._invalidate_indexes(name, dirs=tuple(dirs))
         return docs
 
     def _freshen_intent_path(self, name: str) -> str:
@@ -328,7 +342,8 @@ class VectorStore:
             self._invalidate_indexes(
                 name,
                 dirs=(".graph_index", ".ivf_index", ".postings_index",
-                      ".dedup_index"),
+                      ".dedup_index", ".bq_index", ".pq_index",
+                      ".sq_index"),
             )
             os.remove(ip)
 
@@ -391,6 +406,26 @@ class VectorStore:
                     np.array(m["sums"], dtype=np.int64), int(m["n"]),
                     cells, item_id="id",
                 )
+                if "lo" in m:  # fine-quantizer drift (EP13, VERDICT r08 #2)
+                    from .operators.bq import bq_recon_qerr
+                    from .operators.drift import (
+                        mean_coarse_qerr,
+                        record_batch_qerr,
+                    )
+
+                    qm, qn = mean_coarse_qerr(
+                        docs.select(
+                            bq_recon_qerr(
+                                F.col("embedding"),
+                                np.array(m["sums"], dtype=np.int64),
+                                int(m["n"]),
+                                np.array(m["lo"]), np.array(m["hi"]),
+                            ).alias("_qerr")
+                        )
+                    )
+                    record_batch_qerr(
+                        os.path.join(ivf_root, "bqcodes"), qm, qn
+                    )
             pq_meta = os.path.join(ivf_root, "_pq_meta.json")
             if os.path.exists(pq_meta):
                 import numpy as np
@@ -403,6 +438,26 @@ class VectorStore:
                     np.load(os.path.join(ivf_root, "pq_books.npy")),
                     cells, item_id="id",
                 )
+                from .operators.drift import (
+                    drift_path,
+                    mean_coarse_qerr,
+                    record_batch_qerr,
+                )
+                from .operators.pq import pq_encode
+
+                # fine-quantizer drift: the batch's reconstruction error
+                # under the frozen codebooks (skipped on pre-baseline
+                # artifacts — no extra batch job for them)
+                pqc = os.path.join(ivf_root, "pqcodes")
+                if os.path.exists(drift_path(pqc)):
+                    qm, qn = mean_coarse_qerr(
+                        pq_encode(
+                            docs.select("id", "embedding"),
+                            np.load(os.path.join(ivf_root, "pq_books.npy")),
+                            item_id="id", keep_qerr="_qerr",
+                        )
+                    )
+                    record_batch_qerr(pqc, qm, qn)
         postings = self._postings_path(name)
         if os.path.exists(os.path.join(postings, "_META.json")):
             from .operators.postings import postings_upsert
@@ -410,6 +465,69 @@ class VectorStore:
             postings_upsert(
                 self.spark, postings, docs.select("id", "text"), id_col="id"
             )
+        # flat code tables (VERDICT r08 #2): encode ONLY the batch with
+        # the frozen quantizer params, append it, and fold the batch's
+        # reconstruction error into the drift accumulator — the encode
+        # pass the append already owes is also the drift measurement.
+        # Guarded on the drift baseline: artifacts without one predate
+        # the incremental contract and were invalidated by _write.
+        from .operators.drift import drift_path, mean_coarse_qerr, record_batch_qerr
+
+        bqp = self._bq_path(name)
+        if os.path.exists(drift_path(bqp)):
+            import numpy as np
+
+            from .operators.bq import bq_encode, bq_recon_qerr
+
+            with open(os.path.join(bqp, "_meta.json")) as f:
+                m = json.load(f)
+            sums = np.array(m["sums"], dtype=np.int64)
+            bq_encode(
+                docs, sums, int(m["n"]), item_id="id"
+            ).write.mode("append").parquet(os.path.join(bqp, "codes"))
+            qm, qn = mean_coarse_qerr(
+                docs.select(
+                    bq_recon_qerr(
+                        F.col("embedding"), sums, int(m["n"]),
+                        np.array(m["lo"]), np.array(m["hi"]),
+                    ).alias("_qerr")
+                )
+            )
+            record_batch_qerr(bqp, qm, qn)
+        pqp = self._pq_path(name)
+        if os.path.exists(drift_path(pqp)):
+            import numpy as np
+
+            from .operators.pq import pq_encode
+
+            enc = pq_encode(
+                docs, np.load(os.path.join(pqp, "books.npy")),
+                item_id="id", keep_qerr="_qerr",
+            ).localCheckpoint(eager=True)  # one kernel pass: agg + append
+            qm, qn = mean_coarse_qerr(enc)
+            enc.write.mode("append").parquet(os.path.join(pqp, "codes"))
+            record_batch_qerr(pqp, qm, qn)
+        sqp = self._sq_path(name)
+        if os.path.exists(drift_path(sqp)):
+            import numpy as np
+
+            from .operators.sq import sq_encode, sq_recon_qerr
+
+            with open(os.path.join(sqp, "_meta.json")) as f:
+                p = json.load(f)
+            vmin = np.array(p["vmin"], dtype=np.float64)
+            scale = np.array(p["scale"], dtype=np.float64)
+            sq_encode(
+                docs, vmin, scale, item_id="id"
+            ).write.mode("append").parquet(os.path.join(sqp, "codes"))
+            qm, qn = mean_coarse_qerr(
+                docs.select(
+                    sq_recon_qerr(F.col("embedding"), vmin, scale).alias(
+                        "_qerr"
+                    )
+                )
+            )
+            record_batch_qerr(sqp, qm, qn)
         dd = self._dedup_path(name)
         if os.path.exists(os.path.join(dd, "bands")):
             from .streaming.dedup_maintenance import (
@@ -440,19 +558,35 @@ class VectorStore:
         of the corpus)."""
         import json
 
-        from .operators.bq import bq_encode, bq_train
+        from .operators.bq import bq_encode, bq_recon_qerr, bq_side_means, bq_train
+        from .operators.drift import mean_coarse_qerr, write_drift_baseline
 
         path = self._bq_path(name)
         meta = os.path.join(path, "_meta.json")
         codes = os.path.join(path, "codes")
         if not os.path.exists(meta):
             sums, n = bq_train(corpus, item_vec="embedding", dim=self.dim)
+            lo, hi = bq_side_means(corpus, sums, n, item_vec="embedding")
             os.makedirs(path, exist_ok=True)
             bq_encode(corpus, sums, n, item_id="id").write.mode(
                 "overwrite"
             ).parquet(codes)
+            # EP13 drift baseline for the frozen 1-bit quantizer: mean
+            # reconstruction error under the side-mean decode
+            qerr_mean, qerr_n = mean_coarse_qerr(
+                corpus.select(
+                    bq_recon_qerr(
+                        F.col("embedding"), sums, n, lo, hi
+                    ).alias("_qerr")
+                )
+            )
+            write_drift_baseline(path, qerr_mean, qerr_n)
             with open(meta, "w") as f:
-                json.dump({"sums": [int(x) for x in sums], "n": n}, f)
+                json.dump(
+                    {"sums": [int(x) for x in sums], "n": n,
+                     "lo": [float(x) for x in lo],
+                     "hi": [float(x) for x in hi]}, f,
+                )
         with open(meta) as f:
             m = json.load(f)
         import numpy as np
@@ -716,24 +850,51 @@ class VectorStore:
         )
 
     def drift_status(self, name: str) -> dict:
-        """Quantizer-drift status of the collection's IVF-family indexes
-        (EP13): {"train_mean_qerr", "upsert_mean_qerr", "ratio",
-        "retrain_recommended", ...} — empty when no IVF artifact exists
-        yet. The ratio compares upserted rows' mean coarse quantization
-        error to the frozen training baseline; past the measured trigger
-        (drift.DRIFT_TRIGGER_RATIO), call :meth:`retrain_quantizers`."""
+        """Quantizer-drift status (EP13) of EVERY frozen quantizer the
+        collection serves from (VERDICT r08 #2): the top-level keys are
+        the coarse IVF quantizer's status (back-compat — the trigger that
+        fires first in practice, since every composed family routes
+        through it), and ``"families"`` maps each of the six quantized
+        families to its own {"train_mean_qerr", "upsert_mean_qerr",
+        "ratio", "retrain_recommended", ...} — ivf (coarse assignment
+        error), ivfbq/ivfpq (fine reconstruction error of the
+        cell-partitioned code twins), bq/pq/sq (reconstruction error of
+        the flat code tables, accumulated by the O(batch) append encode).
+        A family with no built artifact or no baseline reports {}. Past
+        any family's trigger, call :meth:`retrain_quantizers`."""
         from .operators.drift import drift_status
 
-        return drift_status(self._ivf_path(name))
+        ivf_root = self._ivf_path(name)
+        st = dict(drift_status(ivf_root))
+        st["families"] = {
+            "ivf": drift_status(ivf_root),
+            "ivfbq": drift_status(os.path.join(ivf_root, "bqcodes")),
+            "ivfpq": drift_status(os.path.join(ivf_root, "pqcodes")),
+            "bq": drift_status(self._bq_path(name)),
+            "pq": drift_status(self._pq_path(name)),
+            "sq": drift_status(self._sq_path(name)),
+        }
+        return st
 
-    def retrain_quantizers(self, name: str) -> None:
+    def retrain_quantizers(self, name: str, families=None) -> None:
         """The offline rebuild the drift trigger recommends: drop the
-        IVF artifact (and its derived bq/pq code twins, which live under
-        the same root and are functions of the same frozen quantizer);
-        the next query retrains centroids on the CURRENT corpus and
-        writes a fresh baseline — restoring ratio ≈ 1 and the recall the
-        drift eroded (pinned in tests/test_drift.py)."""
-        self._invalidate_indexes(name, dirs=(".ivf_index",))
+        drifted quantizer artifacts so the next query retrains on the
+        CURRENT corpus and writes a fresh baseline — restoring ratio ≈ 1
+        and the recall the drift eroded (pinned in tests/test_drift.py).
+
+        ``families``: iterable of {"ivf", "bq", "pq", "sq"} (the
+        composed ivfbq/ivfpq twins live under the IVF root and ride
+        "ivf"); default None retrains all of them. Calibration curves
+        live inside the dropped directories, so budgets re-measure with
+        the fresh quantizers."""
+        fams = set(families) if families is not None else {"ivf", "bq", "pq", "sq"}
+        dirs = tuple(
+            d for f, d in (
+                ("ivf", ".ivf_index"), ("bq", ".bq_index"),
+                ("pq", ".pq_index"), ("sq", ".sq_index"),
+            ) if f in fams
+        )
+        self._invalidate_indexes(name, dirs=dirs)
 
     def _ensure_ivfbq_codes(self, name: str):
         """Packed-code table over the IVF layout (FAISS IndexBinaryIVF
@@ -746,7 +907,13 @@ class VectorStore:
 
         import numpy as np
 
-        from .operators.bq import bq_train, write_ivfbq_codes
+        from .operators.bq import (
+            bq_recon_qerr,
+            bq_side_means,
+            bq_train,
+            write_ivfbq_codes,
+        )
+        from .operators.drift import mean_coarse_qerr, write_drift_baseline
 
         corpus_path, cents = self._ensure_ivf_index(name)
         path = self._ivf_path(name)
@@ -755,9 +922,24 @@ class VectorStore:
         if not os.path.exists(meta):
             assigned = self.spark.read.parquet(corpus_path)
             sums, n = bq_train(assigned, item_vec="embedding", dim=self.dim)
+            lo, hi = bq_side_means(assigned, sums, n, item_vec="embedding")
             write_ivfbq_codes(assigned, sums, n, codes_path, item_id="id")
+            # EP13 fine-quantizer baseline, published INSIDE the codes
+            # dir (dynamic cell overwrites never touch top-level files)
+            qerr_mean, qerr_n = mean_coarse_qerr(
+                assigned.select(
+                    bq_recon_qerr(
+                        F.col("embedding"), sums, n, lo, hi
+                    ).alias("_qerr")
+                )
+            )
+            write_drift_baseline(codes_path, qerr_mean, qerr_n)
             with open(meta, "w") as f:
-                json.dump({"sums": [int(x) for x in sums], "n": n}, f)
+                json.dump(
+                    {"sums": [int(x) for x in sums], "n": n,
+                     "lo": [float(x) for x in lo],
+                     "hi": [float(x) for x in hi]}, f,
+                )
         with open(meta) as f:
             m = json.load(f)
         return (
@@ -783,6 +965,7 @@ class VectorStore:
 
         import numpy as np
 
+        from .operators.drift import mean_coarse_qerr, write_drift_baseline
         from .operators.pq import pq_encode, pq_train
 
         path = self._pq_path(name)
@@ -794,12 +977,22 @@ class VectorStore:
             books = pq_train(corpus, item_vec="embedding", m=m, k=16)
             os.makedirs(path, exist_ok=True)
             np.save(books_path, books)
-            pq_encode(corpus, books, item_id="id").write.mode(
-                "overwrite"
-            ).parquet(codes)
+            # the encode kernel computes every sub-space distance anyway;
+            # keeping the reconstruction error costs one extra column and
+            # gives the EP13 drift baseline for the frozen codebooks
+            pq_encode(
+                corpus, books, item_id="id", keep_qerr="_qerr"
+            ).write.mode("overwrite").parquet(codes)
+            qerr_mean, qerr_n = mean_coarse_qerr(
+                self.spark.read.parquet(codes)
+            )
+            write_drift_baseline(path, qerr_mean, qerr_n)
             with open(meta, "w") as f:
                 json.dump({"m": m, "k": 16}, f)
-        return self.spark.read.parquet(codes), np.load(books_path)
+        return (
+            self.spark.read.parquet(codes).drop("_qerr"),
+            np.load(books_path),
+        )
 
     def _sq_path(self, name: str) -> str:
         return os.path.join(self.root, ".sq_index", name)
@@ -815,7 +1008,8 @@ class VectorStore:
 
         import numpy as np
 
-        from .operators.sq import sq_encode, sq_train
+        from .operators.drift import mean_coarse_qerr, write_drift_baseline
+        from .operators.sq import sq_encode, sq_recon_qerr, sq_train
 
         path = self._sq_path(name)
         meta = os.path.join(path, "_meta.json")
@@ -826,6 +1020,16 @@ class VectorStore:
             sq_encode(corpus, vmin, scale, item_id="id").write.mode(
                 "overwrite"
             ).parquet(codes)
+            # EP13 drift baseline for the frozen affine params (clipping
+            # error explodes when appends leave the training box)
+            qerr_mean, qerr_n = mean_coarse_qerr(
+                corpus.select(
+                    sq_recon_qerr(F.col("embedding"), vmin, scale).alias(
+                        "_qerr"
+                    )
+                )
+            )
+            write_drift_baseline(path, qerr_mean, qerr_n)
             with open(meta, "w") as f:
                 json.dump(
                     {"vmin": [float(x) for x in vmin],
@@ -850,7 +1054,8 @@ class VectorStore:
 
         import numpy as np
 
-        from .operators.pq import pq_train, write_ivfpq_codes
+        from .operators.drift import mean_coarse_qerr, write_drift_baseline
+        from .operators.pq import pq_encode, pq_train, write_ivfpq_codes
 
         corpus_path, cents = self._ensure_ivf_index(name)
         path = self._ivf_path(name)
@@ -863,6 +1068,12 @@ class VectorStore:
             books = pq_train(assigned, item_vec="embedding", m=m, k=16)
             np.save(books_path, books)
             write_ivfpq_codes(assigned, books, codes_path, item_id="id")
+            # EP13 fine-quantizer baseline (reconstruction error of the
+            # frozen codebooks), published inside the codes dir
+            qerr_mean, qerr_n = mean_coarse_qerr(
+                pq_encode(assigned, books, item_id="id", keep_qerr="_qerr")
+            )
+            write_drift_baseline(codes_path, qerr_mean, qerr_n)
             with open(meta, "w") as f:
                 json.dump({"m": m, "k": 16}, f)
         return codes_path, corpus_path, cents, np.load(books_path)

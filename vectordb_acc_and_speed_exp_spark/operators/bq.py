@@ -231,6 +231,61 @@ def hamming(lo_a: Column, hi_a: Column, lo_b: Column, hi_b: Column) -> Column:
     return F.bit_count(lo_a.bitwiseXOR(lo_b)) + F.bit_count(hi_a.bitwiseXOR(hi_b))
 
 
+def bq_side_means(
+    corpus: DataFrame,
+    sums: np.ndarray,
+    n: int,
+    item_vec: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension training mean of the values on each side of the
+    frozen threshold — the 1-bit quantizer's reconstruction points
+    (decode(bit) = the bit's side mean), which give BQ a real
+    reconstruction error for the EP13 drift statistic. One
+    posexplode aggregate (the bq_train plan shape). A side with no
+    training values (constant dims) reconstructs to the threshold."""
+    thr = sums.astype(np.float64) / (max(n, 1) * GRID)
+    t = F.lit([float(x) for x in thr])
+    rows = (
+        corpus.select(
+            F.posexplode(F.col(item_vec).cast("array<double>")).alias(
+                "pos", "x"
+            )
+        )
+        .withColumn("hi", (F.col("x") > F.get(t, F.col("pos"))).cast("int"))
+        .groupBy("pos", "hi")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    lo = thr.copy()
+    hi = thr.copy()
+    for r in rows:
+        (hi if r.hi else lo)[r.pos] = r.m
+    return lo, hi
+
+
+def bq_recon_qerr(
+    vec_col: Column, sums: np.ndarray, n: int, lo: np.ndarray, hi: np.ndarray
+) -> Column:
+    """||x - decode(encode(x))|| under the frozen thresholds and side
+    means (:func:`bq_side_means`) — the EP13 drift statistic for the
+    1-bit quantizer: a shifted batch lands far from BOTH side means, so
+    the batch-mean error grows with the drift and the ratio trigger
+    fires. Pure codegen HOFs (no Python)."""
+    thr = sums.astype(np.float64) / (max(n, 1) * GRID)
+    t = F.lit([float(x) for x in thr])
+    lo_l = F.lit([float(x) for x in lo])
+    hi_l = F.lit([float(x) for x in hi])
+    v = vec_col.cast("array<double>")
+    pick = F.zip_with(
+        v, t, lambda x, th: F.when(x > th, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    hi_part = F.zip_with(pick, hi_l, lambda p, h: p * h)
+    lo_part = F.zip_with(pick, lo_l, lambda p, l: (F.lit(1.0) - p) * l)
+    recon = F.zip_with(hi_part, lo_part, lambda a, b: a + b)
+    errs = F.zip_with(v, recon, lambda x, r: x - r)
+    return F.sqrt(F.aggregate(errs, F.lit(0.0), lambda a, e: a + e * e))
+
+
 
 def _shortlist_rerank(
     scored: DataFrame,

@@ -70,12 +70,19 @@ def pq_encode(
     item_id: str = "item_id",
     item_vec: str = "embedding",
     passthrough: tuple[str, ...] = (),
+    keep_qerr: str | None = None,
 ) -> DataFrame:
     """(id, codes array<int>[, passthrough...]): nearest centroid per
     sub-space. One numpy argmin per Arrow batch per sub-space.
     ``passthrough`` columns (e.g. an IVF ``cell``) are carried through the
     kernel unchanged so the codes can be written cell-partitioned without a
-    post-encode join."""
+    post-encode join.
+
+    ``keep_qerr``: also emit the per-row reconstruction error
+    ||x - decode(encode(x))|| under that name — the EP13 drift statistic
+    for the frozen codebooks (operators/drift.py). It is free here: the
+    argmin already computes every sub-space distance, the error is the
+    sum of the chosen minima."""
     spark = corpus.sparkSession
     b_books = spark.sparkContext.broadcast(codebooks)
     m, k, dsub = codebooks.shape
@@ -85,12 +92,17 @@ def pq_encode(
         for pdf in batches:
             X = np.array(pdf["_vec"].tolist(), dtype=np.float64)
             codes = np.empty((len(X), m), dtype=np.int32)
+            qerr = np.zeros(len(X), dtype=np.float64)
             for s in range(m):
                 sub = X[:, s * dsub : (s + 1) * dsub]
                 # (n, k) distances to this sub-space's centroids
                 d = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
                 codes[:, s] = np.argmin(d, axis=1)
+                if keep_qerr:
+                    qerr += d[np.arange(len(X)), codes[:, s]]
             out = {"item_id": pdf["_id"], "codes": list(codes.tolist())}
+            if keep_qerr:
+                out[keep_qerr] = np.sqrt(qerr)
             for c in passthrough:
                 out[c] = pdf[c]
             yield pd.DataFrame(out)
@@ -100,6 +112,8 @@ def pq_encode(
     src = corpus.select(*keep)
     dtypes = dict(corpus.dtypes)
     schema = f"item_id {dtypes[item_id]}, codes array<int>"
+    if keep_qerr:
+        schema += f", {keep_qerr} double"
     for c in passthrough:
         schema += f", {c} {dtypes[c]}"
     return src.mapInPandas(encode, schema=schema)

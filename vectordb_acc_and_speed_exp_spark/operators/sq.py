@@ -91,6 +91,31 @@ def sq_encode(
     return corpus.select(*keep)
 
 
+def sq_recon_qerr(vec_col, vmin: np.ndarray, scale: np.ndarray):
+    """L2 distance between a vector and its SQ8 decode — the EP13 drift
+    statistic for the frozen int8 quantizer (operators/drift.py): inside
+    the training box the error is bounded by scale/2 per dim, but a
+    drifted vector outside the frozen [vmin, vmax] range CLIPS, so the
+    error grows linearly with the drift and the batch-mean ratio fires
+    the retrain trigger. Pure codegen HOFs, same arithmetic as
+    sq_encode + decode."""
+    mn = F.lit([float(x) for x in vmin])
+    sc = F.lit([float(x) for x in scale])
+    d1 = F.zip_with(vec_col.cast("array<double>"), mn, lambda x, m: x - m)
+    errs = F.zip_with(
+        d1,
+        sc,
+        lambda d, s: d - F.least(
+            F.greatest(
+                F.when(s == 0.0, F.lit(0.0)).otherwise(F.round(d / s)),
+                F.lit(0.0),
+            ),
+            F.lit(255.0),
+        ) * s,
+    )
+    return F.sqrt(F.aggregate(errs, F.lit(0.0), lambda a, e: a + e * e))
+
+
 def sq_search(
     queries: DataFrame,
     encoded: DataFrame,
