@@ -23,6 +23,7 @@ quieter box before committing artifacts).
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import subprocess
@@ -108,7 +109,84 @@ def run_recall(round_no: int) -> bool:
         if dropped:
             print(f"[close]   RECALL REGRESSION vs r{round_no - 1}: "
                   f"{dropped}", flush=True)
-    return p.returncode == 0 and not low and not dropped
+    # EP13 drift gate (VERDICT r08 #5): any maintained artifact whose
+    # upsert-error ratio crossed its trigger fails the close — the
+    # silently-drifting artifact is caught before its recall is
+    drifting = {
+        a: d for a, d in payload.get("drift", {}).items()
+        if d.get("retrain_recommended")
+    }
+    if drifting:
+        print(f"[close]   DRIFTED ARTIFACTS past trigger: {drifting}",
+              flush=True)
+    return (
+        p.returncode == 0 and not low and not dropped and not drifting
+    )
+
+
+def run_frontier(round_no: int) -> bool:
+    """FRONTIER_r{N}.json at every close (VERDICT r08 #8): the
+    latency-vs-recall curve per ANN family, with the chosen serving
+    defaults marked — the evidence behind the measured budgets."""
+    env = dict(os.environ)
+    env["SPARK_GRAFT_ROUND"] = str(round_no)
+    print(f"[close] frontier report -> FRONTIER_r{round_no:02d}.json",
+          flush=True)
+    p = subprocess.run(
+        [sys.executable, os.path.join(HERE, "frontier_report.py")],
+        env=env, cwd=REPO, capture_output=True, text=True,
+    )
+    tail = p.stdout.strip().splitlines()[-1:] or ["<no output>"]
+    print(f"[close]   {tail[0]}", flush=True)
+    return p.returncode == 0
+
+
+def append_bench_delta_notes() -> None:
+    """One BENCH_NOTES line per round comparing MY close total
+    (BENCH_DETAIL_r{R}) to the DRIVER's post-round total (BENCH_r{R}
+    parsed.value) — the scoring signal's own error bar (VERDICT r08 #6).
+    The driver runs after the close, so each close back-fills every
+    earlier round that has both numbers and no note yet."""
+    notes = os.path.join(REPO, "BENCH_NOTES.md")
+    try:
+        with open(notes) as fh:
+            existing = fh.read()
+    except OSError:
+        existing = ""
+    lines = []
+    for detail in sorted(glob.glob(os.path.join(REPO, "BENCH_DETAIL_r*.json"))):
+        rr = detail.rsplit("_r", 1)[-1].split(".")[0]
+        marker = f"driver-vs-close r{rr}:"
+        if marker in existing:
+            continue
+        driver_path = os.path.join(REPO, f"BENCH_r{rr}.json")
+        if not os.path.exists(driver_path):
+            continue
+        try:
+            with open(detail) as fh:
+                close_total = float(json.load(fh)["value"])
+            with open(driver_path) as fh:
+                parsed = json.load(fh).get("parsed") or {}
+            driver_total = float(parsed["value"])
+        except (KeyError, TypeError, ValueError, json.JSONDecodeError):
+            continue
+        delta = (driver_total - close_total) / close_total * 100.0
+        lines.append(
+            f"- {marker} close {close_total:.2f} s vs driver "
+            f"{driver_total:.2f} s ({delta:+.1f}% — same code, different "
+            "run environment; treat round-over-round deltas smaller than "
+            "this as noise)"
+        )
+    if lines:
+        with open(notes, "a") as fh:
+            fh.write(
+                "\n## Driver-vs-close environment delta (auto-appended "
+                "by close_round.py)\n" if "Driver-vs-close" not in existing
+                else "\n"
+            )
+            fh.write("\n".join(lines) + "\n")
+        print(f"[close] BENCH_NOTES: appended {len(lines)} "
+              "driver-vs-close delta note(s)", flush=True)
 
 
 def run_bench(round_no: int, tag: str) -> dict:
@@ -161,6 +239,7 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--skip-gate", action="store_true")
     ap.add_argument("--skip-recall", action="store_true")
+    ap.add_argument("--skip-frontier", action="store_true")
     args = ap.parse_args()
 
     if not args.skip_gate:
@@ -170,10 +249,16 @@ def main() -> int:
 
     if not args.skip_recall and not run_recall(args.round):
         print(
-            "[close] RECALL below reference floor — fix before closing",
+            "[close] RECALL below reference floor (or drift past trigger)"
+            " — fix before closing",
             flush=True,
         )
         return 4
+
+    if not args.skip_frontier and not run_frontier(args.round):
+        print("[close] FRONTIER report failed — fix before closing",
+              flush=True)
+        return 5
 
     runs = [
         (f"run{i+1}", run_bench(args.round, f"run{i+1}"))
@@ -206,10 +291,12 @@ def main() -> int:
         f"({best[1]:.2f} s) -> {os.path.basename(detail)}",
         flush=True,
     )
+    append_bench_delta_notes()
     print(
         "[close] next: git add GATE_r{0:02d}.json BENCH_DETAIL_r{0:02d}.json "
         "BENCH_DETAIL_latest.json RECALL_r{0:02d}.json RECALL_latest.json "
-        "&& commit".format(args.round),
+        "FRONTIER_r{0:02d}.json FRONTIER_latest.json BENCH_NOTES.md "
+        "experiment_results && commit".format(args.round),
         flush=True,
     )
     return 0

@@ -209,6 +209,28 @@ def main() -> int:
     # fallback is gone — floor_budget_families stays in the payload as
     # the fixed-budget reference points on the latency/recall frontier.
     gated = dict(serving)
+    # EP13 drift per maintained artifact (VERDICT r08 #5): every drift
+    # baseline under the bench fixture root reports its ratio here, and
+    # the close FAILS on any retrain_recommended — a silently-drifting
+    # artifact trips the close before its recall does. (The fixtures are
+    # rebuilt from a fingerprinted corpus, so ratios are None unless a
+    # maintenance path upserted into them this round.)
+    from vectordb_acc_and_speed_exp_spark.operators.drift import drift_status
+    from vectordb_acc_and_speed_exp_spark.queries.pipeline import _index_root
+
+    root = _index_root(sf_dir)
+    drift = {}
+    for dirpath, _dirs, files in os.walk(root):
+        if "_drift.json" in files:
+            st = drift_status(dirpath)
+            rel = os.path.relpath(dirpath, root)
+            drift[rel if rel != "." else "ivf_root"] = {
+                "ratio": st.get("ratio"),
+                "upsert_n": st.get("upsert_n"),
+                "trigger_ratio": st.get("trigger_ratio"),
+                "retrain_recommended": st.get("retrain_recommended"),
+            }
+
     payload = {
         "metric": "ann_recall_at_10",
         "k": 10,
@@ -219,6 +241,7 @@ def main() -> int:
         "floor_budget_families": floors,
         "gated": gated,
         "entries": recalls,
+        "drift": drift,
         # the reference's own HNSW degrades to ~0.70 at 58k docs
         # (BASELINE.md recall table) — the floor every family must beat
         # at matched budget
