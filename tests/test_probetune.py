@@ -191,3 +191,59 @@ def test_default_budgets_are_measured(spark, embeddings, tmp_path):
         d = json.load(fh)
     (tgt,) = d["targets"].values()
     assert tgt["n_probe"] >= 1 and tgt["shortlist"] >= 5
+
+
+def test_curve_recalibrates_on_corpus_growth(spark, embeddings, tmp_path):
+    """VERDICT r08 #3 done-criterion: doubling the corpus WITHOUT
+    distribution drift refreshes the probe curve (fixed-probe recall
+    decays with size, so the old curve is no longer evidence) and
+    target_recall still meets its target on the grown collection."""
+    import json
+
+    from vectordb_acc_and_speed_exp_spark.api import VectorStore
+    from vectordb_acc_and_speed_exp_spark.operators.knn import exact_knn
+    from vectordb_acc_and_speed_exp_spark.operators.recall import (
+        mean_recall,
+        recall_at_k,
+    )
+
+    dim = len(embeddings.select("embedding").first()[0])
+    vs = VectorStore(spark, str(tmp_path / "growstore"), dim=dim)
+    base = embeddings.filter(F.col("vec_id") < 220).select(
+        F.col("vec_id").cast("string").alias("id"), "embedding"
+    )
+    vs.create_collection("c", base)
+    probe = [[float(x) for x in r.embedding]
+             for r in embeddings.filter(F.col("vec_id") < 2)
+             .orderBy("vec_id").collect()]
+    vs.query("c", query_vecs=probe, k=5, mode="ivfbq", target_recall=0.9)
+    curve_path = os.path.join(vs.root, ".ivf_index", "c", "_probe_curve.json")
+    with open(curve_path) as fh:
+        n0 = json.load(fh)["n_corpus"]
+    assert n0 == 220
+
+    # same distribution, 2.3x the size: the add() absorbs cell-
+    # incrementally (no invalidation), but the next target_recall query
+    # must RE-CALIBRATE the curve at the new size
+    grown = embeddings.filter(F.col("vec_id") >= 220).select(
+        (F.col("vec_id") + 100000).cast("string").alias("id"), "embedding"
+    )
+    vs.add("c", grown)
+    res = vs.query(
+        "c", query_vecs=probe, k=10, mode="ivfbq", target_recall=0.85
+    )
+    with open(curve_path) as fh:
+        meta = json.load(fh)
+    assert meta["n_corpus"] > 2 * n0  # refreshed at the grown size
+    # and the target still holds on the grown collection (2-query set:
+    # wide tolerance, the guarantee is the re-measured curve)
+    qs = embeddings.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    gt = exact_knn(
+        qs, vs.get("c").select("id", "embedding"), k=10, item_id="id"
+    ).select("query_id", "rank", "item_id")
+    got = res.select("query_id", "rank", "item_id")
+    r = mean_recall(recall_at_k(gt, got, k=10)).first().mean_recall
+    assert r >= 0.85 - 0.25
