@@ -743,14 +743,40 @@ def test_torn_freshen_marker_heals_on_first_query(store, spark, documents):
     store.delete_collection("tornq")
 
 
-def test_target_recall_with_where_refused(store):
-    """ADVICE r08: where+ivf-modes re-plan to the filtered chooser, which
-    ignores n_probe — a curve-chosen budget would be paid for and then
-    silently dropped. The combination must refuse up front."""
+def test_target_recall_with_where_routes_through_chooser(store):
+    """Round 9 (ADVICE r08, resolved the other way): where= + a recall
+    target on the auto-routable modes threads the measured curve's probe
+    budget into the filtered chooser as a floor (never silently dropped);
+    the non-auto modes still refuse — their shortlist curves are
+    calibrated on the unfiltered ranking."""
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="target_recall"):
+    res = store.query(
+        "papers", query_texts=["warm"], k=3, mode="ivfbq",
+        target_recall=1.0, where="id is not null",
+    ).collect()  # exact-over-survivors: full-probe floor >= prune cap
+    assert len(res) == 3
+    with _pytest.raises(ValueError, match="filtered-chooser"):
         store.query(
-            "papers", query_texts=["x"], mode="ivfbq",
+            "papers", query_texts=["x"], mode="pq",
             target_recall=0.9, where="id is not null",
         )
+
+
+def test_filtered_chooser_min_probe_floor():
+    """The curve floor composes with the selectivity widening: it can
+    only RAISE the probe budget, and at every cell it degrades the plan
+    to exact-over-survivors."""
+    from vectordb_acc_and_speed_exp_spark.operators.filtered import (
+        choose_filtered_strategy,
+    )
+
+    base = dict(n_corpus=1_000_000, n_survivors=500_000, n_cells=256)
+    s0, p0 = choose_filtered_strategy(**base)
+    assert s0 == "ivf_prefilter"
+    s1, p1 = choose_filtered_strategy(**base, min_probe=p0 + 6)
+    assert (s1, p1) == ("ivf_prefilter", p0 + 6)  # floor raises it
+    s2, _ = choose_filtered_strategy(**base, min_probe=256)
+    assert s2 == "exact"  # target 1.0: full-probe floor ⇒ exact branch
+    # a floor below the widening changes nothing
+    assert choose_filtered_strategy(**base, min_probe=1) == (s0, p0)

@@ -1416,8 +1416,10 @@ class VectorStore:
         and a reroute to the exact scan for mtlsh/graph (their index
         structures cannot certify 1.0 — the flip pool does not
         enumerate every bucket; the degree cap can orphan a node).
-        Incompatible with explicit budgets and with ``where=`` (the
-        filtered chooser plans its own widening).
+        Incompatible with explicit budgets. With ``where=`` the target
+        routes through the filtered chooser as a probe FLOOR from the
+        measured curve (max'd with the selectivity widening; target 1.0
+        ⇒ exact-over-survivors) — auto-routable modes only.
 
         ``mode="mmr"`` adds diversity: exact-cosine 4k-shortlist, then
         greedy MMR selection at ``mmr_lambda`` (operators/rerank.py);
@@ -1436,15 +1438,40 @@ class VectorStore:
         if (query_texts is None) == (query_vecs is None):
             raise ValueError("provide exactly one of query_texts / query_vecs")
         if target_recall is not None and where is not None:
-            # where+index-modes re-plan to mode="auto", which probes by
-            # survivor selectivity, not n_probe — a curve-chosen budget
-            # would be silently dropped AFTER paying for the calibration
-            # pass (ADVICE r08); refuse like the other incompatible knobs
-            raise ValueError(
-                "target_recall= and where= are incompatible — the filtered "
-                "chooser (mode='auto') plans its own probe widening; give "
-                "one or the other"
+            # where + a recall target routes through the measured EP8
+            # chooser with a CURVE floor: min_probe is the budget the
+            # collection's recall-vs-probes curve demands for the target
+            # on the unfiltered corpus, and the chooser takes the max of
+            # that floor and its selectivity widening (survivor
+            # starvation) — never silently dropping the paid-for curve
+            # (ADVICE r08). target >= 1 floors at every cell, which the
+            # chooser always serves as exact-over-survivors (recall 1.0
+            # structurally). Only the auto-routable modes carry this
+            # semantics; the flat shortlist curves are measured on the
+            # unfiltered ranking, which says nothing about the DEEPER
+            # global ranks a filtered top-k reaches — refuse rather than
+            # serve an uncalibrated budget.
+            if mode not in ("auto", "graph", "mtlsh", "ivfbq", "ivfpq"):
+                raise ValueError(
+                    f"target_recall= with where= applies to the filtered-"
+                    f"chooser modes (auto, or graph/mtlsh/ivfbq/ivfpq "
+                    f"which re-plan to it), not mode={mode!r}"
+                )
+            if n_probe is not None or shortlist is not None:
+                raise ValueError(
+                    "give target_recall= OR explicit n_probe=/shortlist= "
+                    "budgets, not both"
+                )
+            from .operators.probetune import choose_n_probe
+
+            curve = self._ensure_probe_curve(name)
+            floor = (
+                max(curve) if target_recall >= 1.0
+                else choose_n_probe(curve, target_recall)
             )
+            auto_opts = dict(auto_opts or {}, min_probe=floor)
+            mode = "auto"
+            target_recall = None  # resolved into the chooser floor
         # read-side crash heal: never serve indexes a torn freshen left
         # inconsistent (one exists() when healthy)
         self._heal_torn_freshen(name)

@@ -62,6 +62,7 @@ def choose_filtered_strategy(
     exact_crossover_n: int = EXACT_CROSSOVER_N,
     widen_factor: float = WIDEN_FACTOR,
     prune_win_frac: float = PRUNE_WIN_FRAC,
+    min_probe: int | None = None,
 ) -> tuple[str, int | None]:
     """The planner rule, pure and unit-testable: returns
     ``("exact", None)`` or ``("ivf_prefilter", n_probe)``.
@@ -71,12 +72,22 @@ def choose_filtered_strategy(
     survivors: probes >= k * n_cells / n_survivors), capped at n_cells.
     If that lands at or above prune_win_frac * n_cells, pruning no longer
     pays and the exact filtered scan is both faster (measured) and exact.
-    """
+
+    ``min_probe`` is the recall-target floor (VectorStore.query(where=,
+    target_recall=)): the probe budget the collection's MEASURED
+    recall-vs-probes curve demands for the target on the unfiltered
+    corpus. The chooser takes the max of that floor and the selectivity
+    widening — the floor carries the corpus-level coverage guarantee,
+    the widening the survivor-starvation correction — and when the
+    combined budget erodes pruning past prune_win_frac the exact branch
+    serves (recall 1.0, trivially meeting any target; target >= 1
+    passes min_probe = n_cells, which always lands here)."""
     if n_corpus <= exact_crossover_n or n_survivors <= 0:
         return ("exact", None)
     s = n_survivors / n_corpus
     n_probe = max(
         4,
+        min_probe or 0,
         math.ceil(widen_factor / s),
         math.ceil(k * n_cells / n_survivors),
     )

@@ -185,13 +185,24 @@ FROM ranked WHERE rank <= 10
     "measured crossover and the predicate pushes into the IVF layout scan",
 )
 def client_facade_filtered_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _facade_filtered_roundtrip(
+        spark, sf_dir, "facade_auto_gate_", mode="auto", where="label < 3"
+    )
+
+
+def _facade_filtered_roundtrip(
+    spark: SparkSession, sf_dir: str, prefix: str, **query_kwargs
+) -> DataFrame:
+    """Shared harness for the filtered facade gate entries: collection
+    round-trip (id + embedding + label metadata) -> store.query(k=10,
+    **kwargs) -> position->vec_id remap."""
     import shutil
     import tempfile
 
     from ..api import VectorStore
 
     emb = load_table(spark, sf_dir, "embeddings")
-    root = tempfile.mkdtemp(prefix="facade_auto_gate_")
+    root = tempfile.mkdtemp(prefix=prefix)
     try:
         store = VectorStore(spark, root, dim=64)
         store.create_collection(
@@ -212,10 +223,9 @@ def client_facade_filtered_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corpus",
             query_vecs=[[float(x) for x in r.embedding] for r in qrows],
             k=10,
-            mode="auto",
-            where="label < 3",
+            **query_kwargs,
         )
-        qmap = local_df(spark, 
+        qmap = local_df(spark,
             [(i, int(r.vec_id)) for i, r in enumerate(qrows)],
             "pos bigint, query_id bigint",
         )
@@ -232,6 +242,40 @@ def client_facade_filtered_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "client_facade_filtered_tr1",
+    oracle=f"""
+WITH q AS ({_QUERY_SET_SQL}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS item_id, CAST(e.embedding AS DOUBLE[]) AS ev, q.qv
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label < 3
+), dists AS (
+  SELECT query_id, item_id, {_L2_SQL} AS dist FROM scored
+), ranked AS (
+  SELECT query_id, item_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, CAST(item_id AS VARCHAR)) AS rank
+  FROM dists
+)
+SELECT query_id, rank, item_id, round(dist, 4) AS dist_r
+FROM ranked WHERE rank <= 10
+""",
+    doc="VectorStore.query(mode='ivfbq', where='label < 3', "
+    "target_recall=1.0): the filtered recall dial at its provable fixed "
+    "point — the target routes through the EP8 chooser as a full-probe "
+    "floor from the measured curve, which the chooser always serves as "
+    "exact-over-survivors == filtered exact kNN bit-for-bit (round 9: "
+    "where+target used to be refused; now the curve floor and the "
+    "selectivity widening compose)",
+)
+def client_facade_filtered_tr1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _facade_filtered_roundtrip(
+        spark, sf_dir, "facade_ftr1_", mode="ivfbq", where="label < 3",
+        target_recall=1.0,
+    )
 
 
 # --------------------------------------------------------------------------
