@@ -167,9 +167,13 @@ def main() -> None:
         _composed_serving,
         _flat_serving,
         _ivf_serving,
+        _lsh_serving,
+        _mtlsh_serving,
     )
 
     _ivf_serving(spark, sf_dir)
+    _lsh_serving(spark, sf_dir)
+    _mtlsh_serving(spark, sf_dir)
     for fam in ("pq", "sq", "bq"):
         _flat_serving(spark, sf_dir, fam)
     for fam in ("ivfpq", "ivfsq", "ivfbq"):

@@ -38,8 +38,8 @@ sys.path.insert(0, REPO)
 # ann_bq_topk here because the latter pins shortlist=100 for its
 # cross-engine hash oracle.
 FAMILIES = {
-    "ann_lsh_topk": "lsh_3bit",
-    "mt_lsh_ann_topk": "mtlsh_64probe",
+    "ann_lsh_topk": "lsh_tuned",
+    "mt_lsh_ann_topk": "mtlsh_tuned",
     "ann_ivf_topk": "ivf_tuned",
     "ann_pq_topk": "pq_tuned",
     "ann_sq_topk": "sq_tuned",

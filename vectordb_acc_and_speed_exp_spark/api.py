@@ -1089,9 +1089,7 @@ class VectorStore:
         import json
 
         from .io.commitproto import publish_marker
-        from .operators.ann import _hyperplanes, signature_buckets
-        from .operators.knn import exact_knn
-        from .operators.probetune import calib_queries, curve_is_stale
+        from .operators.probetune import curve_is_stale, lsh_bits_recall_curve
 
         path = os.path.join(self.root, ".lsh_calib", name + ".json")
         n = self._collection_nrows(name)
@@ -1101,39 +1099,14 @@ class VectorStore:
                 meta = json.load(fh)
         if not curve_is_stale(meta, n):
             return {int(b): float(r) for b, r in meta["curve"].items()}
-        n_planes = 6  # lsh_ann serving defaults (operators/ann.py)
-        corpus = self.get(name).select("id", "embedding")
-        qs = calib_queries(corpus, item_id="id", item_vec="embedding")
-        gt = exact_knn(qs, corpus, k=10, item_id="id").select(
-            "query_id", "item_id"
+        # n_planes=6, seed=42: the lsh_ann serving defaults (operators/ann.py)
+        curve = lsh_bits_recall_curve(
+            self.get(name).select("id", "embedding"),
+            dim=self.dim, n_planes=6, seed=42, item_id="id",
         )
-        planes = _hyperplanes(self.dim, n_planes, seed=42)
-        qsig = signature_buckets(
-            qs.select("query_id", "query_vec"), planes, "query_vec", "qsig"
-        ).select("query_id", "qsig")
-        csig = signature_buckets(
-            corpus.select(F.col("id").alias("item_id"), "embedding"),
-            planes, "embedding", "csig",
-        ).select("item_id", "csig")
-        hist = (
-            gt.join(csig, "item_id")
-            .join(F.broadcast(qsig), "query_id")
-            .select(
-                F.bit_count(
-                    F.col("qsig").bitwiseXOR(F.col("csig")).cast("bigint")
-                ).alias("hd")
-            )
-            .groupBy("hd").count().collect()
-        )
-        total = sum(r["count"] for r in hist) or 1
-        by_hd = {int(r.hd): int(r["count"]) for r in hist}
-        curve, cum = {}, 0
-        for b in range(0, n_planes + 1):
-            cum += by_hd.get(b, 0)
-            curve[b] = round(cum / total, 4)
         publish_marker(
             path,
-            {"n_corpus": int(n), "n_planes": n_planes,
+            {"n_corpus": int(n), "n_planes": 6,
              "curve": {str(b): r for b, r in curve.items()}},
         )
         return curve

@@ -467,3 +467,49 @@ def composed_serving_budget(
         "n_corpus": int(n_corpus),
         "target": float(target_recall),
     }
+
+
+def lsh_bits_recall_curve(
+    corpus: DataFrame,
+    dim: int,
+    n_planes: int = 6,
+    seed: int = 42,
+    k: int = 10,
+    n_sample: int = DEFAULT_N_SAMPLE,
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> dict[int, float]:
+    """{probe_bits: recall@k} for sign-LSH multiprobe: a true neighbour
+    is reachable at probe depth b iff its signature differs from the
+    query's in <= b bits — the cell-rank trick with buckets in place of
+    cells, one signature pass + a Hamming histogram. b = n_planes probes
+    every bucket (the candidate set IS the corpus), so that endpoint is
+    structurally exact, not just sampled-1.0."""
+    from .ann import _hyperplanes, signature_buckets
+
+    qs, gt = _calib_gt(corpus, k, n_sample, item_id, item_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsig = signature_buckets(
+        qs.select("query_id", "query_vec"), planes, "query_vec", "qsig"
+    ).select("query_id", "qsig")
+    csig = signature_buckets(
+        corpus.select(F.col(item_id).alias("item_id"), F.col(item_vec)),
+        planes, item_vec, "csig",
+    ).select("item_id", "csig")
+    hist = (
+        gt.join(csig, "item_id")
+        .join(F.broadcast(qsig), "query_id")
+        .select(
+            F.bit_count(
+                F.col("qsig").bitwiseXOR(F.col("csig")).cast("bigint")
+            ).alias("hd")
+        )
+        .groupBy("hd").count().collect()
+    )
+    total = sum(r["count"] for r in hist) or 1
+    by_hd = {int(r.hd): int(r["count"]) for r in hist}
+    curve, cum = {}, 0
+    for b in range(0, n_planes + 1):
+        cum += by_hd.get(b, 0)
+        curve[b] = round(cum / total, 4)
+    return curve

@@ -39,12 +39,17 @@ def _query_set(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
 @register(
     "ann_lsh_topk",
     oracle=None,
-    doc="sign-LSH multiprobe(3-bit) ANN top-10 — recall@10 0.88 at sf0.001, above "
-    "the reference HNSW mean of 0.844 (BASELINE.md)",
+    doc="sign-LSH multiprobe ANN top-10 at the MEASURED probe depth "
+    "(signature-Hamming curve at the 0.85 default target — VERDICT r08 "
+    "#1 completed across every family); recall@10 0.88-0.92 measured",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    res = lsh_ann(_query_set(spark, sf_dir), emb, k=10, n_probe_bits=3, item_id="vec_id")
+    res = lsh_ann(
+        _query_set(spark, sf_dir), emb, k=10,
+        n_probe_bits=_lsh_serving(spark, sf_dir)["n_probe_bits"],
+        item_id="vec_id",
+    )
     return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
 
 
@@ -318,6 +323,62 @@ def _composed_serving(spark: SparkSession, sf_dir: str, fam: str) -> dict:
         return b
 
     return _measured_budget(spark, sf_dir, f"{fam}_serving", compute)
+
+
+def _lsh_serving(spark: SparkSession, sf_dir: str) -> dict:
+    """{n_probe_bits, curve}: measured sign-LSH probe-depth default
+    (signature-Hamming curve, probetune.lsh_bits_recall_curve) at
+    DEFAULT_TARGET_RECALL; falls back to n_planes (all buckets — exact)
+    when no depth certifies the target."""
+    from ..operators.probetune import (
+        DEFAULT_TARGET_RECALL,
+        lsh_bits_recall_curve,
+    )
+
+    def compute():
+        emb = load_table(spark, sf_dir, "embeddings")
+        curve = lsh_bits_recall_curve(emb, dim=64, item_id="vec_id")
+        bits = next(
+            (b for b in sorted(curve) if curve[b] >= DEFAULT_TARGET_RECALL),
+            max(curve),
+        )
+        return {
+            "n_probe_bits": int(bits),
+            "curve": {str(b): r for b, r in curve.items()},
+            "target": DEFAULT_TARGET_RECALL,
+        }
+
+    return _measured_budget(spark, sf_dir, "lsh_serving", compute)
+
+
+def _mtlsh_serving(spark: SparkSession, sf_dir: str) -> dict:
+    """{n_probe_buckets, curve}: measured multi-table LSH bucket budget
+    (the EP3 candidate-coverage curve, operators/mtlsh.py::
+    mt_lsh_budget_curve, over a geometric grid) at
+    DEFAULT_TARGET_RECALL; falls back to the largest grid budget."""
+    from ..operators.knn import exact_knn
+    from ..operators.mtlsh import mt_lsh_budget_curve
+    from ..operators.probetune import DEFAULT_TARGET_RECALL, calib_queries
+
+    def compute():
+        emb = load_table(spark, sf_dir, "embeddings")
+        qs = calib_queries(emb, item_id="vec_id", item_vec="embedding")
+        gt = exact_knn(qs, emb, k=10, item_id="vec_id")
+        rows = mt_lsh_budget_curve(
+            qs, emb, gt, [16, 32, 64, 128, 256], k=10, item_id="vec_id"
+        ).collect()
+        curve = {int(r.budget): float(r.mean_recall) for r in rows}
+        budget = next(
+            (b for b in sorted(curve) if curve[b] >= DEFAULT_TARGET_RECALL),
+            max(curve),
+        )
+        return {
+            "n_probe_buckets": int(budget),
+            "curve": {str(b): r for b, r in curve.items()},
+            "target": DEFAULT_TARGET_RECALL,
+        }
+
+    return _measured_budget(spark, sf_dir, "mtlsh_serving", compute)
 
 
 @register(
@@ -1446,16 +1507,17 @@ def _get_or_build_mtlsh_index(spark: SparkSession, sf_dir: str) -> str:
     "mt_lsh_ann_topk",
     oracle=None,
     doc="multi-table query-directed LSH (Lv et al. VLDB'07 probing over L "
-    "Indyk-Motwani tables) top-10 — recall@10 0.94 at 64-bucket budget on "
-    "the 500-doc gate corpus; >=0.9 under 20% scan at 20k+ docs (see "
-    "mt_lsh_recall_scan_curve and EP3_MTLSH.md)",
+    "Indyk-Motwani tables) top-10 at the MEASURED bucket budget (the EP3 "
+    "coverage curve at the 0.85 default target); >=0.9 under 20% scan at "
+    "20k+ docs (see mt_lsh_recall_scan_curve and EP3_MTLSH.md)",
 )
 def mt_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.mtlsh import multitable_lsh_ann
 
     emb = load_table(spark, sf_dir, "embeddings")
     res = multitable_lsh_ann(
-        _query_set(spark, sf_dir), emb, k=10, n_probe_buckets=64,
+        _query_set(spark, sf_dir), emb, k=10,
+        n_probe_buckets=_mtlsh_serving(spark, sf_dir)["n_probe_buckets"],
         item_id="vec_id", item_vec="embedding",
     )
     return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
