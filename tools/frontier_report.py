@@ -84,6 +84,8 @@ def main() -> int:
         _get_or_build_pq,
         _get_or_build_sq,
         _ivf_serving,
+        _lsh_serving,
+        _mtlsh_serving,
     )
     from vectordb_acc_and_speed_exp_spark.session import get_spark
 
@@ -212,9 +214,15 @@ def main() -> int:
         "ivfpq": _composed_serving(spark, sf_dir, "ivfpq"),
         "ivfsq": _composed_serving(spark, sf_dir, "ivfsq"),
         "ivfbq": _composed_serving(spark, sf_dir, "ivfbq"),
+        "lsh": _lsh_serving(spark, sf_dir),
+        "mtlsh": _mtlsh_serving(spark, sf_dir),
     }
     chosen = {
-        f: {k: v for k, v in d.items() if k in ("n_probe", "shortlist", "target")}
+        f: {
+            k: v for k, v in d.items()
+            if k in ("n_probe", "shortlist", "n_probe_bits",
+                     "n_probe_buckets", "target")
+        }
         for f, d in serving.items()
     }
 
