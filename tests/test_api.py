@@ -743,7 +743,9 @@ def test_torn_freshen_marker_heals_on_first_query(store, spark, documents):
     store.delete_collection("tornq")
 
 
-def test_target_recall_with_where_routes_through_chooser(store):
+def test_target_recall_with_where_routes_through_chooser(
+    store, documents
+):
     """Round 9 (ADVICE r08, resolved the other way): where= + a recall
     target on the auto-routable modes threads the measured curve's probe
     budget into the filtered chooser as a floor (never silently dropped);
@@ -751,16 +753,21 @@ def test_target_recall_with_where_routes_through_chooser(store):
     calibrated on the unfiltered ranking."""
     import pytest as _pytest
 
+    docs = documents.limit(30).selectExpr(
+        "cast(doc_id as string) as id", "text"
+    )
+    store.create_collection("trwcol", docs)
     res = store.query(
-        "papers", query_texts=["warm"], k=3, mode="ivfbq",
+        "trwcol", query_texts=["warm"], k=3, mode="ivfbq",
         target_recall=1.0, where="id is not null",
     ).collect()  # exact-over-survivors: full-probe floor >= prune cap
     assert len(res) == 3
     with _pytest.raises(ValueError, match="filtered-chooser"):
         store.query(
-            "papers", query_texts=["x"], mode="pq",
+            "trwcol", query_texts=["x"], mode="pq",
             target_recall=0.9, where="id is not null",
         )
+    store.delete_collection("trwcol")
 
 
 def test_filtered_chooser_min_probe_floor():
