@@ -247,3 +247,45 @@ def test_curve_recalibrates_on_corpus_growth(spark, embeddings, tmp_path):
     got = res.select("query_id", "rank", "item_id")
     r = mean_recall(recall_at_k(gt, got, k=10)).first().mean_recall
     assert r >= 0.85 - 0.25
+
+
+def test_lsh_calib_dropped_on_upsert_and_delete(spark, embeddings, tmp_path):
+    """The lsh bits-curve sidecar is a pure function of the corpus and a
+    FILE (not an index dir), so writes must drop it explicitly: upsert
+    (replacement can shift the measured distribution) and full
+    invalidation both remove it; add() keeps it (2x-growth staleness
+    owns that path)."""
+    from vectordb_acc_and_speed_exp_spark.api import VectorStore
+
+    dim = len(embeddings.select("embedding").first()[0])
+    vs = VectorStore(spark, str(tmp_path / "lshc"), dim=dim)
+    vs.create_collection(
+        "c",
+        embeddings.filter(F.col("vec_id") < 100).select(
+            F.col("vec_id").cast("string").alias("id"), "embedding"
+        ),
+    )
+    probe = [[float(x) for x in
+              embeddings.filter(F.col("vec_id") == 0).first().embedding]]
+    vs.query("c", query_vecs=probe, k=3, mode="lsh", target_recall=0.8)
+    calib = os.path.join(vs.root, ".lsh_calib", "c.json")
+    assert os.path.exists(calib)
+    vs.add(
+        "c",
+        embeddings.filter(
+            (F.col("vec_id") >= 100) & (F.col("vec_id") < 120)
+        ).select((F.col("vec_id") + 10_000).cast("string").alias("id"),
+                 "embedding"),
+    )
+    assert os.path.exists(calib)  # append: growth check owns staleness
+    vs.upsert(
+        "c",
+        embeddings.filter(F.col("vec_id") == 0).select(
+            F.lit("0").alias("id"), "embedding"
+        ),
+    )
+    assert not os.path.exists(calib)  # replacement drops it
+    vs.query("c", query_vecs=probe, k=3, mode="lsh", target_recall=0.8)
+    assert os.path.exists(calib)  # lazily re-measured
+    vs.delete_collection("c")
+    assert not os.path.exists(calib)

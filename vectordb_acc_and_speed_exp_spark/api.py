@@ -106,6 +106,16 @@ class VectorStore:
                 os.remove(self._freshen_intent_path(name))
             except OSError:
                 pass
+            # ... and the artifact-less lsh bits-curve sidecar (a FILE,
+            # so the rmtree loop above never touches it): it is a pure
+            # function of the corpus, which just changed
+            self._drop_lsh_calib(name)
+
+    def _drop_lsh_calib(self, name: str) -> None:
+        try:
+            os.remove(os.path.join(self.root, ".lsh_calib", name + ".json"))
+        except OSError:
+            pass
 
     def delete_collection(self, name: str) -> None:
         shutil.rmtree(self._path(name), ignore_errors=True)
@@ -258,6 +268,9 @@ class VectorStore:
             dirs=(".bq_index", ".mtlsh_index", ".dedup_index",
                   ".pq_index", ".sq_index"),
         )
+        # replacement can shift the distribution the lsh bits curve was
+        # measured on; the growth check alone would never notice
+        self._drop_lsh_calib(name)
         self._freshen_indexes(name, docs)
 
     def delete(
