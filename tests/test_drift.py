@@ -186,15 +186,15 @@ def test_flat_pq_drift_trigger_and_rebuild_restores_recall(
 
 def test_drift_status_covers_all_six_families(drift_store, embeddings):
     """drift_status()['families'] reports every quantized family once its
-    artifact exists (VERDICT r08 #2 done-criterion)."""
+    artifact exists (VERDICT r08 #2 done-criterion, + the ivfsq twin)."""
     vs = drift_store
     probe = [[float(x) for x in r.embedding]
              for r in embeddings.limit(1).collect()]
-    for mode in ("ivfbq", "ivfpq", "bq", "pq", "sq"):
+    for mode in ("ivfbq", "ivfpq", "ivfsq", "bq", "pq", "sq"):
         vs.query("c", query_vecs=probe, k=3, mode=mode, shortlist=50,
                  n_probe=2)
     fams = vs.drift_status("c")["families"]
-    assert set(fams) == {"ivf", "ivfbq", "ivfpq", "bq", "pq", "sq"}
+    assert set(fams) == {"ivf", "ivfbq", "ivfpq", "ivfsq", "bq", "pq", "sq"}
     for f, st in fams.items():
         assert st and st["train_mean_qerr"] >= 0.0, f
         assert not st["retrain_recommended"], f

@@ -149,7 +149,8 @@ def test_target_recall_every_family_meets_08(spark, embeddings, tmp_path):
     gt = exact_knn(qs, embeddings, k=10, item_id="vec_id").select(
         "query_id", "rank", F.col("item_id").cast("string").alias("item_id")
     )
-    for mode in ("ivfbq", "ivfpq", "bq", "pq", "sq", "lsh", "mtlsh", "graph"):
+    for mode in ("ivfbq", "ivfpq", "ivfsq", "bq", "pq", "sq", "lsh",
+                 "mtlsh", "graph"):
         res = vs.query(
             "c", query_vecs=probe, k=10, mode=mode, target_recall=0.8
         ).select("query_id", "rank", F.col("item_id").cast("string").alias("item_id"))

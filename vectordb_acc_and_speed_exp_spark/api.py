@@ -439,6 +439,33 @@ class VectorStore:
                     record_batch_qerr(
                         os.path.join(ivf_root, "bqcodes"), qm, qn
                     )
+            sq_meta = os.path.join(ivf_root, "_sq_meta.json")
+            if os.path.exists(sq_meta):
+                import numpy as np
+
+                from .operators.drift import (
+                    mean_coarse_qerr,
+                    record_batch_qerr,
+                )
+                from .operators.sq import ivfsq_codes_upsert, sq_recon_qerr
+
+                with open(sq_meta) as f:
+                    sm = json.load(f)
+                svmin = np.array(sm["vmin"], dtype=np.float64)
+                sscale = np.array(sm["scale"], dtype=np.float64)
+                ivfsq_codes_upsert(
+                    self.spark, corpus_path,
+                    os.path.join(ivf_root, "sqcodes"),
+                    svmin, sscale, cells, item_id="id",
+                )
+                qm, qn = mean_coarse_qerr(
+                    docs.select(
+                        sq_recon_qerr(
+                            F.col("embedding"), svmin, sscale
+                        ).alias("_qerr")
+                    )
+                )
+                record_batch_qerr(os.path.join(ivf_root, "sqcodes"), qm, qn)
             pq_meta = os.path.join(ivf_root, "_pq_meta.json")
             if os.path.exists(pq_meta):
                 import numpy as np
@@ -750,8 +777,8 @@ class VectorStore:
     def _ensure_composed_budget(
         self, name: str, mode: str, target: float
     ) -> dict:
-        """Measured joint (n_probe, shortlist) for mode in {ivfbq, ivfpq}
-        at the given recall target — probetune's composed calibration
+        """Measured joint (n_probe, shortlist) for mode in {ivfbq, ivfpq,
+        ivfsq} at the given recall target — probetune's composed calibration
         over the persisted cell-partitioned codes, cached per rounded
         target in a sidecar at the IVF root (new targets append; the
         2x-growth staleness check drops the whole table)."""
@@ -797,6 +824,22 @@ class VectorStore:
                         F.col("code_lo"), F.col("code_hi"),
                     ).cast("double").alias("adist"),
                 )
+
+        elif mode == "ivfsq":
+            from .operators.sq import sq_search
+
+            codes_path, _, _, svmin, sscale = self._ensure_ivfsq_codes(name)
+
+            def scored(qs, cells):
+                codes = self.spark.read.parquet(codes_path).filter(
+                    F.col("cell").isin(cells)
+                )
+                ranked = sq_search(
+                    qs, codes, svmin, sscale, k=1 << 30
+                ).select(
+                    "query_id", "item_id", F.col("sq_dist").alias("adist")
+                )
+                return ranked.join(codes.select("item_id", "cell"), "item_id")
 
         else:
             from .operators.pq import pq_search
@@ -864,7 +907,8 @@ class VectorStore:
 
     def drift_status(self, name: str) -> dict:
         """Quantizer-drift status (EP13) of EVERY frozen quantizer the
-        collection serves from (VERDICT r08 #2): the top-level keys are
+        collection serves from (VERDICT r08 #2, + the ivfsq twin): the
+        top-level keys are
         the coarse IVF quantizer's status (back-compat — the trigger that
         fires first in practice, since every composed family routes
         through it), and ``"families"`` maps each of the six quantized
@@ -883,6 +927,7 @@ class VectorStore:
             "ivf": drift_status(ivf_root),
             "ivfbq": drift_status(os.path.join(ivf_root, "bqcodes")),
             "ivfpq": drift_status(os.path.join(ivf_root, "pqcodes")),
+            "ivfsq": drift_status(os.path.join(ivf_root, "sqcodes")),
             "bq": drift_status(self._bq_path(name)),
             "pq": drift_status(self._pq_path(name)),
             "sq": drift_status(self._sq_path(name)),
@@ -1052,6 +1097,56 @@ class VectorStore:
             p = json.load(f)
         return (
             self.spark.read.parquet(codes),
+            np.array(p["vmin"], dtype=np.float64),
+            np.array(p["scale"], dtype=np.float64),
+        )
+
+    def _ensure_ivfsq_codes(self, name: str):
+        """Int8 code table partitioned by the IVF layout's cells (FAISS
+        IVFScalarQuantizer shape): coarse-quantizer directory pruning ×
+        4× fewer bytes per row inside each probed directory,
+        near-lossless fidelity (EP5). Affine params freeze at build;
+        add()/upsert() re-encode only the touched cells
+        (ivfsq_codes_upsert — the same lockstep as the bq/pq twins).
+        Returns (codes_path, corpus_path, centroids, vmin, scale)."""
+        import json
+
+        import numpy as np
+
+        from .operators.drift import mean_coarse_qerr, write_drift_baseline
+        from .operators.sq import sq_recon_qerr, sq_train, write_ivfsq_codes
+
+        corpus_path, cents = self._ensure_ivf_index(name)
+        path = self._ivf_path(name)
+        codes_path = os.path.join(path, "sqcodes")
+        meta = os.path.join(path, "_sq_meta.json")
+        if not os.path.exists(meta):
+            assigned = self.spark.read.parquet(corpus_path)
+            vmin, scale = sq_train(
+                assigned, item_vec="embedding", dim=self.dim
+            )
+            write_ivfsq_codes(assigned, vmin, scale, codes_path, item_id="id")
+            # EP13 fine-quantizer baseline (clipping error of the frozen
+            # affine params), published inside the codes dir
+            qerr_mean, qerr_n = mean_coarse_qerr(
+                assigned.select(
+                    sq_recon_qerr(F.col("embedding"), vmin, scale).alias(
+                        "_qerr"
+                    )
+                )
+            )
+            write_drift_baseline(codes_path, qerr_mean, qerr_n)
+            with open(meta, "w") as f:
+                json.dump(
+                    {"vmin": [float(x) for x in vmin],
+                     "scale": [float(x) for x in scale]}, f,
+                )
+        with open(meta) as f:
+            p = json.load(f)
+        return (
+            codes_path,
+            corpus_path,
+            cents,
             np.array(p["vmin"], dtype=np.float64),
             np.array(p["scale"], dtype=np.float64),
         )
@@ -1373,8 +1468,9 @@ class VectorStore:
 
         ``mode="pq"`` / ``mode="sq"`` are the flat compressed-scan paths
         (ADC over 8x16 product-quantizer codes / int8 scalar-quantizer
-        codes, exact re-rank of the short-list); ``mode="ivfpq"`` is the
-        FAISS-IVFPQ composition (coarse directory pruning x ADC inside
+        codes, exact re-rank of the short-list); ``mode="ivfpq"`` /
+        ``mode="ivfsq"`` are the FAISS IVFPQ / IVFScalarQuantizer
+        compositions (coarse directory pruning x compressed scan inside
         probed cells). All serve from persisted per-collection code
         tables: flat pq/sq codes are whole-corpus artifacts (writes
         invalidate, rebuild lazy — the bq discipline); ivfpq codes ride
@@ -1437,10 +1533,11 @@ class VectorStore:
             # unfiltered ranking, which says nothing about the DEEPER
             # global ranks a filtered top-k reaches — refuse rather than
             # serve an uncalibrated budget.
-            if mode not in ("auto", "graph", "mtlsh", "ivfbq", "ivfpq"):
+            if mode not in ("auto", "graph", "mtlsh", "ivfbq", "ivfpq",
+                            "ivfsq"):
                 raise ValueError(
                     f"target_recall= with where= applies to the filtered-"
-                    f"chooser modes (auto, or graph/mtlsh/ivfbq/ivfpq "
+                    f"chooser modes (auto, or graph/mtlsh/ivfbq/ivfpq/ivfsq "
                     f"which re-plan to it), not mode={mode!r}"
                 )
             if n_probe is not None or shortlist is not None:
@@ -1499,7 +1596,7 @@ class VectorStore:
                     f"target_recall= does not apply to mode={mode!r} — "
                     "exact scans and rank-fusion modes have no recall dial"
                 )
-            if mode in ("ivfbq", "ivfpq"):
+            if mode in ("ivfbq", "ivfpq", "ivfsq"):
                 from .operators.probetune import choose_n_probe
 
                 if target_recall >= 1.0:
@@ -1554,7 +1651,7 @@ class VectorStore:
                         mode = "exact"  # no measured beam certifies it
         corpus = self.get(name)
         if where is not None:
-            if mode in ("graph", "mtlsh", "ivfbq", "ivfpq"):
+            if mode in ("graph", "mtlsh", "ivfbq", "ivfpq", "ivfsq"):
                 # these indexes carry no metadata pre-filter; route through
                 # the measured chooser instead of post-filtering a
                 # traversal to fewer than k rows (see docstring)
@@ -1723,6 +1820,20 @@ class VectorStore:
                 qdf, self.spark, codes_path, corpus_path, cents, books,
                 k=k, n_probe=n_probe, shortlist=shortlist, item_id="id",
             )
+        if mode == "ivfsq":
+            from .operators.sq import ivfsq_search
+
+            codes_path, corpus_path, cents, svmin, sscale = (
+                self._ensure_ivfsq_codes(name)
+            )
+            n_probe, shortlist = self._resolve_composed(
+                name, "ivfsq", n_probe, shortlist
+            )
+            return ivfsq_search(
+                qdf, self.spark, codes_path, corpus_path, cents, svmin,
+                sscale, k=k, n_probe=n_probe, shortlist=shortlist,
+                item_id="id",
+            )
         if mode == "mtlsh":
             from .operators.mtlsh import mt_lsh_ann_pruned
 
@@ -1747,5 +1858,6 @@ class VectorStore:
             )
         raise ValueError(
             f"unknown mode {mode!r}; one of "
-            "exact/blas/lsh/graph/bq/pq/sq/mtlsh/ivfbq/ivfpq/auto/mmr/hybrid"
+            "exact/blas/lsh/graph/bq/pq/sq/mtlsh/ivfbq/ivfpq/ivfsq/auto/"
+            "mmr/hybrid"
         )

@@ -404,6 +404,24 @@ def client_facade_ivfpq_fullprobe(
 
 
 @register(
+    "client_facade_ivfsq_fullprobe",
+    oracle=_FACADE_EXACT_SQL,
+    doc="VectorStore.query(mode='ivfsq', n_probe=all, shortlist=corpus): "
+    "coarse probe of every cell + full-shortlist int8 decode scan + "
+    "exact re-rank == exact kNN — gate-proves the facade's "
+    "cell-partitioned IVF-SQ code layout (round 9: the mode joins the "
+    "facade; the registry operator was already oracled via "
+    "ann_ivfsq_fullprobe)",
+)
+def client_facade_ivfsq_fullprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _facade_exact_roundtrip(
+        spark, sf_dir, "facade_ivfsq_", mode="ivfsq", n_probe=10**6
+    )
+
+
+@register(
     "client_facade_target_recall1",
     oracle=_FACADE_EXACT_SQL,
     doc="VectorStore.query(mode='ivfbq', target_recall=1.0, shortlist="
