@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 # registry entry -> short family label. Since round 9 the probe/shortlist
 # budgets are MEASURED serving defaults (queries/pipeline.py
 # _ivf_serving/_flat_serving/_composed_serving: each family's persisted
-# calibration curve at the 0.80 default target — VERDICT r08 #1), so the
+# calibration curve at probetune.DEFAULT_TARGET_RECALL (0.85) — VERDICT r08 #1), so the
 # labels carry "tuned", not a literal budget. ann_bq_tuned replaces
 # ann_bq_topk here because the latter pins shortlist=100 for its
 # cross-engine hash oracle.

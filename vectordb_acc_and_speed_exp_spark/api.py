@@ -509,12 +509,17 @@ class VectorStore:
         # the frozen quantizer params, append it, and fold the batch's
         # reconstruction error into the drift accumulator — the encode
         # pass the append already owes is also the drift measurement.
-        # Guarded on the drift baseline: artifacts without one predate
-        # the incremental contract and were invalidated by _write.
+        # Guarded on the drift baseline AND the family's _meta.json: the
+        # meta is each build's commit point (written last), so a crash
+        # between the baseline write and the meta write must route the
+        # next add() to lazy rebuild, not a FileNotFoundError here
+        # (ADVICE r09).
         from .operators.drift import drift_path, mean_coarse_qerr, record_batch_qerr
 
         bqp = self._bq_path(name)
-        if os.path.exists(drift_path(bqp)):
+        if os.path.exists(drift_path(bqp)) and os.path.exists(
+            os.path.join(bqp, "_meta.json")
+        ):
             import numpy as np
 
             from .operators.bq import bq_encode, bq_recon_qerr
@@ -535,7 +540,9 @@ class VectorStore:
             )
             record_batch_qerr(bqp, qm, qn)
         pqp = self._pq_path(name)
-        if os.path.exists(drift_path(pqp)):
+        if os.path.exists(drift_path(pqp)) and os.path.exists(
+            os.path.join(pqp, "_meta.json")
+        ):
             import numpy as np
 
             from .operators.pq import pq_encode
@@ -548,7 +555,9 @@ class VectorStore:
             enc.write.mode("append").parquet(os.path.join(pqp, "codes"))
             record_batch_qerr(pqp, qm, qn)
         sqp = self._sq_path(name)
-        if os.path.exists(drift_path(sqp)):
+        if os.path.exists(drift_path(sqp)) and os.path.exists(
+            os.path.join(sqp, "_meta.json")
+        ):
             import numpy as np
 
             from .operators.sq import sq_encode, sq_recon_qerr
@@ -862,9 +871,16 @@ class VectorStore:
         entry = {"n_probe": int(b["n_probe"]), "shortlist": int(b["shortlist"])}
         targets = {} if stale else dict((meta or {}).get("targets", {}))
         targets[key] = entry
+        # staleness base: merging a NEW target into a healthy sidecar must
+        # not reset the 2x-growth clock for the targets already calibrated
+        # at the original corpus size (ADVICE r09) — only a from-stale
+        # recalibration re-bases n_corpus
+        base_n = (
+            int(n) if stale or not meta else int(meta.get("n_corpus", n))
+        )
         publish_marker(
             os.path.join(root, fname),
-            {"targets": targets, "n_corpus": int(n), "curve": {}},
+            {"targets": targets, "n_corpus": base_n, "curve": {}},
         )
         return entry
 
@@ -890,11 +906,15 @@ class VectorStore:
         ))
 
     def _resolve_composed(
-        self, name: str, mode: str, n_probe: int | None, shortlist: int | None
+        self, name: str, mode: str, n_probe: int | None,
+        shortlist: int | None, k: int = 10,
     ) -> tuple[int, int]:
         """Serving (n_probe, shortlist) for ivfbq/ivfpq: explicit values
         win; anything unspecified comes from the measured joint budget at
-        DEFAULT_TARGET_RECALL (same rationale as _resolve_shortlist)."""
+        DEFAULT_TARGET_RECALL (same rationale as _resolve_shortlist).
+        The measured shortlist floors at k — curves are calibrated at
+        k=10, so query(k=25) must never resolve a smaller re-rank pool
+        and silently return <k rows (ADVICE r09)."""
         if n_probe is not None and shortlist is not None:
             return n_probe, shortlist
         from .operators.probetune import DEFAULT_TARGET_RECALL
@@ -902,7 +922,7 @@ class VectorStore:
         b = self._ensure_composed_budget(name, mode, DEFAULT_TARGET_RECALL)
         return (
             n_probe if n_probe is not None else b["n_probe"],
-            shortlist if shortlist is not None else b["shortlist"],
+            shortlist if shortlist is not None else max(k, b["shortlist"]),
         )
 
     def drift_status(self, name: str) -> dict:
@@ -1519,6 +1539,11 @@ class VectorStore:
         corpus-text scan on any hybrid path."""
         if (query_texts is None) == (query_vecs is None):
             raise ValueError("provide exactly one of query_texts / query_vecs")
+        # read-side crash heal FIRST (ADVICE r09): the where+target_recall
+        # block below calibrates a probe curve, and calibrating against
+        # torn artifacts then healing would discard the curve while this
+        # query's floor was derived from the torn state
+        self._heal_torn_freshen(name)
         if target_recall is not None and where is not None:
             # where + a recall target routes through the measured EP8
             # chooser with a CURVE floor: min_probe is the budget the
@@ -1555,9 +1580,6 @@ class VectorStore:
             auto_opts = dict(auto_opts or {}, min_probe=floor)
             mode = "auto"
             target_recall = None  # resolved into the chooser floor
-        # read-side crash heal: never serve indexes a torn freshen left
-        # inconsistent (one exists() when healthy)
-        self._heal_torn_freshen(name)
         if query_texts is not None:
             qdf = local_df(
                 self.spark,
@@ -1606,7 +1628,10 @@ class VectorStore:
                     shortlist = self._collection_nrows(name)
                 else:
                     b = self._ensure_composed_budget(name, mode, target_recall)
-                    n_probe, shortlist = b["n_probe"], b["shortlist"]
+                    # floor at k: curves are calibrated at k=10, so a
+                    # larger requested k must never resolve below it
+                    # (ADVICE r09)
+                    n_probe, shortlist = b["n_probe"], max(k, b["shortlist"])
             elif mode in ("bq", "pq", "sq"):
                 from .operators.probetune import choose_shortlist
 
@@ -1814,7 +1839,7 @@ class VectorStore:
                 name
             )
             n_probe, shortlist = self._resolve_composed(
-                name, "ivfpq", n_probe, shortlist
+                name, "ivfpq", n_probe, shortlist, k=k
             )
             return ivfpq_search(
                 qdf, self.spark, codes_path, corpus_path, cents, books,
@@ -1827,7 +1852,7 @@ class VectorStore:
                 self._ensure_ivfsq_codes(name)
             )
             n_probe, shortlist = self._resolve_composed(
-                name, "ivfsq", n_probe, shortlist
+                name, "ivfsq", n_probe, shortlist, k=k
             )
             return ivfsq_search(
                 qdf, self.spark, codes_path, corpus_path, cents, svmin,
@@ -1850,7 +1875,7 @@ class VectorStore:
                 name
             )
             n_probe, shortlist = self._resolve_composed(
-                name, "ivfbq", n_probe, shortlist
+                name, "ivfbq", n_probe, shortlist, k=k
             )
             return ivfbq_search(
                 qdf, self.spark, codes_path, corpus_path, cents, sums, n,

@@ -1669,8 +1669,8 @@ def _get_or_build_cell_graph(spark: SparkSession, sf_dir: str) -> tuple[str, Dat
     "graph_ivf_ann_topk",
     oracle=None,
     doc="SPANN-style cell-pruned graph ANN at the MEASURED probe budget "
-    "(the IVF layout's calibrated recall-vs-probes curve at the 0.80 "
-    "default target — the shards ARE the IVF cells, so the coverage "
+    "(the IVF layout's calibrated recall-vs-probes curve at "
+    "probetune.DEFAULT_TARGET_RECALL=0.85 — the shards ARE the IVF cells, so the coverage "
     "ceiling is the same curve; beam loss at ef=48 measured ≈ 0 on "
     "every recall artifact since r07): IVF prunes which shards are "
     "touched, the graph prunes how much of each is visited",
