@@ -456,8 +456,10 @@ def test_torn_freshen_marker_forces_index_rebuild(store, spark, documents):
 def test_ivfbq_and_mtlsh_freshness_after_add(store, spark, documents):
     """The scale-star modes stay correct across add(): IVF-BQ absorbs the
     batch cell-incrementally (codes re-encoded for touched cells only);
-    mt-LSH is invalidated and lazily rebuilt — both must find a doc added
-    after the first build as its own top-1."""
+    mt-LSH absorbs it with an O(batch) frozen-plane signature append
+    (VERDICT r09 #1 — until round 10 it was invalidate-and-full-rebuild)
+    — both must find a doc added after the first build as its own top-1
+    with the artifact SURVIVING the add."""
     import os
 
     vs_docs = documents.limit(40).selectExpr(
@@ -469,8 +471,10 @@ def test_ivfbq_and_mtlsh_freshness_after_add(store, spark, documents):
         r = store.query("starcol", query_texts=[probe.text], k=3, mode=mode)
         assert r.collect()[0].item_id == probe.id
     ivf_meta = os.path.join(store.root, ".ivf_index", "starcol", "_meta.json")
-    mtlsh_dir = os.path.join(store.root, ".mtlsh_index", "starcol")
-    assert os.path.exists(ivf_meta) and os.path.exists(mtlsh_dir)
+    mtlsh_meta = os.path.join(
+        store.root, ".mtlsh_index", "starcol", "_mtlsh_meta.json"
+    )
+    assert os.path.exists(ivf_meta) and os.path.exists(mtlsh_meta)
     store.add(
         "starcol",
         spark.createDataFrame(
@@ -478,7 +482,7 @@ def test_ivfbq_and_mtlsh_freshness_after_add(store, spark, documents):
         ),
     )
     assert os.path.exists(ivf_meta)  # absorbed incrementally
-    assert not os.path.exists(mtlsh_dir)  # invalidated, rebuilds lazily
+    assert os.path.exists(mtlsh_meta)  # absorbed incrementally too (r10)
     for mode in ("ivfbq", "mtlsh"):
         r = store.query(
             "starcol", query_texts=["unmistakable star probe text"], k=3,
@@ -787,3 +791,97 @@ def test_filtered_chooser_min_probe_floor():
     assert s2 == "exact"  # target 1.0: full-probe floor ⇒ exact branch
     # a floor below the widening changes nothing
     assert choose_filtered_strategy(**base, min_probe=1) == (s0, p0)
+
+
+def test_mtlsh_incremental_add_upsert_compaction_staleness(
+    spark, documents, tmp_path_factory
+):
+    """Round-10 write contract for mt-LSH (VERDICT r09 #1, the last
+    corpus-sized write-path job): add() and upsert() absorb into the
+    signature index with an O(batch) frozen-plane append (artifact
+    survives, prior files untouched); upsert leaves the replaced id's
+    stale rows behind (correctness-safe: exact re-rank + the new
+    signatures ARE appended) until optimize() compacts them out; and the
+    2x-growth staleness rule rebuilds the index so _auto_planes re-sizes
+    (the curve_is_stale discipline applied to the artifact itself)."""
+    import json
+    import os
+
+    vs = VectorStore(spark, str(tmp_path_factory.mktemp("mtstore")), dim=16)
+    docs = documents.limit(40).selectExpr(
+        "cast(doc_id as string) as id", "text"
+    )
+    vs.create_collection("c", docs)
+    probe = docs.limit(1).first()
+    r1 = vs.query("c", query_texts=[probe.text], k=3, mode="mtlsh").collect()
+    assert r1[0].item_id == probe.id
+    idx = vs._mtlsh_path("c")
+    mp = os.path.join(idx, "_mtlsh_meta.json")
+    with open(mp) as f:
+        meta0 = json.load(f)
+    assert meta0["gen"] == 0 and meta0["n_corpus"] == 40
+    t0 = os.path.join(idx, "table=0")
+    before = {
+        f: os.path.getmtime(os.path.join(t0, f))
+        for f in os.listdir(t0) if f.endswith(".parquet")
+    }
+    # three incremental batches (stay under the 2x staleness threshold)
+    for lo, hi in ((40, 45), (45, 50), (50, 55)):
+        extra = documents.limit(hi).subtract(documents.limit(lo)).selectExpr(
+            "cast(doc_id as string) as id", "text"
+        )
+        vs.add("c", extra)
+    with open(mp) as f:
+        meta1 = json.load(f)
+    assert meta1["gen"] == 3  # one appended generation per batch
+    after = {
+        f: os.path.getmtime(os.path.join(t0, f))
+        for f in os.listdir(t0) if f.endswith(".parquet")
+    }
+    for f, m in before.items():  # O(batch) pin: old files untouched
+        assert f in after and after[f] == m
+    assert len(after) > len(before)
+    # a doc from the LAST batch is served through the pruned path
+    new_probe = (
+        documents.limit(55).subtract(documents.limit(50))
+        .selectExpr("cast(doc_id as string) as id", "text").first()
+    )
+    r2 = vs.query("c", query_texts=[new_probe.text], k=3, mode="mtlsh").collect()
+    assert r2[0].item_id == new_probe.id
+    # upsert: artifact survives, replaced id found under its NEW text
+    vs.upsert(
+        "c",
+        spark.createDataFrame(
+            [(probe.id, "entirely replaced probe text")],
+            "id string, text string",
+        ),
+    )
+    assert os.path.exists(mp)
+    r3 = vs.query(
+        "c", query_texts=["entirely replaced probe text"], k=3, mode="mtlsh"
+    ).collect()
+    assert r3[0].item_id == probe.id
+    # superseded rows present pre-compaction, gone after optimize()
+    L = meta1["n_tables"]
+    assert spark.read.parquet(idx).count() == 56 * L  # 55 ids + 1 stale gen
+    vs.optimize("c")
+    sig = spark.read.parquet(idx)
+    assert sig.count() == 55 * L
+    assert (
+        sig.groupBy("item_id", "table").count().filter("count > 1").count()
+        == 0
+    )
+    r4 = vs.query(
+        "c", query_texts=["entirely replaced probe text"], k=3, mode="mtlsh"
+    ).collect()
+    assert r4[0].item_id == probe.id
+    # 2x growth: the NEXT mtlsh query rebuilds with a re-derived plane
+    # count and fresh bookkeeping
+    grow = documents.limit(150).subtract(documents.limit(55)).selectExpr(
+        "cast(doc_id as string) as id", "text"
+    )
+    vs.add("c", grow)
+    vs.query("c", query_texts=[probe.text], k=3, mode="mtlsh").collect()
+    with open(mp) as f:
+        meta2 = json.load(f)
+    assert meta2["gen"] == 0 and meta2["n_corpus"] == 150

@@ -132,3 +132,83 @@ def test_pruned_storage_matches_inmemory(spark, query_set, embeddings, tmp_path)
         (r.query_id, r.rank, r.item_id) for r in disk.collect()
     )
     assert len([d for d in os.listdir(path) if d.startswith("table=")]) == meta["n_tables"]
+
+
+def test_incremental_append_equals_full_rebuild(spark, query_set, embeddings, tmp_path):
+    """Round-10 write contract (VERDICT r09 #1): the plane matrix is
+    corpus-independent (seeded, regenerated from meta), so signatures
+    appended with mt_lsh_signatures_upsert are bit-identical to the rows a
+    full rebuild would compute — the incrementally grown index must return
+    EXACTLY the rebuilt index's results at any budget, while the append
+    itself touches O(batch) rows and leaves prior files untouched."""
+    base = embeddings.select("vec_id", "embedding").filter(F.col("vec_id") < 300)
+    rest1 = embeddings.select("vec_id", "embedding").filter(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 400)
+    )
+    rest2 = embeddings.select("vec_id", "embedding").filter(F.col("vec_id") >= 400)
+    n_all = embeddings.count()
+
+    inc = str(tmp_path / "inc_idx")
+    meta = mtlsh.write_mt_lsh_index(base, inc, item_id="vec_id")
+    t0 = os.path.join(inc, "table=0")
+    before = {
+        f: os.path.getmtime(os.path.join(t0, f))
+        for f in os.listdir(t0) if f.endswith(".parquet")
+    }
+    mtlsh.mt_lsh_signatures_upsert(spark, inc, rest1, item_id="vec_id")
+    mtlsh.mt_lsh_signatures_upsert(spark, inc, rest2, item_id="vec_id")
+    after = {
+        f: os.path.getmtime(os.path.join(t0, f))
+        for f in os.listdir(t0) if f.endswith(".parquet")
+    }
+    # O(batch) pin: every pre-append file survives untouched; the two
+    # appends only ADDED files
+    for f, m in before.items():
+        assert f in after and after[f] == m
+    assert len(after) > len(before)
+    m2 = mtlsh.read_mt_lsh_meta(inc)
+    assert m2["gen"] == 2 and m2["n_corpus"] == 300  # build-time base
+
+    # full rebuild at the SAME frozen plane count (n_corpus differs only
+    # in bookkeeping — planes depend on (dim, n_planes, n_tables, seed))
+    reb = str(tmp_path / "reb_idx")
+    mtlsh.write_mt_lsh_index(
+        embeddings.select("vec_id", "embedding"), reb,
+        n_planes=meta["n_planes"], item_id="vec_id",
+    )
+    for budget in (32, 128):
+        got_inc = mtlsh.mt_lsh_ann_pruned(
+            query_set, spark, inc, embeddings, k=10,
+            n_probe_buckets=budget, item_id="vec_id",
+        )
+        got_reb = mtlsh.mt_lsh_ann_pruned(
+            query_set, spark, reb, embeddings, k=10,
+            n_probe_buckets=budget, item_id="vec_id",
+        )
+        assert sorted(
+            (r.query_id, r.rank, r.item_id) for r in got_inc.collect()
+        ) == sorted(
+            (r.query_id, r.rank, r.item_id) for r in got_reb.collect()
+        ), budget
+
+    # compaction rewrites every table dir, preserves the row set
+    # (one gen per id here -- nothing superseded), restores one bucket-
+    # sorted file per table, and the served results are unchanged
+    n_rows_pre = spark.read.parquet(inc).count()
+    assert n_rows_pre == n_all * meta["n_tables"]
+    done = mtlsh.compact_mt_lsh_index(spark, inc)
+    assert done == meta["n_tables"]
+    assert spark.read.parquet(inc).count() == n_rows_pre
+    got_post = mtlsh.mt_lsh_ann_pruned(
+        query_set, spark, inc, embeddings, k=10,
+        n_probe_buckets=64, item_id="vec_id",
+    )
+    got_reb64 = mtlsh.mt_lsh_ann_pruned(
+        query_set, spark, reb, embeddings, k=10,
+        n_probe_buckets=64, item_id="vec_id",
+    )
+    assert sorted(
+        (r.query_id, r.rank, r.item_id) for r in got_post.collect()
+    ) == sorted(
+        (r.query_id, r.rank, r.item_id) for r in got_reb64.collect()
+    )

@@ -394,27 +394,34 @@ def write_mt_lsh_index(
     item_id: str = "item_id",
     item_vec: str = "embedding",
 ) -> dict:
-    """Persist the (item_id, table, bucket) signature table partitioned by
-    ``table`` and bucket-sorted within partitions: a probe reads only the
-    probed tables' directories (partition pruning) and row-group min/max
-    stats prune on bucket. Vectors live once in the base corpus — the index
-    is ids-only, so L tables cost L * n * ~20 bytes, not L copies of data.
+    """Persist the (item_id, bucket, gen, table) signature table
+    partitioned by ``table`` and bucket-sorted within partitions: a probe
+    reads only the probed tables' directories (partition pruning) and
+    row-group min/max stats prune on bucket. Vectors live once in the base
+    corpus — the index is ids-only, so L tables cost L * n * ~20 bytes,
+    not L copies of data.
 
     A ``_mtlsh_meta.json`` sidecar records (n_planes, n_tables, dim, seed)
     so the search path regenerates the identical plane matrix without the
-    caller re-supplying parameters. Returns the metadata dict.
+    caller re-supplying parameters, plus the incremental-write bookkeeping
+    (VERDICT r09 #1): ``n_corpus`` (the _auto_planes sizing base — the
+    2x-growth staleness check compares against it) and ``gen`` (the
+    monotonically bumped batch generation ``mt_lsh_signatures_upsert``
+    stamps each appended batch with, so compaction can drop superseded
+    signature rows of upsert-replaced ids). Returns the metadata dict.
     """
     import json
     import os
 
     if dim is None:
         dim = _probe_dim(corpus, item_vec)
+    n_rows = corpus.count()
     if n_planes is None:
-        n_planes = _auto_planes(corpus.count())
+        n_planes = _auto_planes(n_rows)
     planes = mt_planes(dim, n_planes, n_tables, seed)
     sig = corpus_signatures(
         corpus, planes, n_tables, n_planes, item_id=item_id, item_vec=item_vec
-    )
+    ).withColumn("gen", F.lit(0).cast("int"))
     (
         sig.repartition("table")
         .sortWithinPartitions("bucket")
@@ -422,10 +429,132 @@ def write_mt_lsh_index(
         .partitionBy("table")
         .parquet(path)
     )
-    meta = {"n_planes": n_planes, "n_tables": n_tables, "dim": dim, "seed": seed}
+    meta = {
+        "n_planes": n_planes, "n_tables": n_tables, "dim": dim,
+        "seed": seed, "n_corpus": int(n_rows), "gen": 0,
+    }
     with open(os.path.join(path, "_mtlsh_meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
+
+
+def mt_lsh_signatures_upsert(
+    spark: SparkSession,
+    index_path: str,
+    batch: DataFrame,
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> None:
+    """O(batch) signature maintenance for a written index (VERDICT r09
+    #1): the plane matrix is corpus-INDEPENDENT (mt_planes regenerates it
+    from the frozen (dim, n_planes, n_tables, seed) in the meta sidecar —
+    the only corpus-derived build input is the _auto_planes plane COUNT,
+    which the facade's 2x-growth staleness check owns), so an
+    added/upserted batch's signatures are computable with the frozen
+    planes and appended per table partition — the FAISS-style frozen-params
+    add() contract the flat bq/pq/sq code tables follow.
+
+    Rows are stamped with the next batch ``gen``: an upsert-REPLACED id's
+    old signature rows stay behind, which is correctness-safe (candidates
+    are exact re-ranked against the CURRENT corpus vectors, and the new
+    vector's true buckets ARE appended here — the candidate set is a
+    superset of a full rebuild's, so recall can only match or improve;
+    stale rows cost scan bytes, not answers) — ``compact_mt_lsh_index``
+    drops superseded gens per (item_id, table) as the periodic
+    maintenance job. Appended files are bucket-sorted within the batch, so
+    row-group pruning still applies per file."""
+    import json
+    import os
+
+    meta = read_mt_lsh_meta(index_path)
+    planes = mt_planes(
+        meta["dim"], meta["n_planes"], meta["n_tables"], meta["seed"]
+    )
+    gen = int(meta.get("gen", 0)) + 1
+    sig = corpus_signatures(
+        batch, planes, meta["n_tables"], meta["n_planes"],
+        item_id=item_id, item_vec=item_vec,
+    ).withColumn("gen", F.lit(gen).cast("int"))
+    (
+        sig.repartition("table")
+        .sortWithinPartitions("bucket")
+        .write.mode("append")
+        .partitionBy("table")
+        .parquet(index_path)
+    )
+    # bump AFTER the append lands: a crash in between reuses the gen for
+    # the next batch, which only weakens compaction's superseded-row
+    # pruning — and the facade's torn-freshen marker drops the whole
+    # index on such a crash anyway
+    from ..io.commitproto import publish_marker
+
+    meta["gen"] = gen
+    publish_marker(os.path.join(index_path, "_mtlsh_meta.json"), meta)
+
+
+def compact_mt_lsh_index(spark: SparkSession, index_path: str) -> int:
+    """Periodic maintenance for an incrementally appended index: per table
+    directory, keep only the HIGHEST-gen signature row per item (drops the
+    stale buckets upsert-replaced ids left behind), restore the global
+    within-partition bucket sort (appends are only bucket-sorted per
+    file), and re-size files — via the same staged-write + two-rename swap
+    discipline as io/catalog.py::compact_table (crash-safe, self-healing).
+    O(index), run on a maintenance cadence, never on a serve path.
+    Returns the number of table directories rewritten."""
+    import os
+
+    from ..io.catalog import (
+        _heal_crashed_rewrite,
+        _rewrite_in_place,
+        _sized_file_counts,
+    )
+
+    meta = read_mt_lsh_meta(index_path)
+    n_done = 0
+    for t in range(int(meta["n_tables"])):
+        d = os.path.join(index_path, f"table={t}")
+        if not os.path.isdir(d):
+            continue
+        _heal_crashed_rewrite(d)
+        df = spark.read.parquet(d)
+        _, n_files = _sized_file_counts(df, 128 << 20)
+        w = Window.partitionBy("item_id").orderBy(
+            F.desc("gen"), F.asc("bucket")
+        )
+        latest = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        _rewrite_in_place(
+            d,
+            lambda staged, latest=latest, n_files=n_files: (
+                latest.repartition(n_files)
+                .sortWithinPartitions("bucket")
+                .write.mode("overwrite")
+                .parquet(staged)
+            ),
+        )
+        n_done += 1
+    return n_done
+
+
+def heal_mt_lsh_index(index_path: str) -> None:
+    """Roll back any table directory a crashed compact_mt_lsh_index left
+    mid-swap (heal_swap per table dir — three stats each when healthy).
+    Serve paths call this before reading an incrementally maintained
+    index: a half-swapped table dir would otherwise silently drop one
+    table's candidates until the next compaction."""
+    import os
+
+    from ..io.commitproto import heal_swap
+
+    try:
+        meta = read_mt_lsh_meta(index_path)
+    except FileNotFoundError:
+        return
+    for t in range(int(meta["n_tables"])):
+        heal_swap(os.path.join(index_path, f"table={t}"))
 
 
 def read_mt_lsh_meta(path: str) -> dict:
