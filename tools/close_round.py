@@ -119,8 +119,32 @@ def run_recall(round_no: int) -> bool:
     if drifting:
         print(f"[close]   DRIFTED ARTIFACTS past trigger: {drifting}",
               flush=True)
+    # falsifiable-gate canary (VERDICT r09 #2): the close also proves the
+    # trigger CAN fire — a synthetic drifted upsert through the facade
+    # must fire it and an in-distribution one must not; a broken trigger
+    # fails the close even though the bench fixtures never upsert
+    canary = payload.get("drift_canary", {})
+    canary_ok = bool(canary.get("ok"))
+    print(
+        f"[close]   drift canary: in-dist ratio "
+        f"{canary.get('in_distribution', {}).get('ratio')} "
+        f"(fired={canary.get('in_distribution', {}).get('fired')}), "
+        f"drifted ratio {canary.get('drifted', {}).get('ratio')} "
+        f"(fired={canary.get('drifted', {}).get('fired')}) -> "
+        f"{'OK' if canary_ok else 'BROKEN TRIGGER'}",
+        flush=True,
+    )
+    calib = payload.get("families_calib", {})
+    if calib:
+        print(
+            f"[close]   32-query serving recall: min "
+            f"{min(calib.values()):.2f} "
+            f"({min(calib, key=calib.get)}), max {max(calib.values()):.2f}",
+            flush=True,
+        )
     return (
         p.returncode == 0 and not low and not dropped and not drifting
+        and canary_ok
     )
 
 

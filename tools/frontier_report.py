@@ -58,7 +58,9 @@ def main() -> int:
         ivfbq_search,
     )
     from vectordb_acc_and_speed_exp_spark.operators.graphann import (
+        DEFAULT_EF_SEARCH,
         graph_ann_cell_probed,
+        graph_ann_pruned,
     )
     from vectordb_acc_and_speed_exp_spark.operators.knn import exact_knn
     from vectordb_acc_and_speed_exp_spark.operators.mtlsh import (
@@ -76,6 +78,7 @@ def main() -> int:
         _composed_serving,
         _flat_serving,
         _get_or_build_cell_graph,
+        _get_or_build_graph,
         _get_or_build_ivf,
         _get_or_build_ivfbq,
         _get_or_build_ivfpq,
@@ -111,6 +114,7 @@ def main() -> int:
     pq_codes, pq_corpus, pq_cents, pbooks = _get_or_build_ivfpq(spark, sf_dir)
     bq_codes, bq_corpus, bq_cents, cbsums, cbn = _get_or_build_ivfbq(spark, sf_dir)
     gpath, gcents = _get_or_build_cell_graph(spark, sf_dir)
+    plain_gpath = _get_or_build_graph(spark, sf_dir)
     mt_idx = _get_or_build_mtlsh_index(spark, sf_dir)
 
     # (family, budget-label, thunk) — the thunk runs the SERVED path
@@ -173,6 +177,16 @@ def main() -> int:
                 qs, spark, gpath, gcents, k=10, n_probe=p
             ),
         ))
+    # plain NSW beam sweep (VERDICT r09 #6 — the 11th family's rows):
+    # the ef dial the facade's target_recall= resolves via a measured
+    # ef sweep (api._ensure_graph_ef_curve)
+    for ef in (16, 32, 48, 96):
+        points.append((
+            "graph", f"ef={ef}",
+            lambda ef=ef: graph_ann_pruned(
+                qs, spark, plain_gpath, k=10, ef_search=ef
+            ),
+        ))
     for b in (1, 2, 3):
         points.append((
             "lsh", f"probe_bits={b}",
@@ -216,12 +230,13 @@ def main() -> int:
         "ivfbq": _composed_serving(spark, sf_dir, "ivfbq"),
         "lsh": _lsh_serving(spark, sf_dir),
         "mtlsh": _mtlsh_serving(spark, sf_dir),
+        "graph": {"ef_search": DEFAULT_EF_SEARCH},
     }
     chosen = {
         f: {
             k: v for k, v in d.items()
             if k in ("n_probe", "shortlist", "n_probe_bits",
-                     "n_probe_buckets", "target")
+                     "n_probe_buckets", "target", "ef_search")
         }
         for f, d in serving.items()
     }

@@ -98,6 +98,217 @@ def compute_recalls(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def compute_recalls_calib(spark, sf_dir: str, n_sample: int = 32) -> dict:
+    """Serving recall at the CALIBRATION sample size (VERDICT r09 #3):
+    the legacy 5-query eval set measures ~0.10-0.14 BELOW a 32-query
+    sample at mid-curve budgets (EP14's documented bias — tiny-sample
+    noise, not a served-path property), so the round artifact now ALSO
+    stamps each family on the same 32-query hash sample probetune
+    calibrates with (probetune.calib_queries — deterministic, no RNG).
+    Same served operators, same serving budgets as compute_recalls; only
+    the query set differs."""
+    import pyspark.sql.functions as F
+
+    from vectordb_acc_and_speed_exp_spark.io import load_table
+    from vectordb_acc_and_speed_exp_spark.operators.ann import (
+        ivf_ann_pruned,
+        lsh_ann,
+    )
+    from vectordb_acc_and_speed_exp_spark.operators.bq import (
+        bq_search_rerank,
+        bq_train,
+        ivfbq_search,
+    )
+    from vectordb_acc_and_speed_exp_spark.operators.graphann import (
+        graph_ann_cell_probed,
+        graph_ann_pruned,
+    )
+    from vectordb_acc_and_speed_exp_spark.operators.knn import exact_knn
+    from vectordb_acc_and_speed_exp_spark.operators.mtlsh import (
+        mt_lsh_ann_pruned,
+    )
+    from vectordb_acc_and_speed_exp_spark.operators.pq import (
+        ivfpq_search,
+        pq_search_rerank,
+    )
+    from vectordb_acc_and_speed_exp_spark.operators.probetune import (
+        calib_queries,
+    )
+    from vectordb_acc_and_speed_exp_spark.operators.sq import (
+        ivfsq_search,
+        sq_search_rerank,
+    )
+    from vectordb_acc_and_speed_exp_spark.queries.pipeline import (
+        _composed_serving,
+        _flat_serving,
+        _get_or_build_cell_graph,
+        _get_or_build_graph,
+        _get_or_build_ivf,
+        _get_or_build_ivfbq,
+        _get_or_build_ivfpq,
+        _get_or_build_ivfsq,
+        _get_or_build_mtlsh_index,
+        _get_or_build_pq,
+        _get_or_build_sq,
+        _ivf_serving,
+        _lsh_serving,
+        _mtlsh_serving,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = calib_queries(emb, n_sample, item_id="vec_id")
+    gt = (
+        exact_knn(qs, emb, k=10, item_id="vec_id")
+        .select("query_id", "rank", "item_id")
+        .cache()
+    )
+    gt.count()
+
+    corpus_path, cents = _get_or_build_ivf(spark, sf_dir)
+    enc_pq, books = _get_or_build_pq(spark, sf_dir)
+    enc_sq, vmin, scale = _get_or_build_sq(spark, sf_dir)
+    bsums, bn = bq_train(emb, item_vec="embedding", dim=64)
+    sq_c, sq_cp, sq_ce, svmin, sscale = _get_or_build_ivfsq(spark, sf_dir)
+    pq_c, pq_cp, pq_ce, pbooks = _get_or_build_ivfpq(spark, sf_dir)
+    bq_c, bq_cp, bq_ce, cbsums, cbn = _get_or_build_ivfbq(spark, sf_dir)
+    gpath = _get_or_build_graph(spark, sf_dir)
+    cgpath, gcents = _get_or_build_cell_graph(spark, sf_dir)
+    mt_idx = _get_or_build_mtlsh_index(spark, sf_dir)
+    ivf_b = _ivf_serving(spark, sf_dir)["n_probe"]
+    pq_b = _flat_serving(spark, sf_dir, "pq")["shortlist"]
+    sq_b = _flat_serving(spark, sf_dir, "sq")["shortlist"]
+    bq_b = _flat_serving(spark, sf_dir, "bq")["shortlist"]
+    ipq_b = _composed_serving(spark, sf_dir, "ivfpq")
+    isq_b = _composed_serving(spark, sf_dir, "ivfsq")
+    ibq_b = _composed_serving(spark, sf_dir, "ivfbq")
+    lsh_b = _lsh_serving(spark, sf_dir)["n_probe_bits"]
+    mt_b = _mtlsh_serving(spark, sf_dir)["n_probe_buckets"]
+
+    fams = {
+        "lsh_tuned": lambda: lsh_ann(
+            qs, emb, k=10, n_probe_bits=lsh_b, item_id="vec_id"
+        ),
+        "mtlsh_tuned": lambda: mt_lsh_ann_pruned(
+            qs, spark, mt_idx, emb, k=10, n_probe_buckets=mt_b,
+            item_id="vec_id",
+        ),
+        "ivf_tuned": lambda: ivf_ann_pruned(
+            qs, spark, corpus_path, cents, k=10, n_probe=ivf_b,
+            item_id="vec_id",
+        ),
+        "pq_tuned": lambda: pq_search_rerank(
+            qs, emb, enc_pq, books, k=10, shortlist=pq_b, item_id="vec_id"
+        ),
+        "sq_tuned": lambda: sq_search_rerank(
+            qs, emb, enc_sq, vmin, scale, k=10, shortlist=sq_b,
+            item_id="vec_id",
+        ),
+        "bq_tuned": lambda: bq_search_rerank(
+            qs, emb, bsums, bn, k=10, shortlist=bq_b, item_id="vec_id"
+        ),
+        "ivfsq_tuned": lambda: ivfsq_search(
+            qs, spark, sq_c, sq_cp, sq_ce, svmin, sscale, k=10,
+            n_probe=isq_b["n_probe"], shortlist=isq_b["shortlist"],
+            item_id="vec_id",
+        ),
+        "ivfpq_tuned": lambda: ivfpq_search(
+            qs, spark, pq_c, pq_cp, pq_ce, pbooks, k=10,
+            n_probe=ipq_b["n_probe"], shortlist=ipq_b["shortlist"],
+            item_id="vec_id",
+        ),
+        "ivfbq_tuned": lambda: ivfbq_search(
+            qs, spark, bq_c, bq_cp, bq_ce, cbsums, cbn, k=10,
+            n_probe=ibq_b["n_probe"], shortlist=ibq_b["shortlist"],
+            item_id="vec_id",
+        ),
+        "graph_nsw": lambda: graph_ann_pruned(qs, spark, gpath, k=10),
+        "graph_ivf_tuned": lambda: graph_ann_cell_probed(
+            qs, spark, cgpath, gcents, k=10, n_probe=ivf_b
+        ),
+    }
+    out = {f: _recall_of(gt, th()) for f, th in fams.items()}
+    gt.unpersist()
+    return out
+
+
+def drift_canary(spark, sf_dir: str) -> dict:
+    """Falsifiable half of the close's EP13 drift gate (VERDICT r09 #2):
+    the bench fixtures never upsert, so the gate that fails the close on
+    retrain_recommended was structurally green every round — a gate that
+    cannot fail is documentation. This runs BOTH controls through the
+    SAME facade path every real artifact uses (drift baseline at build,
+    O(batch) error accumulation on add):
+
+    - negative control: an in-distribution batch must NOT fire,
+    - positive control: a heavily shifted batch MUST fire.
+
+    ``ok`` is False if either control misbehaves, and the close fails on
+    it — so a silently broken trigger (or an over-eager one) trips the
+    round, not just the unit suite. Tiny synthetic collection in a temp
+    dir; never touches the bench artifacts."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from vectordb_acc_and_speed_exp_spark.api import VectorStore
+    from vectordb_acc_and_speed_exp_spark.io import load_table
+    from vectordb_acc_and_speed_exp_spark.operators.drift import (
+        MIN_UPSERT_ROWS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    base = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").cast("string").alias("id"), "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="spark_graft_drift_canary_")
+    try:
+        vs = VectorStore(spark, tmp, dim=dim)
+        vs.create_collection("canary", base)
+        probe = [
+            [float(x) for x in r.embedding] for r in emb.limit(1).collect()
+        ]
+        vs.query("canary", query_vecs=probe, k=5, mode="ivfbq")  # baseline
+        indist = (
+            emb.filter(
+                (F.col("vec_id") >= 200)
+                & (F.col("vec_id") < 200 + MIN_UPSERT_ROWS + 10)
+            ).select(
+                F.concat(F.lit("a"), F.col("vec_id").cast("string")).alias(
+                    "id"
+                ),
+                "embedding",
+            )
+        )
+        vs.add("canary", indist)
+        st_neg = vs.drift_status("canary")
+        drifted = emb.filter(F.col("vec_id") < MIN_UPSERT_ROWS + 30).select(
+            F.concat(F.lit("d"), F.col("vec_id").cast("string")).alias("id"),
+            F.transform(
+                F.col("embedding"), lambda x: (x + F.lit(25.0)).cast("float")
+            ).alias("embedding"),
+        )
+        vs.add("canary", drifted)
+        st_pos = vs.drift_status("canary")
+        neg_ok = not st_neg.get("retrain_recommended", True)
+        pos_ok = bool(st_pos.get("retrain_recommended", False))
+        return {
+            "in_distribution": {
+                "ratio": st_neg.get("ratio"),
+                "fired": st_neg.get("retrain_recommended"),
+            },
+            "drifted": {
+                "ratio": st_pos.get("ratio"),
+                "fired": st_pos.get("retrain_recommended"),
+            },
+            "trigger_ratio": st_pos.get("trigger_ratio"),
+            "ok": neg_ok and pos_ok,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def compute_floor_recalls(spark, sf_dir: str) -> dict[str, float]:
     """Each family at its MATCHED floor budget — the budget an operator
     dials to meet the reference's recall on an unstructured corpus:
@@ -192,7 +403,9 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     recalls = compute_recalls(spark, sf_dir)
+    recalls_calib = compute_recalls_calib(spark, sf_dir)
     floors = compute_floor_recalls(spark, sf_dir)
+    canary = drift_canary(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     env_round = os.environ.get("SPARK_GRAFT_ROUND", "")
@@ -238,10 +451,13 @@ def main() -> int:
         "gt": "exact_knn_l2",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "families": serving,
+        "families_calib": recalls_calib,
+        "n_queries_calib": 32,
         "floor_budget_families": floors,
         "gated": gated,
         "entries": recalls,
         "drift": drift,
+        "drift_canary": canary,
         # the reference's own HNSW degrades to ~0.70 at 58k docs
         # (BASELINE.md recall table) — the floor every family must beat
         # at matched budget

@@ -104,6 +104,23 @@ def _mark_built(done_path: str, fingerprint: str) -> None:
         f.write(fingerprint)
 
 
+def _ensure_drift_baseline(artifact_path: str, compute) -> None:
+    """Write the EP13 drift baseline beside a quantized bench artifact if
+    absent (VERDICT r09 #2: only the IVF root carried one, so the close's
+    DRIFT walk could never see the other five families). Covers both the
+    fresh build (the overwrite just deleted any old baseline) and the
+    heal of a fixture predating the tracker — ``compute`` runs one
+    encode/reconstruction pass ONCE per fixture, never on a serve path."""
+    import os
+
+    from ..operators.drift import drift_path, write_drift_baseline
+
+    if os.path.exists(drift_path(artifact_path)):
+        return
+    qerr_mean, qerr_n = compute()
+    write_drift_baseline(artifact_path, qerr_mean, qerr_n)
+
+
 def _get_or_build_ivf(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
     """Idempotent IVF build: seeded-sample KMeans (train), assign, write the
     cell-partitioned layout + centroid table. Returns (corpus_path, centroids).
@@ -635,6 +652,22 @@ def _get_or_build_ivfbq(spark: SparkSession, sf_dir: str):
             j = _json.load(fh)
         sums = np.array(j["sums"], dtype=np.int64)
         n = int(j["n"])
+
+    def _bq_baseline():
+        from ..operators.bq import bq_recon_qerr, bq_side_means
+        from ..operators.drift import mean_coarse_qerr
+
+        corpus = read_layout(spark, corpus_path)
+        lo, hi = bq_side_means(corpus, sums, n, item_vec="embedding")
+        return mean_coarse_qerr(
+            corpus.select(
+                bq_recon_qerr(F.col("embedding"), sums, n, lo, hi).alias(
+                    "_qerr"
+                )
+            )
+        )
+
+    _ensure_drift_baseline(codes_path, _bq_baseline)
     return codes_path, corpus_path, cents, sums, n
 
 
@@ -1078,6 +1111,17 @@ def _get_or_build_pq(spark: SparkSession, sf_dir: str):
             codes_path
         )
         _mark_built(done, fp)
+    from ..operators.drift import mean_coarse_qerr
+
+    _ensure_drift_baseline(
+        codes_path,
+        lambda: mean_coarse_qerr(
+            pq_encode(
+                load_table(spark, sf_dir, "embeddings"),
+                np.load(books_path), item_id="vec_id", keep_qerr="_qerr",
+            )
+        ),
+    )
     return read_layout(spark, codes_path), np.load(books_path)
 
 
@@ -1230,6 +1274,17 @@ def _get_or_build_sq(spark: SparkSession, sf_dir: str):
     dim = max(params)
     vmin = np.array([params[i + 1][0] for i in range(dim)])
     scale = np.array([params[i + 1][1] for i in range(dim)])
+    from ..operators.drift import mean_coarse_qerr
+    from ..operators.sq import sq_recon_qerr
+
+    _ensure_drift_baseline(
+        codes_path,
+        lambda: mean_coarse_qerr(
+            load_table(spark, sf_dir, "embeddings").select(
+                sq_recon_qerr(F.col("embedding"), vmin, scale).alias("_qerr")
+            )
+        ),
+    )
     return read_layout(spark, codes_path), vmin, scale
 
 
@@ -1329,6 +1384,17 @@ def _get_or_build_ivfsq(spark: SparkSession, sf_dir: str):
             assigned, vmin, scale, codes_path, item_id="vec_id"
         )
         _mark_built(done, fp)
+    from ..operators.drift import mean_coarse_qerr
+    from ..operators.sq import sq_recon_qerr
+
+    _ensure_drift_baseline(
+        codes_path,
+        lambda: mean_coarse_qerr(
+            read_layout(spark, corpus_path).select(
+                sq_recon_qerr(F.col("embedding"), vmin, scale).alias("_qerr")
+            )
+        ),
+    )
     return codes_path, corpus_path, cents, vmin, scale
 
 
@@ -1402,6 +1468,20 @@ def _get_or_build_ivfpq(spark: SparkSession, sf_dir: str):
         )
         write_ivfpq_codes(assigned, books, codes_path, item_id="vec_id")
         _mark_built(done, fp)
+    from ..operators.drift import mean_coarse_qerr
+    from ..operators.pq import pq_encode
+
+    _ensure_drift_baseline(
+        codes_path,
+        lambda: mean_coarse_qerr(
+            pq_encode(
+                read_layout(spark, corpus_path).select(
+                    "vec_id", "embedding"
+                ),
+                books, item_id="vec_id", keep_qerr="_qerr",
+            )
+        ),
+    )
     return codes_path, corpus_path, cents, books
 
 
