@@ -148,6 +148,38 @@ def run_recall(round_no: int) -> bool:
     )
 
 
+def run_plans() -> bool:
+    """Regenerate PLANS.md at every close (VERDICT r09 #5: the committed
+    plan evidence went stale twice — entries landed after the last manual
+    regeneration). After the regen, verify every registry entry is named
+    in the file's inventory footer: a regen that silently ran against an
+    older registry (stale import cache, wrong checkout) fails the close."""
+    print("[close] regenerating PLANS.md (tools/dump_plans.py)", flush=True)
+    p = subprocess.run(
+        [sys.executable, os.path.join(HERE, "dump_plans.py")],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    if p.returncode != 0:
+        print("[close]   dump_plans FAILED:", flush=True)
+        print("\n".join(p.stderr.strip().splitlines()[-5:]), flush=True)
+        return False
+    sys.path.insert(0, REPO)
+    from vectordb_acc_and_speed_exp_spark.queries import load_all
+
+    registry = set(load_all())
+    with open(os.path.join(REPO, "PLANS.md")) as fh:
+        text = fh.read()
+    missing = sorted(n for n in registry if n not in text)
+    if missing:
+        print(f"[close]   PLANS.md regen missed registry entries: "
+              f"{missing[:5]}{'...' if len(missing) > 5 else ''}",
+              flush=True)
+        return False
+    print(f"[close]   PLANS.md fresh ({len(registry)} registry entries "
+          "inventoried)", flush=True)
+    return True
+
+
 def run_frontier(round_no: int) -> bool:
     """FRONTIER_r{N}.json at every close (VERDICT r08 #8): the
     latency-vs-recall curve per ANN family, with the chosen serving
@@ -264,6 +296,7 @@ def main() -> int:
     ap.add_argument("--skip-gate", action="store_true")
     ap.add_argument("--skip-recall", action="store_true")
     ap.add_argument("--skip-frontier", action="store_true")
+    ap.add_argument("--skip-plans", action="store_true")
     args = ap.parse_args()
 
     if not args.skip_gate:
@@ -283,6 +316,11 @@ def main() -> int:
         print("[close] FRONTIER report failed — fix before closing",
               flush=True)
         return 5
+
+    if not args.skip_plans and not run_plans():
+        print("[close] PLANS.md regeneration failed — fix before closing",
+              flush=True)
+        return 6
 
     runs = [
         (f"run{i+1}", run_bench(args.round, f"run{i+1}"))
@@ -305,6 +343,24 @@ def main() -> int:
     # BENCH_DETAIL on each run, so rewrite it from the chosen payload
     best = min(clean, key=lambda v: v[1])
     payload = dict(runs[[v[0] for v in verdicts].index(best[0])][1])
+    # per-entry {min, median} across ALL runs of this close (VERDICT r09
+    # #8): round-over-round per-query comparisons carry their own error
+    # bar — judge deltas from "min" (the quiet-box estimate the steal
+    # gate's composite is built from), read the min-median spread as the
+    # entry's contention noise band
+    import statistics
+
+    keys = set.intersection(*(set(r["queries"]) for _, r in runs))
+    payload["queries_stats"] = {
+        k: {
+            "min": round(min(r["queries"][k] for _, r in runs), 4),
+            "median": round(
+                statistics.median(r["queries"][k] for _, r in runs), 4
+            ),
+        }
+        for k in sorted(keys)
+    }
+    payload["n_runs"] = len(runs)
     detail = os.path.join(REPO, f"BENCH_DETAIL_r{args.round:02d}.json")
     with open(detail, "w") as fh:
         json.dump(payload, fh, indent=1)
@@ -319,7 +375,7 @@ def main() -> int:
     print(
         "[close] next: git add GATE_r{0:02d}.json BENCH_DETAIL_r{0:02d}.json "
         "BENCH_DETAIL_latest.json RECALL_r{0:02d}.json RECALL_latest.json "
-        "FRONTIER_r{0:02d}.json FRONTIER_latest.json BENCH_NOTES.md "
+        "FRONTIER_r{0:02d}.json FRONTIER_latest.json PLANS.md BENCH_NOTES.md "
         "experiment_results && commit".format(args.round),
         flush=True,
     )
