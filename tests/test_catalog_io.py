@@ -275,3 +275,43 @@ def test_read_layout_cache_is_lru(spark, tmp_path):
     relcache.read_layout(spark, pa)  # hit → must move to the end
     keys = [k for k in relcache._REL_CACHE if k[1] in (pa, pb)]
     assert keys[-1][1] == pa
+
+
+def test_assert_layout_depth_enforces_two_level_invariant(tmp_path):
+    """VERDICT r09 #7: layout_sig covers exactly two directory levels, so
+    every partitioned writer asserts no layout nests partitions deeper —
+    a three-level layout must fail FAST at write instead of silently
+    breaking relcache invalidation later."""
+    import pytest as _pytest
+
+    from vectordb_acc_and_speed_exp_spark.io.relcache import (
+        assert_layout_depth,
+    )
+
+    root = tmp_path / "layout"
+    (root / "cell=1" / "sub=2").mkdir(parents=True)
+    (root / "cell=1" / "sub=2" / "part-0.parquet").write_text("x")
+    assert_layout_depth(str(root))  # two levels: fine
+    # three levels: a dir inside a depth-2 dir
+    (root / "cell=1" / "sub=2" / "deep=3").mkdir()
+    with _pytest.raises(ValueError, match="three"):
+        assert_layout_depth(str(root))
+    # missing path is a no-op (writers may assert before first batch)
+    assert_layout_depth(str(tmp_path / "nope"))
+
+
+def test_partitioned_writers_pass_depth_assert(spark, embeddings, tmp_path):
+    """The shipped partitioned writers produce <=2-level layouts — the
+    assert they now run post-write must hold on real output."""
+    from vectordb_acc_and_speed_exp_spark.operators.ann import (
+        ivf_assign,
+        kmeans_centroids,
+        write_ivf_corpus,
+    )
+
+    emb = embeddings.select("vec_id", "embedding").limit(200)
+    cents = kmeans_centroids(emb, n_cells=4)
+    write_ivf_corpus(
+        ivf_assign(emb, cents, item_vec="embedding"),
+        str(tmp_path / "ivf"),
+    )  # raises if the invariant breaks

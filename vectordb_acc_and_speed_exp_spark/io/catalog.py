@@ -162,6 +162,9 @@ def optimize_layout(
             .parquet(staged)
         ),
     )
+    from .relcache import assert_layout_depth
+
+    assert_layout_depth(path, "optimized layout")
     return n_before, n_after
 
 

@@ -83,6 +83,36 @@ def layout_sig(path: str) -> str:
     return hashlib.md5("|".join(sorted(parts)).encode()).hexdigest()
 
 
+def assert_layout_depth(path: str, what: str = "layout") -> None:
+    """Enforce the <=2-partition-level invariant ``layout_sig`` depends on
+    (VERDICT r09 #7): the signature stats direct children and depth-2
+    DIRECTORIES, so files landing in a depth-3 dir could change without
+    bumping any covered mtime once the depth-3 dir exists — a stale
+    cached relation would silently serve deleted/missing files. Every
+    partitioned writer in this engine calls this post-write; a future
+    three-level ``partitionBy`` fails FAST here instead of corrupting
+    cache invalidation. Cost: O(depth-2 dirs) scandirs, dirs only."""
+    try:
+        with os.scandir(path) as it:
+            lvl1 = [e.path for e in it if e.is_dir(follow_symlinks=False)]
+        for d1 in lvl1:
+            with os.scandir(d1) as it:
+                for e in it:
+                    if not e.is_dir(follow_symlinks=False):
+                        continue
+                    with os.scandir(e.path) as sub:
+                        for s in sub:
+                            if s.is_dir(follow_symlinks=False):
+                                raise ValueError(
+                                    f"{what} at {path!r} partitions three+ "
+                                    f"levels deep ({s.path!r}): layout_sig "
+                                    "covers two — widen the signature "
+                                    "before writing layouts this shape"
+                                )
+    except (FileNotFoundError, NotADirectoryError):
+        return
+
+
 def read_layout(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet(path)`` with the relation cached per session
     while the layout's files are unchanged (see module docstring)."""

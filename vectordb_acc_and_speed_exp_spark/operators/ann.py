@@ -276,6 +276,9 @@ def write_ivf_corpus(corpus_assigned: DataFrame, path: str) -> None:
     Spark-native analogue of an ANN index structure (SURVEY.md §4: the
     HNSW replacement strategy)."""
     corpus_assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    from ..io.relcache import assert_layout_depth
+
+    assert_layout_depth(path, "ivf corpus")
 
 
 def ivf_index_upsert(

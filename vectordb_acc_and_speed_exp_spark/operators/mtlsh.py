@@ -435,6 +435,9 @@ def write_mt_lsh_index(
     }
     with open(os.path.join(path, "_mtlsh_meta.json"), "w") as f:
         json.dump(meta, f)
+    from ..io.relcache import assert_layout_depth
+
+    assert_layout_depth(path, "mtlsh index")
     return meta
 
 

@@ -221,6 +221,10 @@ def write_postings_index(
     intent = os.path.join(path, "_UPSERT_INTENT.json")
     if os.path.exists(intent):
         os.remove(intent)
+    from ..io.relcache import assert_layout_depth
+
+    for sub in ("postings", "forward", "terms", "stats", "doclens"):
+        assert_layout_depth(os.path.join(path, sub), f"postings {sub}")
     return path
 
 
