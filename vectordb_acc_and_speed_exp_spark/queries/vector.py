@@ -279,6 +279,85 @@ def client_facade_filtered_tr1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 10 (VERDICT r09 Missing #1): where= + target_recall= on the FLAT
+# compressed families. tr < 1 serves a shortlist from the selectivity-
+# binned filtered curve (api._ensure_filtered_shortlist_curve); these
+# entries pin the tr >= 1 fixed point — exact-over-survivors == filtered
+# exact kNN bit-for-bit — for each family, so the dial's guarantee is
+# hash-oracled on the same route a real "compressed collection + metadata
+# filter + recall target" call takes.
+# --------------------------------------------------------------------------
+_FACADE_FILTERED_EXACT_SQL = f"""
+WITH q AS ({_QUERY_SET_SQL}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS item_id, CAST(e.embedding AS DOUBLE[]) AS ev, q.qv
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label < 3
+), dists AS (
+  SELECT query_id, item_id, {_L2_SQL} AS dist FROM scored
+), ranked AS (
+  SELECT query_id, item_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, CAST(item_id AS VARCHAR)) AS rank
+  FROM dists
+)
+SELECT query_id, rank, item_id, round(dist, 4) AS dist_r
+FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "client_facade_pq_filtered_tr1",
+    oracle=_FACADE_FILTERED_EXACT_SQL,
+    doc="VectorStore.query(mode='pq', where='label < 3', "
+    "target_recall=1.0): the flat-PQ filtered recall dial at its provable "
+    "fixed point — tr >= 1 reroutes to exact-over-survivors == filtered "
+    "exact kNN bit-for-bit (round 9 refused where+target on flat "
+    "families; round 10 serves tr < 1 from the selectivity-binned "
+    "filtered shortlist curve)",
+)
+def client_facade_pq_filtered_tr1(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _facade_filtered_roundtrip(
+        spark, sf_dir, "facade_pqftr1_", mode="pq", where="label < 3",
+        target_recall=1.0,
+    )
+
+
+@register(
+    "client_facade_sq_filtered_tr1",
+    oracle=_FACADE_FILTERED_EXACT_SQL,
+    doc="VectorStore.query(mode='sq', where='label < 3', "
+    "target_recall=1.0): flat-SQ filtered dial fixed point — "
+    "exact-over-survivors identity (see client_facade_pq_filtered_tr1)",
+)
+def client_facade_sq_filtered_tr1(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _facade_filtered_roundtrip(
+        spark, sf_dir, "facade_sqftr1_", mode="sq", where="label < 3",
+        target_recall=1.0,
+    )
+
+
+@register(
+    "client_facade_bq_filtered_tr1",
+    oracle=_FACADE_FILTERED_EXACT_SQL,
+    doc="VectorStore.query(mode='bq', where='label < 3', "
+    "target_recall=1.0): flat-BQ filtered dial fixed point — "
+    "exact-over-survivors identity (see client_facade_pq_filtered_tr1)",
+)
+def client_facade_bq_filtered_tr1(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _facade_filtered_roundtrip(
+        spark, sf_dir, "facade_bqftr1_", mode="bq", where="label < 3",
+        target_recall=1.0,
+    )
+
+
+# --------------------------------------------------------------------------
 # S8 + V3: the round-7 facade gap — PQ/SQ/IVF-PQ served through the client
 # surface (VERDICT r07 #7). Each mode gets ONE oracled degeneration: budgets
 # widened to the exact identity (shortlist >= corpus; ivfpq additionally
