@@ -188,8 +188,11 @@ def _probe_df(
     query_vec: str,
     flip_pool: int,
     max_flips: int,
-) -> tuple[DataFrame, DataFrame]:
-    """Collect the (tiny) query set, return (probe plan DF, query vec DF)."""
+) -> tuple[DataFrame, DataFrame, list[int]]:
+    """Collect the (tiny) query set, return (probe plan DF, query vec DF,
+    sorted probed-table ids). The table list comes from the SAME
+    driver-side enumeration that built the plan — consumers that prune
+    the index scan by table never pay a Spark job to rediscover it."""
     qrows = queries.select(
         F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
     ).collect()
@@ -216,7 +219,7 @@ def _probe_df(
     qv = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec")
     )
-    return probe, qv
+    return probe, qv, sorted({r[1] for r in plan})
 
 
 def multitable_lsh_ann(
@@ -254,7 +257,7 @@ def multitable_lsh_ann(
     sig = corpus_signatures(
         corpus, planes, n_tables, n_planes, item_id=item_id, item_vec=item_vec
     )
-    probe, qv = _probe_df(
+    probe, qv, _ = _probe_df(
         spark, queries, planes, n_tables, n_planes, n_probe_buckets,
         query_id, query_vec, flip_pool, max_flips,
     )
@@ -305,7 +308,7 @@ def mt_lsh_candidates(
     sig = corpus_signatures(
         corpus, planes, n_tables, n_planes, item_id=item_id, item_vec=item_vec
     )
-    probe, _ = _probe_df(
+    probe, _, _ = _probe_df(
         spark, queries, planes, n_tables, n_planes, n_probe_buckets,
         query_id, query_vec, DEFAULT_FLIP_POOL, DEFAULT_MAX_FLIPS,
     )
@@ -360,7 +363,7 @@ def mt_lsh_budget_curve(
     n_queries = queries.count()
     parts = []
     for budget in budgets:
-        probe, _ = _probe_df(
+        probe, _, _ = _probe_df(
             spark, queries, planes, n_tables, n_planes, budget,
             query_id, query_vec, flip_pool, max_flips,
         )
@@ -592,11 +595,10 @@ def mt_lsh_ann_pruned(
     if n_probe_buckets is None:
         n_probe_buckets = 8 * n_tables
     planes = mt_planes(dim, n_planes, n_tables, seed)
-    probe, qv = _probe_df(
+    probe, qv, tables = _probe_df(
         spark, queries, planes, n_tables, n_planes, n_probe_buckets,
         query_id, query_vec, DEFAULT_FLIP_POOL, DEFAULT_MAX_FLIPS,
     )
-    tables = [r.table for r in probe.select("table").distinct().collect()]
     sig = read_layout(spark, index_path).filter(F.col("table").isin(tables))
     cand = (
         F.broadcast(probe)

@@ -1563,8 +1563,9 @@ def ann_lsh_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _get_or_build_mtlsh_index(spark: SparkSession, sf_dir: str) -> str:
     """Idempotent multi-table LSH index build (write_mt_lsh_index:
     table-partitioned, bucket-sorted signature layout + params sidecar).
-    Returns the index path. Used by the frontier report's pruned-search
-    points; the gate entries keep the inline path."""
+    Returns the index path. Serves mt_lsh_ann_topk (round 10) and the
+    frontier report's pruned-search points; mt_lsh_fullbudget keeps the
+    inline path to pin the in-memory operator's exact identity."""
     import os
 
     from ..operators.mtlsh import write_mt_lsh_index
@@ -1588,17 +1589,24 @@ def _get_or_build_mtlsh_index(spark: SparkSession, sf_dir: str) -> str:
     oracle=None,
     doc="multi-table query-directed LSH (Lv et al. VLDB'07 probing over L "
     "Indyk-Motwani tables) top-10 at the MEASURED bucket budget (the EP3 "
-    "coverage curve at the 0.85 default target); >=0.9 under 20% scan at "
-    "20k+ docs (see mt_lsh_recall_scan_curve and EP3_MTLSH.md)",
+    "coverage curve at the 0.85 default target), served from the "
+    "PERSISTED table-partitioned signature index (round 10 — the inline "
+    "path re-signed the corpus per execution; the index probe reads only "
+    "the probed tables' directories with row-group bucket pruning, the "
+    "100 TB shape and the same route the facade serves). Signatures are "
+    "identical by construction (frozen seeded planes), so results match "
+    "the inline operator bit-for-bit; >=0.9 under 20% scan at 20k+ docs "
+    "(see mt_lsh_recall_scan_curve and EP3_MTLSH.md)",
 )
 def mt_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.mtlsh import multitable_lsh_ann
+    from ..operators.mtlsh import mt_lsh_ann_pruned
 
     emb = load_table(spark, sf_dir, "embeddings")
-    res = multitable_lsh_ann(
-        _query_set(spark, sf_dir), emb, k=10,
+    idx = _get_or_build_mtlsh_index(spark, sf_dir)
+    res = mt_lsh_ann_pruned(
+        _query_set(spark, sf_dir), spark, idx, emb, k=10,
         n_probe_buckets=_mtlsh_serving(spark, sf_dir)["n_probe_buckets"],
-        item_id="vec_id", item_vec="embedding",
+        item_id="vec_id",
     )
     return res.select("query_id", "rank", "item_id", F.round("dist", 4).alias("dist_r"))
 
