@@ -192,3 +192,35 @@ def test_prefix_jaccard_exact_at_integer_boundary_threshold(spark):
         df, id_col="doc_id", text_col="text", threshold=0.2, shingle_words=1
     ).collect()
     assert [(r.id_a, r.id_b, r.jaccard_r) for r in got] == [(1, 2, 0.2)]
+
+
+def test_jaccard_verify_narrow_fallback_equals_broadcast(
+    spark, documents, monkeypatch
+):
+    """The verify stage has two shapes chosen by measured candidate-set
+    volume: broadcast array-intersect (small) and the narrow (id, sh)
+    shuffle join (the 100 TB fallback). Forcing the ceiling to 0 exercises
+    the narrow shape on the same corpus; outputs must be identical — the
+    pair family is hash-oracled on the broadcast shape, so equality here
+    extends the oracle to the fallback."""
+    from vectordb_acc_and_speed_exp_spark.operators import dedup as dd
+
+    broadcast_pairs = sorted(
+        map(
+            tuple,
+            dd.prefix_jaccard_join(
+                documents, id_col="doc_id", text_col="text", threshold=0.3
+            ).collect(),
+        )
+    )
+    monkeypatch.setattr(dd, "_BROADCAST_VERIFY_MAX_SHINGLES", 0)
+    narrow_pairs = sorted(
+        map(
+            tuple,
+            dd.prefix_jaccard_join(
+                documents, id_col="doc_id", text_col="text", threshold=0.3
+            ).collect(),
+        )
+    )
+    assert broadcast_pairs == narrow_pairs
+    assert len(broadcast_pairs) > 0

@@ -5,6 +5,7 @@ from .catalog import (
     load_tables,
     optimize_layout,
     register_views,
+    spread_small_scan,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "load_tables",
     "optimize_layout",
     "register_views",
+    "spread_small_scan",
 ]

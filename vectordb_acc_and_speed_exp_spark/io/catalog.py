@@ -73,6 +73,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin an under-partitioned small scan across the session's
+    cores before CPU-heavy per-row work (tokenize / shingle / gram
+    explode).
+
+    Parquet can't split inside a row group, and a small table often ships
+    as one row group per file — so its scan stage is ONE task and the
+    per-row text work ahead of the first shuffle runs single-threaded no
+    matter how many cores the session has. At 100 TB a table has thousands
+    of row groups and this is a no-op (the guard below); shuffling a big
+    corpus to "spread" it would be the bug, not the fix. Call it AFTER
+    pushdown-eligible filters — a repartition above a filter would block
+    the scan-level pushdown.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

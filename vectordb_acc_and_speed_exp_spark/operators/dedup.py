@@ -133,33 +133,92 @@ def _attach_jaccard(common: DataFrame, sizes: DataFrame, threshold: float) -> Da
     )
 
 
+# Broadcast-verify ceiling, in TOTAL candidate-doc shingles (a measured
+# statistic, not a guess): 4M shingles ≈ 100-200 MB of set arrays — cheap
+# to ship to every executor, far under Spark's 8 GB broadcast hard cap.
+# Above it the narrow shuffle verify takes over (the 100 TB shape).
+_BROADCAST_VERIFY_MAX_SHINGLES = 4_000_000
+
+
 def _jaccard_verify(
     candidates: DataFrame, shingles: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact Jaccard for candidate (id_a, id_b) pairs over the shingle table.
 
-    Both shingle sides are semi-filtered to the candidate doc ids first:
-    LSH candidates are a vanishing fraction of the corpus, so the wide
-    (id, sh) verify shuffle carries only candidate documents' shingles —
-    the full corpus never re-shuffles past the bucket join. (The id
-    shuffles of the semi joins are narrow; at scale this is the difference
-    between re-shuffling the corpus and re-shuffling the duplicates.)"""
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a_ids = candidates.select(F.col("id_a").alias("doc_id")).distinct()
-    b_ids = candidates.select(F.col("id_b").alias("doc_id")).distinct()
-    sa = shingles.join(a_ids, "doc_id", "left_semi").select(
-        F.col("doc_id").alias("id_a"), "sh"
+    Both shapes semi-filter the shingle table to candidate doc ids first:
+    LSH candidates are a vanishing fraction of the corpus, so verify work
+    scales with the duplicates, never the corpus. The shape is then chosen
+    by the MEASURED total shingle volume of the candidate docs:
+
+    - small (≤ _BROADCAST_VERIFY_MAX_SHINGLES): collect each candidate
+      doc's shingle set into an array once, broadcast the (doc, set) table
+      to both join sides, and count intersections with codegen
+      `array_intersect` — zero shuffles after the candidate join, and no
+      |pairs| × |avg set| row expansion (at sf0.1 that expansion was 17M
+      rows into a groupBy, ~55% of the whole query).
+    - large: the narrow (id, sh) equi-join + count shape — per-pair work
+      streams through a groupBy without ever materializing a per-doc array
+      on a single executor, which is the shape that survives a corpus
+      whose candidate sets no longer broadcast.
+
+    Both count |A∩B| over exact distinct-shingle sets and compute jaccard
+    with the same integer-input double division, so they are value-identical
+    (the pair family is hash-oracled on this)."""
+    candidates = candidates.persist()
+    ids = (
+        candidates.select(F.col("id_a").alias("doc_id"))
+        .union(candidates.select(F.col("id_b").alias("doc_id")))
+        .distinct()
     )
-    sb = shingles.join(b_ids, "doc_id", "left_semi").select(
-        F.col("doc_id").alias("id_b"), "sh"
+    # candidate-doc shingles: consumed by sizes + (sets ×2 | narrow join ×2)
+    csh = shingles.join(ids, "doc_id", "left_semi").persist()
+    sizes = (
+        csh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz")).persist()
     )
-    common = (
-        candidates.join(sa, "id_a")
-        .join(sb, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    return _attach_jaccard(common, sizes, threshold)
+    total_shingles = sizes.agg(F.sum("sz")).first()[0] or 0
+    if total_shingles <= _BROADCAST_VERIFY_MAX_SHINGLES:
+        cand_sets = csh.groupBy("doc_id").agg(
+            F.collect_list("sh").alias("shs"), F.count(F.lit(1)).alias("sz")
+        )
+        a = F.broadcast(
+            cand_sets.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("shs").alias("_shs_a"),
+                F.col("sz").alias("sa_sz"),
+            )
+        )
+        b = F.broadcast(
+            cand_sets.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("shs").alias("_shs_b"),
+                F.col("sz").alias("sb_sz"),
+            )
+        )
+        j = F.col("n_common") * 1.0 / (
+            F.col("sa_sz") + F.col("sb_sz") - F.col("n_common")
+        )
+        out = (
+            candidates.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn(
+                "n_common",
+                F.size(F.array_intersect("_shs_a", "_shs_b")).cast("long"),
+            )
+            .withColumn("jaccard", j)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
+        )
+    else:
+        sa = csh.select(F.col("doc_id").alias("id_a"), "sh")
+        sb = csh.select(F.col("doc_id").alias("id_b"), "sh")
+        common = (
+            candidates.join(sa, "id_a")
+            .join(sb, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        out = _attach_jaccard(common, sizes, threshold)
+    return materialize_and_release(out, candidates, csh, sizes)
 
 
 def minhash_lsh_pairs(

@@ -275,19 +275,29 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _decontaminate_frame(d: DataFrame) -> DataFrame:
     """Core of ``decontaminate`` over a frame with (doc_id, text, split) —
     split is precomputed so tests can pin membership explicitly."""
-    toks = d.select(
+    from ..io import spread_small_scan
+
+    toks = spread_small_scan(d).select(
         "doc_id", "split", tokens(norm_text(F.col("text"))).alias("t")
     ).filter((F.col("split") != "val") & (F.size("t") >= _DECON_N))
-    grams = F.transform(
+    gram_hashes = F.transform(
         F.sequence(F.lit(0), F.size("t") - _DECON_N),
-        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, _DECON_N)),
+        lambda i: portable_hash64(
+            F.concat_ws(" ", F.slice(F.col("t"), i + 1, _DECON_N))
+        ),
     )
     # distinct (doc, gram-hash) pairs feed three consumers (train side,
-    # test side, per-test-doc totals) — persist so the explode runs once
+    # test side, per-test-doc totals) — persist so the explode runs once.
+    # Dedup happens PER DOC inside the row (array_distinct over the hashed
+    # grams): each doc occupies one input row, so per-doc distinct equals
+    # the oracle's global (doc_id, split, gh) GROUP BY — without shuffling
+    # the full gram table through a corpus-wide distinct.
     g = (
-        toks.select("doc_id", "split", F.explode(grams).alias("gram"))
-        .select("doc_id", "split", portable_hash64(F.col("gram")).alias("gh"))
-        .distinct()
+        toks.select(
+            "doc_id",
+            "split",
+            F.explode(F.array_distinct(gram_hashes)).alias("gh"),
+        )
         .persist()
     )
     freq_w = Window.partitionBy("gh")
