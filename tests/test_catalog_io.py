@@ -315,3 +315,24 @@ def test_partitioned_writers_pass_depth_assert(spark, embeddings, tmp_path):
         ivf_assign(emb, cents, item_vec="embedding"),
         str(tmp_path / "ivf"),
     )  # raises if the invariant breaks
+
+
+def test_spread_small_scan_spreads_one_row_group_and_noops_when_wide(spark):
+    """A one-row-group scan reads as ONE task, so per-row work ahead of
+    the first shuffle is single-threaded; spread_small_scan round-robins
+    it across the session's cores. A frame already at (or near) the
+    session parallelism must pass through untouched — at scale the scan
+    has real partitions and 'spreading' would shuffle the corpus."""
+    from vectordb_acc_and_speed_exp_spark.io import spread_small_scan
+
+    narrow = spark.range(1000).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    spread = spread_small_scan(narrow)
+    target = spark.sparkContext.defaultParallelism
+    assert spread.rdd.getNumPartitions() == target
+    # row multiset unchanged
+    assert spread.count() == 1000
+    assert spread.agg({"id": "sum"}).first()[0] == 999 * 1000 // 2
+
+    wide = spark.range(1000).repartition(target)
+    assert spread_small_scan(wide) is wide

@@ -1495,9 +1495,14 @@ def duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # under doc-length skew: a monster doc's 8-gram starts split exactly
     # across redistributed slices (multiset unchanged — the oracle still
     # shingles the whole doc in one pass)
+    from ..io import spread_small_scan
+
+    # md5-per-8-gram runs in the SCAN stage here; a one-row-group corpus
+    # file would hash every gram on one core (spread_small_scan is a no-op
+    # once the scan has real partitions — measured +0.6 s single-threaded)
     g = (
         chunked_token_stream(
-            d.filter(F.length(F.trim("text")) > 0),
+            spread_small_scan(d.filter(F.length(F.trim("text")) > 0)),
             overlap=7,
             long_docs_possible=_corpus_long_docs(spark, sf_dir),
         )
