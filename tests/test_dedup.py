@@ -224,3 +224,32 @@ def test_jaccard_verify_narrow_fallback_equals_broadcast(
     )
     assert broadcast_pairs == narrow_pairs
     assert len(broadcast_pairs) > 0
+
+
+def test_connected_components_distributed_path_equals_driver(
+    spark, monkeypatch
+):
+    """Small graphs resolve by collected union-find; the distributed
+    min-label fixpoint remains the at-scale path. Forcing the driver
+    ceiling to 0 exercises the distributed rounds on the same graph —
+    the (node, min-label) result must be identical, including a
+    multi-hop chain (pointer-jumping) and an isolated pair."""
+    from vectordb_acc_and_speed_exp_spark.operators import dedup as dd
+
+    # chain 1-2-3-4-5, triangle 10-11-12 (+ redundant edge), pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    driver = {
+        r.node: r.cluster_id
+        for r in dd.connected_components(pairs).collect()
+    }
+    monkeypatch.setattr(dd, "_CC_DRIVER_MAX_EDGES", 0)
+    dist = {
+        r.node: r.cluster_id
+        for r in dd.connected_components(pairs).collect()
+    }
+    assert driver == dist
+    assert driver[5] == 1 and driver[12] == 10 and driver[21] == 20

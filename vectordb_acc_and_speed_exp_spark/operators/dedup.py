@@ -419,6 +419,14 @@ def simhash_neardup_pairs(
     )
 
 
+# Driver-merge ceiling for connected_components, in DIRECTED edges
+# (2x pairs): the dedup_clusters discipline — below it a collected
+# union-find (one job) beats the distributed fixpoint's per-round job
+# barriers; above it the iterative propagation keeps everything
+# distributed. A few MB collected at the ceiling.
+_CC_DRIVER_MAX_EDGES = 200_000
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
@@ -454,12 +462,31 @@ def connected_components(
     edges = fwd.union(
         fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
-    # Near-dup edge lists are output-sized, not corpus-sized: when the
-    # checkpointed set is small, per-round scheduling overhead (32-way
-    # shuffles over a few KB) dominates — collapse to one partition and
-    # every round becomes a single-task job. Large edge sets keep their
-    # partitioning; the count is one cheap job over checkpointed data.
-    if edges.count() <= 250_000:
+    # Near-dup edge lists are output-sized, not corpus-sized. Below the
+    # driver-merge threshold (the dedup_clusters discipline: 100k pairs =
+    # 200k directed edges, a few MB collected) the per-round job barriers
+    # of the distributed fixpoint cost more than the whole problem —
+    # resolve by collected union-find (one job + a VALUES relation),
+    # exact same (node, min-label) result. The distributed rounds below
+    # remain the backfill path for graphs that outgrow the driver.
+    n_edges = edges.count()
+    if n_edges <= _CC_DRIVER_MAX_EDGES:
+        from .dedup_clusters import _driver_components, _local_typed
+
+        comp = _driver_components(
+            [(r.u, r.v) for r in edges.collect()]
+        )
+        dt = edges.schema["u"].dataType
+        return _local_typed(
+            edges.sparkSession,
+            sorted(comp.items()),
+            [("node", dt), ("cluster_id", dt)],
+        )
+    # When the checkpointed set is modest but past the driver threshold,
+    # per-round scheduling overhead (32-way shuffles over a few KB)
+    # dominates — collapse to one partition and every round becomes a
+    # single-task job. Large edge sets keep their partitioning.
+    if n_edges <= 250_000:
         edges = edges.coalesce(1)
     numeric = isinstance(edges.schema["u"].dataType, NumericType)
     labels = (
