@@ -1696,9 +1696,11 @@ class VectorStore:
         table-partitioned signature index, and coarse-quantized packed
         binary codes (FAISS IndexBinaryIVF shape) with exact re-rank.
         Both build their per-collection artifact on first use; add()/
-        upsert() keep IVF-BQ fresh cell-incrementally and invalidate the
-        mt-LSH tables (rebuilt lazily — every doc lives in every table
-        partition, so there is no sub-table incremental unit).
+        upsert() keep IVF-BQ fresh cell-incrementally and append the
+        batch's frozen-plane signatures per mt-LSH table partition
+        (O(batch) — operators/mtlsh.py::mt_lsh_signatures_upsert;
+        ``optimize()`` compacts superseded gens and restores bucket
+        order, and 2x corpus growth re-derives the plane count).
 
         ``mode="pq"`` / ``mode="sq"`` are the flat compressed-scan paths
         (ADC over 8x16 product-quantizer codes / int8 scalar-quantizer
