@@ -773,6 +773,11 @@ def test_target_recall_with_where_routes_through_chooser(
         target_recall=0.9, where="id is not null",
     ).collect()  # round 10: served from the filtered shortlist curve
     assert len(res2) == 3
+    res3 = store.query(
+        "trwcol", query_texts=["warm"], k=3, mode="lsh",
+        target_recall=0.9, where="id is not null",
+    ).collect()  # lsh re-plans to the chooser with the curve floor
+    assert len(res3) == 3
     with _pytest.raises(ValueError, match="filtered-chooser"):
         store.query(
             "trwcol", query_texts=["x"], mode="mmr",

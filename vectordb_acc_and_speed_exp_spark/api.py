@@ -1737,7 +1737,11 @@ class VectorStore:
         Incompatible with explicit budgets. With ``where=`` the target
         routes through the filtered chooser as a probe FLOOR from the
         measured curve (max'd with the selectivity widening; target 1.0
-        ⇒ exact-over-survivors) — auto-routable modes only.
+        ⇒ exact-over-survivors) for the auto-routable modes
+        (auto/graph/mtlsh/lsh/ivf* — lsh's unfiltered bits-curve says
+        nothing about survivor-restricted buckets, so the chooser serves
+        the target instead), and through the selectivity-binned filtered
+        shortlist curve for flat bq/pq/sq.
 
         ``mode="mmr"`` adds diversity: exact-cosine 4k-shortlist, then
         greedy MMR selection at ``mmr_lambda`` (operators/rerank.py);
@@ -1763,8 +1767,9 @@ class VectorStore:
         if target_recall is not None and where is not None:
             # where + a recall target. Two measured routes:
             #
-            # 1. auto-routable modes (auto/graph/mtlsh/ivf*) go through
-            #    the EP8 chooser with a CURVE floor: min_probe is the
+            # 1. auto-routable modes (auto/graph/mtlsh/lsh/ivf*) go
+            #    through the EP8 chooser with a CURVE floor: min_probe is
+            #    the
             #    budget the collection's recall-vs-probes curve demands
             #    for the target on the unfiltered corpus, max'd with the
             #    chooser's selectivity widening (survivor starvation) —
@@ -1798,11 +1803,11 @@ class VectorStore:
                     else:
                         shortlist = s
                 target_recall = None
-            elif mode not in ("auto", "graph", "mtlsh", "ivfbq", "ivfpq",
-                              "ivfsq"):
+            elif mode not in ("auto", "graph", "mtlsh", "lsh", "ivfbq",
+                              "ivfpq", "ivfsq"):
                 raise ValueError(
                     f"target_recall= with where= applies to the filtered-"
-                    f"chooser modes (auto, or graph/mtlsh/ivfbq/ivfpq/"
+                    f"chooser modes (auto, or graph/mtlsh/lsh/ivfbq/ivfpq/"
                     f"ivfsq which re-plan to it) and the flat compressed "
                     f"modes (bq/pq/sq — selectivity-binned shortlist "
                     f"curve), not mode={mode!r}"
