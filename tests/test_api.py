@@ -897,3 +897,23 @@ def test_mtlsh_incremental_add_upsert_compaction_staleness(
     with open(mp) as f:
         meta2 = json.load(f)
     assert meta2["gen"] == 0 and meta2["n_corpus"] == 150
+
+
+def test_where_selectivity_memo_invalidates_on_replace(store, documents):
+    """The filtered recall dial reads a memoized survivor fraction; the
+    memo is keyed on the LAYOUT SIGNATURE, not the row count — a
+    pure-replace upsert (same ids, same count, different metadata) must
+    re-measure, or the dial serves the OLD selectivity and silently
+    misses its target."""
+    docs = documents.limit(20).selectExpr(
+        "cast(doc_id as string) as id", "text",
+        "cast(doc_id % 2 as int) as label",
+    )
+    store.create_collection("selmemo", docs)
+    f1 = store._where_selectivity("selmemo", "label = 0")
+    assert abs(f1 - 0.5) < 1e-9
+    flipped = docs.selectExpr("id", "text", "cast(1 as int) as label")
+    store.upsert("selmemo", flipped)  # same ids, same row count
+    f2 = store._where_selectivity("selmemo", "label = 0")
+    assert f2 == 0.0
+    store.delete_collection("selmemo")

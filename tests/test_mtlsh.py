@@ -212,3 +212,51 @@ def test_incremental_append_equals_full_rebuild(spark, query_set, embeddings, tm
     ) == sorted(
         (r.query_id, r.rank, r.item_id) for r in got_reb64.collect()
     )
+
+
+def test_compact_keeps_live_bucket_on_gen_collision(spark, embeddings, tmp_path):
+    """Crash path: a batch appends at gen g, the crash eats the meta bump,
+    and the NEXT batch reuses g — so a replaced id can carry two distinct
+    buckets at the same max gen. Compaction must keep a SUPERSET that
+    includes the live vector's bucket in every table (stale rows cost scan
+    bytes, never answers); a single-row tiebreak could drop the live
+    bucket and open a recall hole."""
+    import json
+
+    base = embeddings.select("vec_id", "embedding").filter(F.col("vec_id") < 100)
+    idx = str(tmp_path / "coll_idx")
+    meta = mtlsh.write_mt_lsh_index(base, idx, item_id="vec_id")
+
+    v1 = embeddings.filter(F.col("vec_id") == 200).select(
+        F.lit(5000).cast("long").alias("vec_id"), "embedding"
+    )
+    v2 = embeddings.filter(F.col("vec_id") == 300).select(
+        F.lit(5000).cast("long").alias("vec_id"), "embedding"
+    )
+    mtlsh.mt_lsh_signatures_upsert(spark, idx, v1, item_id="vec_id")
+    # simulate the crash window: append landed, meta bump lost
+    mp = os.path.join(idx, "_mtlsh_meta.json")
+    with open(mp) as fh:
+        m = json.load(fh)
+    m["gen"] -= 1
+    with open(mp, "w") as fh:
+        json.dump(m, fh)
+    mtlsh.mt_lsh_signatures_upsert(spark, idx, v2, item_id="vec_id")
+
+    planes = mtlsh.mt_planes(
+        meta["dim"], meta["n_planes"], meta["n_tables"], meta["seed"]
+    )
+    live = {
+        (r.table, r.bucket)
+        for r in mtlsh.corpus_signatures(
+            v2, planes, meta["n_tables"], meta["n_planes"], item_id="vec_id"
+        ).collect()
+    }
+    mtlsh.compact_mt_lsh_index(spark, idx)
+    kept = {
+        (r.table, r.bucket)
+        for r in spark.read.parquet(idx)
+        .filter(F.col("item_id") == 5000)
+        .collect()
+    }
+    assert live <= kept  # every live bucket survives compaction

@@ -169,7 +169,19 @@ def run_plans() -> bool:
     registry = set(load_all())
     with open(os.path.join(REPO, "PLANS.md")) as fh:
         text = fh.read()
-    missing = sorted(n for n in registry if n not in text)
+    # parse the inventory FOOTER as a set — a bare substring check passes
+    # when a new entry's name happens to be a substring of an existing
+    # entry or of any dumped plan text, which is exactly the stale-regen
+    # hole this gate exists to close
+    inventoried: set[str] = set()
+    for line in text.splitlines():
+        if line.startswith("Registry at generation:"):
+            inventoried = {
+                n.strip()
+                for n in line.split("—", 1)[-1].split(",")
+                if n.strip()
+            }
+    missing = sorted(registry - inventoried)
     if missing:
         print(f"[close]   PLANS.md regen missed registry entries: "
               f"{missing[:5]}{'...' if len(missing) > 5 else ''}",

@@ -3,8 +3,8 @@
 absorbing a fixed-size batch cost as the INDEXED corpus grows, versus the
 full rebuild every add()/upsert() used to trigger?
 
-Setup: the sf0.1 embeddings table replicated to three corpus sizes (25k /
-50k / 100k vectors, deterministic id offsets). For each size the index is
+Setup: the sf0.1 embeddings table replicated to three corpus sizes (100k /
+400k / 800k vectors — CORPUS_SIZES below — deterministic id offsets). For each size the index is
 built once (untimed), then a FIXED 2,000-vector batch is appended with
 ``mt_lsh_signatures_upsert`` (frozen planes from the meta sidecar) and,
 for comparison, the whole corpus+batch is re-signed with

@@ -167,15 +167,10 @@ class VectorStore:
         # incrementally appended mtlsh signatures ride the same
         # maintenance cadence: drop superseded gens, restore the global
         # within-partition bucket sort appends only keep per file
-        mtp = self._mtlsh_path(name)
-        if os.path.exists(os.path.join(mtp, "_mtlsh_meta.json")):
-            from .operators.mtlsh import (
-                compact_mt_lsh_index,
-                read_mt_lsh_meta,
-            )
+        if self._mtlsh_is_incremental(name):
+            from .operators.mtlsh import compact_mt_lsh_index
 
-            if "gen" in read_mt_lsh_meta(mtp):
-                compact_mt_lsh_index(self.spark, mtp)
+            compact_mt_lsh_index(self.spark, self._mtlsh_path(name))
         if cluster_by:
             return optimize_layout(self.spark, self._path(name), cluster_by)
         return compact_table(self.spark, self._path(name))
@@ -283,13 +278,7 @@ class VectorStore:
         # buckets append in _freshen_indexes (compaction drops the
         # superseded gens). Pre-contract mtlsh artifacts still drop.
         inval = [".bq_index", ".dedup_index", ".pq_index", ".sq_index"]
-        from .operators.mtlsh import read_mt_lsh_meta
-
-        try:
-            mt_inc = "n_corpus" in read_mt_lsh_meta(self._mtlsh_path(name))
-        except (FileNotFoundError, ValueError):
-            mt_inc = False
-        if not mt_inc:
+        if not self._mtlsh_is_incremental(name):
             inval.append(".mtlsh_index")
         else:
             # replacement can shift the distribution the budget curve
@@ -362,15 +351,7 @@ class VectorStore:
             # incremental schema carries) still invalidate, as do
             # pre-round-9 flat artifacts without a drift baseline.
             dirs = []
-            from .operators.mtlsh import read_mt_lsh_meta
-
-            try:
-                mt_inc = "n_corpus" in read_mt_lsh_meta(
-                    self._mtlsh_path(name)
-                )
-            except (FileNotFoundError, ValueError):
-                mt_inc = False
-            if not mt_inc:
+            if not self._mtlsh_is_incremental(name):
                 dirs.append(".mtlsh_index")
             from .operators.drift import drift_path
 
@@ -555,18 +536,13 @@ class VectorStore:
         # signs O(batch) and appends per table partition — guarded on the
         # incremental bookkeeping (pre-contract artifacts were dropped by
         # the caller's invalidation)
-        mtp = self._mtlsh_path(name)
-        if os.path.exists(os.path.join(mtp, "_mtlsh_meta.json")):
-            from .operators.mtlsh import (
-                mt_lsh_signatures_upsert,
-                read_mt_lsh_meta,
-            )
+        if self._mtlsh_is_incremental(name):
+            from .operators.mtlsh import mt_lsh_signatures_upsert
 
-            if "n_corpus" in read_mt_lsh_meta(mtp):
-                mt_lsh_signatures_upsert(
-                    self.spark, mtp, docs.select("id", "embedding"),
-                    item_id="id",
-                )
+            mt_lsh_signatures_upsert(
+                self.spark, self._mtlsh_path(name),
+                docs.select("id", "embedding"), item_id="id",
+            )
         # flat code tables (VERDICT r08 #2): encode ONLY the batch with
         # the frozen quantizer params, append it, and fold the batch's
         # reconstruction error into the drift accumulator — the encode
@@ -940,11 +916,18 @@ class VectorStore:
     def _where_selectivity(self, name: str, where: str) -> float:
         """Measured survivor fraction of a predicate — one pushed-filter
         count over the collection, memoized per (collection, predicate,
-        row count) so repeated queries of the same filter pay zero extra
-        planning jobs. NULL predicate results count as not-matched (the
-        delete()/filter convention everywhere in this facade)."""
+        LAYOUT SIGNATURE) so repeated queries of the same filter pay zero
+        extra planning jobs. The layout signature (stat-based, ~ms, the
+        relcache discipline) — not the row count — keys the memo: a
+        pure-replace upsert or a same-size re-create changes the files
+        but not the count, and a count-keyed memo would serve the OLD
+        selectivity into the filtered recall dial. NULL predicate results
+        count as not-matched (the delete()/filter convention everywhere
+        in this facade)."""
+        from .io.relcache import layout_sig
+
         n = self._collection_nrows(name)
-        key = (name, where, n)
+        key = (name, where, layout_sig(self._path(name)))
         memo = getattr(self, "_sel_memo", None)
         if memo is None:
             memo = self._sel_memo = {}
@@ -1531,6 +1514,22 @@ class VectorStore:
     # -- multiprobe multi-table LSH index (per-collection) -----------------
     def _mtlsh_path(self, name: str) -> str:
         return os.path.join(self.root, ".mtlsh_index", name)
+
+    def _mtlsh_is_incremental(self, name: str) -> bool:
+        """True iff the collection's mt-LSH artifact carries the
+        incremental bookkeeping (n_corpus sizing base + gen counter in
+        the meta sidecar) — the frozen-plane append contract. False for
+        missing artifacts, pre-contract metas, and torn/unreadable
+        sidecars alike (ONE exception contract for every caller: writes
+        then invalidate, optimize skips, and the next read rebuilds
+        lazily — never a decode crash on a maintenance path)."""
+        from .operators.mtlsh import read_mt_lsh_meta
+
+        try:
+            meta = read_mt_lsh_meta(self._mtlsh_path(name))
+        except (OSError, ValueError):
+            return False
+        return "n_corpus" in meta and "gen" in meta
 
     def _ensure_mtlsh_index(self, name: str) -> str:
         """Table-partitioned signature index (operators/mtlsh.py). Built

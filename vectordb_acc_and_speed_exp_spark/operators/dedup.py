@@ -176,10 +176,16 @@ def _jaccard_verify(
         csh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz")).persist()
     )
     total_shingles = sizes.agg(F.sum("sz")).first()[0] or 0
+    released = [candidates, csh, sizes]
     if total_shingles <= _BROADCAST_VERIFY_MAX_SHINGLES:
+        # persist so the collect_list aggregation runs ONCE even though
+        # the broadcast ships a copy per join side (two exchanges — the
+        # projections differ by alias, so the exchange is not reusable;
+        # at the ceiling that is 2x ~100-200 MB per executor, documented)
         cand_sets = csh.groupBy("doc_id").agg(
             F.collect_list("sh").alias("shs"), F.count(F.lit(1)).alias("sz")
-        )
+        ).persist()
+        released.append(cand_sets)
         a = F.broadcast(
             cand_sets.select(
                 F.col("doc_id").alias("id_a"),
@@ -218,7 +224,7 @@ def _jaccard_verify(
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
         out = _attach_jaccard(common, sizes, threshold)
-    return materialize_and_release(out, candidates, csh, sizes)
+    return materialize_and_release(out, *released)
 
 
 def minhash_lsh_pairs(
@@ -241,12 +247,16 @@ def minhash_lsh_pairs(
     shingles = _shingle_table(df, id_col, text_col).persist()
     sig = _minhash_from_shingles(shingles, n_hashes)
     bands = _band_table(sig, band_size).persist()
-    # cand feeds three consumers in the verify (two semi-filters + the
-    # pair join) — persist so the bucket self-join runs once
-    cand = _band_collisions(bands, bands).persist()
-    return materialize_and_release(
-        _jaccard_verify(cand, shingles, jaccard_threshold), shingles, bands, cand
-    )
+    # _jaccard_verify persists candidates itself and returns an already-
+    # materialized frame — only the stages it never sees (shingle/band
+    # caches) are released here, with no second checkpoint of the result
+    try:
+        return _jaccard_verify(
+            _band_collisions(bands, bands), shingles, jaccard_threshold
+        )
+    finally:
+        shingles.unpersist()
+        bands.unpersist()
 
 
 def _band_table(sig: DataFrame, band_size: int) -> DataFrame:
@@ -643,6 +653,9 @@ def prefix_jaccard_join(
         )
         .distinct()
     )
-    return materialize_and_release(
-        _jaccard_verify(cand, shingles, threshold), shingles
-    )
+    # _jaccard_verify materializes its result itself — release only the
+    # shingle cache it doesn't own, no second checkpoint
+    try:
+        return _jaccard_verify(cand, shingles, threshold)
+    finally:
+        shingles.unpersist()

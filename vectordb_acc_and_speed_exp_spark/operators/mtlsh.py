@@ -435,9 +435,17 @@ def write_mt_lsh_index(
     meta = {
         "n_planes": n_planes, "n_tables": n_tables, "dim": dim,
         "seed": seed, "n_corpus": int(n_rows), "gen": 0,
+        # the layout's id type: later appends must match it exactly — a
+        # mixed-type append (int batch into a bigint layout) writes files
+        # the vectorized reader rejects at the NEXT read, far from the bug
+        "id_type": sig.schema["item_id"].dataType.simpleString(),
     }
-    with open(os.path.join(path, "_mtlsh_meta.json"), "w") as f:
-        json.dump(meta, f)
+    # atomic (tmp + rename), like the upsert's gen bump: a crash mid-write
+    # must leave either no sidecar (next read rebuilds) or a complete one —
+    # a torn file would wedge every later read with a JSON decode error
+    from ..io.commitproto import publish_marker
+
+    publish_marker(os.path.join(path, "_mtlsh_meta.json"), meta)
     from ..io.relcache import assert_layout_depth
 
     assert_layout_depth(path, "mtlsh index")
@@ -481,6 +489,15 @@ def mt_lsh_signatures_upsert(
         batch, planes, meta["n_tables"], meta["n_planes"],
         item_id=item_id, item_vec=item_vec,
     ).withColumn("gen", F.lit(gen).cast("int"))
+    batch_id_type = sig.schema["item_id"].dataType.simpleString()
+    want = meta.get("id_type", batch_id_type)  # pre-contract metas: skip
+    if batch_id_type != want:
+        raise ValueError(
+            f"mt_lsh_signatures_upsert: batch id type {batch_id_type!r} "
+            f"does not match the index layout's {want!r} — a mixed-type "
+            "append would write files the vectorized parquet reader "
+            "rejects at the next read; cast the batch id first"
+        )
     (
         sig.repartition("table")
         .sortWithinPartitions("bucket")
@@ -500,13 +517,17 @@ def mt_lsh_signatures_upsert(
 
 def compact_mt_lsh_index(spark: SparkSession, index_path: str) -> int:
     """Periodic maintenance for an incrementally appended index: per table
-    directory, keep only the HIGHEST-gen signature row per item (drops the
-    stale buckets upsert-replaced ids left behind), restore the global
-    within-partition bucket sort (appends are only bucket-sorted per
-    file), and re-size files — via the same staged-write + two-rename swap
-    discipline as io/catalog.py::compact_table (crash-safe, self-healing).
-    O(index), run on a maintenance cadence, never on a serve path.
-    Returns the number of table directories rewritten."""
+    directory, keep every row at each item's HIGHEST gen, deduped on
+    (item, bucket) — drops the stale buckets upsert-replaced ids left
+    behind, while a gen COLLISION (crash between an append and its meta
+    bump reuses the gen) keeps both colliding buckets: the superset is
+    correctness-safe, a single-row tiebreak could drop the live vector's
+    bucket. Restores the global bucket order via range partitioning
+    (each output file owns a disjoint bucket range — row-group pruning
+    survives multi-file tables) and re-sizes files — same staged-write +
+    two-rename swap discipline as io/catalog.py::compact_table
+    (crash-safe, self-healing). O(index), run on a maintenance cadence,
+    never on a serve path. Returns the number of table dirs rewritten."""
     import os
 
     from ..io.catalog import (
@@ -524,18 +545,28 @@ def compact_mt_lsh_index(spark: SparkSession, index_path: str) -> int:
         _heal_crashed_rewrite(d)
         df = spark.read.parquet(d)
         _, n_files = _sized_file_counts(df, 128 << 20)
-        w = Window.partitionBy("item_id").orderBy(
-            F.desc("gen"), F.asc("bucket")
-        )
+        # keep EVERY row at the item's max gen, deduped on (item, bucket):
+        # a crash between a batch append and its meta bump reuses the gen,
+        # so two distinct buckets can share the max — keeping both is the
+        # superset-safe choice (candidates ⊇ a rebuild's; stale rows cost
+        # scan bytes, never answers), where a single-row tiebreak could
+        # drop the LIVE vector's bucket and open a recall hole.
+        w = Window.partitionBy("item_id")
         latest = (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            df.withColumn("_mx", F.max("gen").over(w))
+            .filter(F.col("gen") == F.col("_mx"))
+            .drop("_mx")
+            .dropDuplicates(["item_id", "bucket"])
         )
         _rewrite_in_place(
             d,
             lambda staged, latest=latest, n_files=n_files: (
-                latest.repartition(n_files)
+                # range-partition on bucket: each output file owns a
+                # disjoint bucket range, so row-group min/max pruning
+                # keeps working past one 128MB file — a round-robin
+                # repartition would spread every bucket across every
+                # file and defeat the pruning this index exists for
+                latest.repartitionByRange(n_files, "bucket")
                 .sortWithinPartitions("bucket")
                 .write.mode("overwrite")
                 .parquet(staged)

@@ -564,80 +564,6 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Retention-policy keeper selection ([EXT]: Dolma/CCNet-style pipelines
-# keep the BEST member of a duplicate cluster, not the min-id one): per
-# near-dup cluster, keep the longest member (token count, ties to the
-# smaller doc_id). Composes the materialized cluster artifact with the
-# quality tokenizer; the oracle replays the recursive-closure CTEs + the
-# identical window. Scale shape: one window over the CLUSTERED docs only
-# (output-sized), never the corpus.
-# --------------------------------------------------------------------------
-_KEEP_BEST_ORACLE = (
-    _DEDUP_CLUSTERS_CTES
-    + """,
-members AS (
-  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
-),
-q AS (
-  SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
-  FROM documents
-),
-sel AS (
-  SELECT m.cluster_id, m.doc_id, q.n_tokens,
-         row_number() OVER (PARTITION BY m.cluster_id
-                            ORDER BY q.n_tokens DESC, m.doc_id ASC) AS rn,
-         count(*) OVER (PARTITION BY m.cluster_id) AS n_members
-  FROM members m JOIN q USING (doc_id)
-)
-SELECT cluster_id, doc_id AS keeper_doc_id,
-       CAST(n_members AS BIGINT) AS n_members,
-       CAST(n_tokens AS BIGINT) AS keeper_tokens
-FROM sel WHERE rn = 1
-"""
-)
-
-
-@register(
-    "dedup_keep_best",
-    oracle=_KEEP_BEST_ORACLE,
-    doc="retention-policy keeper per near-dup cluster (keep the LONGEST "
-    "member, ties to the smaller doc_id — the Dolma-style alternative to "
-    "min-id canonical): materialized cluster artifact + token counts + "
-    "one output-sized window",
-)
-def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    d = load_table(spark, sf_dir, "documents")
-    clusters = _get_or_build_clusters(spark, sf_dir).select(
-        "doc_id", "cluster_id"
-    )
-    q = d.select(
-        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
-    )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("n_tokens"), F.asc("doc_id")
-    )
-    return (
-        clusters.join(q, "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "n_members",
-            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
-        )
-        .filter(F.col("rn") == 1)
-        .select(
-            "cluster_id",
-            F.col("doc_id").alias("keeper_doc_id"),
-            F.col("n_members").cast("bigint").alias("n_members"),
-            F.col("n_tokens").alias("keeper_tokens"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
 # SimHash: 60-bit fingerprint from distinct tokens; bit j of the fingerprint
 # is set iff the sum over tokens of (2*bit_j(hash(tok)) - 1) is positive.
 # --------------------------------------------------------------------------
