@@ -166,11 +166,19 @@ class VectorStore:
 
         # incrementally appended mtlsh signatures ride the same
         # maintenance cadence: drop superseded gens, restore the global
-        # within-partition bucket sort appends only keep per file
+        # within-partition bucket sort appends only keep per file.
+        # gen == 0 means no batch was ever appended — the initial write
+        # is already one globally bucket-sorted file per table, so the
+        # O(index) rewrite would be a pure no-op; skip it.
         if self._mtlsh_is_incremental(name):
-            from .operators.mtlsh import compact_mt_lsh_index
+            from .operators.mtlsh import (
+                compact_mt_lsh_index,
+                read_mt_lsh_meta,
+            )
 
-            compact_mt_lsh_index(self.spark, self._mtlsh_path(name))
+            mtp = self._mtlsh_path(name)
+            if int(read_mt_lsh_meta(mtp).get("gen", 0)) > 0:
+                compact_mt_lsh_index(self.spark, mtp)
         if cluster_by:
             return optimize_layout(self.spark, self._path(name), cluster_by)
         return compact_table(self.spark, self._path(name))
