@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from .io.local import local_df
 from .operators.embedding import DEFAULT_DIM, embed_documents
 from .operators.knn import exact_knn
+from .operators.probetune import CALIB_VERSION
 
 
 class VectorStore:
@@ -912,6 +913,7 @@ class VectorStore:
             os.path.join(root, fname),
             {
                 "n_corpus": int(n),
+                "calib": CALIB_VERSION,
                 "bins": {
                     f"{f:.2f}": {str(s): float(r) for s, r in c.items()}
                     for f, c in bins.items()
@@ -1068,7 +1070,7 @@ class VectorStore:
         )
         publish_marker(
             os.path.join(root, fname),
-            {"targets": targets, "n_corpus": base_n, "curve": {}},
+            {"targets": targets, "n_corpus": base_n, "calib": CALIB_VERSION, "curve": {}},
         )
         return entry
 
@@ -1422,7 +1424,7 @@ class VectorStore:
         )
         publish_marker(
             path,
-            {"n_corpus": int(n), "n_planes": 6,
+            {"n_corpus": int(n), "n_planes": 6, "calib": CALIB_VERSION,
              "curve": {str(b): r for b, r in curve.items()}},
         )
         return curve
@@ -1436,10 +1438,9 @@ class VectorStore:
         enumerate every bucket, so no finite budget guarantees
         exactness — target_recall >= 1 reroutes to the exact scan."""
         from .io.commitproto import publish_marker
-        from .operators.knn import exact_knn
         from .operators.mtlsh import mt_lsh_budget_curve, read_mt_lsh_meta
         from .operators.probetune import (
-            calib_queries,
+            calib_ground_truth,
             curve_is_stale,
             read_curve_meta,
         )
@@ -1456,8 +1457,8 @@ class VectorStore:
             min(m * L, L * (1 << planes)) for m in (1, 2, 4, 8, 16, 32)
         })
         corpus = self.get(name).select("id", "embedding")
-        qs = calib_queries(corpus, item_id="id", item_vec="embedding")
-        gt = exact_knn(qs, corpus, k=10, item_id="id")
+        # self-pair-free gt: budgets must clear FRESH-query recall
+        qs, gt = calib_ground_truth(corpus, item_id="id")
         rows = mt_lsh_budget_curve(
             qs, corpus, gt, budgets, k=10,
             n_planes=planes, n_tables=L, dim=im["dim"], seed=im["seed"],
@@ -1466,7 +1467,7 @@ class VectorStore:
         curve = {int(r.budget): float(r.mean_recall) for r in rows}
         publish_marker(
             os.path.join(idx, fname),
-            {"n_corpus": int(n),
+            {"n_corpus": int(n), "calib": CALIB_VERSION,
              "curve": {str(b): r for b, r in curve.items()}},
         )
         return curve
@@ -1481,9 +1482,8 @@ class VectorStore:
         uncapped rebuild)."""
         from .io.commitproto import publish_marker
         from .operators.graphann import graph_ann_pruned
-        from .operators.knn import exact_knn
         from .operators.probetune import (
-            calib_queries,
+            calib_ground_truth,
             curve_is_stale,
             read_curve_meta,
         )
@@ -1495,10 +1495,10 @@ class VectorStore:
         if not curve_is_stale(meta, n):
             return {int(ef): float(r) for ef, r in meta["curve"].items()}
         corpus = self.get(name).select("id", "embedding")
-        qs = calib_queries(corpus, item_id="id", item_vec="embedding")
-        gt = exact_knn(qs, corpus, k=10, item_id="id").select(
-            "query_id", "item_id"
-        )
+        # self-pair-free gt: the beam trivially finds the query itself,
+        # so including it would overstate every measured ef's recall
+        qs, gt = calib_ground_truth(corpus, item_id="id")
+        gt = gt.select("query_id", "item_id")
         total = gt.count() or 1
         qsd = qs.select(
             "query_id", F.col("query_vec").cast("array<double>").alias("query_vec")
@@ -1514,7 +1514,7 @@ class VectorStore:
                 break
         publish_marker(
             os.path.join(idx, fname),
-            {"n_corpus": int(n),
+            {"n_corpus": int(n), "calib": CALIB_VERSION,
              "curve": {str(ef): r for ef, r in curve.items()}},
         )
         return curve

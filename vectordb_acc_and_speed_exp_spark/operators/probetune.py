@@ -61,13 +61,25 @@ DEFAULT_N_SAMPLE = 32
 # carries a 0.15 margin because both sides of the comparison are small
 # samples: the calibration curve is measured on 32 queries x k pairs
 # (one-sigma binomial error ~ 0.05-0.06) and any fresh evaluation set is
-# itself noisy — the recall gate's 5-query set measures ~0.10-0.14 BELOW
+# itself noisy — the recall gate's 5-query set measured ~0.10-0.14 BELOW
 # the 32-query calibration at every mid-curve budget (sf0.1, r09:
 # curve 0.83 @ 7 probes vs eval 0.68; curve 0.87 @ 8 vs eval 0.74), a
-# ~2.5-sigma-hard query draw that a 0.80 target does not absorb. 0.85
-# keeps every family's measured EVAL recall at or above 0.74 while still
-# pruning 40-50% of the scan at the IVF families.
+# ~2.5-sigma-hard query draw that a 0.80 target does not absorb. Part of
+# that gap was the calibration's own self-pair inflation (~(1-r)/k —
+# removed in CALIB_VERSION 2, calib_ground_truth), which shifts curves
+# DOWN toward the eval numbers and budgets correspondingly up; the 0.85
+# target is kept as the sampling-noise cushion. It keeps every family's
+# measured EVAL recall at or above 0.74 while still pruning 40-50% of
+# the scan at the IVF families.
 DEFAULT_TARGET_RECALL = 0.85
+# Calibration-methodology version: bumped whenever the measured-curve
+# SEMANTICS change (v2 = the self-pair exclusion — curves measured before
+# it are inflated by ~(1-r)/k and must not keep choosing budgets).
+# curve_is_stale treats any persisted sidecar with a different (or
+# missing) version as stale, so a methodology change recalibrates every
+# artifact exactly once instead of serving evidence measured under the
+# old contract.
+CALIB_VERSION = 2
 # Shortlist budgets are calibrated on this grid (curve size stays O(grid),
 # not O(corpus)); choose_shortlist falls back to the full corpus when no
 # grid point meets the target.
@@ -110,10 +122,7 @@ def probe_recall_curve(
     from one calibration pass (module docstring)."""
     corpus = read_layout(spark, corpus_path)
     n_cells = centroids.count()
-    qs = calib_queries(corpus, n_sample, item_id=item_id, item_vec=item_vec)
-    gt = exact_knn(
-        qs, corpus, k=k, item_id=item_id, item_vec=item_vec
-    ).select("query_id", "item_id")
+    qs, gt = _calib_gt(corpus, k, n_sample, item_id, item_vec)
     cells = corpus.select(F.col(item_id).alias("item_id"), "cell")
     qcell_rank = exact_knn(
         qs, centroids, k=n_cells, item_id="cell", item_vec="centroid"
@@ -154,6 +163,7 @@ def write_probe_curve(
     payload = {
         "k": int(k),
         "n_sample": int(n_sample),
+        "calib": CALIB_VERSION,
         "curve": {str(p): float(r) for p, r in curve.items()},
     }
     if n_corpus is not None:
@@ -192,6 +202,10 @@ def curve_is_stale(meta: dict | None, current_n: int) -> bool:
     re-calibrate once and gain the field."""
     if meta is None:
         return True
+    if meta.get("calib") != CALIB_VERSION:
+        # measured under an older calibration contract (e.g. pre-self-
+        # pair-exclusion): the numbers are not evidence for this code
+        return True
     n0 = meta.get("n_corpus")
     if n0 is None:
         return True
@@ -209,6 +223,23 @@ def choose_n_probe(curve: dict[int, float], target_recall: float) -> int:
         if curve[p] >= target_recall:
             return p
     return n_cells
+
+
+def _choose_probe_with_margin(
+    curve: dict[int, float], target: float, margin: float
+) -> int:
+    """Smallest probe whose ceiling clears target+margin — WITHOUT ever
+    entering choose_n_probe's ``>= 1.0`` guarantee branch. The margin is
+    an engineering cushion for downstream quantization loss, not a user
+    exactness request: a target of 0.97 + 0.03 must not silently become
+    a full-probe scan when the measured curve certifies 0.97 (or even
+    1.0) at a small budget (api.py intercepts a REAL target >= 1.0
+    before budgets are resolved)."""
+    t = min(target + margin, 0.9999)
+    for p in sorted(curve):
+        if curve[p] >= t:
+            return p
+    return max(curve)
 
 
 def choose_shortlist(
@@ -262,28 +293,62 @@ def shortlist_recall_curve(
         .filter(F.col("_rn") <= grid[-1])
         .select("query_id", item_id, "_rn")
     )
-    hits = [
-        r._rn
-        for r in ranked.join(
-            gt.select("query_id", item_id), ["query_id", item_id]
-        ).select("_rn").collect()
-    ]
-    total = gt.count()
-    if not total:
-        return {s: 1.0 for s in grid}
-    return {
-        s: round(sum(1 for h in hits if h <= s) / total, 4) for s in grid
-    }
+    # one recall-histogram contract for every shortlist curve builder
+    # (_curve_from_ranked joins on the canonical "item_id" name)
+    if item_id != "item_id":
+        ranked = ranked.withColumnRenamed(item_id, "item_id")
+    gtn = gt.select("query_id", F.col(item_id).alias("item_id"))
+    return _curve_from_ranked(ranked, gtn, grid)
+
+
+def calib_ground_truth(
+    corpus: DataFrame,
+    k: int = 10,
+    n_sample: int = DEFAULT_N_SAMPLE,
+    item_id: str = "item_id",
+    item_vec: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(qs, gt) for curve calibration, both eagerly checkpointed; gt has
+    (query_id, item_id, rank) with ranks 1..k.
+
+    Calibration queries are corpus MEMBERS, so a naive exact-kNN ground
+    truth contains each query's self-pair (rank 1, distance 0) — a hit
+    every family reaches at any budget, inflating every measured curve
+    by ~(1-r)/k and under-delivering on fresh queries. The ground truth
+    therefore fetches k+1 and DROPS the self-pair, re-ranking the top k
+    real neighbors — the recall a fresh query would actually see.
+
+    The checkpoint matters for cost: gt's lineage is a full-corpus
+    broadcast cross-join; every curve builder consumes it at least twice
+    (hits join + denominator count), and the composed two-attempt loop
+    up to four times — materializing the <= n_sample*(k+1) rows once
+    replaces repeated corpus scans."""
+    qs = calib_queries(
+        corpus, n_sample, item_id=item_id, item_vec=item_vec
+    ).localCheckpoint(eager=True)
+    gt = (
+        exact_knn(qs, corpus, k=k + 1, item_id=item_id, item_vec=item_vec)
+        .filter(F.col("item_id") != F.col("query_id"))
+        .withColumn(
+            "_gtrn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("rank")
+            ),
+        )
+        .filter(F.col("_gtrn") <= k)
+        .select("query_id", "item_id", F.col("_gtrn").alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    return qs, gt
 
 
 def _calib_gt(
     corpus: DataFrame, k: int, n_sample: int, item_id: str, item_vec: str
 ) -> tuple[DataFrame, DataFrame]:
-    qs = calib_queries(corpus, n_sample, item_id=item_id, item_vec=item_vec)
-    gt = exact_knn(qs, corpus, k=k, item_id=item_id, item_vec=item_vec).select(
-        "query_id", "item_id"
+    qs, gt = calib_ground_truth(
+        corpus, k, n_sample, item_id=item_id, item_vec=item_vec
     )
-    return qs, gt
+    return qs, gt.select("query_id", "item_id")
 
 
 def bq_shortlist_curve(
@@ -383,20 +448,17 @@ def _curve_from_ranked(
 
 def _joint_curve(
     scored_with_cell: DataFrame,
-    qs: DataFrame,
+    qcells: DataFrame,
     gt: DataFrame,
-    centroids: DataFrame,
-    n_probe: int,
     grid: tuple[int, ...],
 ) -> dict[int, float]:
     """Recall-vs-shortlist of a composed layout AT a given probe budget:
-    ranks are computed over only the items whose cell the query probes,
-    so the curve carries the joint probe+quantization loss — a ground
+    ranks are computed over only the items whose cell the query probes
+    (``qcells`` = the (query_id, cell) probe plan the caller already
+    computed — re-deriving it here would re-run the centroid kNN), so
+    the curve carries the joint probe+quantization loss — a ground
     truth neighbor outside every probed cell can never reach any rank
     and correctly counts as a miss at every shortlist."""
-    qcells = exact_knn(
-        qs, centroids, k=n_probe, item_id="cell", item_vec="centroid"
-    ).select("query_id", F.col("item_id").alias("cell"))
     probed = scored_with_cell.join(qcells, ["query_id", "cell"]).select(
         "query_id", "item_id", "adist"
     )
@@ -433,31 +495,28 @@ def composed_serving_budget(
     result is persisted by the caller, so serve-time cost is a dict
     lookup."""
     corpus = read_layout(spark, corpus_path)
-    qs = calib_queries(corpus, n_sample, item_id=item_id, item_vec=item_vec)
-    gt = exact_knn(qs, corpus, k=k, item_id=item_id, item_vec=item_vec).select(
-        "query_id", "item_id"
-    )
+    qs, gt = _calib_gt(corpus, k, n_sample, item_id, item_vec)
     if probe_curve is None:
         probe_curve = probe_recall_curve(
             spark, corpus_path, centroids, k=k, n_sample=n_sample,
             item_id=item_id, item_vec=item_vec,
         )
     n_cells = max(probe_curve)
-    p = choose_n_probe(probe_curve, min(1.0, target_recall + 0.03))
+    p = _choose_probe_with_margin(probe_curve, target_recall, 0.03)
     for attempt in range(2):
         qcells = exact_knn(
             qs, centroids, k=p, item_id="cell", item_vec="centroid"
         ).select("query_id", F.col("item_id").alias("cell"))
         probed_cells = sorted(
-            {r.cell for r in qcells.select("cell").distinct().collect()}
+            r.cell for r in qcells.select("cell").distinct().collect()
         )
         scored = scored_fn(qs, probed_cells)
-        curve = _joint_curve(scored, qs, gt, centroids, p, grid)
+        curve = _joint_curve(scored, qcells, gt, grid)
         if max(curve.values()) >= target_recall or p >= n_cells:
             break
-        p = min(n_cells, max(p + 1, choose_n_probe(
-            probe_curve, min(1.0, target_recall + 0.10)
-        )))
+        p = min(n_cells, max(
+            p + 1, _choose_probe_with_margin(probe_curve, target_recall, 0.10)
+        ))
     n_corpus = corpus.count()
     s = choose_shortlist(curve, target_recall, n_corpus)
     return {
@@ -506,7 +565,13 @@ def lsh_bits_recall_curve(
         )
         .groupBy("hd").count().collect()
     )
-    total = sum(r["count"] for r in hist) or 1
+    total = sum(r["count"] for r in hist)
+    if not total:
+        # consistent with every other curve builder's degenerate-input
+        # fallback: an empty ground truth certifies nothing is missed,
+        # and b = n_planes IS structurally exact (docstring) — an
+        # all-zeros curve here would force max probe depth downstream
+        return {b: 1.0 for b in range(0, n_planes + 1)}
     by_hd = {int(r.hd): int(r["count"]) for r in hist}
     curve, cum = {}, 0
     for b in range(0, n_planes + 1):

@@ -185,7 +185,7 @@ def _measured_budget(spark, sf_dir: str, fam: str, compute) -> dict:
 
     from ..io.commitproto import publish_marker
 
-    from ..operators.probetune import DEFAULT_TARGET_RECALL
+    from ..operators.probetune import CALIB_VERSION, DEFAULT_TARGET_RECALL
 
     root = _index_root(sf_dir)
     f = os.path.join(root, f"{fam}._budget.json")
@@ -194,14 +194,20 @@ def _measured_budget(spark, sf_dir: str, fam: str, compute) -> dict:
         try:
             with open(f) as fh:
                 d = json.load(fh)
-            # a budget is valid only for the corpus AND the target it was
-            # chosen at — a DEFAULT_TARGET_RECALL change recalibrates
-            if d.get("fp") == fp and d.get("target") == DEFAULT_TARGET_RECALL:
+            # a budget is valid only for the corpus, the target AND the
+            # calibration methodology it was chosen under — a
+            # DEFAULT_TARGET_RECALL or CALIB_VERSION change recalibrates
+            if (
+                d.get("fp") == fp
+                and d.get("target") == DEFAULT_TARGET_RECALL
+                and d.get("calib") == CALIB_VERSION
+            ):
                 return d
         except (OSError, json.JSONDecodeError):
             pass
     d = dict(compute())
     d["fp"] = fp
+    d["calib"] = CALIB_VERSION
     os.makedirs(root, exist_ok=True)
     publish_marker(f, d)
     return d
@@ -373,14 +379,17 @@ def _mtlsh_serving(spark: SparkSession, sf_dir: str) -> dict:
     (the EP3 candidate-coverage curve, operators/mtlsh.py::
     mt_lsh_budget_curve, over a geometric grid) at
     DEFAULT_TARGET_RECALL; falls back to the largest grid budget."""
-    from ..operators.knn import exact_knn
     from ..operators.mtlsh import mt_lsh_budget_curve
-    from ..operators.probetune import DEFAULT_TARGET_RECALL, calib_queries
+    from ..operators.probetune import (
+        DEFAULT_TARGET_RECALL,
+        calib_ground_truth,
+    )
 
     def compute():
         emb = load_table(spark, sf_dir, "embeddings")
-        qs = calib_queries(emb, item_id="vec_id", item_vec="embedding")
-        gt = exact_knn(qs, emb, k=10, item_id="vec_id")
+        # self-pair-free ground truth: serving budgets must clear the
+        # recall a FRESH query sees (probetune.calib_ground_truth)
+        qs, gt = calib_ground_truth(emb, item_id="vec_id")
         rows = mt_lsh_budget_curve(
             qs, emb, gt, [16, 32, 64, 128, 256], k=10, item_id="vec_id"
         ).collect()
