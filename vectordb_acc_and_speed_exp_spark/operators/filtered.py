@@ -132,6 +132,13 @@ def plan_filtered_knn(
     to the exact counts."""
     corpus = spark.read.parquet(corpus_path)
     n_corpus = corpus.count()  # footer-only: no column data materializes
+    crossover = knobs.get("exact_crossover_n", EXACT_CROSSOVER_N)
+    if estimate and n_corpus <= crossover:
+        # the corpus count alone already decides the branch (exact wins
+        # below the crossover regardless of selectivity) — don't burn a
+        # sampling scan whose answer the chooser would ignore; the exact
+        # survivor count is cheap at this size and keeps the evidence real
+        estimate = False
     if estimate and n_cells > 1:
         # STRIDED cell subset (cell % 8 == 0), not the contiguous range
         # cell < n/8: kmeans cells partition embedding space, so metadata
@@ -139,9 +146,20 @@ def plan_filtered_knn(
         # contiguous sample — an overestimated selectivity under-widens
         # n_probe and silently erodes recall below the 4/s dial (ADVICE
         # r07). Striding spreads the sample across the index ordering;
-        # still a PartitionFilter, so the scan stays pruned.
-        stride = min(8, n_cells)
-        sample = corpus.filter(F.col("cell") % stride == 0)
+        # still a PartitionFilter, so the scan stays pruned. With fewer
+        # than ~2 cells per stride step (n_cells <= 8) the stride
+        # degenerates to the single contiguous cell 0 — exactly the
+        # localized sample the stride exists to avoid — so those layouts
+        # sample 1/8 of ROWS by id hash instead: no partition pruning,
+        # but cell-independent selectivity on a corpus whose cell count
+        # is too small for a spread cell subset anyway.
+        if n_cells <= 8:
+            row_cols = [c for c in corpus.columns if c != "cell"]
+            sample = corpus.filter(
+                F.pmod(F.xxhash64(*row_cols), F.lit(8)) == 0
+            )
+        else:
+            sample = corpus.filter(F.col("cell") % 8 == 0)
         n_rows, n_surv = (
             sample.select(
                 F.count(F.lit(1)).alias("n"),
@@ -185,8 +203,13 @@ def _layout_fingerprint(path: str) -> tuple:
     try:
         with os.scandir(path) as it:
             mt = [e.stat().st_mtime_ns for e in it]
-    except FileNotFoundError:
-        return (0, 0)
+    except OSError:
+        # a path the local stat cannot see (URI-scheme layouts Spark can
+        # still read, transient races): returning a CONSTANT here would
+        # make every cached plan match forever and serve stale decisions
+        # past upserts — None never equals a stored fingerprint, so such
+        # layouts re-plan per call instead of caching wrong
+        return None
     return (len(mt), max(mt, default=0))
 
 
@@ -242,8 +265,12 @@ def filtered_knn_auto(
             tuple(sorted(knobs.items())),
         )
         cached = _PLAN_CACHE.get(cache_key)
-        if cached is not None and cached["fingerprint"] == fp:
+        if cached is not None and fp is not None and cached["fingerprint"] == fp:
             plan = cached
+            # LRU, not FIFO: a hit refreshes recency, so the hottest
+            # predicate shape is never the first evicted at the cap
+            _PLAN_CACHE.pop(cache_key, None)
+            _PLAN_CACHE[cache_key] = plan
         else:
             n_cells = centroids.count()
             plan = plan_filtered_knn(
@@ -252,8 +279,15 @@ def filtered_knn_auto(
             )
             plan["fingerprint"] = fp
             while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
-                _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
-            _PLAN_CACHE[cache_key] = plan
+                # tolerant pop: concurrent planners can race the eviction
+                # of the same oldest key — losing that race must not fail
+                # the query
+                try:
+                    _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)), None)
+                except (StopIteration, RuntimeError):
+                    break
+            if fp is not None:
+                _PLAN_CACHE[cache_key] = plan
     if plan["strategy"] == "exact":
         corpus = spark.read.parquet(corpus_path).filter(predicate)
         return exact_knn(
