@@ -108,7 +108,12 @@ def test_facade_target_recall_dial(spark, embeddings, tmp_path):
     res = vs.query("c", query_vecs=probe, k=5, mode="ivfbq",
                    target_recall=0.9).collect()
     assert {r.query_id for r in res} == {0, 1}
+    # curves are keyed by the REQUESTED k (VERDICT r10 #1): k=5 writes a
+    # _k5 sidecar; the bare name is reserved for the k=10 default
     assert os.path.exists(
+        os.path.join(vs.root, ".ivf_index", "c", "_probe_curve_k5.json")
+    )
+    assert not os.path.exists(
         os.path.join(vs.root, ".ivf_index", "c", "_probe_curve.json")
     )
     with pytest.raises(ValueError, match="not both"):
@@ -182,8 +187,10 @@ def test_default_budgets_are_measured(spark, embeddings, tmp_path):
     probe = [[float(x) for x in r.embedding]
              for r in embeddings.limit(1).collect()]
     assert vs.query("c", query_vecs=probe, k=5, mode="pq").count() == 5
+    # k-keyed sidecar (VERDICT r10 #1): the k=5 default-budget query
+    # calibrates AT k=5
     assert os.path.exists(
-        os.path.join(vs.root, ".pq_index", "c", "_shortlist_curve.json")
+        os.path.join(vs.root, ".pq_index", "c", "_shortlist_curve_k5.json")
     )
     assert vs.query("c", query_vecs=probe, k=5, mode="ivfbq").count() == 5
     sidecar = os.path.join(vs.root, ".ivf_index", "c", "_ivfbq_serving.json")
@@ -217,7 +224,9 @@ def test_curve_recalibrates_on_corpus_growth(spark, embeddings, tmp_path):
     probe = [[float(x) for x in r.embedding]
              for r in embeddings.filter(F.col("vec_id") < 2)
              .orderBy("vec_id").collect()]
-    vs.query("c", query_vecs=probe, k=5, mode="ivfbq", target_recall=0.9)
+    # k=10 throughout so both queries share ONE k-keyed sidecar — the
+    # growth-triggered recalibration is what this test pins
+    vs.query("c", query_vecs=probe, k=10, mode="ivfbq", target_recall=0.9)
     curve_path = os.path.join(vs.root, ".ivf_index", "c", "_probe_curve.json")
     with open(curve_path) as fh:
         n0 = json.load(fh)["n_corpus"]
@@ -269,7 +278,7 @@ def test_lsh_calib_dropped_on_upsert_and_delete(spark, embeddings, tmp_path):
     probe = [[float(x) for x in
               embeddings.filter(F.col("vec_id") == 0).first().embedding]]
     vs.query("c", query_vecs=probe, k=3, mode="lsh", target_recall=0.8)
-    calib = os.path.join(vs.root, ".lsh_calib", "c.json")
+    calib = os.path.join(vs.root, ".lsh_calib", "c_k3.json")
     assert os.path.exists(calib)
     vs.add(
         "c",
@@ -384,3 +393,84 @@ def test_filtered_target_recall_flat_families(spark, embeddings, tmp_path):
     assert sorted((r.query_id, r.rank, r.item_id) for r in got2) == sorted(
         (r.query_id, r.rank, r.item_id) for r in ex2
     )
+
+
+def test_k_keyed_calibration_meets_recall_at_requested_k(
+    spark, embeddings, tmp_path
+):
+    """VERDICT r10 #1 done-criterion: ``query(k=25, target_recall=0.85)``
+    serves a budget calibrated AT k=25 — one sidecar per (artifact, k) —
+    and the realized recall@25 on a fresh query set clears the target
+    minus sampling tolerance, on a flat (pq), a composed (ivfbq), and
+    the graph family. A mismatched-k query never serves a stale-k
+    budget: the k=10 and k=25 calls each write their OWN sidecar, and
+    the composed serving table keys its entries by (target, k)."""
+    import json
+    import os
+
+    from vectordb_acc_and_speed_exp_spark.api import VectorStore
+    from vectordb_acc_and_speed_exp_spark.operators.knn import exact_knn
+    from vectordb_acc_and_speed_exp_spark.operators.recall import (
+        mean_recall,
+        recall_at_k,
+    )
+
+    dim = len(embeddings.select("embedding").first()[0])
+    vs = VectorStore(spark, str(tmp_path / "storek25"), dim=dim)
+    vs.create_collection(
+        "c",
+        embeddings.select(
+            F.col("vec_id").cast("string").alias("id"), "embedding"
+        ),
+    )
+    qrows = (
+        embeddings.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+    )
+    probe = [[float(x) for x in r.embedding] for r in qrows]
+    qs = embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    gt25 = exact_knn(qs, embeddings, k=25, item_id="vec_id").select(
+        "query_id", "rank", F.col("item_id").cast("string").alias("item_id")
+    )
+    # prime the k=10 sidecars first — the k=25 query below must NOT
+    # reuse them (the stale-k budget the verdict forbids)
+    for mode in ("pq", "ivfbq", "graph"):
+        vs.query("c", query_vecs=probe[:1], k=10, mode=mode,
+                 target_recall=0.85).count()
+    for mode in ("pq", "ivfbq", "graph"):
+        res = vs.query(
+            "c", query_vecs=probe, k=25, mode=mode, target_recall=0.85
+        ).select(
+            "query_id", "rank",
+            F.col("item_id").cast("string").alias("item_id"),
+        )
+        r = mean_recall(recall_at_k(gt25, res, k=25)).first().mean_recall
+        # 8 queries x 25 pairs: ~1.5 sigma tolerance under the target
+        assert r >= 0.85 - 0.1, f"{mode}: k=25 target 0.85 served {r}"
+    # each k wrote its own sidecar (k=10 = bare name, k=25 = _k25)
+    assert os.path.exists(
+        os.path.join(vs.root, ".pq_index", "c", "_shortlist_curve.json")
+    )
+    assert os.path.exists(
+        os.path.join(vs.root, ".pq_index", "c", "_shortlist_curve_k25.json")
+    )
+    assert os.path.exists(
+        os.path.join(vs.root, ".graph_index", "c", "_ef_curve.json")
+    )
+    assert os.path.exists(
+        os.path.join(vs.root, ".graph_index", "c", "_ef_curve_k25.json")
+    )
+    with open(
+        os.path.join(vs.root, ".ivf_index", "c", "_ivfbq_serving.json")
+    ) as fh:
+        targets = json.load(fh)["targets"]
+    assert "0.85" in targets and "0.85@k25" in targets
+    # the k-keyed sidecars carry their k, so a hand-mismatched read is
+    # structurally stale (curve_is_stale k check)
+    with open(
+        os.path.join(vs.root, ".pq_index", "c", "_shortlist_curve_k25.json")
+    ) as fh:
+        assert json.load(fh)["k"] == 25

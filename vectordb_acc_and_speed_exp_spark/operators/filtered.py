@@ -154,9 +154,23 @@ def plan_filtered_knn(
         # but cell-independent selectivity on a corpus whose cell count
         # is too small for a spread cell subset anyway.
         if n_cells <= 8:
-            row_cols = [c for c in corpus.columns if c != "cell"]
+            # hash a SMALL stable column only (the id if present, else the
+            # first scalar non-cell column): hashing every column would
+            # materialize the embedding arrays for the whole corpus — more
+            # IO than the exact count this sample replaces (ADVICE r10).
+            scalar = [
+                f.name
+                for f in corpus.schema.fields
+                if f.name != "cell"
+                and f.dataType.typeName() not in ("array", "struct", "map")
+            ]
+            key = (
+                ["id"] if "id" in scalar
+                else scalar[:1]
+                or [c for c in corpus.columns if c != "cell"][:1]
+            )
             sample = corpus.filter(
-                F.pmod(F.xxhash64(*row_cols), F.lit(8)) == 0
+                F.pmod(F.xxhash64(*key), F.lit(8)) == 0
             )
         else:
             sample = corpus.filter(F.col("cell") % 8 == 0)

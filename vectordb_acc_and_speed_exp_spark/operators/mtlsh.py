@@ -52,6 +52,17 @@ from ..functions.vector import l2_dist
 DEFAULT_N_TABLES = 32
 DEFAULT_FLIP_POOL = 10  # enumerate flips over the 10 lowest-margin bits
 DEFAULT_MAX_FLIPS = 5
+# Auto-compaction cadence (VERDICT r10 #6): without it, append-mode
+# indexes grow one file per table per batch FOREVER until someone calls
+# optimize() — read amplification unbounded by anything but operator
+# discipline. Every append bumps ``gen``; once gen - compacted_gen
+# reaches this threshold the NEXT facade write runs
+# compact_mt_lsh_index inline, amortized. Economics (EP3 appendix,
+# measured at 800k x 32 tables): compaction ~37 s, per-batch upsert
+# ~0.8 s — at every-16-batches the amortized compaction tax is ~2.9x
+# the upsert itself while read amplification stays bounded at <= 17
+# files/table (vs unbounded).
+AUTO_COMPACT_APPENDS = 16
 
 
 def _auto_planes(n_rows: int) -> int:
@@ -573,6 +584,15 @@ def compact_mt_lsh_index(spark: SparkSession, index_path: str) -> int:
             ),
         )
         n_done += 1
+    # stamp the compaction watermark LAST (all table dirs swapped): the
+    # facade's auto-compaction trigger compares gen - compacted_gen
+    # against AUTO_COMPACT_APPENDS, so a crash mid-compaction leaves the
+    # old watermark and the next write simply re-triggers — idempotent
+    # (each table dir's staged swap self-heals independently)
+    from ..io.commitproto import publish_marker
+
+    meta["compacted_gen"] = int(meta.get("gen", 0))
+    publish_marker(os.path.join(index_path, "_mtlsh_meta.json"), meta)
     return n_done
 
 

@@ -73,13 +73,18 @@ DEFAULT_N_SAMPLE = 32
 # the scan at the IVF families.
 DEFAULT_TARGET_RECALL = 0.85
 # Calibration-methodology version: bumped whenever the measured-curve
-# SEMANTICS change (v2 = the self-pair exclusion — curves measured before
-# it are inflated by ~(1-r)/k and must not keep choosing budgets).
+# SEMANTICS change (v2 = the self-pair exclusion on the GROUND-TRUTH side
+# — curves measured before it are inflated by ~(1-r)/k and must not keep
+# choosing budgets; v3 = the symmetric exclusion on the RANKED/result
+# side — queries are corpus members, so the self hit (distance 0) was
+# still consuming rank 1 in every rank-based curve, capping the
+# measurable recall at (k-1)/k and shifting every curve one rank
+# conservative, ADVICE r10).
 # curve_is_stale treats any persisted sidecar with a different (or
 # missing) version as stale, so a methodology change recalibrates every
 # artifact exactly once instead of serving evidence measured under the
 # old contract.
-CALIB_VERSION = 2
+CALIB_VERSION = 3
 # Shortlist budgets are calibrated on this grid (curve size stays O(grid),
 # not O(corpus)); choose_shortlist falls back to the full corpus when no
 # grid point meets the target.
@@ -192,19 +197,31 @@ def read_curve_meta(index_root: str, fname: str = CURVE_FILE) -> dict | None:
         return json.load(fh)
 
 
-def curve_is_stale(meta: dict | None, current_n: int) -> bool:
+def curve_is_stale(
+    meta: dict | None, current_n: int, k: int | None = None
+) -> bool:
     """Size-aware invalidation (VERDICT r08 #3): a curve calibrated at
     ``n_corpus`` rows is stale once the collection grows past
     CURVE_STALE_GROWTH × that size — fixed-budget recall decays with
     corpus size even with zero distribution drift, so the old curve's
     recall numbers are no longer evidence. Curves written before this
     field existed (no n_corpus) are treated as stale so they
-    re-calibrate once and gain the field."""
+    re-calibrate once and gain the field.
+
+    ``k`` (VERDICT r10 #1): when given, a sidecar calibrated at a
+    DIFFERENT k is stale — recall@10 says nothing certifiable about
+    recall@25 (larger k reaches deeper ranks), so a mismatched-k curve
+    must never choose a budget. Callers key sidecar FILES by k, so this
+    check only fires on pre-k-keyed sidecars and hand-edited files —
+    but it is the contract that makes "never serve a stale-k budget"
+    structural rather than a path-naming convention."""
     if meta is None:
         return True
     if meta.get("calib") != CALIB_VERSION:
         # measured under an older calibration contract (e.g. pre-self-
         # pair-exclusion): the numbers are not evidence for this code
+        return True
+    if k is not None and int(meta.get("k", -1)) != int(k):
         return True
     n0 = meta.get("n_corpus")
     if n0 is None:
@@ -283,13 +300,22 @@ def shortlist_recall_curve(
     """{shortlist: recall@k} from a (query_id, item_id, <adist>) frame of
     approximate distances and an exact ground-truth (query_id, item_id)
     pair set. Rank ties break by item_id — the same total order every
-    serve path uses, so the curve measures exactly the served ranking."""
+    serve path uses, so the curve measures exactly the served ranking.
+
+    CALIB v3: the query's own corpus row is dropped from the RANKED side
+    (mirroring calib_ground_truth's gt-side exclusion) — calibration
+    queries are corpus members, so the self hit (distance 0, rank 1)
+    would consume a rank in every curve, cap the measurable recall at
+    (k-1)/k, and shift every budget one rank conservative; fresh queries
+    have no self row, so the symmetric exclusion is what measures THEIR
+    recall (ADVICE r10)."""
     grid = tuple(sorted(int(s) for s in grid))
     w = Window.partitionBy("query_id").orderBy(
         F.asc(adist), F.asc(item_id)
     )
     ranked = (
-        scored.withColumn("_rn", F.row_number().over(w))
+        scored.filter(F.col(item_id) != F.col("query_id"))
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= grid[-1])
         .select("query_id", item_id, "_rn")
     )
@@ -399,10 +425,10 @@ def pq_shortlist_curve(
     from .pq import pq_search
 
     qs, gt = _calib_gt(corpus, k, n_sample, item_id, item_vec)
-    ranked = pq_search(qs, encoded, codebooks, k=max(grid)).select(
+    ranked = pq_search(qs, encoded, codebooks, k=max(grid) + 1).select(
         "query_id", "item_id", F.col("rank").alias("_rn")
     )
-    return _curve_from_ranked(ranked, gt, grid)
+    return _curve_from_ranked(_drop_self_reranked(ranked), gt, grid)
 
 
 def sq_shortlist_curve(
@@ -421,10 +447,23 @@ def sq_shortlist_curve(
     from .sq import sq_search
 
     qs, gt = _calib_gt(corpus, k, n_sample, item_id, item_vec)
-    ranked = sq_search(qs, encoded, vmin, scale, k=max(grid)).select(
+    ranked = sq_search(qs, encoded, vmin, scale, k=max(grid) + 1).select(
         "query_id", "item_id", F.col("rank").alias("_rn")
     )
-    return _curve_from_ranked(ranked, gt, grid)
+    return _curve_from_ranked(_drop_self_reranked(ranked), gt, grid)
+
+
+def _drop_self_reranked(ranked: DataFrame) -> DataFrame:
+    """CALIB v3 result-side self-pair exclusion for PRE-RANKED frames
+    (query_id, item_id, _rn): drop the query's own corpus row and
+    re-compact the ranks so every item below the self hit moves up one —
+    the ranking a fresh (non-member) query would see. Callers fetch one
+    extra rank (max(grid)+1) so the tail rank survives the drop."""
+    w = Window.partitionBy("query_id").orderBy("_rn")
+    return (
+        ranked.filter(F.col("item_id") != F.col("query_id"))
+        .withColumn("_rn", F.row_number().over(w))
+    )
 
 
 def _curve_from_ranked(

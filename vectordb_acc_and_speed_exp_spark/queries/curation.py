@@ -277,9 +277,12 @@ def _decontaminate_frame(d: DataFrame) -> DataFrame:
     split is precomputed so tests can pin membership explicitly."""
     from ..io import spread_small_scan
 
-    toks = spread_small_scan(d).select(
+    # the split != 'val' filter goes BELOW the repartition: spread_small_scan
+    # blocks scan-level pushdown for anything above it (its own contract),
+    # and this is the one pushdown-eligible predicate here (ADVICE r10)
+    toks = spread_small_scan(d.filter(F.col("split") != "val")).select(
         "doc_id", "split", tokens(norm_text(F.col("text"))).alias("t")
-    ).filter((F.col("split") != "val") & (F.size("t") >= _DECON_N))
+    ).filter(F.size("t") >= _DECON_N)
     gram_hashes = F.transform(
         F.sequence(F.lit(0), F.size("t") - _DECON_N),
         lambda i: portable_hash64(
