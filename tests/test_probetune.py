@@ -365,7 +365,7 @@ def test_filtered_target_recall_flat_families(spark, embeddings, tmp_path):
             os.path.join(pathfn("c"), "_filtered_shortlist_curve.json")
         ) as fh:
             bins = json.load(fh)["bins"]
-        assert set(bins) == {"0.10", "0.25", "0.50"}, fam
+        assert set(bins) == {"0.03", "0.10", "0.25", "0.50"}, fam
         for c in bins.values():  # each bin is a nondecreasing curve
             vals = [c[s] for s in sorted(c, key=int)]
             assert vals == sorted(vals)
@@ -380,9 +380,15 @@ def test_filtered_target_recall_flat_families(spark, embeddings, tmp_path):
     assert sorted((r.query_id, r.rank, r.item_id) for r in tr1) == sorted(
         (r.query_id, r.rank, r.item_id) for r in exact
     )
-    # below the smallest calibrated bin (~5% filter): reroute to
-    # exact-over-survivors — identical to the filtered exact scan
+    # a ~3-5% filter is SERVED from the calibrated 0.03 bin (VERDICT r10
+    # #7 — it used to reroute to exact-over-survivors, which at scale
+    # still scans millions of survivors), and the served result matches
+    # the filtered exact oracle at this scale (the chosen shortlist
+    # covers the tiny survivor set)
     tiny = "label = 0 and cast(id as bigint) < 150"
+    frac = vs._where_selectivity("c", tiny)
+    assert 0.03 - 1e-9 <= frac < 0.10
+    assert vs._resolve_filtered_shortlist("c", "sq", 10, 0.8, frac) is not None
     ex2 = vs.query(
         "c", query_vecs=probe, k=10, mode="exact", where=tiny
     ).collect()
@@ -392,6 +398,20 @@ def test_filtered_target_recall_flat_families(spark, embeddings, tmp_path):
     ).collect()
     assert sorted((r.query_id, r.rank, r.item_id) for r in got2) == sorted(
         (r.query_id, r.rank, r.item_id) for r in ex2
+    )
+    # BELOW the smallest calibrated bin (~2%): reroute to exact-over-
+    # survivors — certain, and cheap exactly where it fires
+    assert vs._resolve_filtered_shortlist("c", "sq", 10, 0.8, 0.02) is None
+    sub = "cast(id as bigint) < 10"
+    ex3 = vs.query(
+        "c", query_vecs=probe, k=10, mode="exact", where=sub
+    ).collect()
+    got3 = vs.query(
+        "c", query_vecs=probe, k=10, mode="sq", where=sub,
+        target_recall=0.8,
+    ).collect()
+    assert sorted((r.query_id, r.rank, r.item_id) for r in got3) == sorted(
+        (r.query_id, r.rank, r.item_id) for r in ex3
     )
 
 

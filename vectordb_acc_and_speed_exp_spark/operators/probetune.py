@@ -87,8 +87,12 @@ DEFAULT_TARGET_RECALL = 0.85
 CALIB_VERSION = 3
 # Shortlist budgets are calibrated on this grid (curve size stays O(grid),
 # not O(corpus)); choose_shortlist falls back to the full corpus when no
-# grid point meets the target.
-SHORTLIST_GRID = (10, 25, 50, 100, 200, 400, 800, 1600, 3200)
+# grid point meets the target. The 6400/12800 points exist for large or
+# adversarial corpora (and the survivor-restricted filtered bins over
+# them) where 3200 candidates genuinely can't certify 0.85 — without
+# them the chooser jumps straight from 3200 to a full-corpus re-rank
+# (measured on the 1M jittered fixture, VERDICT r10 #7 study).
+SHORTLIST_GRID = (10, 25, 50, 100, 200, 400, 800, 1600, 3200, 6400, 12800)
 # Size-aware staleness (VERDICT r08 #3): fixed-budget recall decays as the
 # corpus grows (the reference's own recall-vs-size curve), so a curve
 # calibrated at n_corpus rows stops being evidence once the collection
