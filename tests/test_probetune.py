@@ -494,3 +494,33 @@ def test_k_keyed_calibration_meets_recall_at_requested_k(
         os.path.join(vs.root, ".pq_index", "c", "_shortlist_curve_k25.json")
     ) as fh:
         assert json.load(fh)["k"] == 25
+
+
+def test_graph_curve_can_certify_above_k_minus_1_over_k(
+    spark, embeddings, tmp_path
+):
+    """ADVICE r10 / CALIB v3 observable effect: calibration queries are
+    corpus members, so before the result-side self-pair exclusion the
+    beam's rank-1 slot was always the self hit and the measured graph
+    curve was CAPPED at (k-1)/k = 0.9 — `curve[ef] >= 1.0` unreachable,
+    any graph target in (0.9, 1.0] silently rerouted to exact even when
+    the index would certify it for fresh queries. On the 500-row fixture
+    a generous beam finds every fresh neighbour, so the v3 curve must
+    now exceed 0.9, and a 0.95-target graph query must serve from the
+    index (a measured ef), not reroute."""
+    from vectordb_acc_and_speed_exp_spark.api import VectorStore
+
+    dim = len(embeddings.select("embedding").first()[0])
+    vs = VectorStore(spark, str(tmp_path / "gcurve"), dim=dim)
+    vs.create_collection(
+        "c",
+        embeddings.select(
+            F.col("vec_id").cast("string").alias("id"), "embedding"
+        ),
+    )
+    probe = [[float(x) for x in embeddings.limit(1).first().embedding]]
+    vs.query("c", query_vecs=probe, k=10, mode="graph", target_recall=0.95)
+    curve = vs._ensure_graph_ef_curve("c", k=10)
+    assert max(curve.values()) > 0.9, curve
+    # and the 0.95 target resolves a finite measured beam
+    assert any(r >= 0.95 for r in curve.values())
