@@ -917,3 +917,46 @@ def test_where_selectivity_memo_invalidates_on_replace(store, documents):
     f2 = store._where_selectivity("selmemo", "label = 0")
     assert f2 == 0.0
     store.delete_collection("selmemo")
+
+
+def test_crashed_codes_compaction_healed_on_read_and_append(
+    spark, embeddings, tmp_path_factory
+):
+    """Flat code tables are auto-compacted by the staged-swap rewrite
+    (round 11): a crash between its two renames leaves the codes dir
+    absent with the full table at codes._pre_compact. BOTH consumers
+    must roll back first — a serve-path read (else PATH_NOT_FOUND), and
+    a _freshen_indexes append (else the append would CREATE a codes dir
+    holding only the new batch while the full table sits in the backup:
+    silent data loss)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    dim = len(embeddings.select("embedding").first()[0])
+    vs = VectorStore(spark, str(tmp_path_factory.mktemp("codesheal")), dim=dim)
+    vs.create_collection(
+        "c",
+        embeddings.filter(F.col("vec_id") < 150).select(
+            F.col("vec_id").cast("string").alias("id"), "embedding"
+        ),
+    )
+    probe = [[float(x) for x in embeddings.limit(1).first().embedding]]
+    assert vs.query("c", query_vecs=probe, k=5, mode="bq").count() == 5
+    codes = os.path.join(vs._bq_path("c"), "codes")
+    n_rows = spark.read.parquet(codes).count()
+
+    # crash window before a READ: serve must heal and see the full table
+    os.rename(codes, codes + "._pre_compact")
+    assert vs.query("c", query_vecs=probe, k=5, mode="bq").count() == 5
+    assert spark.read.parquet(codes).count() == n_rows
+
+    # crash window before an APPEND: add() must heal, then append
+    os.rename(codes, codes + "._pre_compact")
+    batch = embeddings.filter(
+        (F.col("vec_id") >= 150) & (F.col("vec_id") < 170)
+    ).select(F.col("vec_id").cast("string").alias("id"), "embedding")
+    vs.add("c", batch)
+    assert spark.read.parquet(codes).count() == n_rows + 20
+    assert not os.path.exists(codes + "._pre_compact")
+    assert vs.query("c", query_vecs=probe, k=5, mode="bq").count() == 5

@@ -629,6 +629,11 @@ class VectorStore:
             with open(os.path.join(bqp, "_meta.json")) as f:
                 m = json.load(f)
             sums = np.array(m["sums"], dtype=np.int64)
+            # roll back a crashed auto-compaction BEFORE appending: an
+            # append into the (absent) swap window would create a codes
+            # dir holding only this batch while the full table sat in
+            # ._pre_compact — silent data loss on the serve path
+            self._heal_on_read(os.path.join(bqp, "codes"))
             bq_encode(
                 docs, sums, int(m["n"]), item_id="id"
             ).write.mode("append").parquet(os.path.join(bqp, "codes"))
@@ -655,6 +660,7 @@ class VectorStore:
                 item_id="id", keep_qerr="_qerr",
             ).localCheckpoint(eager=True)  # one kernel pass: agg + append
             qm, qn = mean_coarse_qerr(enc)
+            self._heal_on_read(os.path.join(pqp, "codes"))  # see bq note
             enc.write.mode("append").parquet(os.path.join(pqp, "codes"))
             record_batch_qerr(pqp, qm, qn)
             self._maybe_compact_codes(os.path.join(pqp, "codes"))
@@ -670,6 +676,7 @@ class VectorStore:
                 p = json.load(f)
             vmin = np.array(p["vmin"], dtype=np.float64)
             scale = np.array(p["scale"], dtype=np.float64)
+            self._heal_on_read(os.path.join(sqp, "codes"))  # see bq note
             sq_encode(
                 docs, vmin, scale, item_id="id"
             ).write.mode("append").parquet(os.path.join(sqp, "codes"))
@@ -718,6 +725,11 @@ class VectorStore:
         path = self._bq_path(name)
         meta = os.path.join(path, "_meta.json")
         codes = os.path.join(path, "codes")
+        # codes dirs are now auto-compacted by the staged-swap rewrite
+        # (_maybe_compact_codes); a crash between its two renames leaves
+        # the data in full at ._pre_compact — roll back before any read,
+        # same as the collection's own read path
+        self._heal_on_read(codes)
         if not os.path.exists(meta):
             sums, n = bq_train(corpus, item_vec="embedding", dim=self.dim)
             lo, hi = bq_side_means(corpus, sums, n, item_vec="embedding")
@@ -1362,6 +1374,7 @@ class VectorStore:
         meta = os.path.join(path, "_meta.json")
         codes = os.path.join(path, "codes")
         books_path = os.path.join(path, "books.npy")
+        self._heal_on_read(codes)  # crashed auto-compaction rollback
         if not os.path.exists(meta):
             m = 8 if self.dim % 8 == 0 else 4
             books = pq_train(corpus, item_vec="embedding", m=m, k=16)
@@ -1404,6 +1417,7 @@ class VectorStore:
         path = self._sq_path(name)
         meta = os.path.join(path, "_meta.json")
         codes = os.path.join(path, "codes")
+        self._heal_on_read(codes)  # crashed auto-compaction rollback
         if not os.path.exists(meta):
             vmin, scale = sq_train(corpus, item_vec="embedding", dim=self.dim)
             os.makedirs(path, exist_ok=True)
