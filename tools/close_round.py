@@ -89,6 +89,12 @@ def run_recall(round_no: int) -> bool:
     # now INFORMATIONAL only: still stamped in the artifact for
     # round-over-round continuity, never a pass/fail input.
     calib = payload.get("families_calib", {})
+    if not calib:
+        # the gate COLUMN itself is the contract now — a payload without
+        # it must fail loudly, not pass vacuously
+        print("[close]   families_calib MISSING from recall payload",
+              flush=True)
+        return False
     low = {f: r for f, r in calib.items() if r < floor}
     print(
         f"[close]   32-query serving recall min "

@@ -189,7 +189,12 @@ class VectorStore:
             )
 
             mtp = self._mtlsh_path(name)
-            if int(read_mt_lsh_meta(mtp).get("gen", 0)) > 0:
+            m = read_mt_lsh_meta(mtp)
+            # skip when nothing was appended since the last compaction
+            # (the compacted_gen watermark auto-compaction stamps):
+            # repeated optimize() calls must not re-pay the O(index)
+            # rewrite for a no-op
+            if int(m.get("gen", 0)) > int(m.get("compacted_gen", 0)):
                 compact_mt_lsh_index(self.spark, mtp)
         if cluster_by:
             return optimize_layout(self.spark, self._path(name), cluster_by)
