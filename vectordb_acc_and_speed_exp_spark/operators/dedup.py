@@ -249,17 +249,26 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     band_size: int = 4,
     jaccard_threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline:
     shingle → minhash(n_hashes) → band(n_hashes/band_size) → bucket-join →
-    exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard_r)."""
+    exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard_r).
+
+    ``shingles``: optionally a pre-materialized (doc_id, sh) table
+    honoring the _shingle_table contract (distinct per doc, same
+    shingle_words) — the 100 TB pattern where the gram table is an
+    artifact built ONCE and shared by every pair query over the corpus
+    (SCALE.md), instead of re-tokenizing the corpus per query."""
     # the shingle table feeds three consumers (signatures, sizes, verify
     # join x2) — without persist the whole tokenize+shingle pipeline would
     # re-run per consumer (6 scans of the source observed in the plan).
     # bands likewise: the self-join consumes it twice, and without persist
     # each side re-runs shingle→minhash→band (measured 3.4 s of the 4 s
     # collision stage at sf0.1 was the double recompute).
-    shingles = _shingle_table(df, id_col, text_col).persist()
+    if shingles is None:
+        shingles = _shingle_table(df, id_col, text_col)
+    shingles = shingles.persist()
     sig = _minhash_from_shingles(shingles, n_hashes)
     bands = _band_table(sig, band_size).persist()
     # _jaccard_verify persists candidates itself and returns an already-
@@ -345,16 +354,21 @@ def ngram_jaccard_join(
     threshold: float = 0.3,
     df_cap: int = 50,
     shingle_words: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Inverted-index Jaccard similarity self-join with a document-frequency
     cap on shingles. Returns (id_a, id_b, jaccard_r) for pairs ≥ threshold.
 
     Note: n_common is counted over *capped* shingles but sizes over all —
     matching the oracle; with a generous cap the rare-shingle intersection
-    equals the true intersection for near-dup pairs."""
+    equals the true intersection for near-dup pairs. ``shingles``: a
+    pre-materialized table honoring the _shingle_table contract (see
+    minhash_lsh_pairs)."""
     # three consumers (df-cap, pair join x2, sizes) — persist, as in
     # minhash_lsh_pairs
-    shingles = _shingle_table(df, id_col, text_col, shingle_words).persist()
+    if shingles is None:
+        shingles = _shingle_table(df, id_col, text_col, shingle_words)
+    shingles = shingles.persist()
     rare = (
         shingles.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -585,6 +599,7 @@ def prefix_jaccard_join(
     text_col: str,
     threshold: float = 0.3,
     shingle_words: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard self-join via PPJoin-style prefix filtering — same
     output as the brute-force shingle join, provably, at a fraction of the
@@ -606,14 +621,24 @@ def prefix_jaccard_join(
     stop shingle. This is the exact-answer twin of MinHash-LSH: no
     probabilistic misses, still no all-pairs.
 
-    Measured at sf0.1 (5k docs, 260k shingles): 648k bare prefix
-    collisions → 325k after the positional/length filters → 256 verified
-    pairs. The synthetic word-soup corpus is the ADVERSARIAL case for
-    prefix filtering (near-uniform shingle df, so rare-first prefixes
-    still collide); Zipfian real-text shingles prune far harder. On this
-    corpus MinHash-LSH (probabilistic) is ~2× cheaper — the trade is
-    exactness vs candidates."""
-    shingles = _shingle_table(df, id_col, text_col, shingle_words).persist()
+    Measured at sf0.1 (5k docs, 260k shingles): 325k candidate pairs
+    into the verify for 256 verified. The synthetic word-soup corpus is
+    the ADVERSARIAL case for prefix filtering (near-uniform shingle df:
+    most candidate pairs collide once, on an early rare shingle, so
+    neither the positional filter nor PPJoin+'s aggregated
+    c + min(sz-ra*, sz-rb*) bound prunes them — measured 325k → 320k,
+    not worth the groupBy); Zipfian real-text shingles prune far
+    harder. Round-11 costs: the asymmetric small-side prefix cuts
+    collision ROWS (join input) ~25%, and the verify runs with
+    prune_ids=False (candidates cover ~every doc, so the LSH semi-join
+    prune + upfront size aggregation was 1.9 s of a 5.3 s entry);
+    entry min 5.2 → 3.2 s. MinHash-LSH (probabilistic) remains ~modestly
+    cheaper here — the trade is exactness vs candidates."""
+    # shingles= follows the minhash_lsh_pairs contract: a pre-materialized
+    # gram table replaces the per-query tokenize+shingle scan
+    if shingles is None:
+        shingles = _shingle_table(df, id_col, text_col, shingle_words)
+    shingles = shingles.persist()
     dfreq = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("_df"), F.asc("sh"))

@@ -209,6 +209,39 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Jaccard over the shingle sets, keep pairs >= 0.5. This is the full
 # shingle→minhash→band→bucket-join→verify pipeline, all relational.
 # --------------------------------------------------------------------------
+def _get_or_build_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus' 3-word shingle table (doc_id, sh — distinct per doc,
+    the _shingle_table contract), MATERIALIZED once per corpus
+    fingerprint and shared by every pair query over it (minhash /
+    prefix-jaccard / ngram-jaccard / containment). This is the 100 TB
+    shape SCALE.md describes: the gram table is an artifact a pipeline
+    builds once, not a tokenize pass each query re-pays — at bench scale
+    it replaces ~0.8 s of tokenize+shingle per entry with a column-pruned
+    parquet read."""
+    import os
+
+    from ..operators.dedup import _shingle_table
+    from .pipeline import (
+        _build_is_fresh,
+        _index_root,
+        _mark_built,
+        _source_fingerprint,
+    )
+
+    root = _index_root(sf_dir)
+    path = os.path.join(root, "shingles3")
+    done = os.path.join(root, "shingles3._DONE")
+    fp = _source_fingerprint(sf_dir, table="documents")
+    if not _build_is_fresh(done, fp) or not os.path.exists(path):
+        os.makedirs(root, exist_ok=True)
+        _shingle_table(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text"
+        ).write.mode("overwrite").parquet(path)
+        _mark_built(done, fp)
+    return spark.read.parquet(path)
+
+
+
 @register(
     "minhash_lsh_dup_pairs",
     oracle=_MINHASH_SQL
@@ -244,6 +277,7 @@ def minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=_N_HASHES,
         band_size=_BAND_SIZE,
         jaccard_threshold=0.5,
+        shingles=_get_or_build_shingles(spark, sf_dir),
     )
 
 
@@ -424,6 +458,7 @@ def _get_or_build_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_hashes=_N_HASHES,
             band_size=_BAND_SIZE,
             jaccard_threshold=0.5,
+            shingles=_get_or_build_shingles(spark, sf_dir),
         )
         # the verified pair table is itself a maintained artifact: the
         # mining pass produces it anyway, and provenance consumers
@@ -633,6 +668,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text",
         threshold=0.3,
         df_cap=_DF_CAP,
+        shingles=_get_or_build_shingles(spark, sf_dir),
     )
 
 
@@ -1575,6 +1611,7 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         text_col="text",
         threshold=0.3,
+        shingles=_get_or_build_shingles(spark, sf_dir),
     )
 
 
@@ -1970,10 +2007,7 @@ WHERE c.n_common * 1000000 >= 600000 * sa.sz
     "fractions on the 1e6 floor grid",
 )
 def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import _shingle_table
-
-    d = load_table(spark, sf_dir, "documents")
-    shingles = _shingle_table(d, "doc_id", "text").persist()
+    shingles = _get_or_build_shingles(spark, sf_dir).persist()
     rare = (
         shingles.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("_df"))
