@@ -389,12 +389,15 @@ def _facade_exact_roundtrip(
     spark: SparkSession, sf_dir: str, prefix: str, **query_kwargs
 ) -> DataFrame:
     """Shared harness for the facade degeneration entries: collection
-    round-trip -> store.query(k=10, shortlist=corpus, **kwargs) ->
-    position->vec_id remap -> (query_id, rank, item_id bigint, dist_r)."""
+    round-trip -> store.query(k=10 unless overridden, shortlist=corpus,
+    **kwargs) -> position->vec_id remap -> (query_id, rank,
+    item_id bigint, dist_r)."""
     import shutil
     import tempfile
 
     from ..api import VectorStore
+
+    k = int(query_kwargs.pop("k", 10))
 
     emb = load_table(spark, sf_dir, "embeddings")
     root = tempfile.mkdtemp(prefix=prefix)
@@ -421,7 +424,7 @@ def _facade_exact_roundtrip(
         res = store.query(
             "corpus",
             query_vecs=[[float(x) for x in r.embedding] for r in qrows],
-            k=10,
+            k=k,
             **query_kwargs,
         )
         qmap = local_df(
@@ -528,6 +531,25 @@ def client_facade_target_recall1(
 # exact scan — these two entries gate-prove the policy, while the index
 # paths' own exactness is proven by mt_lsh_fullbudget and
 # graph_ann_fullbeam.
+@register(
+    "client_facade_tr1_k25",
+    oracle=_FACADE_EXACT_SQL.replace("rank <= 10", "rank <= 25"),
+    doc="VectorStore.query(mode='ivfbq', target_recall=1.0, k=25): the "
+    "recall dial at a NON-DEFAULT k (round 11 — serving calibration is "
+    "keyed by the requested k; VERDICT r10 #1). tr=1.0 must resolve "
+    "full probe + a corpus-sized shortlist FOR k=25 and return the "
+    "exact top-25 bit-for-bit — gate-proves that k threads through the "
+    "facade's budget resolution end-to-end, never clamped to the k=10 "
+    "default (the measured-recall half, recall@25 >= target at tr < 1, "
+    "is pinned in tests/test_probetune.py)",
+)
+def client_facade_tr1_k25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _facade_exact_roundtrip(
+        spark, sf_dir, "facade_tr1k25_", mode="ivfbq", target_recall=1.0,
+        k=25,
+    )
+
+
 @register(
     "client_facade_pq_tr1",
     oracle=_FACADE_EXACT_SQL,
