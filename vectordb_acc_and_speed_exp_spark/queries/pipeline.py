@@ -1937,21 +1937,50 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # precondition loudly: growth of the events fixture must fail with a
     # diagnostic, not surface as an opaque hash mismatch (ADVICE round 5).
     capacity, n_shards = 32, 4
-    ev = load_table(spark, sf_dir, "events")
     # shard_col is THE routing expression of the stream itself — sharing it
     # keeps this guard and the actual sharding in lockstep (ADVICE round 6)
     from ..streaming.events import shard_col
 
-    worst = (
-        ev.select(
-            shard_col("event_type", n_shards).alias("shard"),
-            "event_type",
+    # the guard aggregate is a pure function of the events fixture, so its
+    # answer is cached per corpus FINGERPRINT (the _get_or_build marker
+    # discipline) — repeated invocations must not re-pay a corpus
+    # group-by to re-prove an unchanged precondition; any fixture change
+    # re-measures
+    import json as _json
+    import os
+
+    root = _index_root(sf_dir)
+    marker = os.path.join(root, "hh_guard._DONE")
+    fp = _source_fingerprint(sf_dir, table="events")
+    worst = None
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                d = _json.load(fh)
+            if d.get("fp") == fp and int(d.get("n_shards", -1)) == n_shards:
+                worst = d.get("worst")
+        except (OSError, ValueError):
+            worst = None
+    if worst is None:
+        ev = load_table(spark, sf_dir, "events")
+        worst = (
+            ev.select(
+                shard_col("event_type", n_shards).alias("shard"),
+                "event_type",
+            )
+            .groupBy("shard")
+            .agg(F.countDistinct("event_type").alias("n_distinct"))
+            .agg(F.max("n_distinct"))
+            .first()[0]
         )
-        .groupBy("shard")
-        .agg(F.countDistinct("event_type").alias("n_distinct"))
-        .agg(F.max("n_distinct"))
-        .first()[0]
-    )
+        os.makedirs(root, exist_ok=True)
+        from ..io.commitproto import publish_marker
+
+        publish_marker(
+            marker,
+            {"fp": fp, "n_shards": n_shards,
+             "worst": int(worst) if worst is not None else None},
+        )
     if worst is not None and worst > capacity:
         raise ValueError(
             f"streaming_heavy_hitters: {worst} distinct event_types in one "
