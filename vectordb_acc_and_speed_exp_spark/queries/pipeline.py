@@ -1903,6 +1903,42 @@ def frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- Streaming frequent-items maintenance (space-saving sketch) ------------
+def _cached_events_guard(
+    spark: SparkSession, sf_dir: str, key: str, measure
+) -> int | None:
+    """Cache a sketch entry's exactness-precondition aggregate per events
+    FINGERPRINT (the _get_or_build marker discipline): the guard is a
+    pure function of the fixture, so repeated invocations must not
+    re-pay a corpus group-by to re-prove an unchanged precondition —
+    any fixture change re-measures. ``measure()`` returns the scalar
+    (int or None for an empty fixture; None is re-measured each call,
+    the safe degenerate)."""
+    import json
+    import os
+
+    from ..io.commitproto import publish_marker
+
+    root = _index_root(sf_dir)
+    marker = os.path.join(root, f"{key}._DONE")
+    fp = _source_fingerprint(sf_dir, table="events")
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                d = json.load(fh)
+            if d.get("fp") == fp and d.get("worst") is not None:
+                return int(d["worst"])
+        except (OSError, ValueError):
+            pass
+    worst = measure()
+    os.makedirs(root, exist_ok=True)
+    publish_marker(
+        marker,
+        {"fp": fp, "worst": int(worst) if worst is not None else None},
+    )
+    return worst
+
+
+
 @register(
     "streaming_heavy_hitters",
     oracle=f"""
@@ -1941,30 +1977,10 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps this guard and the actual sharding in lockstep (ADVICE round 6)
     from ..streaming.events import shard_col
 
-    # the guard aggregate is a pure function of the events fixture, so its
-    # answer is cached per corpus FINGERPRINT (the _get_or_build marker
-    # discipline) — repeated invocations must not re-pay a corpus
-    # group-by to re-prove an unchanged precondition; any fixture change
-    # re-measures
-    import json as _json
-    import os
-
-    root = _index_root(sf_dir)
-    marker = os.path.join(root, "hh_guard._DONE")
-    fp = _source_fingerprint(sf_dir, table="events")
-    worst = None
-    if os.path.exists(marker):
-        try:
-            with open(marker) as fh:
-                d = _json.load(fh)
-            if d.get("fp") == fp and int(d.get("n_shards", -1)) == n_shards:
-                worst = d.get("worst")
-        except (OSError, ValueError):
-            worst = None
-    if worst is None:
-        ev = load_table(spark, sf_dir, "events")
-        worst = (
-            ev.select(
+    def _measure():
+        return (
+            load_table(spark, sf_dir, "events")
+            .select(
                 shard_col("event_type", n_shards).alias("shard"),
                 "event_type",
             )
@@ -1973,14 +1989,10 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("n_distinct"))
             .first()[0]
         )
-        os.makedirs(root, exist_ok=True)
-        from ..io.commitproto import publish_marker
 
-        publish_marker(
-            marker,
-            {"fp": fp, "n_shards": n_shards,
-             "worst": int(worst) if worst is not None else None},
-        )
+    worst = _cached_events_guard(
+        spark, sf_dir, f"hh_guard_s{n_shards}", _measure
+    )
     if worst is not None and worst > capacity:
         raise ValueError(
             f"streaming_heavy_hitters: {worst} distinct event_types in one "
@@ -2036,14 +2048,18 @@ def streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streaming_heavy_hitters): the oracle is the exact rank join, valid
     # ONLY while no group outgrew the summary capacity (no GK merges)
     capacity = 32768
-    ev = load_table(spark, sf_dir, "events")
-    worst = (
-        ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
-        .groupBy("event_type")
-        .count()
-        .agg(F.max("count"))
-        .first()[0]
-    )
+
+    def _measure():
+        return (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+            .groupBy("event_type")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+
+    worst = _cached_events_guard(spark, sf_dir, "gk_guard", _measure)
     if worst is not None and worst > capacity:
         raise ValueError(
             f"streaming_quantiles: {worst} values in one event_type group "
@@ -2091,14 +2107,18 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # other sketch entries): the oracle is exact COUNT(DISTINCT), valid
     # ONLY while no group's true cardinality outgrew the sketch
     capacity = 4096
-    ev = load_table(spark, sf_dir, "events")
-    worst = (
-        ev.filter(F.col("user_id").isNotNull())
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("d"))
-        .agg(F.max("d"))
-        .first()[0]
-    )
+
+    def _measure():
+        return (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id").isNotNull())
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("d"))
+            .agg(F.max("d"))
+            .first()[0]
+        )
+
+    worst = _cached_events_guard(spark, sf_dir, "kmv_guard", _measure)
     if worst is not None and worst > capacity:
         raise ValueError(
             f"streaming_distinct_users: {worst} distinct user_ids in one "
