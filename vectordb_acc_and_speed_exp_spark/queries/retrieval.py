@@ -548,11 +548,14 @@ def parent_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.trim(F.col("chunk")) != "")
     )
+    # three consumers (dl, tf, and dl again inside the score join) —
+    # persist, or the chunk-substring + tokenize explode (the CPU-heavy
+    # stage) re-runs per consumer
     tok = chunks.select(
         "doc_id",
         "chunk_id",
         F.explode(tokens(norm_text(F.col("chunk")))).alias("term"),
-    )
+    ).persist()
     dl = tok.groupBy("doc_id", "chunk_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_chunks"),
@@ -587,13 +590,16 @@ def parent_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     parent = chunk_scores.groupBy("query_id", "doc_id").agg(
         F.max("s6").alias("best6"), F.count(F.lit(1)).alias("n_hit_chunks")
     )
-    return _topk(parent, [F.desc("best6"), F.asc("doc_id")], 10).select(
+    out = _topk(parent, [F.desc("best6"), F.asc("doc_id")], 10).select(
         "query_id",
         "rank",
         "doc_id",
         F.round(F.col("best6") / 1_000_000.0, 4).alias("best_chunk_bm25_r"),
         "n_hit_chunks",
     )
+    from ..operators.dedup import materialize_and_release
+
+    return materialize_and_release(out, tok)
 
 
 # --------------------------------------------------------------------------
