@@ -127,6 +127,60 @@ HEADLINE = [
 ]
 
 
+def steal_probe() -> float:
+    """Seconds to run a fixed, deterministic, CPU-bound NumPy kernel
+    (~0.3 s on a quiet box) — the steal reference (VERDICT r11 #1).
+
+    The host VM suffers intermittent CPU steal that inflates WHOLE bench
+    runs 20-45% while load-average stays near zero; steal common to every
+    run of a close is invisible to cross-run comparisons (BENCH_NOTES
+    round 11). This probe is interleaved between bench entries: its
+    wall-clock on a quiet box is a committed constant
+    (PROBE_BASELINE.json, tools/calibrate_probe.py), so
+    ``probe_sec / baseline`` measures the box's slowdown DURING the
+    adjacent entry, and ``raw * baseline / probe_sec`` is the entry's
+    steal-normalized time — comparable across runs taken in different
+    load windows.
+
+    Kernel choice: argsort + cumsum over a fixed pseudo-random array —
+    single-threaded in NumPy (no BLAS threading variance), branchy and
+    memory-streaming like real query execution, deterministic input (a
+    multiplicative bit-mix, no RNG state)."""
+    import numpy as np
+
+    n = 800_000
+    a = (np.arange(n, dtype=np.uint64) * np.uint64(2654435761)) % np.uint64(
+        1 << 32
+    )
+    x0 = a.astype(np.float64)
+    # two IDENTICAL passes, each timed; report 2x the faster one: steal
+    # only ever inflates a pass, so min-of-passes is the lower-variance
+    # estimate of the box's current speed (quiet-box spread measured
+    # ~±10% on single passes, ~±4% on min-of-two)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        order = np.argsort(x0, kind="stable")
+        x = np.cumsum(x0[order]) % 1.0e9
+        _sink = float(x[-1])  # fold to a scalar: no dead-code elimination
+        best = min(best, time.perf_counter() - t0)
+    return 2.0 * best
+
+
+def read_probe_baseline(repo_dir: str) -> tuple[float | None, str]:
+    """(baseline_sec, source). The committed quiet-box constant when
+    PROBE_BASELINE.json exists; (None, "absent") otherwise — the caller
+    falls back to the run's own minimum probe, which is blind to steal
+    common to the whole run (exactly the documented hole the committed
+    baseline exists to close)."""
+    p = os.path.join(repo_dir, "PROBE_BASELINE.json")
+    try:
+        with open(p) as fh:
+            return float(json.load(fh)["probe_sec"]), "PROBE_BASELINE.json"
+    except (OSError, KeyError, ValueError, json.JSONDecodeError):
+        return None, "absent"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -179,7 +233,12 @@ def main() -> None:
     for fam in ("ivfpq", "ivfsq", "ivfbq"):
         _composed_serving(spark, sf_dir, fam)
 
+    here = os.path.dirname(os.path.abspath(__file__))
+    baseline, baseline_src = read_probe_baseline(here)
+    steal_probe()  # untimed warm (page-cache/allocator effects)
+
     timings: dict[str, float] = {}
+    probes: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name].fn
         t0 = time.perf_counter()
@@ -189,6 +248,10 @@ def main() -> None:
         # queries' caches don't accumulate in the single local-mode heap
         # (clearing happens OUTSIDE the timed window)
         spark.catalog.clearCache()
+        # steal reference, adjacent to the entry it labels (untimed
+        # w.r.t. the entry): its ratio to the committed quiet-box
+        # baseline is the box's slowdown while this entry ran
+        probes[name] = round(steal_probe(), 4)
 
     # Brute-force throughput at BASELINE-comparable corpus size: the
     # embeddings table replicated 50x (deterministic id offsets) -> ~100k
@@ -214,9 +277,11 @@ def main() -> None:
     t0 = time.perf_counter()
     cosine_knn_join(qs, big, k=10, item_id="vec_id", metric="l2").count()
     timings["bf_replicated100k_5q_blas"] = round(time.perf_counter() - t0, 4)
+    probes["bf_replicated100k_5q_blas"] = round(steal_probe(), 4)
     t0 = time.perf_counter()
     exact_knn(qs, big, k=10, item_id="vec_id").count()
     timings["bf_replicated100k_5q_codegen"] = round(time.perf_counter() - t0, 4)
+    probes["bf_replicated100k_5q_codegen"] = round(steal_probe(), 4)
 
     # Compressed-scan twin at the same scale: 1-bit codes, codegen Hamming
     # shortlist + exact re-rank — the 32x-fewer-bytes answer to the same
@@ -244,6 +309,7 @@ def main() -> None:
         encoded=bcodes,
     ).count()
     timings["bq_replicated100k_5q"] = round(time.perf_counter() - t0, 4)
+    probes["bq_replicated100k_5q"] = round(steal_probe(), 4)
     bcodes.unpersist()
 
     # Disk-index serving path at the same 100k scale: write the multi-table
@@ -265,15 +331,47 @@ def main() -> None:
     t0 = time.perf_counter()
     mt_lsh_ann_pruned(qs, spark, idx_dir, big, **args).count()
     timings["mtlsh_pruned_100k_5q"] = round(time.perf_counter() - t0, 4)
+    probes["mtlsh_pruned_100k_5q"] = round(steal_probe(), 4)
     shutil.rmtree(os.path.dirname(idx_dir), ignore_errors=True)
     big.unpersist()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Steal normalization (VERDICT r11 #1): with a committed quiet-box
+    # baseline, each entry's raw time is divided by the slowdown the
+    # adjacent probe measured — steal common to every run of a close
+    # (invisible to cross-run comparisons) shows up here as
+    # probe_ratio > 1 and is divided OUT of the normalized values.
+    # Without the committed file, fall back to this run's own minimum
+    # probe (weaker: blind to whole-run steal; "source" says which).
+    if baseline is None and probes:
+        baseline = min(probes.values())
+        baseline_src = "run-min"
+    ratios = {
+        n: round(p / baseline, 4) for n, p in probes.items()
+    } if baseline else {}
+    normalized = {
+        n: round(t / max(ratios.get(n, 1.0), 1e-9), 4)
+        for n, t in timings.items()
+    }
+    import statistics
+
     payload = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "probe": {
+            "baseline_sec": round(baseline, 4) if baseline else None,
+            "source": baseline_src,
+            "per_entry_sec": probes,
+            "per_entry_ratio": ratios,
+            "median_ratio": (
+                round(statistics.median(ratios.values()), 4)
+                if ratios else None
+            ),
+        },
+        "queries_normalized": normalized,
+        "normalized_total": round(sum(normalized.values()), 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Self-contained artifact: the driver captures only a byte-bounded tail
@@ -314,6 +412,10 @@ def main() -> None:
         "metric": payload["metric"],
         "value": payload["value"],
         "unit": "sec",
+        # the steal-normalized headline (VERDICT r11 #1): what a quiet
+        # box would have measured, per the interleaved probe kernel
+        "normalized_total": payload["normalized_total"],
+        "probe_median_ratio": payload["probe"]["median_ratio"],
         "queries": {},
         "n_queries": len(timings),
         "detail": os.path.basename(detail),

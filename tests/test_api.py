@@ -960,3 +960,67 @@ def test_crashed_codes_compaction_healed_on_read_and_append(
     assert spark.read.parquet(codes).count() == n_rows + 20
     assert not os.path.exists(codes + "._pre_compact")
     assert vs.query("c", query_vecs=probe, k=5, mode="bq").count() == 5
+
+
+def test_defer_maintenance_accrues_debt_and_optimize_clears_it(
+    spark, embeddings, tmp_path_factory
+):
+    """VERDICT r11 #5: ``add(defer_maintenance=True)`` must never pay the
+    inline auto-compaction stall — file counts keep GROWING past the
+    threshold — while the debt stays visible via maintenance_due(), and
+    one optimize() clears it (codes back to one file, due=False) with
+    served results unchanged."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    dim = len(embeddings.select("embedding").first()[0])
+    vs = VectorStore(
+        spark, str(tmp_path_factory.mktemp("defer")), dim=dim
+    )
+    vs.create_collection(
+        "c",
+        embeddings.filter(F.col("vec_id") < 60).select(
+            F.col("vec_id").cast("string").alias("id"), "embedding"
+        ),
+    )
+    probe = [[float(x) for x in r.embedding]
+             for r in embeddings.limit(1).collect()]
+    vs.query("c", query_vecs=probe, k=3, mode="sq", shortlist=20)  # build
+    vs._CODES_AUTO_COMPACT_FILES = 3  # fast-forward the threshold
+    codes = os.path.join(vs._sq_path("c"), "codes")
+    counts = [vs._codes_file_count(codes)]
+    for i in range(4):
+        batch = embeddings.filter(
+            (F.col("vec_id") >= 60 + 5 * i) & (F.col("vec_id") < 65 + 5 * i)
+        ).select(F.col("vec_id").cast("string").alias("id"), "embedding")
+        vs.add("c", batch, defer_maintenance=True)
+        counts.append(vs._codes_file_count(codes))
+    # never stalled: the file count only ever grew (an inline compaction
+    # would have collapsed it to 1 somewhere past the threshold)
+    assert counts == sorted(counts) and counts[-1] > 3, counts
+    due = vs.maintenance_due("c")
+    assert due["due"] and due["codes"]["sq"]["due"]
+    assert due["codes"]["sq"]["files"] == counts[-1]
+    # optimize() clears the debt...
+    vs.optimize("c")
+    due2 = vs.maintenance_due("c")
+    assert not due2["due"] and due2["codes"]["sq"]["files"] == 1
+    # ...and the served path is unchanged: full-shortlist SQ == exact
+    got = vs.query("c", query_vecs=probe, k=5, mode="sq", shortlist=100)
+    exact = vs.query("c", query_vecs=probe, k=5, mode="exact")
+    assert sorted((r.rank, r.item_id) for r in got.collect()) == sorted(
+        (r.rank, r.item_id) for r in exact.collect()
+    )
+    # the inline default still engages on a non-deferred add
+    batch = embeddings.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 205)
+    ).select(F.col("vec_id").cast("string").alias("id"), "embedding")
+    vs.add("c", batch)  # 2 files < threshold 3: appends, no compact
+    vs.add("c", batch.select(
+        F.concat(F.lit("x"), F.col("id")).alias("id"), "embedding"
+    ))
+    vs.add("c", batch.select(
+        F.concat(F.lit("y"), F.col("id")).alias("id"), "embedding"
+    ))
+    assert vs._codes_file_count(codes) < 4  # inline compaction re-engaged

@@ -184,6 +184,50 @@ def test_flat_pq_drift_trigger_and_rebuild_restores_recall(
     assert st["upsert_n"] == 0 and st["ratio"] is None  # baseline reset
 
 
+def test_sq_in_distribution_add_does_not_fire(spark, embeddings, tmp_path):
+    """Round-12 regression, surfaced by the per-family live drift rows
+    (VERDICT r11 #6): the SQ baseline used to be measured IN-SAMPLE —
+    per-dim min/max fit on exactly the training rows never clamp on
+    those rows — so an in-distribution add() scored ratio ~3.8 against
+    trigger 1.35 and recommended a retrain with zero drift. The holdout
+    baseline (operators/sq.sq_holdout_qerr: shadow params on a 7/8
+    split, error on the held-out 1/8) prices fresh-row clamp exposure
+    in, so in-distribution appends stay silent while genuinely shifted
+    batches still fire."""
+    from vectordb_acc_and_speed_exp_spark.api import VectorStore
+
+    dim = len(embeddings.select("embedding").first()[0])
+    vs = VectorStore(spark, str(tmp_path / "sqdrift"), dim=dim)
+    vs.create_collection(
+        "c",
+        embeddings.filter(F.col("vec_id") < 200).select(
+            F.col("vec_id").cast("string").alias("id"), "embedding"
+        ),
+    )
+    probe = [[float(x) for x in r.embedding]
+             for r in embeddings.limit(1).collect()]
+    for mode in ("sq", "ivfsq"):
+        vs.query("c", query_vecs=probe, k=3, mode=mode, shortlist=50,
+                 n_probe=2)
+    indist = embeddings.filter(
+        (F.col("vec_id") >= 200)
+        & (F.col("vec_id") < 200 + MIN_UPSERT_ROWS + 10)
+    ).select(
+        F.concat(F.lit("a"), F.col("vec_id").cast("string")).alias("id"),
+        "embedding",
+    )
+    vs.add("c", indist)
+    fams = vs.drift_status("c")["families"]
+    for f in ("sq", "ivfsq"):
+        assert fams[f]["upsert_n"] > 0 and fams[f]["ratio"] is not None, f
+        assert not fams[f]["retrain_recommended"], (f, fams[f])
+    # sensitivity intact: a genuinely shifted batch still fires
+    vs.add("c", _shifted(embeddings, MIN_UPSERT_ROWS + 30, 25.0, "d"))
+    fams = vs.drift_status("c")["families"]
+    assert fams["sq"]["retrain_recommended"]
+    assert fams["ivfsq"]["retrain_recommended"]
+
+
 def test_drift_status_covers_all_six_families(drift_store, embeddings):
     """drift_status()['families'] reports every quantized family once its
     artifact exists (VERDICT r08 #2 done-criterion, + the ivfsq twin)."""

@@ -197,6 +197,42 @@ def test_plan_estimate_partition_pruned_sample(spark, embeddings, ivf_corpus):
     assert est["strategy"] == "exact"
 
 
+def test_plan_estimate_no_id_low_cardinality_sample(spark, embeddings, tmp_path):
+    """ADVICE r11: with no 'id' column and n_cells <= 8 the 1/8 sample
+    used to hash the FIRST scalar column — a low-cardinality column
+    (boolean label) makes pmod(hash, 8) == 0 select ~0% or ~100% of
+    rows, wrecking the selectivity estimate. Hashing ALL scalar columns
+    keys the sample on near-unique input, so the estimate lands near the
+    true fraction."""
+    from vectordb_acc_and_speed_exp_spark.operators.ann import (
+        ivf_assign,
+        kmeans_centroids,
+        write_ivf_corpus,
+    )
+
+    # corpus WITHOUT an id column; first scalar column is a 0/1 flag, a
+    # second scalar (vid) restores hash cardinality only when combined
+    src = embeddings.select(
+        (F.col("vec_id") % 2).cast("int").alias("flag"),
+        F.col("vec_id").alias("vid"),
+        "embedding",
+    )
+    cents = kmeans_centroids(src, n_cells=4)
+    path = str(tmp_path / "noid_corpus")
+    write_ivf_corpus(ivf_assign(src, cents), path)
+    # predicate ON the low-cardinality column: under the old single-
+    # column hash the sample held only the flag values whose hash
+    # landed in the pmod bucket — estimating 'flag = 0' at ~0% or
+    # ~100% instead of ~50%
+    true_frac = src.filter("flag = 0").count() / src.count()
+    est = plan_filtered_knn(
+        spark, path, "flag = 0", 4, k=10, estimate=True,
+        exact_crossover_n=0,  # force the estimate path at fixture size
+    )
+    got_frac = est["n_survivors"] / est["n_corpus"]
+    assert 0.5 * true_frac <= got_frac <= 1.5 * true_frac
+
+
 def test_filtered_auto_plan_cache(spark, embeddings, ivf_corpus, qset):
     """The decision is memoized per (layout, predicate, k, knobs) under a
     layout fingerprint: a second call reuses the plan without touching

@@ -278,7 +278,10 @@ def test_lsh_calib_dropped_on_upsert_and_delete(spark, embeddings, tmp_path):
     probe = [[float(x) for x in
               embeddings.filter(F.col("vec_id") == 0).first().embedding]]
     vs.query("c", query_vecs=probe, k=3, mode="lsh", target_recall=0.8)
-    calib = os.path.join(vs.root, ".lsh_calib", "c_k3.json")
+    # per-collection subdir layout (ADVICE r11: flat name_k{k}.json made
+    # exact invalidation impossible when a sibling collection's name ends
+    # in a literal _k<digits>)
+    calib = os.path.join(vs.root, ".lsh_calib", "c", "k3.json")
     assert os.path.exists(calib)
     vs.add(
         "c",
@@ -299,6 +302,47 @@ def test_lsh_calib_dropped_on_upsert_and_delete(spark, embeddings, tmp_path):
     assert os.path.exists(calib)  # lazily re-measured
     vs.delete_collection("c")
     assert not os.path.exists(calib)
+
+
+def test_lsh_calib_invalidation_is_collection_exact(
+    spark, embeddings, tmp_path
+):
+    """ADVICE r11: invalidating collection 'c' must not sweep the
+    sidecars of a sibling collection whose NAME ends in a literal
+    _k<digits> ('c_k2') — under the flat layout the glob
+    c_k[0-9]*.json deleted c_k2's bare sidecar and its k-keyed ones."""
+    import os
+
+    from vectordb_acc_and_speed_exp_spark.api import VectorStore
+
+    dim = len(embeddings.select("embedding").first()[0])
+    vs = VectorStore(spark, str(tmp_path / "lshx"), dim=dim)
+    rows = embeddings.filter(F.col("vec_id") < 80).select(
+        F.col("vec_id").cast("string").alias("id"), "embedding"
+    )
+    vs.create_collection("c", rows)
+    vs.create_collection("c_k2", rows)
+    probe = [[float(x) for x in
+              embeddings.filter(F.col("vec_id") == 0).first().embedding]]
+    vs.query("c", query_vecs=probe, k=3, mode="lsh", target_recall=0.8)
+    vs.query("c_k2", query_vecs=probe, k=3, mode="lsh", target_recall=0.8)
+    vs.query("c_k2", query_vecs=probe, k=5, mode="lsh", target_recall=0.8)
+    sib = [
+        os.path.join(vs.root, ".lsh_calib", "c_k2", "k3.json"),
+        os.path.join(vs.root, ".lsh_calib", "c_k2", "k5.json"),
+    ]
+    own = os.path.join(vs.root, ".lsh_calib", "c", "k3.json")
+    for p in sib + [own]:
+        assert os.path.exists(p), p
+    vs.upsert(
+        "c",
+        embeddings.filter(F.col("vec_id") == 0).select(
+            F.lit("0").alias("id"), "embedding"
+        ),
+    )
+    assert not os.path.exists(own)  # own curve invalidated
+    for p in sib:  # sibling curves untouched (the advice's failure case)
+        assert os.path.exists(p), p
 
 
 def test_filtered_target_recall_flat_families(spark, embeddings, tmp_path):
@@ -443,16 +487,22 @@ def test_k_keyed_calibration_meets_recall_at_requested_k(
             F.col("vec_id").cast("string").alias("id"), "embedding"
         ),
     )
-    qrows = (
-        embeddings.filter(F.col("vec_id") < 8)
-        .select("vec_id", "embedding").orderBy("vec_id").collect()
+    # the 32-query eval size (VERDICT r11 #3): the old 8-query set
+    # needed a 0.75 floor on an 0.85 promise; at 32 queries x 25 pairs
+    # the binomial sigma is sqrt(0.85*0.15/800) ~ 0.013, so the floor
+    # tightens to target - 2 sigma ~ 0.825
+    from vectordb_acc_and_speed_exp_spark.operators.probetune import (
+        calib_queries,
     )
-    probe = [[float(x) for x in r.embedding] for r in qrows]
-    qs = embeddings.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
+
+    corpus = vs.get("c").select("id", "embedding")
+    qrows = calib_queries(corpus, 32, item_id="id").collect()
+    probe = [[float(x) for x in r.query_vec] for r in qrows]
+    qdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(probe)],
+        "query_id bigint, query_vec array<float>",
     )
-    gt25 = exact_knn(qs, embeddings, k=25, item_id="vec_id").select(
+    gt25 = exact_knn(qdf, corpus, k=25, item_id="id").select(
         "query_id", "rank", F.col("item_id").cast("string").alias("item_id")
     )
     # prime the k=10 sidecars first — the k=25 query below must NOT
@@ -468,8 +518,7 @@ def test_k_keyed_calibration_meets_recall_at_requested_k(
             F.col("item_id").cast("string").alias("item_id"),
         )
         r = mean_recall(recall_at_k(gt25, res, k=25)).first().mean_recall
-        # 8 queries x 25 pairs: ~1.5 sigma tolerance under the target
-        assert r >= 0.85 - 0.1, f"{mode}: k=25 target 0.85 served {r}"
+        assert r >= 0.85 - 0.025, f"{mode}: k=25 target 0.85 served {r}"
     # each k wrote its own sidecar (k=10 = bare name, k=25 = _k25)
     assert os.path.exists(
         os.path.join(vs.root, ".pq_index", "c", "_shortlist_curve.json")
@@ -524,3 +573,184 @@ def test_graph_curve_can_certify_above_k_minus_1_over_k(
     assert max(curve.values()) > 0.9, curve
     # and the 0.95 target resolves a finite measured beam
     assert any(r >= 0.95 for r in curve.values())
+
+
+def test_sub_bin_reroute_by_survivor_count(spark, embeddings, tmp_path):
+    """VERDICT r11 #4 mechanism, pinned deterministically: below the
+    smallest calibrated bin the route keys on the survivor COUNT —
+    under the exact-scan crossover budget it reroutes to exact (None);
+    over it, an EXTRAPOLATED-conservative shortlist serves, fit from
+    the two smallest measured bins (s(f) = s1*(f1/f)^alpha, alpha >= 0,
+    rounded UP to the next calibrated grid point) and never reaching
+    the survivor estimate (that would be the exact scan again)."""
+    from vectordb_acc_and_speed_exp_spark.api import VectorStore
+
+    dim = len(embeddings.select("embedding").first()[0])
+    vs = VectorStore(spark, str(tmp_path / "subbin"), dim=dim)
+    vs.create_collection(
+        "c",
+        embeddings.limit(50).select(
+            F.col("vec_id").cast("string").alias("id"), "embedding"
+        ),
+    )
+    # hand-built bins: 0.03 certifies 0.85 at 400, 0.10 at 200 ->
+    # alpha = ln(400/200)/ln(0.10/0.03) ~ 0.576; at frac=0.01,
+    # s = 400*(3)^0.576 ~ 753 -> grid-up 800
+    bins = {
+        0.03: {200: 0.7, 400: 0.86, 800: 0.95},
+        0.10: {100: 0.8, 200: 0.9, 400: 0.97},
+        0.25: {100: 0.9, 200: 0.98},
+        0.50: {50: 0.9, 100: 0.99},
+    }
+    vs._collection_nrows = lambda name: 1_000_000  # type: ignore
+    # survivor estimate 10k <= measured 200k crossover -> exact reroute
+    assert vs._extrapolated_filtered_shortlist(
+        "c", "sq", 10, 0.85, 0.01, bins
+    ) is None
+    # the 100 TB regime: survivors past the budget -> served shortlist
+    vs.FILTERED_EXACT_SURVIVOR_ROWS = 1_000
+    s = vs._extrapolated_filtered_shortlist("c", "sq", 10, 0.85, 0.01, bins)
+    assert s == 800, s
+    # conservative floor: never below the smallest bin's own demand
+    assert s >= 400
+    # deeper sub-bin demands MORE, never less (alpha >= 0 direction)
+    s2 = vs._extrapolated_filtered_shortlist("c", "sq", 10, 0.85, 0.005, bins)
+    assert s2 >= s
+    # a smallest bin that refuses to certify inside the grid -> exact
+    # (the certified-correct answer, per the lam=1.5 study)
+    refuse = dict(bins)
+    refuse[0.03] = {200: 0.5, 400: 0.6, 800: 0.7}
+    assert vs._extrapolated_filtered_shortlist(
+        "c", "sq", 10, 0.85, 0.01, refuse
+    ) is None
+    # survivors under the smallest-bin sample floor on tiny collections:
+    # fewer than two measured bins -> exact
+    assert vs._extrapolated_filtered_shortlist(
+        "c", "sq", 10, 0.85, 0.01, {0.5: bins[0.50]}
+    ) is None
+
+
+@pytest.mark.slow
+def test_sub_bin_filtered_serves_at_1m_without_full_rerank(
+    spark, embeddings, tmp_path
+):
+    """VERDICT r11 #4 done-criterion at the 1M-fixture scale: a ~1%
+    filter + target_recall on a flat compressed family meets the target
+    WITHOUT a full survivor re-rank once the survivor count exceeds the
+    exact-scan budget, and a sub-budget filter still reroutes exact.
+
+    The budget dial is lowered for the fixture (10k survivors sit under
+    the measured 200k crossover on this box, where exact-over-survivors
+    is genuinely the right call — the dial simulates the 100 TB regime
+    the verdict names, where 1% of the corpus dwarfs any crossover)."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from vectordb_acc_and_speed_exp_spark.api import VectorStore
+    from vectordb_acc_and_speed_exp_spark.experiments_scale import (
+        expand_embeddings,
+    )
+
+    dim = len(embeddings.select("embedding").first()[0])
+    big, _ = expand_embeddings(embeddings, 1_000_000, lam=0.6)
+    big = big.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+    )
+    vs = VectorStore(spark, str(tmp_path / "m1"), dim=dim)
+    vs.create_collection("c", big)
+    where = "pmod(cast(id as bigint), 97) = 0"  # ~1.03% survivors
+    frac = vs._where_selectivity("c", where)
+    assert 0.008 <= frac <= 0.013, frac
+    # default budget (measured 200k crossover): 10k survivors -> exact
+    assert vs._resolve_filtered_shortlist("c", "pq", 10, 0.85, frac) is None
+    # 100 TB regime dial: survivors exceed the budget -> served shortlist
+    vs.FILTERED_EXACT_SURVIVOR_ROWS = 1_000
+    s = vs._resolve_filtered_shortlist("c", "pq", 10, 0.85, frac)
+    n_surv = int(round(frac * 1_000_000))
+    assert s is not None and s < n_surv, (s, n_surv)  # no full re-rank
+    qrows = embeddings.limit(8).select("embedding").collect()
+    probe = [[float(x) for x in r.embedding] for r in qrows]
+    served = vs.query(
+        "c", query_vecs=probe, k=10, mode="pq", where=where,
+        target_recall=0.85,
+    ).select("query_id", "rank", "item_id")
+    exact = vs.query(
+        "c", query_vecs=probe, k=10, mode="exact", where=where
+    ).select("query_id", "rank", "item_id")
+    from vectordb_acc_and_speed_exp_spark.operators.recall import (
+        mean_recall,
+        recall_at_k,
+    )
+
+    r = mean_recall(recall_at_k(exact, served, k=10)).first().mean_recall
+    # 8 queries x 10 pairs: ~1.5 sigma under the 0.85 target
+    assert r >= 0.85 - 0.1, r
+    # sub-budget case: a far more selective filter still reroutes exact
+    tiny = "pmod(cast(id as bigint), 2000) = 0"  # ~500 survivors
+    frac2 = vs._where_selectivity("c", tiny)
+    assert vs._resolve_filtered_shortlist("c", "pq", 10, 0.85, frac2) is None
+
+
+def test_tiny_collection_skips_unmeasurable_bins(spark, embeddings, tmp_path):
+    """ADVICE r11: on a small collection the 0.03 (and 0.10) bin's hash
+    sample holds fewer than k+1 rows — its ground truth is degenerate
+    and publishing its all-1.0 fallback curve would certify the minimum
+    grid shortlist to any real 3-10% filter. Those bins are SKIPPED
+    (recorded in the sidecar so the bin-coverage check doesn't
+    recalibrate forever), and a filter landing below the smallest
+    MEASURED bin reroutes to exact-over-survivors."""
+    import json
+    import os
+
+    from vectordb_acc_and_speed_exp_spark.api import VectorStore
+
+    dim = len(embeddings.select("embedding").first()[0])
+    vs = VectorStore(spark, str(tmp_path / "tinybins"), dim=dim)
+    vs.create_collection(
+        "c",
+        embeddings.filter(F.col("vec_id") < 100).select(
+            F.col("vec_id").cast("string").alias("id"),
+            (F.col("vec_id") % 20).alias("label"),
+            "embedding",
+        ),
+    )
+    bins = vs._ensure_filtered_shortlist_curve("c", "sq", k=10)
+    with open(
+        os.path.join(vs._sq_path("c"), "_filtered_shortlist_curve.json")
+    ) as fh:
+        meta = json.load(fh)
+    # at ~100 rows the 0.03 sample (~3 rows) and usually the 0.10 sample
+    # (~10 rows) are under k+1 = 11: skipped, never published as curves
+    assert "0.03" in meta["skipped_bins"], meta["skipped_bins"]
+    assert set(meta["bins"]) | set(meta["skipped_bins"]) == {
+        "0.03", "0.10", "0.25", "0.50"
+    }
+    for f in meta["skipped_bins"]:
+        assert f not in meta["bins"]
+    # a second call serves the sidecar (coverage check passes WITH the
+    # skips — no eternal recalibration)
+    mtime = os.path.getmtime(
+        os.path.join(vs._sq_path("c"), "_filtered_shortlist_curve.json")
+    )
+    bins2 = vs._ensure_filtered_shortlist_curve("c", "sq", k=10)
+    assert os.path.getmtime(
+        os.path.join(vs._sq_path("c"), "_filtered_shortlist_curve.json")
+    ) == mtime
+    assert set(bins2) == set(bins)
+    # a ~5% filter sits below the smallest MEASURED bin -> tiny survivor
+    # set -> exact-over-survivors (None), never a degenerate budget
+    probe = [[float(x) for x in r.embedding]
+             for r in embeddings.limit(2).collect()]
+    where = "label = 0 and cast(id as bigint) < 99"
+    frac = vs._where_selectivity("c", where)
+    assert frac < min(f for f in bins2 if f < 1.0)
+    assert vs._resolve_filtered_shortlist("c", "sq", 10, 0.8, frac) is None
+    got = vs.query(
+        "c", query_vecs=probe, k=3, mode="sq", where=where, target_recall=0.8
+    ).collect()
+    exact = vs.query(
+        "c", query_vecs=probe, k=3, mode="exact", where=where
+    ).collect()
+    assert sorted((r.query_id, r.rank, r.item_id) for r in got) == sorted(
+        (r.query_id, r.rank, r.item_id) for r in exact
+    )

@@ -41,6 +41,14 @@ REPO = os.path.dirname(HERE)
 # MINIMUM-total clean run, not the last one, so a mild steal window
 # can't become the round's number just by running second.
 CONTENTION_FACTOR = 1.05
+# VERDICT r11 #1: cross-run ratios are blind to steal common to EVERY
+# run of a close (the r11 close was +9% on identical code and passed as
+# "clean").  bench.py now interleaves a fixed CPU probe between entries
+# and prices each against the committed quiet-box baseline
+# (PROBE_BASELINE.json); a run whose MEDIAN probe ratio exceeds this is
+# contended in absolute terms, however its siblings look.  1.10 = the
+# probe's own quiet-box sampling noise (~±8% single-probe) plus margin.
+PROBE_CONTENTION = 1.10
 
 
 def run_gate(round_no: int) -> bool:
@@ -96,9 +104,22 @@ def run_recall(round_no: int) -> bool:
               flush=True)
         return False
     low = {f: r for f, r in calib.items() if r < floor}
+    # VERDICT r11 #3: the served-recall@25 eval (pq/ivfbq/graph at the
+    # 32-query size) is floor-gated exactly like the k=10 column — a
+    # k-keyed calibration that under-delivers at 25 fails the close
+    calib25 = payload.get("families_calib_k25", {})
+    if not calib25:
+        print("[close]   families_calib_k25 MISSING from recall payload",
+              flush=True)
+        return False
+    low25 = {f: r for f, r in calib25.items() if r < floor}
+    if low25:
+        print(f"[close]   BELOW FLOOR (32-query eval @k25): {low25}",
+              flush=True)
     print(
         f"[close]   32-query serving recall min "
-        f"{min(calib.values()):.2f} (reference floor {floor}; "
+        f"{min(calib.values()):.2f} @k10 / "
+        f"{min(calib25.values()):.2f} @k25 (reference floor {floor}; "
         f"informational 5-query min {payload['min_family']:.2f})",
         flush=True,
     )
@@ -159,16 +180,24 @@ def run_recall(round_no: int) -> bool:
         a: d for a, d in payload.get("drift", {}).items()
         if (d.get("upsert_n") or 0) > 0 and d.get("ratio") is not None
     }
+    # VERDICT r11 #6: one live row per family WITH a write path, not
+    # just >= 1 overall — the canary primes every quantized family's
+    # artifact before its in-distribution add, so a missing family
+    # means its add()-side drift accumulator silently stopped working
+    want_live = {"ivf", "ivfbq", "ivfpq", "ivfsq", "pq", "sq", "bq"}
+    have_live = {a.split("/", 1)[1] for a in live_rows
+                 if a.startswith("live_upsert/")}
+    missing_live = want_live - have_live
     if live_rows:
         print(
             f"[close]   live drift rows (upsert_n > 0): "
             f"{sorted(live_rows)}", flush=True,
         )
-    else:
+    if missing_live:
         print(
-            "[close]   NO LIVE DRIFT ROW — the walk is structure, not "
-            "evidence (recall_report should merge the canary's "
-            "in-distribution add)", flush=True,
+            f"[close]   MISSING LIVE DRIFT ROWS for write-path families: "
+            f"{sorted(missing_live)} — that family's add()-side "
+            "accumulator produced no evidence", flush=True,
         )
     # falsifiable-gate canary (VERDICT r09 #2): the close also proves the
     # trigger CAN fire — a synthetic drifted upsert through the facade
@@ -194,8 +223,8 @@ def run_recall(round_no: int) -> bool:
             flush=True,
         )
     return (
-        p.returncode == 0 and not low and not dropped and not drifting
-        and canary_ok and bool(live_rows)
+        p.returncode == 0 and not low and not low25 and not dropped
+        and not drifting and canary_ok and not missing_live
     )
 
 
@@ -347,18 +376,36 @@ def run_bench(round_no: int, tag: str) -> dict:
 
 def steal_verdict(
     runs: list[dict],
-) -> tuple[list[tuple[str, float, float, bool]], float]:
+) -> tuple[list[tuple[str, float, float, float | None, bool]], float]:
     """(per-run verdicts, quiet composite). Per run: (tag, total,
-    ratio_to_composite, contended?). Composite = sum of per-entry minima
-    across runs — the quiet-box estimate, persisted into BENCH_DETAIL so
-    driver-vs-close comparisons carry it (VERDICT r10 #8)."""
+    ratio_to_composite, median_probe_ratio, contended?). Composite = sum
+    of per-entry minima across runs — the quiet-box estimate, persisted
+    into BENCH_DETAIL so driver-vs-close comparisons carry it (VERDICT
+    r10 #8).
+
+    Contention (VERDICT r11 #1): judged by PROBE DRIFT when the run
+    carries probe data priced against the COMMITTED baseline — the
+    absolute signal that catches steal common to every run, which the
+    cross-run composite ratio structurally cannot.  The composite ratio
+    stays as a second trigger (it catches a run whose steal landed
+    between probes).  Runs without committed-baseline probes (pre-r12
+    artifacts, missing PROBE_BASELINE.json) fall back to composite-only,
+    as before."""
     keys = set.intersection(*(set(r["queries"]) for _, r in runs))
     composite = sum(min(r["queries"][k] for _, r in runs) for k in keys)
     out = []
     for tag, r in runs:
         tot = sum(r["queries"][k] for k in keys)
         ratio = tot / composite if composite else 1.0
-        out.append((tag, tot, ratio, ratio > CONTENTION_FACTOR))
+        probe = r.get("probe") or {}
+        pmed = probe.get("median_ratio")
+        probe_absolute = (
+            pmed is not None and probe.get("source") == "PROBE_BASELINE.json"
+        )
+        contended = ratio > CONTENTION_FACTOR or (
+            probe_absolute and pmed > PROBE_CONTENTION
+        )
+        out.append((tag, tot, ratio, pmed, contended))
     return out, composite
 
 
@@ -400,11 +447,13 @@ def main() -> int:
         for i in range(max(2, args.runs))
     ]
     verdicts, composite = steal_verdict(runs)
-    clean = [v for v in verdicts if not v[3]]
-    print("[close] steal verdict (total / ratio-to-quiet-composite):")
-    for tag, tot, ratio, contended in verdicts:
+    clean = [v for v in verdicts if not v[4]]
+    print("[close] steal verdict (total / ratio-to-quiet-composite / "
+          "median probe ratio):")
+    for tag, tot, ratio, pmed, contended in verdicts:
         mark = "CONTENDED" if contended else "clean"
-        print(f"[close]   {tag}: {tot:.2f} s  x{ratio:.3f}  {mark}")
+        pstr = f"probe x{pmed:.3f}" if pmed is not None else "probe n/a"
+        print(f"[close]   {tag}: {tot:.2f} s  x{ratio:.3f}  {pstr}  {mark}")
     if not clean:
         print(
             "[close] every run looks contended — rerun on a quieter box "
@@ -424,12 +473,29 @@ def main() -> int:
     import statistics
 
     keys = set.intersection(*(set(r["queries"]) for _, r in runs))
+
+    def _norm(r: dict, k: str) -> float:
+        # steal-normalized per-entry value: raw / adjacent-probe ratio
+        # (bench.py precomputes these; recompute here so stats survive a
+        # mixed set of runs)
+        return float(
+            (r.get("queries_normalized") or {}).get(k, r["queries"][k])
+        )
+
     payload["queries_stats"] = {
         k: {
             "min": round(min(r["queries"][k] for _, r in runs), 4),
             "median": round(
                 statistics.median(r["queries"][k] for _, r in runs), 4
             ),
+            # probe ratio adjacent to this entry, from the run whose RAW
+            # time was the minimum (the quietest sample of the entry)
+            "probe_ratio": min(
+                (r for _, r in runs), key=lambda r: r["queries"][k]
+            ).get("probe", {}).get("per_entry_ratio", {}).get(k),
+            # the steal-corrected quiet estimate: min across runs of
+            # (raw / probe ratio) — judge per-entry deltas from THIS
+            "normalized": round(min(_norm(r, k) for _, r in runs), 4),
         }
         for k in sorted(keys)
     }
@@ -438,6 +504,13 @@ def main() -> int:
     # close's runs): the number the steal gate judges against, persisted
     # so BENCH_NOTES' driver-vs-close delta can cite it without re-running
     payload["quiet_composite"] = round(composite, 4)
+    # the steal-normalized composite (VERDICT r11 #1): sum of per-entry
+    # normalized minima — two closes taken in different load windows
+    # should agree on THIS number (done-bar: within ±5%), because steal
+    # common to a whole close divides out of it
+    payload["normalized_composite"] = round(
+        sum(payload["queries_stats"][k]["normalized"] for k in keys), 4
+    )
     detail = os.path.join(REPO, f"BENCH_DETAIL_r{args.round:02d}.json")
     with open(detail, "w") as fh:
         json.dump(payload, fh, indent=1)

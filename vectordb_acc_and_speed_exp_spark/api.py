@@ -112,22 +112,32 @@ class VectorStore:
             # function of the corpus, which just changed
             self._drop_lsh_calib(name)
 
-    def _drop_lsh_calib(self, name: str) -> None:
-        import glob
+    def _lsh_calib_path(self, name: str, k: int) -> str:
+        """k-keyed lsh bits-curve sidecar, in a PER-COLLECTION
+        subdirectory (ADVICE r11): flat ``name_k{k}.json`` files made
+        exact deletion impossible — ``c_k2.json`` is indistinguishable
+        from collection ``c``'s k=2 curve and collection ``c_k2``'s bare
+        k=10 curve, so invalidating one collection could sweep a
+        sibling's sidecars. A directory per collection makes ownership
+        structural."""
+        return os.path.join(self.root, ".lsh_calib", name, f"k{int(k)}.json")
 
-        # curves are k-keyed (VERDICT r10 #1): the bare name is the k=10
-        # sidecar, "_k{k}" suffixes the rest — drop them ALL, or a stale
-        # non-default-k curve would survive invalidation. Patterns are
-        # exact-name + exact-name_k*, NOT name*, so a collection whose
-        # name prefixes another's never sweeps its sibling's curves.
-        root = os.path.join(self.root, ".lsh_calib")
-        for p in [os.path.join(root, name + ".json")] + glob.glob(
-            os.path.join(root, name + "_k[0-9]*.json")
-        ):
-            try:
-                os.remove(p)
-            except OSError:
-                pass
+    def _drop_lsh_calib(self, name: str) -> None:
+        # current layout: everything under the collection's own subdir —
+        # exact by construction (ADVICE r11)
+        shutil.rmtree(
+            os.path.join(self.root, ".lsh_calib", name), ignore_errors=True
+        )
+        # legacy flat layout (pre-r12): only the bare k=10 file is
+        # unambiguously this collection's — remove it. Legacy k-suffixed
+        # files (name_k{k}.json) are left alone BY DESIGN: the name is
+        # ambiguous with a sibling collection's bare sidecar, and reads
+        # no longer fall back to them (they are dead files, recalibrated
+        # into the subdir on first use), so a survivor can never serve.
+        try:
+            os.remove(os.path.join(self.root, ".lsh_calib", name + ".json"))
+        except OSError:
+            pass
 
     def delete_collection(self, name: str) -> None:
         shutil.rmtree(self._path(name), ignore_errors=True)
@@ -196,9 +206,71 @@ class VectorStore:
             # rewrite for a no-op
             if int(m.get("gen", 0)) > int(m.get("compacted_gen", 0)):
                 compact_mt_lsh_index(self.spark, mtp)
+        # flat code tables past the auto-compact threshold: normally the
+        # inline path keeps them bounded, but add(defer_maintenance=True)
+        # accrues debt here instead (VERDICT r11 #5) — optimize() is the
+        # explicit cadence that clears it
+        for _fam, root in (
+            ("bq", self._bq_path(name)),
+            ("pq", self._pq_path(name)),
+            ("sq", self._sq_path(name)),
+        ):
+            codes = os.path.join(root, "codes")
+            self._heal_on_read(codes)
+            self._maybe_compact_codes(codes)
         if cluster_by:
             return optimize_layout(self.spark, self._path(name), cluster_by)
         return compact_table(self.spark, self._path(name))
+
+    def maintenance_due(self, name: str) -> dict:
+        """Compaction-debt report (VERDICT r11 #5): what a sequence of
+        ``add(..., defer_maintenance=True)`` calls has accrued, from the
+        same watermarks and file counts the inline path triggers on — no
+        extra bookkeeping, so the report can never drift from reality.
+        ``{"due": bool, "mtlsh": {pending_gens, due} | None,
+        "codes": {family: {files, due}}, "collection_files": int}``;
+        ``optimize()`` clears everything reported due."""
+        out: dict = {"mtlsh": None, "codes": {}}
+        if self._mtlsh_is_incremental(name):
+            from .operators.mtlsh import (
+                AUTO_COMPACT_APPENDS,
+                read_mt_lsh_meta,
+            )
+
+            m = read_mt_lsh_meta(self._mtlsh_path(name))
+            pending = int(m.get("gen", 0)) - int(m.get("compacted_gen", 0))
+            out["mtlsh"] = {
+                "pending_gens": pending,
+                "due": pending >= AUTO_COMPACT_APPENDS,
+            }
+        for fam, root in (
+            ("bq", self._bq_path(name)),
+            ("pq", self._pq_path(name)),
+            ("sq", self._sq_path(name)),
+        ):
+            codes = os.path.join(root, "codes")
+            if os.path.isdir(codes) or os.path.isdir(
+                codes + "._pre_compact"
+            ):
+                n = self._codes_file_count(codes) or self._codes_file_count(
+                    codes + "._pre_compact"
+                )
+                out["codes"][fam] = {
+                    "files": n,
+                    "due": n >= self._CODES_AUTO_COMPACT_FILES,
+                }
+        try:
+            out["collection_files"] = sum(
+                1 for f in os.listdir(self._path(name))
+                if f.endswith(".parquet")
+            )
+        except OSError:
+            out["collection_files"] = 0
+        out["due"] = bool(
+            (out["mtlsh"] or {}).get("due")
+            or any(c["due"] for c in out["codes"].values())
+        )
+        return out
 
     # -- writes (S7) -------------------------------------------------------
     def create_collection(
@@ -209,7 +281,12 @@ class VectorStore:
         self._write(name, docs, id_col, text_col, mode="overwrite")
 
     def add(
-        self, name: str, docs: DataFrame, id_col: str = "id", text_col: str = "text"
+        self,
+        name: str,
+        docs: DataFrame,
+        id_col: str = "id",
+        text_col: str = "text",
+        defer_maintenance: bool = False,
     ) -> None:
         """Append records (the reference's batched collection.add). If the
         collection has a graph index (a prior mode="graph" query built one),
@@ -219,7 +296,16 @@ class VectorStore:
         Duplicate ids (within the batch or against the collection) are
         rejected, mirroring ChromaDB's DuplicateIDError — an appended
         duplicate would diverge from the graph index, which replaces;
-        use upsert() for replace semantics."""
+        use upsert() for replace semantics.
+
+        ``defer_maintenance=True`` (VERDICT r11 #5) skips the inline
+        auto-compaction the 16th-or-so batch would otherwise pay (one
+        O(index) rewrite stall — ~37 s at 800k x 32 mt-LSH tables, EP3
+        appendix): every append stays O(batch), compaction DEBT accrues
+        instead (visible via :meth:`maintenance_due`), and the next
+        ``optimize()`` — or the next non-deferred add past the
+        threshold — clears it. The default stays inline: bounded read
+        amplification without operator discipline."""
         docs = docs.withColumnRenamed(id_col, "id") if id_col != "id" else docs
         n_rows = docs.count()
         if docs.select("id").distinct().count() != n_rows:
@@ -235,7 +321,7 @@ class VectorStore:
                     f"add(): {n_clash} id(s) already exist — use upsert()"
                 )
         docs = self._write(name, docs, "id", text_col, mode="append")
-        self._freshen_indexes(name, docs)
+        self._freshen_indexes(name, docs, defer_maintenance=defer_maintenance)
 
     def upsert(
         self, name: str, docs: DataFrame, id_col: str = "id", text_col: str = "text"
@@ -424,19 +510,31 @@ class VectorStore:
     # itself while the serve scan never reads more than ~17 files.
     _CODES_AUTO_COMPACT_FILES = 16
 
-    def _maybe_compact_codes(self, codes: str) -> None:
+    def _codes_file_count(self, codes: str) -> int:
         try:
-            n = sum(
+            return sum(
                 1 for f in os.listdir(codes) if f.endswith(".parquet")
             )
         except OSError:
-            return
-        if n >= self._CODES_AUTO_COMPACT_FILES:
+            return 0
+
+    def _maybe_compact_codes(self, codes: str, defer: bool = False) -> None:
+        """Inline auto-compaction past the file threshold — unless the
+        caller deferred maintenance (VERDICT r11 #5: the inline rewrite
+        lands as one ~37 s stall on the unlucky batch at large tables —
+        fine for batch writers, hostile to latency-sensitive ingest).
+        Deferred debt needs no bookkeeping: it IS the file count, which
+        maintenance_due() reports and optimize() clears."""
+        if self._codes_file_count(codes) >= self._CODES_AUTO_COMPACT_FILES:
+            if defer:
+                return
             from .io.catalog import compact_table
 
             compact_table(self.spark, codes)
 
-    def _freshen_indexes(self, name: str, docs: DataFrame) -> None:
+    def _freshen_indexes(
+        self, name: str, docs: DataFrame, defer_maintenance: bool = False
+    ) -> None:
         """Incremental maintenance after an add/upsert batch: every index
         with a shard/cell/bucket-grained upsert absorbs the batch touching
         only the partitions it lands in — graph shards
@@ -607,7 +705,7 @@ class VectorStore:
             # this write pays the O(index) rewrite inline (economics in
             # operators/mtlsh.py at the constant).
             m = read_mt_lsh_meta(mtp)
-            if (
+            if not defer_maintenance and (
                 int(m.get("gen", 0)) - int(m.get("compacted_gen", 0))
                 >= AUTO_COMPACT_APPENDS
             ):
@@ -642,7 +740,9 @@ class VectorStore:
             bq_encode(
                 docs, sums, int(m["n"]), item_id="id"
             ).write.mode("append").parquet(os.path.join(bqp, "codes"))
-            self._maybe_compact_codes(os.path.join(bqp, "codes"))
+            self._maybe_compact_codes(
+                os.path.join(bqp, "codes"), defer=defer_maintenance
+            )
             qm, qn = mean_coarse_qerr(
                 docs.select(
                     bq_recon_qerr(
@@ -668,7 +768,9 @@ class VectorStore:
             self._heal_on_read(os.path.join(pqp, "codes"))  # see bq note
             enc.write.mode("append").parquet(os.path.join(pqp, "codes"))
             record_batch_qerr(pqp, qm, qn)
-            self._maybe_compact_codes(os.path.join(pqp, "codes"))
+            self._maybe_compact_codes(
+                os.path.join(pqp, "codes"), defer=defer_maintenance
+            )
         sqp = self._sq_path(name)
         if os.path.exists(drift_path(sqp)) and os.path.exists(
             os.path.join(sqp, "_meta.json")
@@ -685,7 +787,9 @@ class VectorStore:
             sq_encode(
                 docs, vmin, scale, item_id="id"
             ).write.mode("append").parquet(os.path.join(sqp, "codes"))
-            self._maybe_compact_codes(os.path.join(sqp, "codes"))
+            self._maybe_compact_codes(
+                os.path.join(sqp, "codes"), defer=defer_maintenance
+            )
             qm, qn = mean_coarse_qerr(
                 docs.select(
                     sq_recon_qerr(F.col("embedding"), vmin, scale).alias(
@@ -985,10 +1089,13 @@ class VectorStore:
         want_bins = {f"{f:.2f}" for f in self._FILTERED_BINS}
         if not curve_is_stale(meta, n, k=k) and set(
             meta.get("bins", {})
-        ) == want_bins:
+        ) | set(meta.get("skipped_bins", [])) == want_bins:
             # bin-coverage check: a sidecar calibrated before a bin was
             # added (e.g. the 0.03 bin) must recalibrate once, or the
-            # new bin would silently keep rerouting to exact
+            # new bin would silently keep rerouting to exact. Skipped
+            # bins (survivor sample < k+1 rows on a small collection,
+            # ADVICE r11) count as covered — they were examined and
+            # found unmeasurable, not missed.
             bins = {
                 float(f): {int(s): float(r) for s, r in c.items()}
                 for f, c in meta["bins"].items()
@@ -1002,7 +1109,7 @@ class VectorStore:
             encoded, books = self._ensure_pq_codes(name, corpus)
         else:
             encoded, vmin, scale = self._ensure_sq_codes(name, corpus)
-        bins = {}
+        bins, skipped = {}, []
         for f in self._FILTERED_BINS:
             thresh = int(f * 1000)
             surv = corpus.filter(
@@ -1011,6 +1118,18 @@ class VectorStore:
                     F.lit(1000),
                 ) < thresh
             )
+            # ADVICE r11: on a small collection a low-fraction bin's
+            # hash sample can hold < k+1 rows — its ground truth is
+            # empty or truncated and the curve builder's degenerate
+            # fallback would publish an all-1.0 curve, serving the
+            # minimum grid shortlist as 'certified' to any real filter
+            # in that bin. SKIP the bin instead (recorded, so the
+            # coverage check doesn't recalibrate forever); the resolver
+            # treats a missing smallest bin like a sub-bin filter —
+            # survivor sets that small reroute to exact.
+            if surv.count() < k + 1:
+                skipped.append(f)
+                continue
             surv_enc = encoded.filter(
                 F.pmod(
                     portable_hash64(F.col("item_id").cast("string")),
@@ -1039,6 +1158,7 @@ class VectorStore:
                     f"{f:.2f}": {str(s): float(r) for s, r in c.items()}
                     for f, c in bins.items()
                 },
+                "skipped_bins": [f"{f:.2f}" for f in skipped],
             },
         )
         bins[1.0] = full
@@ -1077,28 +1197,100 @@ class VectorStore:
             memo[key] = (sig, surv / max(n, 1))
         return memo[key][1]
 
+    # Survivor-COUNT budget for the exact-over-survivors reroute
+    # (VERDICT r11 #4): below the smallest calibrated bin, "exact is
+    # cheap" is only true when the survivor COUNT is small — at 100 TB a
+    # 1% filter still has ~1 TB of survivors. The budget is the measured
+    # exact-scan crossover on this box (operators/filtered.py
+    # EXACT_CROSSOVER_N = 200k, from the round-5 scale-crossover study:
+    # below it the full-precision scan beats every compressed path;
+    # above it the compressed scan's 4-32x byte advantage wins).
+    # Class attribute so tests can dial it per instance.
+    FILTERED_EXACT_SURVIVOR_ROWS: int | None = None  # None = crossover
+
     def _resolve_filtered_shortlist(
         self, name: str, fam: str, k: int, target: float, frac: float
     ) -> int | None:
         """Serving shortlist for a flat family under a filter of survivor
         fraction ``frac``: the conservative BRACKET — the largest of the
         shortlists the two calibrated bins surrounding frac demand for
-        the target (floored at k). None when frac falls below the
-        smallest calibrated bin: there the survivor set is tiny and
-        exact-over-survivors is both certain and cheap, so the caller
-        reroutes instead of serving an extrapolated budget."""
+        the target (floored at k).
+
+        Below the smallest calibrated bin the route depends on the
+        survivor COUNT, not the fraction (VERDICT r11 #4): None (the
+        caller reroutes to exact-over-survivors — certain AND measured-
+        cheap) only when frac x n_corpus is under the exact-scan
+        crossover budget; past the budget the sub-bin filter serves an
+        EXTRAPOLATED-conservative shortlist from the two smallest
+        measured bins instead of scanning every survivor at full
+        precision."""
         from .operators.probetune import choose_shortlist
 
         bins = self._ensure_filtered_shortlist_curve(name, fam, k=k)
         lo = [f for f in bins if f <= frac + 1e-9]
         if not lo:
-            return None
+            return self._extrapolated_filtered_shortlist(
+                name, fam, k, target, frac, bins
+            )
         hi = [f for f in bins if f >= frac - 1e-9]
         ncoll = self._collection_nrows(name)
         picks = [choose_shortlist(bins[max(lo)], target, ncoll)]
         if hi:
             picks.append(choose_shortlist(bins[min(hi)], target, ncoll))
         return max(k, *picks)
+
+    def _extrapolated_filtered_shortlist(
+        self,
+        name: str,
+        fam: str,
+        k: int,
+        target: float,
+        frac: float,
+        bins: dict[float, dict[int, float]],
+    ) -> int | None:
+        """Sub-smallest-bin route (VERDICT r11 #4). None = reroute to
+        exact-over-survivors, which is returned when ANY of:
+
+        - the survivor estimate is under the exact-scan crossover budget
+          (measured-cheap AND certain — the common small case);
+        - fewer than two measured bins exist (nothing to extrapolate
+          from: tiny collections whose low bins were sample-skipped);
+        - the smallest bin's curve refuses to certify the target inside
+          the grid (the honest answer there is the exact scan, as the
+          lam=1.5 study documents);
+        - the extrapolated shortlist reaches the survivor estimate
+          (re-ranking everything IS the exact scan).
+
+        Otherwise: fit the trend of the two smallest measured bins,
+        s(f) = s1 * (f1/f)^alpha with alpha >= 0 (demand may only GROW
+        below the measured range — the conservative direction), and
+        round UP to the next calibrated grid point."""
+        import math
+
+        from .operators.filtered import EXACT_CROSSOVER_N
+        from .operators.probetune import SHORTLIST_GRID, choose_shortlist
+
+        n = self._collection_nrows(name)
+        budget = self.FILTERED_EXACT_SURVIVOR_ROWS or EXACT_CROSSOVER_N
+        survivors = frac * n
+        if survivors <= budget:
+            return None
+        fs = sorted(f for f in bins if f < 1.0 - 1e-9)
+        if len(fs) < 2:
+            return None
+        f1, f2 = fs[0], fs[1]
+        s1 = choose_shortlist(bins[f1], target, n)
+        s2 = choose_shortlist(bins[f2], target, n)
+        if s1 >= n:
+            return None
+        alpha = 0.0
+        if s1 > s2:
+            alpha = math.log(s1 / s2) / math.log(f2 / f1)
+        s = max(s1 * (f1 / max(frac, 1e-9)) ** alpha, float(s1), float(k))
+        s_up = next((g for g in sorted(SHORTLIST_GRID) if g >= s), None)
+        if s_up is None or s_up >= survivors:
+            return None
+        return max(k, s_up)
 
     def _ensure_composed_budget(
         self, name: str, mode: str, target: float, k: int = 10
@@ -1416,8 +1608,8 @@ class VectorStore:
 
         import numpy as np
 
-        from .operators.drift import mean_coarse_qerr, write_drift_baseline
-        from .operators.sq import sq_encode, sq_recon_qerr, sq_train
+        from .operators.drift import write_drift_baseline
+        from .operators.sq import sq_encode, sq_holdout_qerr, sq_train
 
         path = self._sq_path(name)
         meta = os.path.join(path, "_meta.json")
@@ -1429,15 +1621,11 @@ class VectorStore:
             sq_encode(corpus, vmin, scale, item_id="id").write.mode(
                 "overwrite"
             ).parquet(codes)
-            # EP13 drift baseline for the frozen affine params (clipping
-            # error explodes when appends leave the training box)
-            qerr_mean, qerr_n = mean_coarse_qerr(
-                corpus.select(
-                    sq_recon_qerr(F.col("embedding"), vmin, scale).alias(
-                        "_qerr"
-                    )
-                )
-            )
+            # EP13 drift baseline for the frozen affine params, measured
+            # OUT-OF-SAMPLE (sq_holdout_qerr): the training rows never
+            # clamp under params fit on exactly them, so an in-sample
+            # baseline fires the trigger on in-distribution appends
+            qerr_mean, qerr_n = sq_holdout_qerr(corpus, self.dim)
             write_drift_baseline(path, qerr_mean, qerr_n)
             with open(meta, "w") as f:
                 json.dump(
@@ -1464,8 +1652,8 @@ class VectorStore:
 
         import numpy as np
 
-        from .operators.drift import mean_coarse_qerr, write_drift_baseline
-        from .operators.sq import sq_recon_qerr, sq_train, write_ivfsq_codes
+        from .operators.drift import write_drift_baseline
+        from .operators.sq import sq_holdout_qerr, sq_train, write_ivfsq_codes
 
         corpus_path, cents = self._ensure_ivf_index(name)
         path = self._ivf_path(name)
@@ -1478,14 +1666,9 @@ class VectorStore:
             )
             write_ivfsq_codes(assigned, vmin, scale, codes_path, item_id="id")
             # EP13 fine-quantizer baseline (clipping error of the frozen
-            # affine params), published inside the codes dir
-            qerr_mean, qerr_n = mean_coarse_qerr(
-                assigned.select(
-                    sq_recon_qerr(F.col("embedding"), vmin, scale).alias(
-                        "_qerr"
-                    )
-                )
-            )
+            # affine params), published inside the codes dir — measured
+            # OUT-OF-SAMPLE (sq_holdout_qerr): in-sample never clamps
+            qerr_mean, qerr_n = sq_holdout_qerr(assigned, self.dim)
             write_drift_baseline(codes_path, qerr_mean, qerr_n)
             with open(meta, "w") as f:
                 json.dump(
@@ -1550,14 +1733,23 @@ class VectorStore:
         from .io.commitproto import publish_marker
         from .operators.probetune import curve_is_stale, lsh_bits_recall_curve
 
-        path = os.path.join(
-            self.root, ".lsh_calib", self._k_fname(name + ".json", k)
-        )
+        path = self._lsh_calib_path(name, k)
         n = self._collection_nrows(name)
         meta = None
         if os.path.exists(path):
             with open(path) as fh:
                 meta = json.load(fh)
+        elif k == 10:
+            # legacy flat layout (pre-r12, ADVICE r11): the bare
+            # ``<name>.json`` is unambiguously this collection's k=10
+            # sidecar — honor it so the layout change recalibrates
+            # nothing. k-suffixed legacy files are NOT honored (their
+            # names are ambiguous with sibling collections'); those
+            # curves recalibrate once into the subdir layout.
+            legacy = os.path.join(self.root, ".lsh_calib", name + ".json")
+            if os.path.exists(legacy):
+                with open(legacy) as fh:
+                    meta = json.load(fh)
         if not curve_is_stale(meta, n, k=k):
             return {int(b): float(r) for b, r in meta["curve"].items()}
         # n_planes=6, seed=42: the lsh_ann serving defaults (operators/ann.py)

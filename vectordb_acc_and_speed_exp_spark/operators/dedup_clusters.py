@@ -499,11 +499,20 @@ def clusters_upsert(
     # leaves untouched (it only rewrites partitions present in the data),
     # so its file list is identical before and after — those dirs hold
     # only superseded rows and must drop, or later merges would resurrect
-    # old labels. Part-file names are task-unique, so any rewritten
-    # bucket's inventory always differs.
+    # old labels. The inventory compares (name, size, mtime_ns) tuples,
+    # not names alone (ADVICE r11): Spark's default committer makes part
+    # names task-unique, but a deterministic-naming committer would reuse
+    # them — and a legitimately rewritten bucket mistaken for untouched
+    # is silent data loss; size+mtime change on any rewrite regardless
+    # of the naming scheme.
     def _inv(b):
         d = os.path.join(members_p, f"cbucket={b}")
-        return tuple(sorted(os.listdir(d))) if os.path.isdir(d) else None
+        if not os.path.isdir(d):
+            return None
+        return tuple(sorted(
+            (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+            for e in os.scandir(d)
+        ))
 
     inv_before = {b: _inv(b) for b in touched_cb}
     (

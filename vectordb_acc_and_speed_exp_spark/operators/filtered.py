@@ -154,24 +154,34 @@ def plan_filtered_knn(
         # but cell-independent selectivity on a corpus whose cell count
         # is too small for a spread cell subset anyway.
         if n_cells <= 8:
-            # hash a SMALL stable column only (the id if present, else the
-            # first scalar non-cell column): hashing every column would
-            # materialize the embedding arrays for the whole corpus — more
+            # hash SMALL stable columns only (the id if present, else ALL
+            # scalar non-cell columns together): hashing the embedding
+            # arrays would materialize them for the whole corpus — more
             # IO than the exact count this sample replaces (ADVICE r10).
+            # A single arbitrary scalar column is NOT enough (ADVICE
+            # r11): if it happens to be low-cardinality (a boolean
+            # label), pmod(hash, 8) == 0 selects ~0% or ~100% of rows
+            # and the selectivity estimate is garbage — combining every
+            # scalar column makes the hash input near-unique wherever
+            # rows are distinguishable at all.
             scalar = [
                 f.name
                 for f in corpus.schema.fields
                 if f.name != "cell"
                 and f.dataType.typeName() not in ("array", "struct", "map")
             ]
-            key = (
-                ["id"] if "id" in scalar
-                else scalar[:1]
-                or [c for c in corpus.columns if c != "cell"][:1]
-            )
-            sample = corpus.filter(
-                F.pmod(F.xxhash64(*key), F.lit(8)) == 0
-            )
+            key = ["id"] if "id" in scalar else scalar
+            if key:
+                sample = corpus.filter(
+                    F.pmod(F.xxhash64(*key), F.lit(8)) == 0
+                )
+            else:
+                # no scalar columns at all: stride on row position —
+                # partition-stable within this plan, and the sample is a
+                # planning input, never part of any answer
+                sample = corpus.withColumn(
+                    "_rp", F.monotonically_increasing_id()
+                ).filter(F.pmod(F.col("_rp"), F.lit(8)) == 0)
         else:
             sample = corpus.filter(F.col("cell") % 8 == 0)
         n_rows, n_surv = (

@@ -91,6 +91,47 @@ def sq_encode(
     return corpus.select(*keep)
 
 
+def sq_holdout_qerr(
+    corpus: DataFrame,
+    dim: int,
+    item_vec: str = "embedding",
+    item_id: str = "id",
+) -> tuple[float, int]:
+    """(mean_qerr, n) — the OUT-OF-SAMPLE drift baseline for the affine
+    quantizer (round 12). Params fit on the training rows have zero
+    clamp exposure ON those rows (per-dim min/max are exact bounds of
+    exactly that data), so an in-sample baseline under-prices the
+    reconstruction error every fresh batch sees — measured on the drift
+    canary: an in-distribution append scored ratio ~3.8 against the
+    in-sample baseline (trigger 1.35) with no drift at all. Fix: fit
+    SHADOW params on a deterministic 7/8 hash split and measure the
+    held-out 1/8 under them — the fresh-row error estimate. The SERVED
+    params still train on the full corpus; only the baseline statistic
+    changes."""
+    from ..functions.hashing import portable_hash64
+    from .drift import mean_coarse_qerr
+
+    split = (
+        F.pmod(portable_hash64(F.col(item_id).cast("string")), F.lit(8)) == 0
+    )
+    hold = corpus.filter(split)
+    fit = corpus.filter(~split)
+    if hold.limit(1).count() == 0 or fit.limit(2).count() < 2:
+        # degenerate tiny split: in-sample fallback (previous behavior)
+        vmin, scale = sq_train(corpus, item_vec=item_vec, dim=dim)
+        return mean_coarse_qerr(
+            corpus.select(
+                sq_recon_qerr(F.col(item_vec), vmin, scale).alias("_qerr")
+            )
+        )
+    vmin, scale = sq_train(fit, item_vec=item_vec, dim=dim)
+    return mean_coarse_qerr(
+        hold.select(
+            sq_recon_qerr(F.col(item_vec), vmin, scale).alias("_qerr")
+        )
+    )
+
+
 def sq_recon_qerr(vec_col, vmin: np.ndarray, scale: np.ndarray):
     """L2 distance between a vector and its SQ8 decode — the EP13 drift
     statistic for the frozen int8 quantizer (operators/drift.py): inside

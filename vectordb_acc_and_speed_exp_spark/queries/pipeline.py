@@ -238,9 +238,15 @@ def _ivf_serving(spark: SparkSession, sf_dir: str) -> dict:
     return _measured_budget(spark, sf_dir, "ivf_serving", compute)
 
 
-def _flat_serving(spark: SparkSession, sf_dir: str, fam: str) -> dict:
+def _flat_serving(
+    spark: SparkSession, sf_dir: str, fam: str, k: int = 10
+) -> dict:
     """{shortlist, curve}: measured flat-quantizer shortlist default for
-    fam in {pq, sq, bq} (approximate-rank curve, probetune docstring)."""
+    fam in {pq, sq, bq} (approximate-rank curve, probetune docstring).
+    ``k`` keys the sidecar (VERDICT r11 #3: a recall@10-calibrated
+    shortlist certifies nothing about recall@25, so the k=25 eval must
+    serve a budget calibrated AT 25 — same contract as the facade's
+    _k_fname sidecars)."""
     from ..operators.probetune import (
         DEFAULT_TARGET_RECALL,
         bq_shortlist_curve,
@@ -254,36 +260,57 @@ def _flat_serving(spark: SparkSession, sf_dir: str, fam: str) -> dict:
         n = emb.count()
         if fam == "pq":
             enc, books = _get_or_build_pq(spark, sf_dir)
-            curve = pq_shortlist_curve(emb, enc, books, item_id="vec_id")
+            curve = pq_shortlist_curve(emb, enc, books, k=k, item_id="vec_id")
         elif fam == "sq":
             enc, vmin, scale = _get_or_build_sq(spark, sf_dir)
-            curve = sq_shortlist_curve(emb, enc, vmin, scale, item_id="vec_id")
+            curve = sq_shortlist_curve(
+                emb, enc, vmin, scale, k=k, item_id="vec_id"
+            )
         else:
             from ..operators.bq import bq_encode, bq_train
 
             sums, bn = bq_train(emb, item_vec="embedding", dim=64)
             enc = bq_encode(emb, sums, bn, item_id="vec_id")
-            curve = bq_shortlist_curve(emb, enc, sums, bn, item_id="vec_id")
+            curve = bq_shortlist_curve(
+                emb, enc, sums, bn, k=k, item_id="vec_id"
+            )
         return {
-            "shortlist": choose_shortlist(curve, DEFAULT_TARGET_RECALL, n),
+            "shortlist": max(k, choose_shortlist(
+                curve, DEFAULT_TARGET_RECALL, n
+            )),
             "curve": {str(s): r for s, r in curve.items()},
             "target": DEFAULT_TARGET_RECALL,
         }
 
-    return _measured_budget(spark, sf_dir, f"{fam}_serving", compute)
+    sidecar = f"{fam}_serving" if k == 10 else f"{fam}_serving_k{k}"
+    return _measured_budget(spark, sf_dir, sidecar, compute)
 
 
-def _composed_serving(spark: SparkSession, sf_dir: str, fam: str) -> dict:
+def _composed_serving(
+    spark: SparkSession, sf_dir: str, fam: str, k: int = 10
+) -> dict:
     """{n_probe, shortlist, curve}: measured joint budget for the
     composed layouts (fam in {ivfpq, ivfsq, ivfbq}) — probe budget from
     the coverage ceiling, shortlist from the joint curve AT that budget,
-    so the pair carries both the probe and the quantization loss."""
-    from ..operators.probetune import composed_serving_budget
+    so the pair carries both the probe and the quantization loss.
+    ``k`` keys the sidecar AND the calibration (VERDICT r11 #3): at a
+    larger k the ground truth reaches deeper cells and ranks, so both
+    the probe curve and the joint shortlist curve are re-measured at
+    the requested k."""
+    from ..operators.probetune import (
+        composed_serving_budget,
+        probe_recall_curve,
+    )
 
     def compute():
         corpus_path, cents = _get_or_build_ivf(spark, sf_dir)
-        ivf = _ivf_serving(spark, sf_dir)
-        probe_curve = {int(p): r for p, r in ivf["curve"].items()}
+        if k == 10:
+            ivf = _ivf_serving(spark, sf_dir)
+            probe_curve = {int(p): r for p, r in ivf["curve"].items()}
+        else:
+            probe_curve = probe_recall_curve(
+                spark, corpus_path, cents, k=k, item_id="vec_id"
+            )
         if fam == "ivfpq":
             from ..operators.pq import pq_search
 
@@ -340,12 +367,15 @@ def _composed_serving(spark: SparkSession, sf_dir: str, fam: str) -> dict:
 
         b = composed_serving_budget(
             spark, corpus_path, cents, scored,
-            item_id="vec_id", probe_curve=probe_curve,
+            k=k, item_id="vec_id", probe_curve=probe_curve,
         )
+        # a chosen shortlist below k cannot even hold the answer set
+        b["shortlist"] = max(k, b["shortlist"])
         b["curve"] = {str(s): r for s, r in b["curve"].items()}
         return b
 
-    return _measured_budget(spark, sf_dir, f"{fam}_serving", compute)
+    sidecar = f"{fam}_serving" if k == 10 else f"{fam}_serving_k{k}"
+    return _measured_budget(spark, sf_dir, sidecar, compute)
 
 
 def _lsh_serving(spark: SparkSession, sf_dir: str) -> dict:
