@@ -46,9 +46,13 @@ CONTENTION_FACTOR = 1.05
 # "clean").  bench.py now interleaves a fixed CPU probe between entries
 # and prices each against the committed quiet-box baseline
 # (PROBE_BASELINE.json); a run whose MEDIAN probe ratio exceeds this is
-# contended in absolute terms, however its siblings look.  1.10 = the
-# probe's own quiet-box sampling noise (~±8% single-probe) plus margin.
-PROBE_CONTENTION = 1.10
+# contended in absolute terms, however its siblings look.  Measured
+# floors (BENCH_NOTES round-12 controlled experiment): a QUIET bench
+# run's in-bench median is ~1.12 (probes sit adjacent to entries and
+# see trailing Spark activity the standalone calibration does not), a
+# mild +8%-raw load reads ~1.17, and a 2x-steal run reads ~2.06 — so
+# 1.25 separates the regimes with margin on both sides.
+PROBE_CONTENTION = 1.25
 
 
 def run_gate(round_no: int) -> bool:
