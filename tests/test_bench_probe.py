@@ -77,6 +77,19 @@ def test_steal_verdict_quiet_probes_stay_clean_and_fallback_works():
     ]
     verdicts, _ = steal_verdict(runs)
     assert not any(v[4] for v in verdicts)
+    # an admissible quiet probe EXONERATES a run the min-composite
+    # misfires on (3+ noisy runs make the per-entry-minimum composite
+    # an unattainable cherry-pick — measured at the r12 close: probe
+    # 1.066/1.064 runs rejected at composite x1.117/x1.084)
+    runs = [
+        ("run1", _run({"a": 2.4, "b": 2.6}, median_ratio=1.06)),
+        ("run2", _run({"a": 2.0, "b": 3.2}, median_ratio=1.07)),
+        ("run3", _run({"a": 3.2, "b": 2.0}, median_ratio=1.05)),
+    ]
+    verdicts, composite = steal_verdict(runs)
+    assert composite == 4.0  # min-composite below every actual run
+    assert all(v[2] > 1.05 for v in verdicts)  # old trigger fires on all
+    assert not any(v[4] for v in verdicts)  # probe verdict: all quiet
     # run-min probe source is NOT absolute evidence: it must fall back
     # to composite-only judgment (here run2 is 30% over the composite)
     runs = [

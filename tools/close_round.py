@@ -387,14 +387,17 @@ def steal_verdict(
     into BENCH_DETAIL so driver-vs-close comparisons carry it (VERDICT
     r10 #8).
 
-    Contention (VERDICT r11 #1): judged by PROBE DRIFT when the run
-    carries probe data priced against the COMMITTED baseline — the
-    absolute signal that catches steal common to every run, which the
-    cross-run composite ratio structurally cannot.  The composite ratio
-    stays as a second trigger (it catches a run whose steal landed
-    between probes).  Runs without committed-baseline probes (pre-r12
-    artifacts, missing PROBE_BASELINE.json) fall back to composite-only,
-    as before."""
+    Contention (VERDICT r11 #1): judged by PROBE DRIFT — alone — when
+    the run carries probe data priced against the COMMITTED baseline.
+    The probe is the absolute signal: it catches steal common to every
+    run (which the cross-run composite ratio structurally cannot) AND
+    it exonerates a quiet run that the min-composite misfires on (with
+    3+ runs and noisy entries, the per-entry-minimum composite is an
+    unattainable cherry-pick — the r12 close measured two quiet runs
+    at probe 1.066/1.064 rejected by composite ratios 1.117/1.084).
+    Runs without committed-baseline probes (pre-r12 artifacts, missing
+    PROBE_BASELINE.json) fall back to the composite-only trigger, as
+    before."""
     keys = set.intersection(*(set(r["queries"]) for _, r in runs))
     composite = sum(min(r["queries"][k] for _, r in runs) for k in keys)
     out = []
@@ -406,8 +409,9 @@ def steal_verdict(
         probe_absolute = (
             pmed is not None and probe.get("source") == "PROBE_BASELINE.json"
         )
-        contended = ratio > CONTENTION_FACTOR or (
-            probe_absolute and pmed > PROBE_CONTENTION
+        contended = (
+            pmed > PROBE_CONTENTION if probe_absolute
+            else ratio > CONTENTION_FACTOR
         )
         out.append((tag, tot, ratio, pmed, contended))
     return out, composite
