@@ -162,6 +162,14 @@ def run_recall(round_no: int) -> bool:
         for fam, r in calib.items():
             if fam in prev and r < prev[fam] - 0.05:
                 dropped[fam] = (prev[fam], r)
+        # same check on the k=25 column (families first appear in r12;
+        # absent-in-prev families simply have nothing to compare)
+        prev25 = (
+            prev_payload.get("families_calib_k25", {}) if prev else {}
+        )
+        for fam, r in calib25.items():
+            if fam in prev25 and r < prev25[fam] - 0.05:
+                dropped[f"{fam}@k25"] = (prev25[fam], r)
         if dropped:
             print(f"[close]   RECALL REGRESSION vs r{round_no - 1} "
                   f"(32-query eval): {dropped}", flush=True)

@@ -232,23 +232,40 @@ def compute_recalls_calib(spark, sf_dir: str, n_sample: int = 32) -> dict:
 
 
 def compute_recalls_calib_k25(spark, sf_dir: str, n_sample: int = 32) -> dict:
-    """Served recall@25 at the 32-query eval size (VERDICT r11 #3): the
-    k-keyed calibration contract (one sidecar per (artifact, k)) was
-    pinned only by an 8-query unit test with a 0.75 floor on an 0.85
-    promise — this measures it at the size where the tolerance shrinks,
-    for the three families the k-keying test covers. pq and ivfbq serve
-    budgets calibrated AT k=25 (pipeline._flat_serving/_composed_serving
-    with k=25 — fresh sidecars, never the k=10 ones); graph serves the
-    same shipped default beam the k=10 column uses (its eval k changes,
-    its budget knob is ef, unchanged — consistent with families_calib's
-    graph_nsw treatment)."""
+    """Served recall@25 at the 32-query eval size for EVERY family
+    (VERDICT r11 #3, extended): the k-keyed calibration contract (one
+    sidecar per (artifact, k)) was pinned only by an 8-query unit test
+    with a 0.75 floor on an 0.85 promise — this measures it at the size
+    where the tolerance shrinks. Each budget-dialed family serves a
+    budget calibrated AT k=25 (the pipeline serving helpers with k=25 —
+    fresh ``*_serving_k25`` sidecars, never the k=10 ones); the two
+    graph families serve the shipped default beam (their budget knob is
+    ef, unchanged — consistent with families_calib's treatment), with
+    graph_ivf probing the k=25-calibrated IVF budget."""
+    import pyspark.sql.functions as F  # noqa: F401
+
     from vectordb_acc_and_speed_exp_spark.io import load_table
-    from vectordb_acc_and_speed_exp_spark.operators.bq import ivfbq_search
+    from vectordb_acc_and_speed_exp_spark.operators.ann import (
+        ivf_ann_pruned,
+        lsh_ann,
+    )
+    from vectordb_acc_and_speed_exp_spark.operators.bq import (
+        bq_search_rerank,
+        bq_train,
+        ivfbq_search,
+    )
     from vectordb_acc_and_speed_exp_spark.operators.graphann import (
+        graph_ann_cell_probed,
         graph_ann_pruned,
     )
     from vectordb_acc_and_speed_exp_spark.operators.knn import exact_knn
-    from vectordb_acc_and_speed_exp_spark.operators.pq import pq_search_rerank
+    from vectordb_acc_and_speed_exp_spark.operators.mtlsh import (
+        mt_lsh_ann_pruned,
+    )
+    from vectordb_acc_and_speed_exp_spark.operators.pq import (
+        ivfpq_search,
+        pq_search_rerank,
+    )
     from vectordb_acc_and_speed_exp_spark.operators.probetune import (
         calib_queries,
     )
@@ -256,12 +273,25 @@ def compute_recalls_calib_k25(spark, sf_dir: str, n_sample: int = 32) -> dict:
         mean_recall,
         recall_at_k,
     )
+    from vectordb_acc_and_speed_exp_spark.operators.sq import (
+        ivfsq_search,
+        sq_search_rerank,
+    )
     from vectordb_acc_and_speed_exp_spark.queries.pipeline import (
         _composed_serving,
         _flat_serving,
+        _get_or_build_cell_graph,
         _get_or_build_graph,
+        _get_or_build_ivf,
         _get_or_build_ivfbq,
+        _get_or_build_ivfpq,
+        _get_or_build_ivfsq,
+        _get_or_build_mtlsh_index,
         _get_or_build_pq,
+        _get_or_build_sq,
+        _ivf_serving,
+        _lsh_serving,
+        _mtlsh_serving,
     )
 
     k = 25
@@ -280,22 +310,69 @@ def compute_recalls_calib_k25(spark, sf_dir: str, n_sample: int = 32) -> dict:
         ).first().mean_recall
         return round(float(r), 4)
 
+    corpus_path, cents = _get_or_build_ivf(spark, sf_dir)
     enc_pq, books = _get_or_build_pq(spark, sf_dir)
-    pq_b = _flat_serving(spark, sf_dir, "pq", k=k)["shortlist"]
+    enc_sq, vmin, scale = _get_or_build_sq(spark, sf_dir)
+    bsums, bn = bq_train(emb, item_vec="embedding", dim=64)
+    sq_c, sq_cp, sq_ce, svmin, sscale = _get_or_build_ivfsq(spark, sf_dir)
+    pq_c, pq_cp, pq_ce, pbooks = _get_or_build_ivfpq(spark, sf_dir)
     bq_c, bq_cp, bq_ce, cbsums, cbn = _get_or_build_ivfbq(spark, sf_dir)
-    ibq_b = _composed_serving(spark, sf_dir, "ivfbq", k=k)
     gpath = _get_or_build_graph(spark, sf_dir)
-    out = {
-        "pq_tuned": _r(pq_search_rerank(
+    cgpath, gcents = _get_or_build_cell_graph(spark, sf_dir)
+    mt_idx = _get_or_build_mtlsh_index(spark, sf_dir)
+    ivf_b = _ivf_serving(spark, sf_dir, k=k)["n_probe"]
+    pq_b = _flat_serving(spark, sf_dir, "pq", k=k)["shortlist"]
+    sq_b = _flat_serving(spark, sf_dir, "sq", k=k)["shortlist"]
+    bq_b = _flat_serving(spark, sf_dir, "bq", k=k)["shortlist"]
+    ipq_b = _composed_serving(spark, sf_dir, "ivfpq", k=k)
+    isq_b = _composed_serving(spark, sf_dir, "ivfsq", k=k)
+    ibq_b = _composed_serving(spark, sf_dir, "ivfbq", k=k)
+    lsh_b = _lsh_serving(spark, sf_dir, k=k)["n_probe_bits"]
+    mt_b = _mtlsh_serving(spark, sf_dir, k=k)["n_probe_buckets"]
+
+    fams = {
+        "lsh_tuned": lambda: lsh_ann(
+            qs, emb, k=k, n_probe_bits=lsh_b, item_id="vec_id"
+        ),
+        "mtlsh_tuned": lambda: mt_lsh_ann_pruned(
+            qs, spark, mt_idx, emb, k=k, n_probe_buckets=mt_b,
+            item_id="vec_id",
+        ),
+        "ivf_tuned": lambda: ivf_ann_pruned(
+            qs, spark, corpus_path, cents, k=k, n_probe=ivf_b,
+            item_id="vec_id",
+        ),
+        "pq_tuned": lambda: pq_search_rerank(
             qs, emb, enc_pq, books, k=k, shortlist=pq_b, item_id="vec_id"
-        )),
-        "ivfbq_tuned": _r(ivfbq_search(
+        ),
+        "sq_tuned": lambda: sq_search_rerank(
+            qs, emb, enc_sq, vmin, scale, k=k, shortlist=sq_b,
+            item_id="vec_id",
+        ),
+        "bq_tuned": lambda: bq_search_rerank(
+            qs, emb, bsums, bn, k=k, shortlist=bq_b, item_id="vec_id"
+        ),
+        "ivfsq_tuned": lambda: ivfsq_search(
+            qs, spark, sq_c, sq_cp, sq_ce, svmin, sscale, k=k,
+            n_probe=isq_b["n_probe"], shortlist=isq_b["shortlist"],
+            item_id="vec_id",
+        ),
+        "ivfpq_tuned": lambda: ivfpq_search(
+            qs, spark, pq_c, pq_cp, pq_ce, pbooks, k=k,
+            n_probe=ipq_b["n_probe"], shortlist=ipq_b["shortlist"],
+            item_id="vec_id",
+        ),
+        "ivfbq_tuned": lambda: ivfbq_search(
             qs, spark, bq_c, bq_cp, bq_ce, cbsums, cbn, k=k,
             n_probe=ibq_b["n_probe"], shortlist=ibq_b["shortlist"],
             item_id="vec_id",
-        )),
-        "graph_nsw": _r(graph_ann_pruned(qs, spark, gpath, k=k)),
+        ),
+        "graph_nsw": lambda: graph_ann_pruned(qs, spark, gpath, k=k),
+        "graph_ivf_tuned": lambda: graph_ann_cell_probed(
+            qs, spark, cgpath, gcents, k=k, n_probe=ivf_b
+        ),
     }
+    out = {f: _r(th()) for f, th in fams.items()}
     gt.unpersist()
     return out
 

@@ -213,11 +213,13 @@ def _measured_budget(spark, sf_dir: str, fam: str, compute) -> dict:
     return d
 
 
-def _ivf_serving(spark: SparkSession, sf_dir: str) -> dict:
+def _ivf_serving(spark: SparkSession, sf_dir: str, k: int = 10) -> dict:
     """{n_probe, curve}: measured IVF probe default. The probe curve is
     EXACT recall for plain IVF (coverage == recall — exact distances
     inside probed cells), so the chosen budget needs no margin beyond
-    DEFAULT_TARGET_RECALL's own."""
+    DEFAULT_TARGET_RECALL's own. ``k`` keys the sidecar (the k-keyed
+    calibration contract — a deeper ground truth reaches deeper
+    cells)."""
     from ..operators.probetune import (
         DEFAULT_TARGET_RECALL,
         choose_n_probe,
@@ -227,7 +229,7 @@ def _ivf_serving(spark: SparkSession, sf_dir: str) -> dict:
     def compute():
         corpus_path, cents = _get_or_build_ivf(spark, sf_dir)
         curve = probe_recall_curve(
-            spark, corpus_path, cents, k=10, item_id="vec_id"
+            spark, corpus_path, cents, k=k, item_id="vec_id"
         )
         return {
             "n_probe": choose_n_probe(curve, DEFAULT_TARGET_RECALL),
@@ -235,7 +237,8 @@ def _ivf_serving(spark: SparkSession, sf_dir: str) -> dict:
             "target": DEFAULT_TARGET_RECALL,
         }
 
-    return _measured_budget(spark, sf_dir, "ivf_serving", compute)
+    sidecar = "ivf_serving" if k == 10 else f"ivf_serving_k{k}"
+    return _measured_budget(spark, sf_dir, sidecar, compute)
 
 
 def _flat_serving(
@@ -378,11 +381,12 @@ def _composed_serving(
     return _measured_budget(spark, sf_dir, sidecar, compute)
 
 
-def _lsh_serving(spark: SparkSession, sf_dir: str) -> dict:
+def _lsh_serving(spark: SparkSession, sf_dir: str, k: int = 10) -> dict:
     """{n_probe_bits, curve}: measured sign-LSH probe-depth default
     (signature-Hamming curve, probetune.lsh_bits_recall_curve) at
     DEFAULT_TARGET_RECALL; falls back to n_planes (all buckets — exact)
-    when no depth certifies the target."""
+    when no depth certifies the target. ``k`` keys the sidecar (k-keyed
+    calibration contract)."""
     from ..operators.probetune import (
         DEFAULT_TARGET_RECALL,
         lsh_bits_recall_curve,
@@ -390,7 +394,7 @@ def _lsh_serving(spark: SparkSession, sf_dir: str) -> dict:
 
     def compute():
         emb = load_table(spark, sf_dir, "embeddings")
-        curve = lsh_bits_recall_curve(emb, dim=64, item_id="vec_id")
+        curve = lsh_bits_recall_curve(emb, dim=64, k=k, item_id="vec_id")
         bits = next(
             (b for b in sorted(curve) if curve[b] >= DEFAULT_TARGET_RECALL),
             max(curve),
@@ -401,14 +405,16 @@ def _lsh_serving(spark: SparkSession, sf_dir: str) -> dict:
             "target": DEFAULT_TARGET_RECALL,
         }
 
-    return _measured_budget(spark, sf_dir, "lsh_serving", compute)
+    sidecar = "lsh_serving" if k == 10 else f"lsh_serving_k{k}"
+    return _measured_budget(spark, sf_dir, sidecar, compute)
 
 
-def _mtlsh_serving(spark: SparkSession, sf_dir: str) -> dict:
+def _mtlsh_serving(spark: SparkSession, sf_dir: str, k: int = 10) -> dict:
     """{n_probe_buckets, curve}: measured multi-table LSH bucket budget
     (the EP3 candidate-coverage curve, operators/mtlsh.py::
     mt_lsh_budget_curve, over a geometric grid) at
-    DEFAULT_TARGET_RECALL; falls back to the largest grid budget."""
+    DEFAULT_TARGET_RECALL; falls back to the largest grid budget.
+    ``k`` keys the sidecar (k-keyed calibration contract)."""
     from ..operators.mtlsh import mt_lsh_budget_curve
     from ..operators.probetune import (
         DEFAULT_TARGET_RECALL,
@@ -419,9 +425,9 @@ def _mtlsh_serving(spark: SparkSession, sf_dir: str) -> dict:
         emb = load_table(spark, sf_dir, "embeddings")
         # self-pair-free ground truth: serving budgets must clear the
         # recall a FRESH query sees (probetune.calib_ground_truth)
-        qs, gt = calib_ground_truth(emb, item_id="vec_id")
+        qs, gt = calib_ground_truth(emb, k=k, item_id="vec_id")
         rows = mt_lsh_budget_curve(
-            qs, emb, gt, [16, 32, 64, 128, 256], k=10, item_id="vec_id"
+            qs, emb, gt, [16, 32, 64, 128, 256], k=k, item_id="vec_id"
         ).collect()
         curve = {int(r.budget): float(r.mean_recall) for r in rows}
         budget = next(
@@ -434,7 +440,8 @@ def _mtlsh_serving(spark: SparkSession, sf_dir: str) -> dict:
             "target": DEFAULT_TARGET_RECALL,
         }
 
-    return _measured_budget(spark, sf_dir, "mtlsh_serving", compute)
+    sidecar = "mtlsh_serving" if k == 10 else f"mtlsh_serving_k{k}"
+    return _measured_budget(spark, sf_dir, sidecar, compute)
 
 
 @register(
