@@ -239,6 +239,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     probes: dict[str, float] = {}
+    # each entry's steal estimate is the MIN of its two BRACKETING
+    # probes (the probe after entry i doubles as the probe before entry
+    # i+1 — zero extra cost): a single slow probe sample then taints
+    # neither neighbor unless both its brackets are slow, which cuts
+    # the quiet-box per-entry ratio tail without weakening the signal
+    # (real steal windows span many entries and slow both brackets)
+    prev_probe = steal_probe()
     for name in HEADLINE:
         fn = registry[name].fn
         t0 = time.perf_counter()
@@ -248,10 +255,9 @@ def main() -> None:
         # queries' caches don't accumulate in the single local-mode heap
         # (clearing happens OUTSIDE the timed window)
         spark.catalog.clearCache()
-        # steal reference, adjacent to the entry it labels (untimed
-        # w.r.t. the entry): its ratio to the committed quiet-box
-        # baseline is the box's slowdown while this entry ran
-        probes[name] = round(steal_probe(), 4)
+        p = steal_probe()
+        probes[name] = round(min(prev_probe, p), 4)
+        prev_probe = p
 
     # Brute-force throughput at BASELINE-comparable corpus size: the
     # embeddings table replicated 50x (deterministic id offsets) -> ~100k
@@ -277,11 +283,15 @@ def main() -> None:
     t0 = time.perf_counter()
     cosine_knn_join(qs, big, k=10, item_id="vec_id", metric="l2").count()
     timings["bf_replicated100k_5q_blas"] = round(time.perf_counter() - t0, 4)
-    probes["bf_replicated100k_5q_blas"] = round(steal_probe(), 4)
+    p = steal_probe()
+    probes["bf_replicated100k_5q_blas"] = round(min(prev_probe, p), 4)
+    prev_probe = p
     t0 = time.perf_counter()
     exact_knn(qs, big, k=10, item_id="vec_id").count()
     timings["bf_replicated100k_5q_codegen"] = round(time.perf_counter() - t0, 4)
-    probes["bf_replicated100k_5q_codegen"] = round(steal_probe(), 4)
+    p = steal_probe()
+    probes["bf_replicated100k_5q_codegen"] = round(min(prev_probe, p), 4)
+    prev_probe = p
 
     # Compressed-scan twin at the same scale: 1-bit codes, codegen Hamming
     # shortlist + exact re-rank — the 32x-fewer-bytes answer to the same
@@ -309,7 +319,9 @@ def main() -> None:
         encoded=bcodes,
     ).count()
     timings["bq_replicated100k_5q"] = round(time.perf_counter() - t0, 4)
-    probes["bq_replicated100k_5q"] = round(steal_probe(), 4)
+    p = steal_probe()
+    probes["bq_replicated100k_5q"] = round(min(prev_probe, p), 4)
+    prev_probe = p
     bcodes.unpersist()
 
     # Disk-index serving path at the same 100k scale: write the multi-table
@@ -331,7 +343,9 @@ def main() -> None:
     t0 = time.perf_counter()
     mt_lsh_ann_pruned(qs, spark, idx_dir, big, **args).count()
     timings["mtlsh_pruned_100k_5q"] = round(time.perf_counter() - t0, 4)
-    probes["mtlsh_pruned_100k_5q"] = round(steal_probe(), 4)
+    p = steal_probe()
+    probes["mtlsh_pruned_100k_5q"] = round(min(prev_probe, p), 4)
+    prev_probe = p
     shutil.rmtree(os.path.dirname(idx_dir), ignore_errors=True)
     big.unpersist()
 

@@ -90,6 +90,13 @@ def test_steal_verdict_quiet_probes_stay_clean_and_fallback_works():
     assert composite == 4.0  # min-composite below every actual run
     assert all(v[2] > 1.05 for v in verdicts)  # old trigger fires on all
     assert not any(v[4] for v in verdicts)  # probe verdict: all quiet
+    # ...but the gross-composite BACKSTOP still catches an in-entry
+    # steal burst that both bracketing probes missed (measured at the
+    # r12 final close: a x1.540 run carried a 1.08 probe median)
+    runs.append(("run4", _run({"a": 3.0, "b": 3.5}, median_ratio=1.08)))
+    verdicts, _ = steal_verdict(runs)
+    assert verdicts[3][2] > 1.30 and verdicts[3][4]  # backstop fires
+    assert not any(v[4] for v in verdicts[:3])
     # run-min probe source is NOT absolute evidence: it must fall back
     # to composite-only judgment (here run2 is 30% over the composite)
     runs = [

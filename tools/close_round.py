@@ -53,6 +53,15 @@ CONTENTION_FACTOR = 1.05
 # mild +8%-raw load reads ~1.17, and a 2x-steal run reads ~2.06 — so
 # 1.25 separates the regimes with margin on both sides.
 PROBE_CONTENTION = 1.25
+# Backstop for probe-judged runs: bracket-min probes (bench.py) cannot
+# see a steal burst that lands INSIDE an entry but is quiet at both
+# brackets — measured at the r12 final close, where a 140 s run
+# (x1.540 over the composite) carried a 1.08 probe median. A run this
+# far over its siblings' minima is not artifact material whatever its
+# probes say; 1.30 sits well above the min-composite misfire band
+# (x1.08-1.15 on genuinely quiet 3-run closes) and well below burst
+# inflation.
+COMPOSITE_BACKSTOP = 1.30
 
 
 def run_gate(round_no: int) -> bool:
@@ -418,7 +427,8 @@ def steal_verdict(
             pmed is not None and probe.get("source") == "PROBE_BASELINE.json"
         )
         contended = (
-            pmed > PROBE_CONTENTION if probe_absolute
+            pmed > PROBE_CONTENTION or ratio > COMPOSITE_BACKSTOP
+            if probe_absolute
             else ratio > CONTENTION_FACTOR
         )
         out.append((tag, tot, ratio, pmed, contended))
