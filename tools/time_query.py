@@ -38,17 +38,38 @@ def main() -> None:
     registry["knn_exact_l2"].fn(spark, args.sf).count()
     spark.catalog.clearCache()
 
+    # steal context (VERDICT r11 #1): bracket each rep with the bench's
+    # CPU probe, priced against the committed quiet-box baseline, so an
+    # adjudication number carries its own evidence of how contended the
+    # box was — the same convention BENCH_DETAIL uses.
+    from bench import read_probe_baseline, steal_probe
+
+    baseline, src = read_probe_baseline(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    steal_probe()  # warm
     for name in args.names:
         fn = registry[name].fn
-        reps = []
+        reps, ratios = [], []
+        prev_probe = steal_probe()
         for _ in range(args.reps):
             t0 = time.perf_counter()
             n = fn(spark, args.sf).count()
             reps.append(round(time.perf_counter() - t0, 4))
             spark.catalog.clearCache()
+            p = steal_probe()
+            if baseline:
+                ratios.append(round(min(prev_probe, p) / baseline, 3))
+            prev_probe = p
+        norm = (
+            [round(r / max(q, 1e-9), 4) for r, q in zip(reps, ratios)]
+            if ratios else reps
+        )
         print(
             f"{name}: rows={n} reps={reps} min={min(reps):.3f} "
-            f"median={statistics.median(reps):.3f}"
+            f"median={statistics.median(reps):.3f} "
+            f"probe_ratios={ratios or 'n/a'} "
+            f"norm_min={min(norm):.3f}"
         )
 
 
