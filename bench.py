@@ -213,6 +213,10 @@ def main() -> None:
     # the timed bm25/hybrid/rm3/eval entries measure the pruned serving
     # scans; the one-time tokenize+tf build is EP-documented (EP9)
     registry["bm25_topk"].fn(spark, sf_dir).count()
+    # chunk-grained postings build (round-12: parent_doc_retrieval now
+    # serves from it instead of tokenizing every chunk per execution)
+    # amortized identically
+    registry["parent_doc_retrieval"].fn(spark, sf_dir).count()
     # serving-budget calibration (round 9: budgets are measured, not
     # guessed) amortized like the index builds — one pass per (corpus,
     # family), persisted beside the artifacts; the timed entries then do

@@ -129,6 +129,66 @@ def _get_or_build_postings(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _get_or_build_chunk_postings(spark: SparkSession, sf_dir: str) -> str:
+    """Chunk-grained postings artifact for small-to-big retrieval
+    (VERDICT r11 #8 root cause): parent_doc_retrieval used to tokenize
+    every document's chunk substrings INSIDE the timed query — the one
+    lexical entry still paying a corpus text scan per execution. The
+    doc-level build/serve split (operators/postings.py) applies
+    unchanged at chunk grain: the postings "doc" key is the composite
+    ``{doc_id}#{chunk_id}`` string (doc_id is int64, so the round-trip
+    is exact), dl/df/n_docs/avgdl become exactly the chunk-level
+    statistics BM25-at-chunk-granularity needs, and the shared scoring
+    core keeps every value bit-identical to the inline derivation (the
+    entry's hash oracle pins it). The empty-chunk filter matches the
+    inline path (and the oracle's ``trim(chunk) != ''``) so the chunk
+    universe is identical."""
+    import os
+
+    from ..operators.postings import write_postings_index
+    from .pipeline import (
+        _build_is_fresh,
+        _index_root,
+        _mark_built,
+        _source_fingerprint,
+    )
+
+    root = _index_root(sf_dir)
+    path = os.path.join(root, "chunk_postings")
+    done = os.path.join(root, "chunk_postings._DONE")
+    fp = (
+        _source_fingerprint(sf_dir, table="documents")
+        + f":v1:{_PCHUNK}x{_PSTRIDE}"
+    )
+    if not _build_is_fresh(done, fp):
+        os.makedirs(root, exist_ok=True)
+        d = load_table(spark, sf_dir, "documents")
+        k_max = F.greatest(
+            F.ceil((F.length("text") - _PCHUNK) * 1.0 / _PSTRIDE), F.lit(0)
+        ).cast("bigint")
+        chunks = (
+            d.withColumn(
+                "chunk_id",
+                F.explode(F.sequence(F.lit(0).cast("bigint"), k_max)),
+            )
+            .select(
+                F.concat_ws(
+                    "#",
+                    F.col("doc_id").cast("string"),
+                    F.col("chunk_id").cast("string"),
+                ).alias("doc_id"),
+                F.expr(
+                    f"substring(text, CAST(chunk_id * {_PSTRIDE} + 1 AS INT),"
+                    f" {_PCHUNK})"
+                ).alias("text"),
+            )
+            .filter(F.trim(F.col("text")) != "")
+        )
+        write_postings_index(chunks, path)
+        _mark_built(done, fp)
+    return path
+
+
 def _query_terms_frame(spark: SparkSession) -> DataFrame:
     return local_df(
         spark,
@@ -523,83 +583,40 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
        round(best6 / 1000000.0, 4) AS best_chunk_bm25_r, n_hit_chunks
 FROM ranked WHERE rank <= 10
 """,
-    doc="small-to-big retrieval: BM25 at chunk granularity, max-score "
-    "rollup to the parent document, top-10 parents per query",
+    doc="small-to-big retrieval: BM25 at chunk granularity served from "
+    "the chunk-grained postings artifact (bucket-pruned scan, no corpus "
+    "text at serve time), max-score rollup to the parent document, "
+    "top-10 parents per query",
 )
 def parent_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    terms = sorted({t for _, ts in _BM25_QUERIES for t in ts})
-    qt = local_df(
-        spark,
-        [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
-        "query_id long, term string",
-    )
-    k_max = F.greatest(
-        F.ceil((F.length("text") - _PCHUNK) * 1.0 / _PSTRIDE), F.lit(0)
-    ).cast("bigint")
-    chunks = (
-        d.withColumn("chunk_id", F.explode(F.sequence(F.lit(0).cast("bigint"), k_max)))
-        .select(
-            "doc_id",
-            "chunk_id",
-            F.expr(
-                f"substring(text, CAST(chunk_id * {_PSTRIDE} + 1 AS INT), {_PCHUNK})"
-            ).alias("chunk"),
-        )
-        .filter(F.trim(F.col("chunk")) != "")
-    )
-    # three consumers (dl, tf, and dl again inside the score join) —
-    # persist, or the chunk-substring + tokenize explode (the CPU-heavy
-    # stage) re-runs per consumer
-    tok = chunks.select(
-        "doc_id",
-        "chunk_id",
-        F.explode(tokens(norm_text(F.col("chunk")))).alias("term"),
-    ).persist()
-    dl = tok.groupBy("doc_id", "chunk_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
-    )
-    tf = (
-        tok.filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "chunk_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        1.0 + (F.col("n_chunks") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tfnorm = (F.col("tf") * (_K1 + 1.0)) / (
-        F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
-    )
-    chunk_scores = (
-        tf.join(F.broadcast(qt), "term")
-        .join(F.broadcast(dft), "term")
-        .join(dl, ["doc_id", "chunk_id"])
-        .crossJoin(F.broadcast(stats))
-        .select(
+    from ..operators.bm25 import bm25_scores_indexed
+
+    # chunk-level BM25 from the materialized chunk postings (build once
+    # per corpus version; VERDICT r11 #8 — the inline path tokenized
+    # every chunk per execution). The shared scoring core + identical
+    # chunk statistics keep s6 bit-identical to the inline derivation;
+    # the hash oracle (unchanged SQL above) proves it per run.
+    path = _get_or_build_chunk_postings(spark, sf_dir)
+    qt = _query_terms_frame(spark)
+    scores = bm25_scores_indexed(spark, path, qt, k1=_K1, b=_B)
+    parent = (
+        scores.select(
             "query_id",
-            "doc_id",
-            "chunk_id",
-            F.round(idf * tfnorm * 1_000_000).cast("bigint").alias("c6"),
+            F.split(F.col("doc_id"), "#").getItem(0).cast("bigint").alias(
+                "doc_id"
+            ),
+            "s6",
         )
-        .groupBy("query_id", "doc_id", "chunk_id")
-        .agg(F.sum("c6").alias("s6"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.max("s6").alias("best6"), F.count(F.lit(1)).alias("n_hit_chunks"))
     )
-    parent = chunk_scores.groupBy("query_id", "doc_id").agg(
-        F.max("s6").alias("best6"), F.count(F.lit(1)).alias("n_hit_chunks")
-    )
-    out = _topk(parent, [F.desc("best6"), F.asc("doc_id")], 10).select(
+    return _topk(parent, [F.desc("best6"), F.asc("doc_id")], 10).select(
         "query_id",
         "rank",
         "doc_id",
         F.round(F.col("best6") / 1_000_000.0, 4).alias("best_chunk_bm25_r"),
         "n_hit_chunks",
     )
-    from ..operators.dedup import materialize_and_release
-
-    return materialize_and_release(out, tok)
 
 
 # --------------------------------------------------------------------------
