@@ -30,7 +30,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import norm_text, tokens
 from ..io import load_table
 from ..io.local import local_df
 from . import register
