@@ -501,12 +501,22 @@ def main() -> int:
     keys = set.intersection(*(set(r["queries"]) for _, r in runs))
 
     def _norm(r: dict, k: str) -> float:
-        # steal-normalized per-entry value: raw / adjacent-probe ratio
-        # (bench.py precomputes these; recompute here so stats survive a
-        # mixed set of runs)
-        return float(
-            (r.get("queries_normalized") or {}).get(k, r["queries"][k])
-        )
+        # steal-normalized per-entry value: raw / adjacent-probe ratio.
+        # bench.py precomputes these; when queries_normalized is absent
+        # (pre-r12 artifact) actually RECOMPUTE from per_entry_ratio so a
+        # mixed set of runs still yields consistently-constructed stats
+        # (ADVICE r12: the old fallback silently mixed raw and normalized
+        # minima into normalized_composite). Only a run with NO probe
+        # ratios at all degrades to raw — and that run predates the probe
+        # entirely, so every sibling in the same close does too.
+        pre = (r.get("queries_normalized") or {}).get(k)
+        if pre is not None:
+            return float(pre)
+        ratio = (r.get("probe") or {}).get("per_entry_ratio", {}).get(k)
+        raw = float(r["queries"][k])
+        if ratio is None:
+            return raw
+        return raw / max(float(ratio), 1.0)
 
     payload["queries_stats"] = {
         k: {

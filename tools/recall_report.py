@@ -642,14 +642,21 @@ def main() -> int:
         # three families the k-keying contract test covers (VERDICT r11
         # #3) — floor-gated by the close exactly like families_calib
         "families_calib_k25": recalls_calib_k25,
+        # self-describing asymmetry note (VERDICT r12 #8): the two graph
+        # families' k=25 rows are measured at the SHIPPED default beam
+        # (their budget knob is ef, not a k-keyed sidecar), unlike the
+        # nine budget-dialed families which serve fresh k=25-calibrated
+        # budgets; graph_ivf's IVF stage does probe the k25-calibrated
+        # n_probe.
+        "families_calib_k25_beam": {
+            "graph_nsw": "shipped",
+            "graph_ivf_tuned": "shipped (ivf n_probe k25-calibrated)",
+        },
         "n_queries_calib": 32,
         "floor_budget_families": floors,
         # what actually gates, by name (VERDICT r11 #7)
         "gate_input": "families_calib + families_calib_k25",
         "informational_5q": informational_5q,
-        # dual-write of the old misleading name, one round only (r12):
-        # readers migrate to informational_5q; removed in r13
-        "gated": informational_5q,
         "entries": recalls,
         "drift": drift,
         "drift_canary": canary,

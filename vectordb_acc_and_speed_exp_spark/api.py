@@ -1286,7 +1286,18 @@ class VectorStore:
         alpha = 0.0
         if s1 > s2:
             alpha = math.log(s1 / s2) / math.log(f2 / f1)
-        s = max(s1 * (f1 / max(frac, 1e-9)) ** alpha, float(s1), float(k))
+        # Floor at max(s1, s2), not just s1 (ADVICE r12): when the two
+        # smallest bins are non-monotonic (s2 > s1, calibration noise),
+        # alpha clamps to 0 and an s1-only floor would serve a sub-bin
+        # filter LESS shortlist than the in-range bracket rule grants a
+        # filter at f2 — anti-conservative exactly where certainty is
+        # lowest.
+        s = max(
+            s1 * (f1 / max(frac, 1e-9)) ** alpha,
+            float(s1),
+            float(s2),
+            float(k),
+        )
         s_up = next((g for g in sorted(SHORTLIST_GRID) if g >= s), None)
         if s_up is None or s_up >= survivors:
             return None
