@@ -167,6 +167,133 @@ def steal_probe() -> float:
     return 2.0 * best
 
 
+def read_cpu_ticks(path: str = "/proc/stat") -> dict | None:
+    """Aggregate ``cpu`` line of /proc/stat as
+    ``{"steal": s, "busy": b, "total": t}`` ticks, or None when the file
+    is absent/malformed (non-Linux, masked procfs).
+
+    ``steal`` is the hypervisor's involuntary-wait counter — the DIRECT
+    signal for the in-entry steal bursts the bracketing probes cannot
+    see (VERDICT r12 #1: both rejected r12 runs were in-entry bursts at
+    quiet brackets). Guest ticks are already included in user time on
+    modern kernels, so only the first 8 fields are summed."""
+    try:
+        with open(path) as fh:
+            for line in fh:
+                if line.startswith("cpu "):
+                    vals = [int(x) for x in line.split()[1:]]
+                    break
+            else:
+                return None
+        # user nice system idle iowait irq softirq steal
+        vals = (vals + [0] * 8)[:8]
+        total = sum(vals)
+        idle = vals[3] + vals[4]
+        return {"steal": vals[7], "busy": total - idle, "total": total}
+    except (OSError, ValueError):
+        return None
+
+
+def read_tree_ticks(root_pid: int | None = None, proc: str = "/proc") -> int | None:
+    """utime+stime ticks summed over ``root_pid`` and every LIVE
+    descendant — for the bench process that tree is python + the Spark
+    JVM + its Python workers, i.e. everything the bench itself is
+    entitled to burn. ``busy - tree`` over a window is then CPU consumed
+    by processes that are NOT the bench (in-sandbox contention: another
+    driver, the session harness, daemons) — the complement of /proc/stat
+    steal, which only counts hypervisor-level theft.
+
+    Caveat (documented, clamped by the caller): a descendant that EXITS
+    inside a window takes its accumulated ticks out of the after-snapshot,
+    under-counting the tree and over-counting "other" — Spark workers are
+    session-lived so this is noise, not bias, at bench granularity."""
+    if root_pid is None:
+        root_pid = os.getpid()
+    try:
+        procs: dict[int, tuple[int, int]] = {}
+        for d in os.listdir(proc):
+            if not d.isdigit():
+                continue
+            try:
+                with open(os.path.join(proc, d, "stat")) as fh:
+                    s = fh.read()
+                # comm (field 2) may contain spaces/parens — parse from
+                # the LAST ')' per proc(5)
+                rp = s.rindex(")")
+                fields = s[rp + 2 :].split()
+                ppid = int(fields[1])  # field 4
+                ticks = int(fields[11]) + int(fields[12])  # utime+stime
+            except (OSError, ValueError, IndexError):
+                continue  # pid exited between listdir and read
+            procs[int(d)] = (ppid, ticks)
+        children: dict[int, list[int]] = {}
+        for pid, (ppid, _) in procs.items():
+            children.setdefault(ppid, []).append(pid)
+        total = 0
+        stack = [root_pid]
+        seen = set()
+        while stack:
+            p = stack.pop()
+            if p in seen:
+                continue
+            seen.add(p)
+            if p in procs:
+                total += procs[p][1]
+            stack.extend(children.get(p, []))
+        return total
+    except OSError:
+        return None
+
+
+def cpu_snapshot(
+    stat_path: str = "/proc/stat", proc: str = "/proc"
+) -> tuple[dict | None, int | None]:
+    """(aggregate cpu ticks, bench-tree ticks) — bracket a timed entry
+    with two of these and feed them to cpu_window_fracs."""
+    return read_cpu_ticks(stat_path), read_tree_ticks(proc=proc)
+
+
+def cpu_window_fracs(
+    before: tuple[dict | None, int | None],
+    after: tuple[dict | None, int | None],
+) -> dict | None:
+    """{"steal_frac", "other_busy_frac"} over a snapshot window, or None
+    when either snapshot failed.
+
+    - ``steal_frac``: hypervisor steal ticks / total ticks — prices
+      in-entry steal bursts directly (the probe sees only brackets).
+    - ``other_busy_frac``: (busy - bench-tree) ticks / total ticks —
+      in-sandbox contention (another process burning the box's CPUs
+      DURING the entry). Quiet-box envelope is small but non-zero
+      (session harness + daemons); close_round's bound is calibrated
+      above it (BENCH_NOTES round-13).
+    Both clamped to [0, 1]; exited-descendant under-count clamps at 0."""
+    (c0, t0), (c1, t1) = before, after
+    if not c0 or not c1 or t0 is None or t1 is None:
+        return None
+    dt = c1["total"] - c0["total"]
+    if dt <= 0:
+        return None
+    steal = max(0, c1["steal"] - c0["steal"])
+    busy = max(0, c1["busy"] - c0["busy"])
+    tree = max(0, t1 - t0)
+    return {
+        "steal_frac": round(min(steal / dt, 1.0), 4),
+        "other_busy_frac": round(min(max(busy - tree, 0) / dt, 1.0), 4),
+    }
+
+
+def _baseline_version(repo_dir: str) -> int | None:
+    """Calibration version of the committed probe baseline (None when
+    absent) — stamps every bench artifact so cross-version normalized
+    comparisons are detectable (VERDICT r12 #5)."""
+    try:
+        with open(os.path.join(repo_dir, "PROBE_BASELINE.json")) as fh:
+            return int(json.load(fh).get("version", 1))
+    except (OSError, ValueError, TypeError, json.JSONDecodeError):
+        return None
+
+
 def read_probe_baseline(repo_dir: str) -> tuple[float | None, str]:
     """(baseline_sec, source). The committed quiet-box constant when
     PROBE_BASELINE.json exists; (None, "absent") otherwise — the caller
@@ -177,7 +304,9 @@ def read_probe_baseline(repo_dir: str) -> tuple[float | None, str]:
     try:
         with open(p) as fh:
             return float(json.load(fh)["probe_sec"]), "PROBE_BASELINE.json"
-    except (OSError, KeyError, ValueError, json.JSONDecodeError):
+    except (OSError, KeyError, ValueError, TypeError, json.JSONDecodeError):
+        # TypeError: "probe_sec": null / list / dict (ADVICE r12) — degrade
+        # to the documented "absent" fallback instead of crashing at startup
         return None, "absent"
 
 
@@ -192,31 +321,44 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
 
-    # Warm-up (reference B1), untimed: JVM/codegen path AND a pandas-UDF
-    # query (Python worker + Arrow spin-up costs ~2 s once per session and
-    # belongs to neither query), plus the IVF/PQ index builds so the
-    # search-only entries time search, not a one-off build.
-    registry["knn_exact_l2"].fn(spark, sf_dir).count()
-    registry["ann_lsh_topk"].fn(spark, sf_dir).count()
-    registry["ivf_build_stats"].fn(spark, sf_dir).count()
+    # Warm-up (reference B1), untimed but PRICED (VERDICT r12 #7): every
+    # amortized one-time cost is itself recorded in the ``builds``
+    # section of BENCH_DETAIL, so the amortization claim is a number and
+    # a build regression is visible round-over-round. (Builds persisted
+    # under the fingerprinted index cache cost near-zero here when warm —
+    # the recorded second IS the marginal cost this run paid.)
+    builds: dict[str, float] = {}
+
+    def _build(name: str, thunk) -> None:
+        t0 = time.perf_counter()
+        thunk()
+        builds[name] = round(time.perf_counter() - t0, 4)
+
+    # JVM/codegen path AND a pandas-UDF query (Python worker + Arrow
+    # spin-up costs ~2 s once per session and belongs to neither query),
+    # plus the index builds so the search-only entries time search, not
+    # a one-off build.
+    _build("warm_codegen", lambda: registry["knn_exact_l2"].fn(spark, sf_dir).count())
+    _build("warm_lsh", lambda: registry["ann_lsh_topk"].fn(spark, sf_dir).count())
+    _build("ivf_index", lambda: registry["ivf_build_stats"].fn(spark, sf_dir).count())
     # cluster-table build amortized like the index builds: the timed
     # dedup_clusters entry measures the serving path (artifact read);
     # the one-time mining cost is EP-documented (BENCH_NOTES round 4)
-    registry["dedup_clusters"].fn(spark, sf_dir).count()
-    registry["pq_build_stats"].fn(spark, sf_dir).count()
-    registry["graph_build_stats"].fn(spark, sf_dir).count()
-    registry["graph_ivf_ann_topk"].fn(spark, sf_dir).count()
-    registry["ivfpq_build_stats"].fn(spark, sf_dir).count()
+    _build("dedup_clusters", lambda: registry["dedup_clusters"].fn(spark, sf_dir).count())
+    _build("pq_index", lambda: registry["pq_build_stats"].fn(spark, sf_dir).count())
+    _build("graph_index", lambda: registry["graph_build_stats"].fn(spark, sf_dir).count())
+    _build("graph_ivf_index", lambda: registry["graph_ivf_ann_topk"].fn(spark, sf_dir).count())
+    _build("ivfpq_index", lambda: registry["ivfpq_build_stats"].fn(spark, sf_dir).count())
     # IVF-BQ build (cell-partitioned packed codes) amortized like the rest
-    registry["ann_ivfbq_topk"].fn(spark, sf_dir).count()
+    _build("ivfbq_index", lambda: registry["ann_ivfbq_topk"].fn(spark, sf_dir).count())
     # lexical postings build (round-6 artifact) amortized like the rest:
     # the timed bm25/hybrid/rm3/eval entries measure the pruned serving
     # scans; the one-time tokenize+tf build is EP-documented (EP9)
-    registry["bm25_topk"].fn(spark, sf_dir).count()
+    _build("postings", lambda: registry["bm25_topk"].fn(spark, sf_dir).count())
     # chunk-grained postings build (round-12: parent_doc_retrieval now
     # serves from it instead of tokenizing every chunk per execution)
     # amortized identically
-    registry["parent_doc_retrieval"].fn(spark, sf_dir).count()
+    _build("chunk_postings", lambda: registry["parent_doc_retrieval"].fn(spark, sf_dir).count())
     # serving-budget calibration (round 9: budgets are measured, not
     # guessed) amortized like the index builds — one pass per (corpus,
     # family), persisted beside the artifacts; the timed entries then do
@@ -229,13 +371,13 @@ def main() -> None:
         _mtlsh_serving,
     )
 
-    _ivf_serving(spark, sf_dir)
-    _lsh_serving(spark, sf_dir)
-    _mtlsh_serving(spark, sf_dir)
+    _build("serving_ivf", lambda: _ivf_serving(spark, sf_dir))
+    _build("serving_lsh", lambda: _lsh_serving(spark, sf_dir))
+    _build("serving_mtlsh", lambda: _mtlsh_serving(spark, sf_dir))
     for fam in ("pq", "sq", "bq"):
-        _flat_serving(spark, sf_dir, fam)
+        _build(f"serving_{fam}", lambda fam=fam: _flat_serving(spark, sf_dir, fam))
     for fam in ("ivfpq", "ivfsq", "ivfbq"):
-        _composed_serving(spark, sf_dir, fam)
+        _build(f"serving_{fam}", lambda fam=fam: _composed_serving(spark, sf_dir, fam))
 
     here = os.path.dirname(os.path.abspath(__file__))
     baseline, baseline_src = read_probe_baseline(here)
@@ -243,25 +385,39 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     probes: dict[str, float] = {}
+    cpu_fracs: dict[str, dict] = {}
     # each entry's steal estimate is the MIN of its two BRACKETING
     # probes (the probe after entry i doubles as the probe before entry
     # i+1 — zero extra cost): a single slow probe sample then taints
     # neither neighbor unless both its brackets are slow, which cuts
     # the quiet-box per-entry ratio tail without weakening the signal
-    # (real steal windows span many entries and slow both brackets)
-    prev_probe = steal_probe()
+    # (real steal windows span many entries and slow both brackets).
+    # The probes are complemented by per-entry /proc/stat tick windows
+    # (VERDICT r12 #1): steal_frac prices hypervisor bursts INSIDE the
+    # entry (invisible at quiet brackets), other_busy_frac prices
+    # in-sandbox contention the same way.
+    state = {"prev_probe": steal_probe()}
+
+    def timed(name: str, thunk, clear_cache: bool = False) -> None:
+        snap0 = cpu_snapshot()
+        t0 = time.perf_counter()
+        thunk()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        fr = cpu_window_fracs(snap0, cpu_snapshot())
+        if fr is not None:
+            cpu_fracs[name] = fr
+        if clear_cache:
+            # each registry entry is self-contained: drop its internal
+            # persists so 60+ queries' caches don't accumulate in the
+            # single local-mode heap (clearing OUTSIDE the timed window)
+            spark.catalog.clearCache()
+        p = steal_probe()
+        probes[name] = round(min(state["prev_probe"], p), 4)
+        state["prev_probe"] = p
+
     for name in HEADLINE:
         fn = registry[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # each entry is self-contained: drop its internal persists so 60+
-        # queries' caches don't accumulate in the single local-mode heap
-        # (clearing happens OUTSIDE the timed window)
-        spark.catalog.clearCache()
-        p = steal_probe()
-        probes[name] = round(min(prev_probe, p), 4)
-        prev_probe = p
+        timed(name, lambda fn=fn: fn(spark, sf_dir).count(), clear_cache=True)
 
     # Brute-force throughput at BASELINE-comparable corpus size: the
     # embeddings table replicated 50x (deterministic id offsets) -> ~100k
@@ -274,28 +430,52 @@ def main() -> None:
     from vectordb_acc_and_speed_exp_spark.operators.simjoin import cosine_knn_join
 
     emb = load_table(spark, sf_dir, "embeddings")
-    big = (
-        emb.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(49))))
-        .select((F.col("vec_id") * 50 + F.col("r")).alias("vec_id"), "embedding")
-        .cache()
-    )
-    big.count()
+
+    def _replicated(df, factor: int, eps: float = 2.0e-3):
+        """``factor`` copies of every base vector, each perturbed by a
+        tiny deterministic jitter (eps ~= 2% of the mean |coordinate|;
+        sin of a fixed integer mix — no RNG state). The replicas are
+        DISTINCT points clustered tightly around their base vector, so
+        bucket/cell occupancy statistics at 100k/1M are real rather than
+        50-500 bit-identical copies sharing one signature/cell — the
+        honest corpus for pruned-path scaling claims (round 13; the
+        pre-r13 entries replicated without jitter, BENCH_NOTES)."""
+        return (
+            df.withColumn(
+                "r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+            )
+            .select(
+                (F.col("vec_id") * factor + F.col("r")).alias("vec_id"),
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: x
+                    + F.lit(eps)
+                    * F.sin(
+                        F.col("vec_id") * F.lit(12.9898)
+                        + F.col("r") * F.lit(78.233)
+                        + i.cast("double") * F.lit(37.719)
+                    ),
+                ).alias("embedding"),
+            )
+        )
+
+    big = _replicated(emb, 50).cache()
+    _build("replicated100k_corpus", big.count)
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    cosine_knn_join(qs, big, k=10, item_id="vec_id", metric="l2").count()  # warm
-    t0 = time.perf_counter()
-    cosine_knn_join(qs, big, k=10, item_id="vec_id", metric="l2").count()
-    timings["bf_replicated100k_5q_blas"] = round(time.perf_counter() - t0, 4)
-    p = steal_probe()
-    probes["bf_replicated100k_5q_blas"] = round(min(prev_probe, p), 4)
-    prev_probe = p
-    t0 = time.perf_counter()
-    exact_knn(qs, big, k=10, item_id="vec_id").count()
-    timings["bf_replicated100k_5q_codegen"] = round(time.perf_counter() - t0, 4)
-    p = steal_probe()
-    probes["bf_replicated100k_5q_codegen"] = round(min(prev_probe, p), 4)
-    prev_probe = p
+    _build(
+        "warm_bf_blas",
+        lambda: cosine_knn_join(qs, big, k=10, item_id="vec_id", metric="l2").count(),
+    )
+    timed(
+        "bf_replicated100k_5q_blas",
+        lambda: cosine_knn_join(qs, big, k=10, item_id="vec_id", metric="l2").count(),
+    )
+    timed(
+        "bf_replicated100k_5q_codegen",
+        lambda: exact_knn(qs, big, k=10, item_id="vec_id").count(),
+    )
 
     # Compressed-scan twin at the same scale: 1-bit codes, codegen Hamming
     # shortlist + exact re-rank — the 32x-fewer-bytes answer to the same
@@ -312,20 +492,21 @@ def main() -> None:
     # serving shape: the code table is a persisted per-corpus-version
     # artifact (16 B/row); encode is untimed like the other index builds
     bcodes = bq_encode(big, bsums, bn, item_id="vec_id").cache()
-    bcodes.count()
-    bq_search_rerank(
-        qs, big, bsums, bn, k=10, shortlist=100, item_id="vec_id",
-        encoded=bcodes,
-    ).count()  # warm
-    t0 = time.perf_counter()
-    bq_search_rerank(
-        qs, big, bsums, bn, k=10, shortlist=100, item_id="vec_id",
-        encoded=bcodes,
-    ).count()
-    timings["bq_replicated100k_5q"] = round(time.perf_counter() - t0, 4)
-    p = steal_probe()
-    probes["bq_replicated100k_5q"] = round(min(prev_probe, p), 4)
-    prev_probe = p
+    _build("bq_codes_100k", bcodes.count)
+    _build(
+        "warm_bq_100k",
+        lambda: bq_search_rerank(
+            qs, big, bsums, bn, k=10, shortlist=100, item_id="vec_id",
+            encoded=bcodes,
+        ).count(),
+    )
+    timed(
+        "bq_replicated100k_5q",
+        lambda: bq_search_rerank(
+            qs, big, bsums, bn, k=10, shortlist=100, item_id="vec_id",
+            encoded=bcodes,
+        ).count(),
+    )
     bcodes.unpersist()
 
     # Disk-index serving path at the same 100k scale: write the multi-table
@@ -341,15 +522,165 @@ def main() -> None:
     )
 
     idx_dir = tempfile.mkdtemp(prefix="bench_mtlsh_") + "/idx"
-    write_mt_lsh_index(big.select("vec_id", "embedding"), idx_dir, item_id="vec_id")
+    _build(
+        "mtlsh_index_100k",
+        lambda: write_mt_lsh_index(
+            big.select("vec_id", "embedding"), idx_dir, item_id="vec_id"
+        ),
+    )
     args = dict(k=10, n_probe_buckets=256, item_id="vec_id", item_vec="embedding")
-    mt_lsh_ann_pruned(qs, spark, idx_dir, big, **args).count()  # warm
-    t0 = time.perf_counter()
-    mt_lsh_ann_pruned(qs, spark, idx_dir, big, **args).count()
-    timings["mtlsh_pruned_100k_5q"] = round(time.perf_counter() - t0, 4)
-    p = steal_probe()
-    probes["mtlsh_pruned_100k_5q"] = round(min(prev_probe, p), 4)
-    prev_probe = p
+    _build(
+        "warm_mtlsh_100k",
+        lambda: mt_lsh_ann_pruned(qs, spark, idx_dir, big, **args).count(),
+    )
+    timed(
+        "mtlsh_pruned_100k_5q",
+        lambda: mt_lsh_ann_pruned(qs, spark, idx_dir, big, **args).count(),
+    )
+
+    # ---- scale family (VERDICT r12 #2): committed serve-path entries at
+    # ~1M vectors, with 100k twins built identically, so BENCH_DETAIL
+    # pins the 100k -> 1M scaling ratio round-over-round (SCALE.md is
+    # generated from these by close_round). All artifacts build ONCE
+    # into a fingerprinted cache (warm runs pay ~0, the builds section
+    # prices the cold cost); the timed entries measure only the pruned
+    # serving scans. The untimed recall harness below pins quality
+    # (payload["scale"]; close_round floor-gates it at 0.70).
+    import numpy as np
+
+    from vectordb_acc_and_speed_exp_spark.operators.ann import (
+        ivf_assign_blas,
+        kmeans_centroids,
+        write_ivf_corpus,
+    )
+    from vectordb_acc_and_speed_exp_spark.operators.pq import (
+        ivfpq_search,
+        pq_train,
+        write_ivfpq_codes,
+    )
+    from vectordb_acc_and_speed_exp_spark.queries.pipeline import (
+        _build_is_fresh,
+        _index_root,
+        _mark_built,
+        _source_fingerprint,
+    )
+
+    n_base = emb.count()
+    factor_1m = max(1, (1_000_000 + n_base - 1) // n_base)
+    broot = os.path.join(_index_root(sf_dir), "bench_scale")
+    fp = _source_fingerprint(sf_dir) + f"|x{factor_1m}|jit2e-3|v1"
+    # n_cells grows ~sqrt(n) (the IVF sizing rule). n_probe is the
+    # FILTERED width: at ~1% eligibility a query's true eligible
+    # neighbors scatter far beyond its nearest cells, so the probe
+    # widens with selectivity (the same physics api.py's filtered
+    # chooser prices) — measured at the r13 build: 8/64 probes read
+    # 0.58 recall, 24/64 read 0.88; at 1M, 32/256 reads 1.0. The
+    # probed FRACTION still shrinks 3x at 10x data (37.5% -> 12.5%) —
+    # the sublinear serve-path design under test.
+    scale_cfg = {
+        "100k": {"factor": 50, "n_cells": 64, "n_probe": 24},
+        "1m": {"factor": factor_1m, "n_cells": 256, "n_probe": 32},
+    }
+    FILTER_PRED = "item_id % 100 = 0"  # ~1% eligible, uniform over cells
+
+    def _materialize(tag: str) -> None:
+        cfg = scale_cfg[tag]
+        root = os.path.join(broot, tag)
+        done = os.path.join(root, "._DONE")
+        if _build_is_fresh(done, fp):
+            return
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        src = big if cfg["factor"] == 50 else _replicated(emb, cfg["factor"])
+        src.write.mode("overwrite").parquet(os.path.join(root, "corpus_flat"))
+        corpus = spark.read.parquet(os.path.join(root, "corpus_flat"))
+        n_total = n_base * cfg["factor"]
+        cents = kmeans_centroids(
+            corpus, cfg["n_cells"],
+            sample_fraction=min(1.0, 50_000 / n_total),
+        )
+        cents.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+        cents = spark.read.parquet(os.path.join(root, "centroids"))
+        # BLAS assignment (no shuffle/expansion) + one-file-per-cell
+        # layout: the shapes that survive 1M rows x 256 cells
+        assigned = ivf_assign_blas(corpus, cents).repartition("cell")
+        write_ivf_corpus(assigned, os.path.join(root, "ivf_corpus"))
+        # codebooks train on the base table: same distribution, and at
+        # 100 TB codebook quality saturates on a sample anyway
+        books = pq_train(emb)
+        np.save(os.path.join(root, "pq_books.npy"), books)
+        write_ivfpq_codes(
+            assigned, books, os.path.join(root, "pqcodes"), item_id="vec_id"
+        )
+        if tag == "1m":
+            write_mt_lsh_index(
+                corpus.select("vec_id", "embedding"),
+                os.path.join(root, "mtlsh_idx"), item_id="vec_id",
+            )
+        # exact ground truth for the 5-query batch, full and filtered —
+        # computed once at build time, read by every run's recall check
+        cosine_knn_join(
+            qs, corpus, k=10, item_id="vec_id", metric="l2"
+        ).write.mode("overwrite").parquet(os.path.join(root, "gt_full"))
+        cosine_knn_join(
+            qs, corpus.filter("vec_id % 100 = 0"), k=10,
+            item_id="vec_id", metric="l2",
+        ).write.mode("overwrite").parquet(os.path.join(root, "gt_filtered"))
+        _mark_built(done, fp)
+
+    for tag in scale_cfg:
+        _build(f"scale_{tag}_artifacts", lambda tag=tag: _materialize(tag))
+
+    def _mean_recall_vs(gt_path: str, res_df) -> float:
+        gt: dict = {}
+        for r in spark.read.parquet(gt_path).collect():
+            gt.setdefault(r.query_id, set()).add(r.item_id)
+        got: dict = {}
+        for r in res_df.select("query_id", "item_id").collect():
+            got.setdefault(r.query_id, set()).add(r.item_id)
+        return round(
+            sum(
+                len(ids & got.get(q, set())) / len(ids)
+                for q, ids in gt.items()
+            ) / max(len(gt), 1),
+            4,
+        )
+
+    scale_info: dict = {"factor_1m": factor_1m, "filter": FILTER_PRED}
+    for tag, cfg in scale_cfg.items():
+        root = os.path.join(broot, tag)
+        cents = spark.read.parquet(os.path.join(root, "centroids"))
+        books = np.load(os.path.join(root, "pq_books.npy"))
+        serve = lambda tag=tag, cfg=cfg, root=root, cents=cents, books=books: (
+            ivfpq_search(
+                qs, spark, os.path.join(root, "pqcodes"),
+                os.path.join(root, "ivf_corpus"), cents, books,
+                k=10, n_probe=cfg["n_probe"], shortlist=200,
+                item_id="vec_id", predicate=FILTER_PRED,
+            )
+        )
+        _build(f"warm_ivfpq_filtered_{tag}", lambda serve=serve: serve().count())
+        timed(f"ivfpq_filtered_{tag}_5q", lambda serve=serve: serve().count())
+        scale_info[f"ivfpq_filtered_{tag}_recall10"] = _mean_recall_vs(
+            os.path.join(root, "gt_filtered"), serve()
+        )
+    root1m = os.path.join(broot, "1m")
+    corpus_1m = spark.read.parquet(os.path.join(root1m, "corpus_flat"))
+    mt_idx_1m = os.path.join(root1m, "mtlsh_idx")
+    serve_mt = lambda: mt_lsh_ann_pruned(
+        qs, spark, mt_idx_1m, corpus_1m, **args
+    )
+    _build("warm_mtlsh_1m", lambda: serve_mt().count())
+    timed("mtlsh_pruned_1m_5q", lambda: serve_mt().count())
+    scale_info["mtlsh_1m_recall10"] = _mean_recall_vs(
+        os.path.join(root1m, "gt_full"), serve_mt()
+    )
+    # the 100k mtlsh twin's recall against its same-style ground truth
+    # (the timed entry's exact serve path, index still on disk here)
+    scale_info["mtlsh_100k_recall10"] = _mean_recall_vs(
+        os.path.join(broot, "100k", "gt_full"),
+        mt_lsh_ann_pruned(qs, spark, idx_dir, big, **args),
+    )
     shutil.rmtree(os.path.dirname(idx_dir), ignore_errors=True)
     big.unpersist()
 
@@ -367,8 +698,13 @@ def main() -> None:
     ratios = {
         n: round(p / baseline, 4) for n, p in probes.items()
     } if baseline else {}
+    # Divisor clamped at 1.0 (ADVICE r12): a probe FASTER than the
+    # committed baseline minimum (box quicker than at calibration) would
+    # otherwise INFLATE the "steal-normalized" time above the raw
+    # measurement — steal can only ever slow a run, so normalization only
+    # ever removes slowdown.
     normalized = {
-        n: round(t / max(ratios.get(n, 1.0), 1e-9), 4)
+        n: round(t / max(ratios.get(n, 1.0), 1.0), 4)
         for n, t in timings.items()
     }
     import statistics
@@ -380,6 +716,9 @@ def main() -> None:
         "queries": timings,
         "probe": {
             "baseline_sec": round(baseline, 4) if baseline else None,
+            # baseline version (VERDICT r12 #5): normalized values are
+            # comparable only within one calibration version
+            "baseline_version": _baseline_version(here),
             "source": baseline_src,
             "per_entry_sec": probes,
             "per_entry_ratio": ratios,
@@ -387,7 +726,27 @@ def main() -> None:
                 round(statistics.median(ratios.values()), 4)
                 if ratios else None
             ),
+            # per-entry /proc/stat tick windows (VERDICT r12 #1): the
+            # probes bracket entries and miss bursts INSIDE them — these
+            # price the inside directly. steal_frac = hypervisor steal;
+            # other_busy_frac = in-sandbox CPU burned by processes
+            # outside the bench's own tree. close_round rejects
+            # individual bursty samples before its composite backstop.
+            "per_entry_steal_frac": {
+                n: fr["steal_frac"] for n, fr in cpu_fracs.items()
+            },
+            "per_entry_other_busy_frac": {
+                n: fr["other_busy_frac"] for n, fr in cpu_fracs.items()
+            },
         },
+        # one-time amortized costs this run actually paid (VERDICT r12
+        # #7): warm-cache builds record near-zero, cold builds record
+        # their true wall cost — the amortization claim, as numbers
+        "builds": builds,
+        # scale-family recall harness (VERDICT r12 #2): quality of the
+        # 100k/1M serve paths vs exact ground truth, untimed;
+        # close_round floor-gates these at 0.70 and writes SCALE.md
+        "scale": scale_info,
         "queries_normalized": normalized,
         "normalized_total": round(sum(normalized.values()), 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -420,12 +779,12 @@ def main() -> None:
             json.dump(payload, fh, indent=1)
     except OSError:
         pass  # read-only checkout: the printed line is still the contract
-    # The driver records only a 2,000-char TAIL of stdout; a full 89-entry
-    # queries map is ~2.4k chars, so BENCH_r04..r07 all recorded a
-    # head-truncated metric line (parsed: null).  Print a line that is
-    # guaranteed to fit: totals + a queries map filled in HEADLINE order
-    # only while the serialized line stays under budget, plus a pointer at
-    # the detail file holding every entry.  (VERDICT r07 #1.)
+    # The driver records only a 2,000-char TAIL of stdout; a full 90+-entry
+    # queries map is ~2.4k chars, so a partially-filled map misleads naive
+    # readers (VERDICT r12 blemish: ~57/91 entries summed to 53.5 s against
+    # a 99.35 s total).  Print totals ONLY with queries left EMPTY — the
+    # complete per-entry data lives in the detail file the line points at,
+    # and an empty map cannot be mistaken for a complete one.
     compact = {
         "metric": payload["metric"],
         "value": payload["value"],
@@ -439,12 +798,6 @@ def main() -> None:
         "detail": os.path.basename(detail),
         "sf": payload["sf"],
     }
-    budget = 1800  # < 2000-char tail, with margin for driver framing
-    for name, secs in timings.items():
-        compact["queries"][name] = secs
-        if len(json.dumps(compact)) > budget:
-            del compact["queries"][name]
-            break
     print(json.dumps(compact))
 
 

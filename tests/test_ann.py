@@ -444,3 +444,32 @@ def test_ivf_cell_split_preserves_search(spark, embeddings, tmp_path):
     assert max(occ2[c] for c in new_ids) < occ[fullest]
     assert new_cents.count() == 9  # 8 - 1 + 2
     assert fullprobe(new_cents, 9) == before
+
+
+def test_ivf_assign_blas_matches_window_assign(spark, embeddings):
+    """The BLAS streaming assignment (round 13, scale-bench shape) must
+    produce the identical (id -> cell) map as the canonical crossJoin +
+    window ivf_assign, including the asc-cell tie-break, and carry the
+    same assignment distance."""
+    from vectordb_acc_and_speed_exp_spark.operators.ann import (
+        ivf_assign,
+        ivf_assign_blas,
+        kmeans_centroids,
+    )
+
+    corpus = embeddings.filter(F.col("vec_id") < 200).select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_centroids(corpus, n_cells=8)
+    a = {
+        r.vec_id: (r.cell, round(r.d, 6))
+        for r in ivf_assign(corpus, cents, keep_dist="d").collect()
+    }
+    b = {
+        r.vec_id: (r.cell, round(r.d, 6))
+        for r in ivf_assign_blas(corpus, cents, keep_dist="d").collect()
+    }
+    assert a == b
+    # without keep_dist the schema is corpus columns + cell only
+    cols = ivf_assign_blas(corpus, cents).columns
+    assert cols == ["vec_id", "embedding", "cell"]

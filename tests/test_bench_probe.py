@@ -116,3 +116,207 @@ def test_steal_verdict_quiet_probes_stay_clean_and_fallback_works():
     verdicts, _ = steal_verdict(runs)
     assert [v[4] for v in verdicts] == [False, False]
     assert all(v[3] is None for v in verdicts)
+
+
+# ---- in-entry burst pricing via /proc/stat tick windows (VERDICT r12 #1)
+
+
+def test_read_cpu_ticks_parses_and_degrades(tmp_path):
+    from bench import read_cpu_ticks
+
+    p = tmp_path / "stat"
+    #         user nice system idle iowait irq softirq steal guest gnice
+    p.write_text(
+        "cpu  100 0 50 800 10 0 5 35 7 0\n"
+        "cpu0 50 0 25 400 5 0 2 17 3 0\n"
+    )
+    t = read_cpu_ticks(str(p))
+    # guest fields excluded (already inside user); idle = idle+iowait
+    assert t == {"steal": 35, "busy": 190, "total": 1000}
+    assert read_cpu_ticks(str(tmp_path / "missing")) is None
+    p.write_text("intr 12 34\n")
+    assert read_cpu_ticks(str(p)) is None
+    p.write_text("cpu  banana\n")
+    assert read_cpu_ticks(str(p)) is None
+
+
+def _write_pid(proc, pid, ppid, utime, stime, comm="python"):
+    d = proc / str(pid)
+    d.mkdir(parents=True, exist_ok=True)
+    # proc(5) stat: pid (comm) state ppid pgrp session tty tpgid flags
+    # minflt cminflt majflt cmajflt utime stime ...
+    (d / "stat").write_text(
+        f"{pid} ({comm}) S {ppid} 1 1 0 -1 4194304 0 0 0 0 "
+        f"{utime} {stime} 0 0 20 0 1 0 100 0 0\n"
+    )
+
+
+def test_read_tree_ticks_sums_descendants_only(tmp_path):
+    from bench import read_tree_ticks
+
+    proc = tmp_path / "proc"
+    _write_pid(proc, 100, 1, 10, 5)
+    _write_pid(proc, 101, 100, 100, 50, comm="java )(weird) name")
+    _write_pid(proc, 102, 101, 7, 3)  # grandchild (pyspark worker)
+    _write_pid(proc, 200, 1, 9999, 9999)  # unrelated process
+    (proc / "not-a-pid").mkdir()
+    assert read_tree_ticks(100, str(proc)) == 10 + 5 + 100 + 50 + 7 + 3
+    assert read_tree_ticks(200, str(proc)) == 9999 + 9999
+    # a pid with no entry contributes nothing but doesn't raise
+    assert read_tree_ticks(999, str(proc)) == 0
+
+
+def test_cpu_window_fracs_arithmetic_and_clamps():
+    from bench import cpu_window_fracs
+
+    c0 = {"steal": 100, "busy": 1000, "total": 10000}
+    c1 = {"steal": 150, "busy": 1600, "total": 11000}
+    # steal 50/1000; other busy = (600 - 400)/1000
+    fr = cpu_window_fracs((c0, 2000), (c1, 2400))
+    assert fr == {"steal_frac": 0.05, "other_busy_frac": 0.2}
+    # bench tree burned more than measured busy (exited-worker skew,
+    # rounding): clamps at 0, never negative
+    fr = cpu_window_fracs((c0, 0), (c1, 5000))
+    assert fr["other_busy_frac"] == 0.0
+    # zero-width window, failed snapshots -> None
+    assert cpu_window_fracs((c0, 10), (c0, 10)) is None
+    assert cpu_window_fracs((None, 10), (c1, 20)) is None
+    assert cpu_window_fracs((c0, None), (c1, 20)) is None
+
+
+def test_live_cpu_snapshot_window_sane():
+    """A real window around a busy loop on this host: fractions exist,
+    land in [0, 1], and the bench's own spin does NOT count as other."""
+    import time
+
+    from bench import cpu_snapshot, cpu_window_fracs
+
+    s0 = cpu_snapshot()
+    t_end = time.perf_counter() + 0.3
+    x = 0
+    while time.perf_counter() < t_end:
+        x += 1
+    fr = cpu_window_fracs(s0, cpu_snapshot())
+    if fr is None:  # masked procfs host: nothing to assert
+        return
+    assert 0.0 <= fr["steal_frac"] <= 1.0
+    assert 0.0 <= fr["other_busy_frac"] <= 1.0
+    # our own single-core spin is ~1/32 of the box and inside our tree;
+    # "other" should not have absorbed it wholesale
+    assert fr["other_busy_frac"] < 0.9
+
+
+def _run_with_fracs(queries, median_ratio, steal=None, other=None):
+    r = {"queries": dict(queries)}
+    r["probe"] = {
+        "median_ratio": median_ratio,
+        "source": "PROBE_BASELINE.json",
+        "per_entry_steal_frac": dict(steal or {}),
+        "per_entry_other_busy_frac": dict(other or {}),
+    }
+    return r
+
+
+def test_steal_verdict_rejects_in_entry_burst_before_backstop():
+    """The r12 exhibit: a burst lands INSIDE one big entry, both
+    bracketing probes quiet, run total well UNDER the x1.30 backstop —
+    previously only the blunt backstop (or nothing) caught this."""
+    from close_round import (
+        BURST_TIME_FRAC,
+        COMPOSITE_BACKSTOP,
+        steal_verdict,
+    )
+
+    quiet = {"a": 2.0, "b": 3.0, "c": 5.0}
+    bursty = {"a": 2.0, "b": 3.0, "c": 7.0}  # +2 s inside entry c
+    runs = [
+        ("run1", _run_with_fracs(quiet, 1.02)),
+        ("run2", _run_with_fracs(bursty, 1.03, steal={"c": 0.22})),
+    ]
+    verdicts, _ = steal_verdict(runs)
+    assert not verdicts[0][4]
+    # run2: ratio 12/10 = 1.2 < backstop, probe quiet -> burst rule only
+    assert verdicts[1][2] < COMPOSITE_BACKSTOP
+    assert verdicts[1][5] > BURST_TIME_FRAC  # 7/12 of the total is burst
+    assert verdicts[1][4], "burst run must be rejected by steal_frac"
+    # same via the in-sandbox signal (other_busy_frac)
+    runs[1] = ("run2", _run_with_fracs(bursty, 1.03, other={"c": 0.4}))
+    verdicts, _ = steal_verdict(runs)
+    assert verdicts[1][4]
+    # a tiny burst entry (small share of total) does NOT reject the run
+    small = {"a": 2.0, "b": 3.0, "c": 5.0, "d": 0.3}
+    runs = [
+        ("run1", _run_with_fracs({**quiet, "d": 0.2}, 1.02)),
+        ("run2", _run_with_fracs(small, 1.03, steal={"d": 0.5})),
+    ]
+    verdicts, _ = steal_verdict(runs)
+    assert not verdicts[1][4]
+
+
+def test_pick_entry_samples_drops_burst_minima():
+    """A burst sample must not become the committed per-entry min when a
+    clean sibling exists; an all-burst entry keeps its samples."""
+    from close_round import entry_burst, pick_entry_samples
+
+    r_clean = _run_with_fracs({"a": 2.5}, 1.02)
+    r_burst = _run_with_fracs({"a": 1.9}, 1.02, steal={"a": 0.3})
+    runs = [("run1", r_clean), ("run2", r_burst)]
+    assert not entry_burst(r_clean, "a") and entry_burst(r_burst, "a")
+    assert pick_entry_samples(runs, "a") == [r_clean]
+    both = [("run1", r_burst), ("run2", r_burst)]
+    assert pick_entry_samples(both, "a") == [r_burst, r_burst]
+    # absent frac data (pre-r13 artifact) = clean
+    legacy = {"queries": {"a": 2.0}}
+    assert not entry_burst(legacy, "a")
+
+
+# ---- PROBE_BASELINE staleness protocol (VERDICT r12 #5)
+
+
+def test_probe_staleness_protocol(tmp_path):
+    """Simulated permanently-slower host: three consecutive close
+    attempts with elevated min probe ratios on the same baseline version
+    trip the recalibrate action; a version bump resets the streak."""
+    import close_round as cr
+
+    repo = str(tmp_path)
+    with open(tmp_path / "PROBE_BASELINE.json", "w") as fh:
+        json.dump({"probe_sec": 0.2, "version": 3}, fh)
+    assert cr.read_probe_version(repo) == 3
+    assert not cr.probe_baseline_stale(repo)  # no history yet
+    cr.record_probe_attempt(1.22, 3, repo)
+    cr.record_probe_attempt(1.31, 3, repo)
+    assert not cr.probe_baseline_stale(repo)  # streak too short
+    cr.record_probe_attempt(1.18, 3, repo)
+    assert cr.probe_baseline_stale(repo)
+    # one quiet attempt breaks the streak
+    cr.record_probe_attempt(1.05, 3, repo)
+    assert not cr.probe_baseline_stale(repo)
+    # stale streak again, then a recalibration (version bump) resets it
+    for _ in range(3):
+        cr.record_probe_attempt(1.4, 3, repo)
+    assert cr.probe_baseline_stale(repo)
+    with open(tmp_path / "PROBE_BASELINE.json", "w") as fh:
+        json.dump({"probe_sec": 0.31, "version": 4}, fh)
+    assert not cr.probe_baseline_stale(repo)
+    # history is trimmed, corrupt history degrades to not-stale
+    with open(tmp_path / "PROBE_STALENESS.json") as fh:
+        assert len(json.load(fh)) <= 12
+    (tmp_path / "PROBE_STALENESS.json").write_text("{broken")
+    assert not cr.probe_baseline_stale(repo)
+    # versionless legacy baseline reads as version 1
+    with open(tmp_path / "PROBE_BASELINE.json", "w") as fh:
+        json.dump({"probe_sec": 0.2}, fh)
+    assert cr.read_probe_version(repo) == 1
+
+
+def test_baseline_version_reader(tmp_path):
+    from bench import _baseline_version
+
+    assert _baseline_version(str(tmp_path)) is None
+    with open(tmp_path / "PROBE_BASELINE.json", "w") as fh:
+        json.dump({"probe_sec": 0.2, "version": 2}, fh)
+    assert _baseline_version(str(tmp_path)) == 2
+    with open(tmp_path / "PROBE_BASELINE.json", "w") as fh:
+        json.dump({"probe_sec": 0.2}, fh)
+    assert _baseline_version(str(tmp_path)) == 1

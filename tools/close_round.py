@@ -62,6 +62,109 @@ PROBE_CONTENTION = 1.25
 # (x1.08-1.15 on genuinely quiet 3-run closes) and well below burst
 # inflation.
 COMPOSITE_BACKSTOP = 1.30
+# VERDICT r12 #1: price in-entry bursts DIRECTLY instead of leaning on
+# the blunt backstop. bench.py brackets every timed entry with
+# /proc/stat tick windows and emits two per-entry fractions:
+#   steal_frac      — hypervisor steal ticks / total ticks (the exact
+#                     signal the bracketing probes miss when a burst
+#                     lands inside the entry),
+#   other_busy_frac — CPU burned by processes OUTSIDE the bench's own
+#                     process tree (in-sandbox contention: another
+#                     driver, the session harness under load).
+# An entry sample over either bound is a BURST sample: it is excluded
+# from the per-entry min/normalized stats when any clean sibling
+# sample exists, and a run whose burst samples carry more than
+# BURST_TIME_FRAC of its total is contended BEFORE the x1.30 backstop.
+# Bounds (BENCH_NOTES round-13 calibration): a quiet bench run's
+# steal_frac is ~0.000-0.01 (this VM's background steal) and its
+# other_busy_frac envelope is <~0.05 (harness + daemons); 8 induced
+# hogs on 32 CPUs read ~0.25.
+STEAL_FRAC_MAX = 0.05
+OTHER_BUSY_MAX = 0.15
+BURST_TIME_FRAC = 0.10
+# PROBE_BASELINE staleness protocol (VERDICT r12 #5): the committed
+# quiet-box constant prices THIS box; after a permanent host change (VM
+# migration, CPU swap) every honest close would read contended (median
+# probe ratio > PROBE_CONTENTION) forever, with no exit. Every close
+# attempt records its MINIMUM probe ratio to PROBE_STALENESS.json; when
+# the last STALE_PROBE_CLOSES attempts under the CURRENT baseline
+# version all have min ratio > STALE_PROBE_RATIO, the box provably
+# cannot produce a quiet close on this baseline — the close fails with
+# an explicit "recalibrate" action (tools/calibrate_probe.py bumps the
+# version and BENCH_NOTES records the discontinuity) instead of an
+# opaque contended verdict. 1.15 sits below PROBE_CONTENTION (1.25) so
+# a borderline-but-passable box never trips it, and above the quiet
+# in-bench envelope (~1.12 median, lower minima).
+STALE_PROBE_RATIO = 1.15
+STALE_PROBE_CLOSES = 3
+
+
+def read_probe_version(repo: str = REPO) -> int:
+    try:
+        with open(os.path.join(repo, "PROBE_BASELINE.json")) as fh:
+            return int(json.load(fh).get("version", 1))
+    except (OSError, ValueError, TypeError, json.JSONDecodeError):
+        return 1
+
+
+def record_probe_attempt(
+    min_pmed: float, version: int, repo: str = REPO
+) -> None:
+    """Append this close attempt's minimum probe ratio to the staleness
+    history (kept short — only the trailing window matters)."""
+    path = os.path.join(repo, "PROBE_STALENESS.json")
+    try:
+        with open(path) as fh:
+            hist = json.load(fh)
+        if not isinstance(hist, list):
+            hist = []
+    except (OSError, ValueError, json.JSONDecodeError):
+        hist = []
+    hist.append({"min_probe_ratio": round(min_pmed, 4), "version": version})
+    with open(path, "w") as fh:
+        json.dump(hist[-12:], fh, indent=1)
+
+
+def probe_baseline_stale(repo: str = REPO) -> bool:
+    """True when the last STALE_PROBE_CLOSES recorded attempts under the
+    current baseline version ALL have min probe ratio above
+    STALE_PROBE_RATIO — a box on which a quiet close is impossible."""
+    version = read_probe_version(repo)
+    try:
+        with open(os.path.join(repo, "PROBE_STALENESS.json")) as fh:
+            hist = json.load(fh)
+    except (OSError, ValueError, json.JSONDecodeError):
+        return False
+    if not isinstance(hist, list):
+        return False
+    same = [h for h in hist if h.get("version") == version]
+    tail = same[-STALE_PROBE_CLOSES:]
+    return len(tail) >= STALE_PROBE_CLOSES and all(
+        (h.get("min_probe_ratio") or 0) > STALE_PROBE_RATIO for h in tail
+    )
+
+
+def entry_burst(r: dict, k: str) -> bool:
+    """True when entry ``k``'s sample in run ``r`` carries an in-entry
+    CPU burst per the /proc/stat tick windows (absent data = clean —
+    pre-r13 artifacts and masked-procfs hosts degrade to the old
+    probe+backstop judgment)."""
+    pr = r.get("probe") or {}
+    sf = (pr.get("per_entry_steal_frac") or {}).get(k)
+    ob = (pr.get("per_entry_other_busy_frac") or {}).get(k)
+    return (sf is not None and sf > STEAL_FRAC_MAX) or (
+        ob is not None and ob > OTHER_BUSY_MAX
+    )
+
+
+def pick_entry_samples(runs: list[tuple[str, dict]], k: str) -> list[dict]:
+    """The runs whose sample of entry ``k`` should feed min/normalized
+    stats: burst samples are dropped when at least one clean sample
+    exists (all-burst entries keep everything — a number beats a hole,
+    and the run-level burst verdict already flags the situation)."""
+    rs = [r for _, r in runs]
+    clean = [r for r in rs if not entry_burst(r, k)]
+    return clean if clean else rs
 
 
 def run_gate(round_no: int) -> bool:
@@ -364,6 +467,94 @@ def append_bench_delta_notes() -> None:
               "driver-vs-close delta note(s)", flush=True)
 
 
+SCALE_RECALL_FLOOR = 0.70  # the reference HNSW floor, same as RECALL
+
+
+def scale_recall_failures(payload: dict) -> dict:
+    """Scale-family serve paths (100k/1M replicated corpora) below the
+    recall floor — the quality gate on the VERDICT r12 #2 entries."""
+    return {
+        k: v
+        for k, v in (payload.get("scale") or {}).items()
+        if k.endswith("_recall10")
+        and v is not None
+        and v < SCALE_RECALL_FLOOR
+    }
+
+
+def write_scale_md(payload: dict, all_runs: list | None = None) -> None:
+    """SCALE.md (VERDICT r12 #2): the measured 100k -> 1M serve-path
+    scaling table, regenerated from the committed close payload so it
+    can never go stale against the artifact it summarizes."""
+    sc = payload.get("scale") or {}
+    qs = payload.get("queries_stats") or {}
+    builds = dict(payload.get("builds") or {})
+    # the cold build cost lands on whichever run built the cache — take
+    # the max across this close's runs so a warm chosen run doesn't
+    # report 0 for work a sibling run paid
+    for _tag, r in all_runs or []:
+        for k, v in (r.get("builds") or {}).items():
+            builds[k] = max(builds.get(k, 0.0), float(v))
+
+    def _min(k):
+        v = (qs.get(k) or {}).get("min")
+        return f"{v:.2f}" if v is not None else "—"
+
+    def _ratio(a, b):
+        va = (qs.get(a) or {}).get("min")
+        vb = (qs.get(b) or {}).get("min")
+        return f"{vb / va:.2f}x" if va and vb else "—"
+
+    def _rec(k):
+        v = sc.get(k)
+        return f"{v:.2f}" if v is not None else "—"
+
+    if not sc or not qs:
+        return
+    lines = [
+        "# SCALE — measured 100k -> 1M serve-path scaling",
+        "",
+        "Auto-generated by tools/close_round.py from the committed close",
+        "payload (BENCH_DETAIL queries_stats minima + the untimed recall",
+        "harness in bench.py's scale section). Corpus: the embeddings",
+        "table replicated with deterministic per-replica jitter (distinct",
+        "vectors clustered around each base point — real bucket/cell",
+        "occupancy, not bit-identical copies). 10x the data; a pruned",
+        "serve path should cost well under 10x the time, because its",
+        "probed FRACTION shrinks as the index grows (more LSH buckets /",
+        "more IVF cells at roughly constant probed rows).",
+        "",
+        "| serve path | 100k min s | 1M min s | time at 10x data "
+        "| recall@10 100k | recall@10 1M |",
+        "|---|---|---|---|---|---|",
+        "| mt-LSH pruned (256-bucket budget) "
+        f"| {_min('mtlsh_pruned_100k_5q')} | {_min('mtlsh_pruned_1m_5q')} "
+        f"| {_ratio('mtlsh_pruned_100k_5q', 'mtlsh_pruned_1m_5q')} "
+        f"| {_rec('mtlsh_100k_recall10')} | {_rec('mtlsh_1m_recall10')} |",
+        "| IVF-PQ filtered (~1% eligible, shortlist 200, n_probe 8->16 "
+        "of 64->256 cells) "
+        f"| {_min('ivfpq_filtered_100k_5q')} | {_min('ivfpq_filtered_1m_5q')} "
+        f"| {_ratio('ivfpq_filtered_100k_5q', 'ivfpq_filtered_1m_5q')} "
+        f"| {_rec('ivfpq_filtered_100k_recall10')} "
+        f"| {_rec('ivfpq_filtered_1m_recall10')} |",
+        "",
+        f"Recall floor (gated by close_round): {SCALE_RECALL_FLOOR} — "
+        "the reference's own HNSW degrades to ~0.70 at 58k docs "
+        "(BASELINE.md).",
+        "",
+        "One-time build amortization, cold seconds this close "
+        "(warm runs pay ~0; every run's actual cost is in "
+        "BENCH_DETAIL.builds): "
+        f"100k artifacts {builds.get('scale_100k_artifacts', 0):.1f}, "
+        f"1M artifacts {builds.get('scale_1m_artifacts', 0):.1f}, "
+        f"1M index+GT included (corpus write, kmeans, PQ encode, "
+        f"mt-LSH signatures, exact ground truth).",
+        "",
+    ]
+    with open(os.path.join(REPO, "SCALE.md"), "w") as fh:
+        fh.write("\n".join(lines))
+
+
 def run_bench(round_no: int, tag: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_ROUND"] = str(round_no)
@@ -399,7 +590,8 @@ def steal_verdict(
     runs: list[dict],
 ) -> tuple[list[tuple[str, float, float, float | None, bool]], float]:
     """(per-run verdicts, quiet composite). Per run: (tag, total,
-    ratio_to_composite, median_probe_ratio, contended?). Composite = sum
+    ratio_to_composite, median_probe_ratio, contended?, burst_frac).
+    Composite = sum
     of per-entry minima across runs — the quiet-box estimate, persisted
     into BENCH_DETAIL so driver-vs-close comparisons carry it (VERDICT
     r10 #8).
@@ -426,12 +618,22 @@ def steal_verdict(
         probe_absolute = (
             pmed is not None and probe.get("source") == "PROBE_BASELINE.json"
         )
+        # in-entry burst pricing (VERDICT r12 #1): raw seconds of this
+        # run's samples whose /proc/stat window crossed a burst bound,
+        # as a fraction of the run total — judged BEFORE the blunt
+        # x1.30 composite backstop
+        burst_time = sum(
+            r["queries"][k] for k in keys if entry_burst(r, k)
+        )
+        burst_frac = burst_time / tot if tot else 0.0
         contended = (
-            pmed > PROBE_CONTENTION or ratio > COMPOSITE_BACKSTOP
+            pmed > PROBE_CONTENTION
+            or burst_frac > BURST_TIME_FRAC
+            or ratio > COMPOSITE_BACKSTOP
             if probe_absolute
             else ratio > CONTENTION_FACTOR
         )
-        out.append((tag, tot, ratio, pmed, contended))
+        out.append((tag, tot, ratio, pmed, contended, round(burst_frac, 4)))
     return out, composite
 
 
@@ -475,12 +677,38 @@ def main() -> int:
     verdicts, composite = steal_verdict(runs)
     clean = [v for v in verdicts if not v[4]]
     print("[close] steal verdict (total / ratio-to-quiet-composite / "
-          "median probe ratio):")
-    for tag, tot, ratio, pmed, contended in verdicts:
+          "median probe ratio / in-entry burst fraction):")
+    for tag, tot, ratio, pmed, contended, burst_frac in verdicts:
         mark = "CONTENDED" if contended else "clean"
         pstr = f"probe x{pmed:.3f}" if pmed is not None else "probe n/a"
-        print(f"[close]   {tag}: {tot:.2f} s  x{ratio:.3f}  {pstr}  {mark}")
+        print(
+            f"[close]   {tag}: {tot:.2f} s  x{ratio:.3f}  {pstr}  "
+            f"burst {burst_frac:.1%}  {mark}"
+        )
+    # staleness bookkeeping (VERDICT r12 #5): record this attempt's
+    # minimum probe ratio when committed-baseline probe data exists
+    pmeds = [
+        v[3] for (t, r), v in zip(runs, verdicts)
+        if v[3] is not None
+        and (r.get("probe") or {}).get("source") == "PROBE_BASELINE.json"
+    ]
+    if pmeds:
+        record_probe_attempt(min(pmeds), read_probe_version())
     if not clean:
+        if pmeds and probe_baseline_stale():
+            print(
+                f"[close] PROBE BASELINE STALE: the last "
+                f"{STALE_PROBE_CLOSES} close attempts on baseline "
+                f"v{read_probe_version()} all have min probe ratio > "
+                f"{STALE_PROBE_RATIO} — a quiet close is impossible on "
+                "this baseline (permanent host change, not a steal "
+                "window). ACTION: run tools/calibrate_probe.py --reps 30 "
+                "on a 1-min load < 0.15 window; it bumps the baseline "
+                "version and records the normalized-comparison "
+                "discontinuity in BENCH_NOTES.",
+                flush=True,
+            )
+            return 7
         print(
             "[close] every run looks contended — rerun on a quieter box "
             "before committing BENCH_DETAIL",
@@ -518,23 +746,33 @@ def main() -> int:
             return raw
         return raw / max(float(ratio), 1.0)
 
-    payload["queries_stats"] = {
-        k: {
-            "min": round(min(r["queries"][k] for _, r in runs), 4),
+    def _entry_stats(k: str) -> dict:
+        # burst samples (in-entry steal / foreign-CPU windows, VERDICT
+        # r12 #1) are dropped from min/normalized when a clean sibling
+        # sample exists; the median stays over ALL runs so the
+        # min-median spread still shows the burst as the entry's noise
+        # band. "burst_excluded" records how many samples were dropped.
+        picked = pick_entry_samples(runs, k)
+        st = {
+            "min": round(min(r["queries"][k] for r in picked), 4),
             "median": round(
                 statistics.median(r["queries"][k] for _, r in runs), 4
             ),
             # probe ratio adjacent to this entry, from the run whose RAW
             # time was the minimum (the quietest sample of the entry)
             "probe_ratio": min(
-                (r for _, r in runs), key=lambda r: r["queries"][k]
+                picked, key=lambda r: r["queries"][k]
             ).get("probe", {}).get("per_entry_ratio", {}).get(k),
             # the steal-corrected quiet estimate: min across runs of
             # (raw / probe ratio) — judge per-entry deltas from THIS
-            "normalized": round(min(_norm(r, k) for _, r in runs), 4),
+            "normalized": round(min(_norm(r, k) for r in picked), 4),
         }
-        for k in sorted(keys)
-    }
+        dropped = len(runs) - len(picked)
+        if dropped:
+            st["burst_excluded"] = dropped
+        return st
+
+    payload["queries_stats"] = {k: _entry_stats(k) for k in sorted(keys)}
     payload["n_runs"] = len(runs)
     # the quiet-box composite (sum of per-entry minima across this
     # close's runs): the number the steal gate judges against, persisted
@@ -547,6 +785,16 @@ def main() -> int:
     payload["normalized_composite"] = round(
         sum(payload["queries_stats"][k]["normalized"] for k in keys), 4
     )
+    # scale-family quality gate + SCALE.md regen (VERDICT r12 #2)
+    low_scale = scale_recall_failures(payload)
+    if low_scale:
+        print(
+            f"[close] SCALE-FAMILY RECALL below {SCALE_RECALL_FLOOR}: "
+            f"{low_scale} — fix before committing BENCH_DETAIL",
+            flush=True,
+        )
+        return 8
+    write_scale_md(payload, all_runs=runs)
     detail = os.path.join(REPO, f"BENCH_DETAIL_r{args.round:02d}.json")
     with open(detail, "w") as fh:
         json.dump(payload, fh, indent=1)
@@ -562,7 +810,9 @@ def main() -> int:
         "[close] next: git add GATE_r{0:02d}.json BENCH_DETAIL_r{0:02d}.json "
         "BENCH_DETAIL_latest.json RECALL_r{0:02d}.json RECALL_latest.json "
         "FRONTIER_r{0:02d}.json FRONTIER_latest.json PLANS.md BENCH_NOTES.md "
-        "experiment_results && commit".format(args.round),
+        "SCALE.md PROBE_STALENESS.json experiment_results && commit".format(
+            args.round
+        ),
         flush=True,
     )
     return 0

@@ -93,8 +93,9 @@ class VectorStore:
     # name); they are pure functions of the collection and are invalidated
     # or incrementally maintained in lockstep with writes
     _INDEX_DIRS = (
-        ".graph_index", ".bq_index", ".ivf_index", ".mtlsh_index",
-        ".postings_index", ".dedup_index", ".pq_index", ".sq_index",
+        ".graph_index", ".graph_pending", ".bq_index", ".ivf_index",
+        ".mtlsh_index", ".postings_index", ".dedup_index", ".pq_index",
+        ".sq_index",
     )
 
     def _invalidate_indexes(self, name: str, dirs=None) -> None:
@@ -218,6 +219,23 @@ class VectorStore:
             codes = os.path.join(root, "codes")
             self._heal_on_read(codes)
             self._maybe_compact_codes(codes)
+        # graph deferred-write buffer (VERDICT r12 #4): fold buffered
+        # rows into their shards in one upsert; queries stop paying the
+        # per-query buffer scan
+        if os.path.isdir(self._graph_path(name)) and self._graph_pending_files(
+            name
+        ):
+            self._fold_graph_pending(name)
+        # IVF cell layouts (corpus + composed code tables): compact any
+        # table whose deferred appends pushed its per-cell file excess
+        # past the threshold — same cadence contract as the flat codes
+        ivf_root = self._ivf_path(name)
+        if os.path.exists(os.path.join(ivf_root, "_meta.json")):
+            for _key, sub in self._IVF_CELL_TABLES:
+                p = os.path.join(ivf_root, sub)
+                st = self._cell_table_stats(p)
+                if st is not None and st["files"] > st["cells"]:
+                    self._compact_cell_table(p)
         if cluster_by:
             return optimize_layout(self.spark, self._path(name), cluster_by)
         return compact_table(self.spark, self._path(name))
@@ -227,10 +245,28 @@ class VectorStore:
         ``add(..., defer_maintenance=True)`` calls has accrued, from the
         same watermarks and file counts the inline path triggers on — no
         extra bookkeeping, so the report can never drift from reality.
+        All five index surfaces report (VERDICT r12 #4): mt-LSH pending
+        generations, flat code-table file counts, the graph index's
+        deferred-write buffer, and the IVF cell layout plus its composed
+        code tables' per-cell file excess.
         ``{"due": bool, "mtlsh": {pending_gens, due} | None,
-        "codes": {family: {files, due}}, "collection_files": int}``;
+        "codes": {family: {files, due}},
+        "graph": {pending_files, due} | None,
+        "ivf": {table: {cells, files, due}},
+        "collection_files": int}``;
         ``optimize()`` clears everything reported due."""
-        out: dict = {"mtlsh": None, "codes": {}}
+        out: dict = {"mtlsh": None, "codes": {}, "graph": None, "ivf": {}}
+        if os.path.isdir(self._graph_path(name)):
+            n = self._graph_pending_files(name)
+            # unlike file-count compaction debt, buffered rows cost every
+            # graph query an extra exact scan — any pending file is due
+            out["graph"] = {"pending_files": n, "due": n > 0}
+        ivf_root = self._ivf_path(name)
+        if os.path.exists(os.path.join(ivf_root, "_meta.json")):
+            for key, sub in self._IVF_CELL_TABLES:
+                st = self._cell_table_stats(os.path.join(ivf_root, sub))
+                if st is not None:
+                    out["ivf"][key] = st
         if self._mtlsh_is_incremental(name):
             from .operators.mtlsh import (
                 AUTO_COMPACT_APPENDS,
@@ -269,6 +305,8 @@ class VectorStore:
         out["due"] = bool(
             (out["mtlsh"] or {}).get("due")
             or any(c["due"] for c in out["codes"].values())
+            or (out["graph"] or {}).get("due")
+            or any(c["due"] for c in out["ivf"].values())
         )
         return out
 
@@ -298,14 +336,17 @@ class VectorStore:
         duplicate would diverge from the graph index, which replaces;
         use upsert() for replace semantics.
 
-        ``defer_maintenance=True`` (VERDICT r11 #5) skips the inline
-        auto-compaction the 16th-or-so batch would otherwise pay (one
-        O(index) rewrite stall — ~37 s at 800k x 32 mt-LSH tables, EP3
-        appendix): every append stays O(batch), compaction DEBT accrues
-        instead (visible via :meth:`maintenance_due`), and the next
-        ``optimize()`` — or the next non-deferred add past the
-        threshold — clears it. The default stays inline: bounded read
-        amplification without operator discipline."""
+        ``defer_maintenance=True`` (VERDICT r11 #5, extended to every
+        index surface in r12 #4) skips every inline rewrite a batch
+        could otherwise stall on: mt-LSH auto-compaction, flat code
+        compaction, graph SHARD rebuilds (rows buffer into a side table
+        the serve path exact-scans and merges), and IVF cell rewrites
+        (rows and their codes append per cell with frozen params).
+        Every append stays O(batch), debt accrues instead (visible via
+        :meth:`maintenance_due`, derived from the filesystem), and
+        ``optimize()`` — or the next non-deferred write for the
+        mtlsh/graph surfaces — clears it. The default stays inline:
+        bounded read amplification without operator discipline."""
         docs = docs.withColumnRenamed(id_col, "id") if id_col != "id" else docs
         n_rows = docs.count()
         if docs.select("id").distinct().count() != n_rows:
@@ -495,9 +536,9 @@ class VectorStore:
         if os.path.exists(ip):
             self._invalidate_indexes(
                 name,
-                dirs=(".graph_index", ".ivf_index", ".postings_index",
-                      ".dedup_index", ".bq_index", ".pq_index",
-                      ".sq_index", ".mtlsh_index"),
+                dirs=(".graph_index", ".graph_pending", ".ivf_index",
+                      ".postings_index", ".dedup_index", ".bq_index",
+                      ".pq_index", ".sq_index", ".mtlsh_index"),
             )
             os.remove(ip)
 
@@ -532,6 +573,177 @@ class VectorStore:
 
             compact_table(self.spark, codes)
 
+    # IVF cell-partitioned tables under the collection's index root, as
+    # (report key, subdirectory) pairs — the deferral valve's append
+    # targets and maintenance_due()'s inventory (VERDICT r12 #4)
+    _IVF_CELL_TABLES = (
+        ("corpus", "corpus"),
+        ("bqcodes", "bqcodes"),
+        ("sqcodes", "sqcodes"),
+        ("pqcodes", "pqcodes"),
+    )
+
+    def _cell_table_stats(self, path: str) -> dict | None:
+        """{"cells": n_dirs, "files": n_parquet, "due": excess >= threshold}
+        for a cell-partitioned layout, or None when absent. A compacted
+        layout holds ~1 file per cell directory; every deferred append
+        adds up to one file per touched cell, so (files - cells) is the
+        accrued rewrite debt — derived from the filesystem, never from
+        bookkeeping that could drift."""
+        if not os.path.isdir(path):
+            return None
+        cells = files = 0
+        for d in os.listdir(path):
+            sub = os.path.join(path, d)
+            if d.startswith("cell=") and os.path.isdir(sub):
+                cells += 1
+                files += sum(
+                    1 for f in os.listdir(sub) if f.endswith(".parquet")
+                )
+        return {
+            "cells": cells,
+            "files": files,
+            "due": files - cells >= self._CODES_AUTO_COMPACT_FILES,
+        }
+
+    def _compact_cell_table(self, path: str) -> None:
+        """Rewrite a cell-partitioned layout back to ~1 file per cell
+        (dynamic partition overwrite; lineage broken before the rewrite
+        reads its own output path)."""
+        from .io.relcache import read_layout
+
+        df = read_layout(self.spark, path).localCheckpoint(eager=True)
+        idc = df.columns[0]
+        (
+            df.repartition("cell")
+            .sortWithinPartitions(idc)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+
+    def _defer_ivf_maintenance(self, ivf_root: str, docs: DataFrame) -> None:
+        """Deferral valve, IVF surface (VERDICT r12 #4): the inline path
+        REWRITES every cell directory the batch touches — and re-encodes
+        those whole cells into each composed code table — which is
+        bounded but lands as a stall on the unlucky batch. Deferred, the
+        batch is assigned with the FROZEN centroids and APPENDED per
+        cell: corpus rows and batch-encoded code rows alike land as new
+        files inside the same ``cell=`` directories, so cell pruning and
+        the strict per-query cell masks are unchanged and serves stay
+        correct. add()-only ids (the facade rejects duplicates), so
+        append == upsert here. The only cost is file-count growth —
+        reported by maintenance_due() straight from the filesystem and
+        compacted by optimize(). Drift bookkeeping is identical to the
+        inline path: coarse assignment error plus each present family's
+        reconstruction error under its frozen parameters."""
+        import json
+
+        import numpy as np
+
+        from .operators.ann import ivf_assign
+        from .operators.drift import (
+            drift_path,
+            mean_coarse_qerr,
+            record_batch_qerr,
+        )
+
+        corpus_path = os.path.join(ivf_root, "corpus")
+        cents = self.spark.read.parquet(os.path.join(ivf_root, "centroids"))
+        track = os.path.exists(drift_path(ivf_root))
+        assigned = ivf_assign(
+            docs, cents, item_vec="embedding",
+            keep_dist="_qerr" if track else None,
+        )
+        if track:
+            qm, qn = mean_coarse_qerr(assigned)
+            record_batch_qerr(ivf_root, qm, qn)
+            assigned = assigned.drop("_qerr")
+        # one pass feeds the corpus append and up to three encoders
+        assigned = assigned.localCheckpoint(eager=True)
+        (
+            assigned.repartition("cell")
+            .sortWithinPartitions("id")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(corpus_path)
+        )
+
+        def _append(enc: DataFrame, sub: str) -> None:
+            (
+                enc.repartition("cell")
+                .sortWithinPartitions(enc.columns[0])
+                .write.mode("append")
+                .partitionBy("cell")
+                .parquet(os.path.join(ivf_root, sub))
+            )
+
+        bq_meta = os.path.join(ivf_root, "_bq_meta.json")
+        if os.path.exists(bq_meta):
+            from .operators.bq import bq_encode, bq_recon_qerr
+
+            with open(bq_meta) as f:
+                m = json.load(f)
+            sums = np.array(m["sums"], dtype=np.int64)
+            _append(
+                bq_encode(
+                    assigned, sums, int(m["n"]), item_id="id",
+                    passthrough=("cell",),
+                ),
+                "bqcodes",
+            )
+            if "lo" in m:
+                qm, qn = mean_coarse_qerr(
+                    docs.select(
+                        bq_recon_qerr(
+                            F.col("embedding"), sums, int(m["n"]),
+                            np.array(m["lo"]), np.array(m["hi"]),
+                        ).alias("_qerr")
+                    )
+                )
+                record_batch_qerr(os.path.join(ivf_root, "bqcodes"), qm, qn)
+        sq_meta = os.path.join(ivf_root, "_sq_meta.json")
+        if os.path.exists(sq_meta):
+            from .operators.sq import sq_encode, sq_recon_qerr
+
+            with open(sq_meta) as f:
+                sm = json.load(f)
+            svmin = np.array(sm["vmin"], dtype=np.float64)
+            sscale = np.array(sm["scale"], dtype=np.float64)
+            _append(
+                sq_encode(
+                    assigned, svmin, sscale, item_id="id",
+                    passthrough=("cell",),
+                ),
+                "sqcodes",
+            )
+            qm, qn = mean_coarse_qerr(
+                docs.select(
+                    sq_recon_qerr(
+                        F.col("embedding"), svmin, sscale
+                    ).alias("_qerr")
+                )
+            )
+            record_batch_qerr(os.path.join(ivf_root, "sqcodes"), qm, qn)
+        pq_meta = os.path.join(ivf_root, "_pq_meta.json")
+        if os.path.exists(pq_meta):
+            from .operators.pq import pq_encode
+
+            books = np.load(os.path.join(ivf_root, "pq_books.npy"))
+            pqc = os.path.join(ivf_root, "pqcodes")
+            track_pq = os.path.exists(drift_path(pqc))
+            enc = pq_encode(
+                assigned, books, item_id="id", passthrough=("cell",),
+                keep_qerr="_qerr" if track_pq else None,
+            )
+            if track_pq:
+                enc = enc.localCheckpoint(eager=True)
+                qm, qn = mean_coarse_qerr(enc)
+                record_batch_qerr(pqc, qm, qn)
+                enc = enc.drop("_qerr")
+            _append(enc, "pqcodes")
+
     def _freshen_indexes(
         self, name: str, docs: DataFrame, defer_maintenance: bool = False
     ) -> None:
@@ -564,14 +776,30 @@ class VectorStore:
         publish_marker(ip, {"stage": "freshen-in-flight"})
 
         if os.path.exists(self._graph_path(name)):
-            from .operators.graphann import graph_index_upsert
-
-            graph_index_upsert(
-                self.spark, self._graph_path(name),
-                docs.select("id", "embedding"), item_id="id",
+            batch = docs.select(
+                "id", F.col("embedding").cast("array<double>").alias("embedding")
             )
+            if defer_maintenance:
+                # deferral valve, graph surface (VERDICT r12 #4): the
+                # inline path REBUILDS every shard the batch lands in
+                # (O(shard) stall each); deferred rows append O(batch)
+                # into a flat side buffer instead. The serve path
+                # exact-scans the buffer (batch-sized) and merges — the
+                # HNSW-plus-fresh-buffer operational model — so results
+                # stay complete while the debt is visible
+                # (maintenance_due) and clearable (optimize / the next
+                # non-deferred write, which folds the buffer below).
+                batch.write.mode("append").parquet(
+                    self._graph_pending_path(name)
+                )
+            else:
+                self._fold_graph_pending(name, batch)
         ivf_root = self._ivf_path(name)
-        if os.path.exists(os.path.join(ivf_root, "_meta.json")):
+        if defer_maintenance and os.path.exists(
+            os.path.join(ivf_root, "_meta.json")
+        ):
+            self._defer_ivf_maintenance(ivf_root, docs)
+        elif os.path.exists(os.path.join(ivf_root, "_meta.json")):
             from .operators.ann import ivf_index_upsert
 
             corpus_path = os.path.join(ivf_root, "corpus")
@@ -1837,6 +2065,10 @@ class VectorStore:
         )
 
         idx = self._ensure_graph_index(name)
+        # calibration measures the INDEX; deferred-buffer rows are part
+        # of the ground truth (collection rows) but not of the beam
+        # search — fold them first so the curve prices the real index
+        self._fold_graph_pending(name)
         fname = self._k_fname("_ef_curve.json", k)
         meta = read_curve_meta(idx, fname)
         n = self._collection_nrows(name)
@@ -2013,6 +2245,81 @@ class VectorStore:
         # dot-prefixed root: invisible to list_collections, invalid as a
         # collection name, so it can never clash with user data
         return os.path.join(self.root, ".graph_index", name)
+
+    def _graph_pending_path(self, name: str) -> str:
+        # a SIBLING root, not a subdirectory of the graph index: Spark's
+        # file index skips underscore/dot-prefixed paths even when read
+        # directly, and a plain-named subdirectory would be scanned as
+        # shard data by read_layout on the index dir. Registered in
+        # _INDEX_DIRS so every invalidation sweeps it with the index.
+        return os.path.join(self.root, ".graph_pending", name)
+
+    def _graph_pending_files(self, name: str) -> int:
+        try:
+            return sum(
+                1
+                for f in os.listdir(self._graph_pending_path(name))
+                if f.endswith(".parquet")
+            )
+        except OSError:
+            return 0
+
+    def _fold_graph_pending(
+        self, name: str, batch: DataFrame | None = None
+    ) -> None:
+        """Absorb the deferred-write side buffer (and optionally a fresh
+        batch) into the sharded graph index in ONE upsert, then drop the
+        buffer. Batch ids win over buffered rows of the same id (the
+        buffer is strictly older), mirroring graph_index_upsert's own
+        replace semantics."""
+        import shutil
+
+        from .operators.graphann import graph_index_upsert
+
+        pending = self._graph_pending_path(name)
+        rows = batch
+        if self._graph_pending_files(name):
+            pend = self.spark.read.parquet(pending)
+            if rows is not None:
+                pend = pend.join(rows.select("id"), "id", "left_anti")
+            # break lineage to the buffer files before they're deleted
+            pend = pend.localCheckpoint(eager=True)
+            rows = pend if rows is None else rows.unionByName(pend)
+        if rows is not None:
+            graph_index_upsert(
+                self.spark, self._graph_path(name), rows, item_id="id"
+            )
+        shutil.rmtree(pending, ignore_errors=True)
+
+    def _merge_graph_pending(
+        self, name: str, qdf: DataFrame, res: DataFrame, k: int
+    ) -> DataFrame:
+        """Serve-time union of graph-index results with an exact scan of
+        the deferred-write buffer (batch-sized, so the scan is cheap).
+        Dedups by (query_id, item_id) min-dist so a crash that left a
+        folded row in the buffer can't double-report it."""
+        if not self._graph_pending_files(name):
+            return res
+        from .operators.knn import exact_knn
+
+        pend = self.spark.read.parquet(self._graph_pending_path(name))
+        fresh = exact_knn(qdf, pend, k=k, item_id="id").select(
+            "query_id", "item_id", "dist"
+        )
+        merged = (
+            res.select("query_id", "item_id", "dist")
+            .unionByName(fresh)
+            .groupBy("query_id", "item_id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("dist"), F.asc("item_id")
+        )
+        return (
+            merged.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "item_id", "dist")
+        )
 
     def _ensure_graph_index(self, name: str) -> str:
         path = self._graph_path(name)
@@ -2395,13 +2702,18 @@ class VectorStore:
             from .operators.graphann import graph_ann_pruned
 
             # builds the collection's NSW index on first use; add() keeps
-            # it fresh incrementally (graph_index_upsert)
+            # it fresh incrementally (graph_index_upsert), and deferred
+            # adds land in a side buffer the merge below exact-scans
             path = self._ensure_graph_index(name)
-            return graph_ann_pruned(
-                qdf.select("query_id", F.col("query_vec").cast("array<double>").alias("query_vec")),
-                self.spark, path, k=k,
+            qd = qdf.select(
+                "query_id",
+                F.col("query_vec").cast("array<double>").alias("query_vec"),
+            )
+            res = graph_ann_pruned(
+                qd, self.spark, path, k=k,
                 **({"ef_search": graph_ef} if graph_ef is not None else {}),
             )
+            return self._merge_graph_pending(name, qd, res, k)
         # The compressed-scan modes always serve from the PERSISTED
         # full-collection code artifact. A ``where=`` restricts the CODE
         # scan to the survivor set (semi-join BEFORE short-list

@@ -201,6 +201,60 @@ def ivf_assign(
     return assigned.drop("_cdist")
 
 
+def ivf_assign_blas(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    item_vec: str = "embedding",
+    centroid_id: str = "cell",
+    centroid_vec: str = "centroid",
+    keep_dist: str | None = None,
+) -> DataFrame:
+    """BLAS twin of :func:`ivf_assign` for LARGE corpora: the centroid
+    matrix broadcasts (n_cells x dim — always tiny) and the corpus
+    STREAMS through one Arrow-batched gemm + argmin per batch. Zero
+    shuffle and zero row expansion, vs ivf_assign's crossJoin + window,
+    which materializes n x n_cells rows through a shuffle — fine at
+    collection scale, ~256M-row pathology at 1M x 256 (measured at the
+    round-13 scale-bench build). Same output contract: corpus columns +
+    ``cell`` (+ ``keep_dist`` distance), nearest centroid by L2 with
+    ties to the smallest cell id."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    rows = centroids.orderBy(F.asc(centroid_id)).collect()
+    C = np.array([r[centroid_vec] for r in rows], dtype=np.float64)
+    ids = np.array([r[centroid_id] for r in rows], dtype=np.int64)
+    b = spark.sparkContext.broadcast((C, (C * C).sum(axis=1), ids))
+
+    out_cols = corpus.columns
+    schema_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in corpus.schema]
+    schema_parts.append(f"{centroid_id} int")
+    if keep_dist is not None:
+        schema_parts.append(f"`{keep_dist}` double")
+
+    def assign(batches):
+        Cm, c2, cell_ids = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf[item_vec].tolist(), dtype=np.float64)
+            # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2; argmin row-wise.
+            # np.argmin returns the FIRST min index and cells are sorted
+            # ascending — the ivf_assign tie-break (asc cell) exactly.
+            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ Cm.T) + c2[None, :]
+            pick = np.argmin(d2, axis=1)
+            res = pdf[out_cols].copy()
+            res[centroid_id] = cell_ids[pick].astype("int32")
+            if keep_dist is not None:
+                res[keep_dist] = np.sqrt(
+                    np.maximum(d2[np.arange(len(pick)), pick], 0.0)
+                )
+            yield res
+
+    return corpus.mapInPandas(assign, schema=", ".join(schema_parts))
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_cells: int,

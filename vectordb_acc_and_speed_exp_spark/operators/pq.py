@@ -21,7 +21,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..io.relcache import read_layout
@@ -291,6 +291,7 @@ def ivfpq_search(
     query_vec: str = "query_vec",
     item_id: str = "item_id",
     item_vec: str = "embedding",
+    predicate: Column | str | None = None,
 ) -> DataFrame:
     """Composed IVF-PQ search — the production large-corpus configuration:
 
@@ -304,7 +305,15 @@ def ivfpq_search(
        vector layout (same pruned directories) and compute true L2.
 
     Full probe (n_probe = n_cells) with shortlist >= corpus is exact —
-    the metamorphic identity the tests pin."""
+    the metamorphic identity the tests pin.
+
+    ``predicate`` is an optional filtered-ANN pre-filter (the vector-DB
+    ``where=``), applied to the CODES scan before ADC scoring and to the
+    re-rank vector fetch — the short-list is the top-``shortlist``
+    ELIGIBLE rows, never a post-filter. Both applications see the id
+    column under its NORMALIZED name ``item_id`` (the codes tables'
+    write-time name); predicates over other metadata require the codes
+    table written with those columns passed through."""
     from ..functions.vector import l2_dist
     from .knn import exact_knn
 
@@ -338,6 +347,11 @@ def ivfpq_search(
     )
 
     codes = read_layout(spark, codes_path).filter(F.col("cell").isin(probed))
+    if predicate is not None:
+        # survivors-only ADC: eligibility lands in the JVM scan (pushed
+        # next to the partition filter), so ineligible rows never reach
+        # the Python kernel
+        codes = codes.filter(predicate)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         L, Qi, allow = b_luts.value, b_qids.value, b_allowed.value
@@ -388,6 +402,8 @@ def ivfpq_search(
         .filter(F.col("cell").isin(probed))
         .select(F.col(item_id).alias("item_id"), F.col(item_vec).alias("_cvec"))
     )
+    if predicate is not None:
+        vecs = vecs.filter(predicate)
     qv = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec")
     )
