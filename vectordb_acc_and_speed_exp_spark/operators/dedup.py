@@ -250,6 +250,7 @@ def minhash_lsh_pairs(
     band_size: int = 4,
     jaccard_threshold: float = 0.5,
     shingles: DataFrame | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline:
     shingle → minhash(n_hashes) → band(n_hashes/band_size) → bucket-join →
@@ -259,28 +260,30 @@ def minhash_lsh_pairs(
     honoring the _shingle_table contract (distinct per doc, same
     shingle_words) — the 100 TB pattern where the gram table is an
     artifact built ONCE and shared by every pair query over the corpus
-    (SCALE.md), instead of re-tokenizing the corpus per query."""
-    # the shingle table feeds three consumers (signatures, sizes, verify
-    # join x2) — without persist the whole tokenize+shingle pipeline would
-    # re-run per consumer (6 scans of the source observed in the plan).
-    # bands likewise: the self-join consumes it twice, and without persist
-    # each side re-runs shingle→minhash→band (measured 3.4 s of the 4 s
-    # collision stage at sf0.1 was the double recompute).
+    (SCALE.md), instead of re-tokenizing the corpus per query.
+    ``bands``: likewise a pre-materialized (doc_id, band, sig) banded
+    signature table (_band_table contract at the same n_hashes /
+    band_size) — VERDICT r12 #6: the signature build is a pure function
+    of the corpus, so per-query recompute was amortizable work."""
+    # the shingle table feeds multiple consumers (signatures when bands
+    # are not supplied, plus the verify join) — without persist the whole
+    # tokenize+shingle pipeline re-runs per consumer (6 scans of the
+    # source observed in the plan). The band table needs no persist since
+    # the self-collision posting-list path consumes it exactly once.
     if shingles is None:
         shingles = _shingle_table(df, id_col, text_col)
     shingles = shingles.persist()
-    sig = _minhash_from_shingles(shingles, n_hashes)
-    bands = _band_table(sig, band_size).persist()
+    if bands is None:
+        bands = _band_table(_minhash_from_shingles(shingles, n_hashes), band_size)
     # _jaccard_verify persists candidates itself and returns an already-
-    # materialized frame — only the stages it never sees (shingle/band
-    # caches) are released here, with no second checkpoint of the result
+    # materialized frame — only the stages it never sees (the shingle
+    # cache) are released here, with no second checkpoint of the result
     try:
         return _jaccard_verify(
             _band_collisions(bands, bands), shingles, jaccard_threshold
         )
     finally:
         shingles.unpersist()
-        bands.unpersist()
 
 
 def _band_table(sig: DataFrame, band_size: int) -> DataFrame:
@@ -301,8 +304,41 @@ def _band_table(sig: DataFrame, band_size: int) -> DataFrame:
     )
 
 
+def _ordered_pairs_within(grouped: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """Explode every sorted id list into its strictly-ordered (id_a <
+    id_b) pairs with codegen HOFs — the posting-list pair expansion.
+    One shuffle (the groupBy that built the lists) replaces a
+    self-equi-join's two-sided shuffle plus join machinery; per-list
+    work is bounded by the caller's df/bucket cap."""
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col(ids_col),
+                lambda a, i: F.transform(
+                    F.slice(
+                        F.col(ids_col), i + F.lit(2), F.size(F.col(ids_col))
+                    ),
+                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                ),
+            )
+        )
+    ).alias("p")
+    return grouped.select(pair).select("p.id_a", "p.id_b")
+
+
 def _band_collisions(bands_a: DataFrame, bands_b: DataFrame) -> DataFrame:
-    """Distinct (id_a < id_b) pairs sharing at least one band bucket."""
+    """Distinct (id_a < id_b) pairs sharing at least one band bucket.
+
+    The SELF-join case (same frame on both sides — the batch pipelines)
+    takes the posting-list shape: group each (band, sig) bucket's sorted
+    ids once and expand ordered pairs in codegen, halving the shuffled
+    bytes and dropping the join. The asymmetric case (streaming
+    new-vs-old signatures) keeps the equi-join."""
+    if bands_a is bands_b:
+        buckets = bands_a.groupBy("band", "sig").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ids")
+        )
+        return _ordered_pairs_within(buckets).distinct()
     return (
         bands_a.alias("a")
         .join(
@@ -355,6 +391,8 @@ def ngram_jaccard_join(
     df_cap: int = 50,
     shingle_words: int = 3,
     shingles: DataFrame | None = None,
+    plists: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Inverted-index Jaccard similarity self-join with a document-frequency
     cap on shingles. Returns (id_a, id_b, jaccard_r) for pairs ≥ threshold.
@@ -363,8 +401,19 @@ def ngram_jaccard_join(
     matching the oracle; with a generous cap the rare-shingle intersection
     equals the true intersection for near-dup pairs. ``shingles``: a
     pre-materialized table honoring the _shingle_table contract (see
-    minhash_lsh_pairs)."""
-    # three consumers (df-cap, pair join x2, sizes) — persist, as in
+    minhash_lsh_pairs). ``plists``/``sizes`` (passed together): the
+    pre-materialized capped posting lists (sh, sorted ids at this
+    df_cap) and per-doc shingle counts — both pure functions of the
+    corpus (VERDICT r12 #6), leaving only pair expansion + count +
+    jaccard at query time."""
+    if plists is not None and sizes is not None:
+        common = (
+            _ordered_pairs_within(plists)
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        return _attach_jaccard(common, sizes, threshold)
+    # three consumers (df-cap, posting lists, sizes) — persist, as in
     # minhash_lsh_pairs
     if shingles is None:
         shingles = _shingle_table(df, id_col, text_col, shingle_words)
@@ -377,16 +426,17 @@ def ngram_jaccard_join(
     )
     capped = shingles.join(rare, "sh")
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # posting-list shape (round 13): one groupBy builds each rare
+    # shingle's sorted posting list (bounded by df_cap), codegen HOFs
+    # expand the ordered pairs, one more groupBy counts them — vs the
+    # previous self-equi-join, which shuffled the capped table TWICE
+    # and ran join machinery to produce the identical pair multiset
+    plists = capped.groupBy("sh").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
     common = (
-        capped.alias("a")
-        .join(
-            capped.alias("b"),
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
+        _ordered_pairs_within(plists)
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return materialize_and_release(
