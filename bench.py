@@ -589,13 +589,18 @@ def main() -> None:
     # FILTERED width: at ~1% eligibility a query's true eligible
     # neighbors scatter far beyond its nearest cells, so the probe
     # widens with selectivity (the same physics api.py's filtered
-    # chooser prices) — measured at the r13 build: 8/64 probes read
-    # 0.58 recall, 24/64 read 0.88; at 1M, 32/256 reads 1.0. The
-    # probed FRACTION still shrinks 3x at 10x data (37.5% -> 12.5%) —
-    # the sublinear serve-path design under test.
+    # chooser prices) — measured at the r13 sf0.1 build: 8/64 probes
+    # read 0.58 recall at 100k; 24/64 reads 0.84-0.88. The shortlist
+    # scales with the ELIGIBLE-set size (~1% of corpus: 1k -> 10k), the
+    # second dial the same measurement exposed (32/256 probes at 200
+    # shortlist read 0.64 at 1M; 48/256 at 1000 reads 1.0). Probed
+    # FRACTION still shrinks 2x at 10x data (37.5% -> 18.75%) — the
+    # sublinear serve-path design under test.
     scale_cfg = {
-        "100k": {"factor": 50, "n_cells": 64, "n_probe": 24},
-        "1m": {"factor": factor_1m, "n_cells": 256, "n_probe": 32},
+        "100k": {"factor": 50, "n_cells": 64, "n_probe": 24,
+                 "shortlist": 200},
+        "1m": {"factor": factor_1m, "n_cells": 256, "n_probe": 48,
+               "shortlist": 1000},
     }
     FILTER_PRED = "item_id % 100 = 0"  # ~1% eligible, uniform over cells
 
@@ -671,7 +676,7 @@ def main() -> None:
             ivfpq_search(
                 qs, spark, os.path.join(root, "pqcodes"),
                 os.path.join(root, "ivf_corpus"), cents, books,
-                k=10, n_probe=cfg["n_probe"], shortlist=200,
+                k=10, n_probe=cfg["n_probe"], shortlist=cfg["shortlist"],
                 item_id="vec_id", predicate=FILTER_PRED,
             )
         )

@@ -531,8 +531,8 @@ def write_scale_md(payload: dict, all_runs: list | None = None) -> None:
         f"| {_min('mtlsh_pruned_100k_5q')} | {_min('mtlsh_pruned_1m_5q')} "
         f"| {_ratio('mtlsh_pruned_100k_5q', 'mtlsh_pruned_1m_5q')} "
         f"| {_rec('mtlsh_100k_recall10')} | {_rec('mtlsh_1m_recall10')} |",
-        "| IVF-PQ filtered (~1% eligible, shortlist 200, n_probe 8->16 "
-        "of 64->256 cells) "
+        "| IVF-PQ filtered (~1% eligible; n_probe 24->48 of 64->256 "
+        "cells, shortlist 200->1000 tracking the eligible-set size) "
         f"| {_min('ivfpq_filtered_100k_5q')} | {_min('ivfpq_filtered_1m_5q')} "
         f"| {_ratio('ivfpq_filtered_100k_5q', 'ivfpq_filtered_1m_5q')} "
         f"| {_rec('ivfpq_filtered_100k_recall10')} "
