@@ -542,13 +542,14 @@ def write_scale_md(payload: dict, all_runs: list | None = None) -> None:
         "the reference's own HNSW degrades to ~0.70 at 58k docs "
         "(BASELINE.md).",
         "",
-        "One-time build amortization, cold seconds this close "
-        "(warm runs pay ~0; every run's actual cost is in "
-        "BENCH_DETAIL.builds): "
-        f"100k artifacts {builds.get('scale_100k_artifacts', 0):.1f}, "
-        f"1M artifacts {builds.get('scale_1m_artifacts', 0):.1f}, "
-        f"1M index+GT included (corpus write, kmeans, PQ encode, "
-        f"mt-LSH signatures, exact ground truth).",
+        "One-time build amortization (corpus write, kmeans, PQ encode, "
+        "mt-LSH signatures, exact ground truth — fingerprint-cached; "
+        "every run's actual cost is in BENCH_DETAIL.builds): this "
+        "close's runs paid "
+        f"{builds.get('scale_100k_artifacts', 0):.1f} s (100k) / "
+        f"{builds.get('scale_1m_artifacts', 0):.1f} s (1M); ~0 means "
+        "the cache was already warm — measured cold at sf0.1: ~33 s / "
+        "~98 s (BENCH_NOTES round-13).",
         "",
     ]
     with open(os.path.join(REPO, "SCALE.md"), "w") as fh:
