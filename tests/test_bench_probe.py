@@ -320,3 +320,48 @@ def test_baseline_version_reader(tmp_path):
     with open(tmp_path / "PROBE_BASELINE.json", "w") as fh:
         json.dump({"probe_sec": 0.2}, fh)
     assert _baseline_version(str(tmp_path)) == 1
+
+
+def test_scale_recall_gate_and_scale_md(tmp_path, monkeypatch):
+    """The close's scale-family quality gate (floor 0.70) and the
+    SCALE.md regeneration from a committed payload."""
+    import close_round as cr
+
+    payload = {
+        "scale": {
+            "factor_1m": 500,
+            "filter": "item_id % 100 = 0",
+            "mtlsh_100k_recall10": 1.0,
+            "mtlsh_1m_recall10": 0.95,
+            "ivfpq_filtered_100k_recall10": 0.84,
+            "ivfpq_filtered_1m_recall10": 1.0,
+        },
+        "queries_stats": {
+            "mtlsh_pruned_100k_5q": {"min": 1.39},
+            "mtlsh_pruned_1m_5q": {"min": 3.74},
+            "ivfpq_filtered_100k_5q": {"min": 1.05},
+            "ivfpq_filtered_1m_5q": {"min": 1.33},
+        },
+        "builds": {"scale_100k_artifacts": 0.0, "scale_1m_artifacts": 0.0},
+    }
+    assert cr.scale_recall_failures(payload) == {}
+    payload["scale"]["mtlsh_1m_recall10"] = 0.62
+    assert cr.scale_recall_failures(payload) == {"mtlsh_1m_recall10": 0.62}
+    # None (masked-procfs / absent harness) is not a failure
+    payload["scale"]["mtlsh_1m_recall10"] = None
+    assert cr.scale_recall_failures(payload) == {}
+    # pre-r13 payloads have no scale block at all
+    assert cr.scale_recall_failures({"queries": {}}) == {}
+
+    monkeypatch.setattr(cr, "REPO", str(tmp_path))
+    payload["scale"]["mtlsh_1m_recall10"] = 0.95
+    # cold cost surfaces from WHICHEVER run paid it, not just the chosen
+    cr.write_scale_md(
+        payload,
+        all_runs=[("run1", {"builds": {"scale_1m_artifacts": 98.0}})],
+    )
+    text = (tmp_path / "SCALE.md").read_text()
+    assert "2.69x" in text  # 3.74 / 1.39 time ratio at 10x data
+    assert "1.27x" in text
+    assert "98.0 s (1M)" in text
+    assert "0.95" in text and "0.84" in text

@@ -253,3 +253,43 @@ def test_connected_components_distributed_path_equals_driver(
     }
     assert driver == dist
     assert driver[5] == 1 and driver[12] == 10 and driver[21] == 20
+
+
+def test_band_collision_fastpath_equals_join_path(with_planted):
+    """The posting-list self-collision shape (round 13) must produce the
+    identical distinct pair set as the asymmetric equi-join path run
+    self-vs-self — the streaming maintenance path keeps using the join,
+    so divergence would split batch and streaming candidate sets."""
+    from vectordb_acc_and_speed_exp_spark.operators.dedup import (
+        _band_collisions,
+        _band_table,
+        _minhash_from_shingles,
+        _shingle_table,
+    )
+
+    sh = _shingle_table(with_planted, "doc_id", "text").persist()
+    bands = _band_table(_minhash_from_shingles(sh, 16), 4).persist()
+    fast = {
+        (r.id_a, r.id_b) for r in _band_collisions(bands, bands).collect()
+    }
+    # force the join path by passing a distinct (equal-content) frame
+    joined = {
+        (r.id_a, r.id_b)
+        for r in _band_collisions(bands, bands.select("*")).collect()
+    }
+    sh.unpersist(); bands.unpersist()
+    assert fast == joined and fast
+    # strict ordering invariant either way
+    assert all(a < b for a, b in fast)
+
+
+def test_ordered_pairs_within_expansion(spark):
+    from vectordb_acc_and_speed_exp_spark.operators.dedup import (
+        _ordered_pairs_within,
+    )
+
+    df = spark.createDataFrame(
+        [([1, 2, 3],), ([7],), ([],), ([4, 9],)], "ids array<bigint>"
+    )
+    got = {(r.id_a, r.id_b) for r in _ordered_pairs_within(df).collect()}
+    assert got == {(1, 2), (1, 3), (2, 3), (4, 9)}
