@@ -584,26 +584,31 @@ class VectorStore:
     )
 
     def _cell_table_stats(self, path: str) -> dict | None:
-        """{"cells": n_dirs, "files": n_parquet, "due": excess >= threshold}
-        for a cell-partitioned layout, or None when absent. A compacted
-        layout holds ~1 file per cell directory; every deferred append
-        adds up to one file per touched cell, so (files - cells) is the
-        accrued rewrite debt — derived from the filesystem, never from
+        """{"cells", "files", "max_files_per_cell", "due"} for a
+        cell-partitioned layout, or None when absent. A compacted layout
+        holds ~1 file per cell directory and every deferred append adds
+        up to one file per touched cell — the read amplification a probe
+        actually pays is the file count of the cells it reads, so debt
+        is DUE when the worst cell's file count reaches the same
+        threshold the flat code dirs compact at (a total-excess rule
+        would fire after one wide batch touching many cells, which costs
+        probes nothing). Derived from the filesystem, never from
         bookkeeping that could drift."""
         if not os.path.isdir(path):
             return None
-        cells = files = 0
+        cells = files = mx = 0
         for d in os.listdir(path):
             sub = os.path.join(path, d)
             if d.startswith("cell=") and os.path.isdir(sub):
                 cells += 1
-                files += sum(
-                    1 for f in os.listdir(sub) if f.endswith(".parquet")
-                )
+                n = sum(1 for f in os.listdir(sub) if f.endswith(".parquet"))
+                files += n
+                mx = max(mx, n)
         return {
             "cells": cells,
             "files": files,
-            "due": files - cells >= self._CODES_AUTO_COMPACT_FILES,
+            "max_files_per_cell": mx,
+            "due": mx >= self._CODES_AUTO_COMPACT_FILES,
         }
 
     def _compact_cell_table(self, path: str) -> None:
