@@ -584,23 +584,26 @@ def main() -> None:
     n_base = emb.count()
     factor_1m = max(1, (1_000_000 + n_base - 1) // n_base)
     broot = os.path.join(_index_root(sf_dir), "bench_scale")
-    fp = _source_fingerprint(sf_dir) + f"|x{factor_1m}|jit2e-3|v1"
+    fp = _source_fingerprint(sf_dir) + f"|x{factor_1m}|jit2e-3|v2"
     # n_cells grows ~sqrt(n) (the IVF sizing rule). n_probe is the
     # FILTERED width: at ~1% eligibility a query's true eligible
     # neighbors scatter far beyond its nearest cells, so the probe
     # widens with selectivity (the same physics api.py's filtered
     # chooser prices) — measured at the r13 sf0.1 build: 8/64 probes
-    # read 0.58 recall at 100k; 24/64 reads 0.84-0.88. The shortlist
-    # scales with the ELIGIBLE-set size (~1% of corpus: 1k -> 10k), the
-    # second dial the same measurement exposed (32/256 probes at 200
-    # shortlist read 0.64 at 1M; 48/256 at 1000 reads 1.0). Probed
-    # FRACTION still shrinks 2x at 10x data (37.5% -> 18.75%) — the
-    # sublinear serve-path design under test.
+    # read 0.58 recall at 100k, 24/64 reads 0.84 (coverage-limited:
+    # shortlist 800 ≈ exact-over-probed moved it only to 0.86). pq_k is
+    # the ADC precision, sized to the corpus: with k=16 codebooks the
+    # 1M point read 0.64 at shortlist 200 and needed 1000 to reach 1.0
+    # (PQ rank noise grows with the candidate pool); k=64 codebooks
+    # reach 1.0 at shortlist 400 — precision is a BUILD-time cost, so
+    # the serve-time shortlist stays flat at 10x data while the probed
+    # fraction halves (37.5% -> 18.75%): the sublinear design under
+    # test.
     scale_cfg = {
         "100k": {"factor": 50, "n_cells": 64, "n_probe": 24,
-                 "shortlist": 200},
+                 "shortlist": 400, "pq_k": 16},
         "1m": {"factor": factor_1m, "n_cells": 256, "n_probe": 48,
-               "shortlist": 1000},
+               "shortlist": 400, "pq_k": 64},
     }
     FILTER_PRED = "item_id % 100 = 0"  # ~1% eligible, uniform over cells
 
@@ -627,8 +630,9 @@ def main() -> None:
         assigned = ivf_assign_blas(corpus, cents).repartition("cell")
         write_ivf_corpus(assigned, os.path.join(root, "ivf_corpus"))
         # codebooks train on the base table: same distribution, and at
-        # 100 TB codebook quality saturates on a sample anyway
-        books = pq_train(emb)
+        # 100 TB codebook quality saturates on a sample anyway; k is
+        # sized to the corpus (see scale_cfg)
+        books = pq_train(emb, m=8, k=cfg["pq_k"])
         np.save(os.path.join(root, "pq_books.npy"), books)
         write_ivfpq_codes(
             assigned, books, os.path.join(root, "pqcodes"), item_id="vec_id"

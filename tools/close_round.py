@@ -532,7 +532,8 @@ def write_scale_md(payload: dict, all_runs: list | None = None) -> None:
         f"| {_ratio('mtlsh_pruned_100k_5q', 'mtlsh_pruned_1m_5q')} "
         f"| {_rec('mtlsh_100k_recall10')} | {_rec('mtlsh_1m_recall10')} |",
         "| IVF-PQ filtered (~1% eligible; n_probe 24->48 of 64->256 "
-        "cells, shortlist 200->1000 tracking the eligible-set size) "
+        "cells, shortlist flat at 400, ADC codebook k 16->64 — "
+        "precision is build-time, so serve work stays flat) "
         f"| {_min('ivfpq_filtered_100k_5q')} | {_min('ivfpq_filtered_1m_5q')} "
         f"| {_ratio('ivfpq_filtered_100k_5q', 'ivfpq_filtered_1m_5q')} "
         f"| {_rec('ivfpq_filtered_100k_recall10')} "
