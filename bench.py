@@ -455,13 +455,29 @@ def main() -> None:
         bucket/cell occupancy statistics at 100k/1M are real rather than
         50-500 bit-identical copies sharing one signature/cell — the
         honest corpus for pruned-path scaling claims (round 13; the
-        pre-r13 entries replicated without jitter, BENCH_NOTES)."""
-        return (
+        pre-r13 entries replicated without jitter, BENCH_NOTES).
+
+        Partitioning (guide §2, measured this round): the base table is
+        ONE parquet file -> one scan partition, and explode preserves
+        partitioning, so every replicated corpus previously sat in a
+        single partition — the timed bf/bq/mtlsh scans ran on ONE core
+        of the box (bf codegen profiled at 5.7 s with 31 cores idle).
+        Spread to the session's parallelism (scale-adaptive: follows
+        $SPARK_GRAFT_CPUS through local[N], or the cluster's default),
+        never a hard-coded count."""
+        out = (
             df.withColumn(
                 "r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
             )
             .select(
                 (F.col("vec_id") * factor + F.col("r")).alias("vec_id"),
+                # cast back to float: the jitter arithmetic promotes the
+                # base table's float elements to double, silently DOUBLING
+                # every downstream scan/cache/shuffle byte of the 100k/1M
+                # corpora (guide §2.3 "narrower types"); the corpus is the
+                # source of truth (ground truth is computed FROM it), so
+                # float storage is consistent, and eps=2e-3 jitter is 4
+                # orders of magnitude above float precision
                 F.transform(
                     F.col("embedding"),
                     lambda x, i: x
@@ -471,8 +487,11 @@ def main() -> None:
                         + F.col("r") * F.lit(78.233)
                         + i.cast("double") * F.lit(37.719)
                     ),
-                ).alias("embedding"),
+                ).cast("array<float>").alias("embedding"),
             )
+        )
+        return out.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
         )
 
     big = _replicated(emb, 50).cache()
@@ -584,7 +603,12 @@ def main() -> None:
     n_base = emb.count()
     factor_1m = max(1, (1_000_000 + n_base - 1) // n_base)
     broot = os.path.join(_index_root(sf_dir), "bench_scale")
-    fp = _source_fingerprint(sf_dir) + f"|x{factor_1m}|jit2e-3|v2"
+    # v3: replicated corpora are repartitioned to the session parallelism
+    # (corpus_flat becomes N files instead of 1) — rebuild so the serve
+    # scans read the parallel layout, not the old single-file one
+    # v4: replica embeddings stored as array<float> (the jitter transform
+    # had silently promoted them to double — 2x the bytes of every scan)
+    fp = _source_fingerprint(sf_dir) + f"|x{factor_1m}|jit2e-3|v4"
     # n_cells grows ~sqrt(n) (the IVF sizing rule). n_probe is the
     # FILTERED width: at ~1% eligibility a query's true eligible
     # neighbors scatter far beyond its nearest cells, so the probe

@@ -13,25 +13,35 @@ bit-deterministic (left-to-right accumulation over the array) and
 reproducible against external oracles.
 
 Unrolled fast path (round 13, guide §4.1 "prefer built-ins"/§1.2 per-task
-work): Spark's higher-order functions are ``CodegenFallback`` — the lambda
-is interpreted per ROW even inside a WholeStageCodegen span, so the hot
-distance kernel pays per-element closure dispatch on every corpus row. For
-a corpus whose dimension is a known constant (every real embedding corpus;
-64 in the test fixtures) the same left-fold can be emitted as an explicit
+work — measured, then scoped down): Spark's higher-order functions are
+``CodegenFallback`` — the lambda is interpreted per ROW even inside a
+WholeStageCodegen span. For a corpus whose dimension is a known constant,
+the same left-fold can be emitted as an explicit
 ``((0.0 + t0) + t1) + ...`` expression over ``getItem(i)`` projections,
 which whole-stage codegen compiles to straight-line arithmetic — measured
-2.5-4x faster per scan with bit-identical results (same element casts, same
-fold order, verified exactly on 2.5M pairs; oracle hashes unchanged).
+2.5-4x faster per 500k-row scan with bit-identical results (same element
+casts, same fold order, verified exactly on 2.5M pairs; oracle hashes
+unchanged).
+
+BUT the unrolled tree is ~400-1300 Catalyst nodes and costs a measured
+1.6-3.2 s of DRIVER planning + ~0.5 s codegen compile PER QUERY (timed on
+a one-row frame — pure fixed cost), which swamps small scans: the sf0.1
+bench regressed 106 -> 141 s with unrolling applied session-wide, while
+the one 500k-row full-scan entry improved. So unrolling is OFF by default
+and strictly opt-in per call site (``dim=`` argument, threaded through
+``operators.knn.exact_knn``) — the right shape for scans big enough that
+per-plan seconds amortize (at 100 TB, any full scan). Genuinely large
+exact scans in this engine normally route through the Arrow/BLAS kernel
+(``operators.simjoin.cosine_knn_join``) instead; the unroll exists for
+the no-Python codegen paths.
 
 The dimension is a *hint*, not a contract: every unrolled expression is
 guarded by ``size(a) = dim [AND size(b) = dim]`` with the HOF expression as
 the ``otherwise`` branch, so vectors of any other length (or mismatched
 lengths, where zip_with's null-padding semantics matter) take the exact
 old path. A wrong hint can therefore never change a result — only forfeit
-the speedup. The default comes from $SPARK_GRAFT_VECTOR_UNROLL_DIM
-(default 64, the fixtures' dimension); production deployments set it to
-their corpus dimension, a deployment constant. Setting it to 0 disables
-unrolling entirely.
+the speedup. $SPARK_GRAFT_VECTOR_UNROLL_DIM overrides the session default
+(0 = off, the default).
 """
 
 from __future__ import annotations
@@ -44,7 +54,7 @@ from pyspark.sql import functions as F
 
 def _unroll_dim_default() -> int:
     try:
-        return int(os.environ.get("SPARK_GRAFT_VECTOR_UNROLL_DIM", "64"))
+        return int(os.environ.get("SPARK_GRAFT_VECTOR_UNROLL_DIM", "0"))
     except ValueError:
         return 0
 

@@ -310,7 +310,10 @@ def ivf_ann(
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec")
     ).join(qcells, "query_id")
-    cand = q.join(corpus_assigned, "cell").select(
+    # q is queries x n_probe rows (tiny); broadcast it so the cell join
+    # streams the (pruned) corpus through a BroadcastHashJoin instead of
+    # shuffling corpus vectors by cell (guide §3.1/§8)
+    cand = F.broadcast(q).join(corpus_assigned, "cell").select(
         "query_id",
         F.col(item_id).alias("item_id"),
         l2_dist(F.col("_qvec"), F.col(item_vec)).alias("dist"),
@@ -546,7 +549,8 @@ def ivf_ann_pruned(
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec")
     ).join(qcells, "query_id")
-    cand = q.join(corpus, "cell").select(
+    # broadcast the probe side for the same reason as ivf_ann_topk above
+    cand = F.broadcast(q).join(corpus, "cell").select(
         "query_id",
         F.col(item_id).alias("item_id"),
         l2_dist(F.col("_qvec"), F.col(item_vec)).alias("dist"),
@@ -613,7 +617,9 @@ def lsh_ann_pruned(
     ).dropDuplicates(["query_id", "bucket"])
     probed = sorted({r.bucket for r in q.select("bucket").distinct().collect()})
     corpus = read_layout(spark, corpus_path).filter(F.col("bucket").isin(probed))
-    cand = q.join(corpus, "bucket").select(
+    # broadcast the probe side (queries x probed buckets — tiny) so the
+    # pruned corpus scan is never shuffled (guide §3.1/§8)
+    cand = F.broadcast(q).join(corpus, "bucket").select(
         "query_id",
         F.col(item_id).alias("item_id"),
         l2_dist(F.col("_qvec"), F.col(item_vec)).alias("dist"),

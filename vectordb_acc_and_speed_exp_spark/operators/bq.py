@@ -319,7 +319,12 @@ def _shortlist_rerank(
         F.col(item_id).alias("item_id"), F.col(item_vec).alias("_cvec")
     )
     reranked = (
-        cand.join(vecs, "item_id")
+        # shortlist candidates are serving-bounded (queries x shortlist);
+        # broadcast them so the exact re-rank is a BroadcastHashJoin over
+        # the vector scan instead of a SortMergeJoin that shuffles every
+        # corpus vector to attach a tiny id list (guide §3.1/§8; measured
+        # on the 1M mtlsh twin: ~0.5 GB exchange removed)
+        F.broadcast(cand).join(vecs, "item_id")
         .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",

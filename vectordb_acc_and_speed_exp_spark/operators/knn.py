@@ -21,13 +21,13 @@ from pyspark.sql import functions as F
 from ..functions.vector import cosine_sim, dot, l2_dist
 
 METRICS = {
-    "l2": lambda q, v: l2_dist(q, v),
+    "l2": lambda q, v, dim=None: l2_dist(q, v, dim=dim),
     # cosine *distance* so that smaller-is-closer holds for every metric
-    "cosine": lambda q, v: 1.0 - cosine_sim(q, v),
+    "cosine": lambda q, v, dim=None: 1.0 - cosine_sim(q, v, dim=dim),
     # max inner product (MIPS) as negated dot so smaller-is-closer holds —
     # the third metric of the production trio (pgvector <#>, FAISS
     # METRIC_INNER_PRODUCT, ChromaDB hnsw:space=ip)
-    "ip": lambda q, v: -dot(q, v),
+    "ip": lambda q, v, dim=None: -dot(q, v, dim=dim),
 }
 
 
@@ -40,6 +40,7 @@ def exact_knn(
     query_vec: str = "query_vec",
     item_id: str = "item_id",
     item_vec: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbours for every query.
 
@@ -47,10 +48,17 @@ def exact_knn(
     (dist, item_id) — the deterministic version of the reference's
     ``np.argsort(distances)[:top_k]`` (chromadb_acc_experiment.py:534; ties
     there fall to argsort stability, here to the id tie-break).
+
+    ``dim``: opt-in unrolled distance kernel for large corpus scans
+    (functions.vector docstring — bit-identical, ~2.5-4x per-row win, but
+    seconds of fixed planning cost per query, so only for scans big
+    enough to amortize it; leave None for default/small corpora).
     """
     if metric not in METRICS:
         raise ValueError(f"unknown metric {metric!r}; one of {sorted(METRICS)}")
-    dist = METRICS[metric](F.col("q." + query_vec), F.col("c." + item_vec))
+    dist = METRICS[metric](
+        F.col("q." + query_vec), F.col("c." + item_vec), dim=dim
+    )
     scored = (
         corpus.alias("c")
         .crossJoin(F.broadcast(queries.alias("q")))

@@ -230,7 +230,12 @@ def _probe_df(
     qv = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec")
     )
-    return probe, qv, sorted({r[1] for r in plan})
+    # probed bucket VALUES (union over tables) come free from the same
+    # driver-side plan: consumers push them into the index scan as an
+    # isin predicate — a superset filter (per-(table,bucket) exactness
+    # still comes from the join), but one parquet can prune row groups
+    # with, because index files are bucket-range-sorted within each table
+    return probe, qv, sorted({r[1] for r in plan}), sorted({r[2] for r in plan})
 
 
 def multitable_lsh_ann(
@@ -268,17 +273,24 @@ def multitable_lsh_ann(
     sig = corpus_signatures(
         corpus, planes, n_tables, n_planes, item_id=item_id, item_vec=item_vec
     )
-    probe, qv, _ = _probe_df(
+    probe, qv, _, buckets = _probe_df(
         spark, queries, planes, n_tables, n_planes, n_probe_buckets,
         query_id, query_vec, flip_pool, max_flips,
     )
     cand = (
         F.broadcast(probe)
-        .join(sig, ["table", "bucket"])
+        .join(sig.filter(F.col("bucket").isin(buckets)), ["table", "bucket"])
         .select("query_id", "item_id")
         .dropDuplicates(["query_id", "item_id"])
     )
-    rer = cand.join(
+    # candidates are serving-bounded (queries x probed buckets), the
+    # corpus side is the heavy payload: broadcast the candidate ids so the
+    # re-rank is one BroadcastHashJoin over the corpus scan — without the
+    # hint the planner picks SortMergeJoin and SHUFFLES every corpus
+    # vector to attach a tiny id list (measured at the 1M bench corpus:
+    # ~0.5 GB exchange; guide §8's "the join sneaks the second shuffle
+    # back in")
+    rer = F.broadcast(cand).join(
         corpus.select(F.col(item_id).alias("item_id"), F.col(item_vec).alias("_ivec")),
         "item_id",
     ).join(F.broadcast(qv), "query_id")
@@ -319,7 +331,7 @@ def mt_lsh_candidates(
     sig = corpus_signatures(
         corpus, planes, n_tables, n_planes, item_id=item_id, item_vec=item_vec
     )
-    probe, _, _ = _probe_df(
+    probe, _, _, _ = _probe_df(
         spark, queries, planes, n_tables, n_planes, n_probe_buckets,
         query_id, query_vec, DEFAULT_FLIP_POOL, DEFAULT_MAX_FLIPS,
     )
@@ -374,7 +386,7 @@ def mt_lsh_budget_curve(
     n_queries = queries.count()
     parts = []
     for budget in budgets:
-        probe, _, _ = _probe_df(
+        probe, _, _, _ = _probe_df(
             spark, queries, planes, n_tables, n_planes, budget,
             query_id, query_vec, flip_pool, max_flips,
         )
@@ -646,18 +658,30 @@ def mt_lsh_ann_pruned(
     if n_probe_buckets is None:
         n_probe_buckets = 8 * n_tables
     planes = mt_planes(dim, n_planes, n_tables, seed)
-    probe, qv, tables = _probe_df(
+    probe, qv, tables, buckets = _probe_df(
         spark, queries, planes, n_tables, n_planes, n_probe_buckets,
         query_id, query_vec, DEFAULT_FLIP_POOL, DEFAULT_MAX_FLIPS,
     )
-    sig = read_layout(spark, index_path).filter(F.col("table").isin(tables))
+    # bucket isin is the row-group pruner: the index layout sorts by
+    # bucket within each table dir (write + compaction both
+    # repartitionByRange on bucket), so parquet min/max stats skip the
+    # non-probed ranges — without this the scan reads every index row
+    # (n_corpus x n_tables; 32M rows at the 1M bench point) and filters
+    # only via the join (guide §6 "verify pushdown reached the scan")
+    sig = (
+        read_layout(spark, index_path)
+        .filter(F.col("table").isin(tables))
+        .filter(F.col("bucket").isin(buckets))
+    )
     cand = (
         F.broadcast(probe)
         .join(sig, ["table", "bucket"])
         .select("query_id", "item_id")
         .dropDuplicates(["query_id", "item_id"])
     )
-    rer = cand.join(
+    # same broadcast rationale as the in-memory path above: candidates
+    # are serving-bounded, the corpus is the payload — never shuffle it
+    rer = F.broadcast(cand).join(
         corpus.select(F.col(item_id).alias("item_id"), F.col(item_vec).alias("_ivec")),
         "item_id",
     ).join(F.broadcast(qv), "query_id")
