@@ -283,14 +283,13 @@ def multitable_lsh_ann(
         .select("query_id", "item_id")
         .dropDuplicates(["query_id", "item_id"])
     )
-    # candidates are serving-bounded (queries x probed buckets), the
-    # corpus side is the heavy payload: broadcast the candidate ids so the
-    # re-rank is one BroadcastHashJoin over the corpus scan — without the
-    # hint the planner picks SortMergeJoin and SHUFFLES every corpus
-    # vector to attach a tiny id list (measured at the 1M bench corpus:
-    # ~0.5 GB exchange; guide §8's "the join sneaks the second shuffle
-    # back in")
-    rer = F.broadcast(cand).join(
+    # no broadcast hint here: this is the in-memory twin (corpus held in
+    # session memory by definition), where the planner already broadcasts
+    # the right side and forcing the computed candidate subtree through a
+    # driver collect+rebroadcast measured +0.4 s of pure roundtrip at the
+    # bench point. The disk-index serve path below hints conditionally on
+    # the indexed corpus size (the sidecar knows it).
+    rer = cand.join(
         corpus.select(F.col(item_id).alias("item_id"), F.col(item_vec).alias("_ivec")),
         "item_id",
     ).join(F.broadcast(qv), "query_id")
@@ -679,9 +678,22 @@ def mt_lsh_ann_pruned(
         .select("query_id", "item_id")
         .dropDuplicates(["query_id", "item_id"])
     )
-    # same broadcast rationale as the in-memory path above: candidates
-    # are serving-bounded, the corpus is the payload — never shuffle it
-    rer = F.broadcast(cand).join(
+    # candidates are serving-bounded (queries x probed buckets); the
+    # corpus is the heavy payload. Past ~200k indexed vectors the
+    # planner's estimate for the candidate subtree (joins over parquet
+    # scans) blows past the broadcast threshold and it sort-merge-
+    # SHUFFLES the corpus vectors to attach a tiny id list (measured at
+    # the 1M bench corpus: ~0.5 GB exchange, plans/r13/
+    # mtlsh_pruned_1m_5q_before.txt) — force-broadcast the candidates
+    # there. Below that, auto-planning already broadcasts correctly and
+    # the forced collect+rebroadcast of the computed candidate subtree
+    # measured +0.4 s of pure roundtrip — leave the planner alone. The
+    # dial is data-driven (the index sidecar records n_corpus), not a
+    # local-mode constant.
+    cand_hinted = (
+        F.broadcast(cand) if int(meta.get("n_corpus", 0)) >= 200_000 else cand
+    )
+    rer = cand_hinted.join(
         corpus.select(F.col(item_id).alias("item_id"), F.col(item_vec).alias("_ivec")),
         "item_id",
     ).join(F.broadcast(qv), "query_id")
