@@ -706,6 +706,7 @@ def main() -> None:
                 os.path.join(root, "ivf_corpus"), cents, books,
                 k=10, n_probe=cfg["n_probe"], shortlist=cfg["shortlist"],
                 item_id="vec_id", predicate=FILTER_PRED,
+                n_corpus=n_base * cfg["factor"],
             )
         )
         _build(f"warm_ivfpq_filtered_{tag}", lambda serve=serve: serve().count())
@@ -857,8 +858,10 @@ def main() -> None:
     for name, secs in timings.items():
         compact["queries"][name] = secs
         if len(json.dumps(compact)) > budget:
+            # over budget: drop THIS entry but keep scanning — a single
+            # long name early in HEADLINE order must not truncate the
+            # map when later, shorter entries still fit (ADVICE r13)
             del compact["queries"][name]
-            break
     print(json.dumps(compact))
 
 

@@ -325,7 +325,7 @@ def compression_fidelity_sweep(
                 gt,
                 sq_search_rerank(
                     queries, snap, enc, vmin, scale, k=k,
-                    shortlist=min(n, 5000), item_id="vec_id",
+                    shortlist=min(n, 5000), item_id="vec_id", n_corpus=n,
                 ),
                 k=k,
             )
@@ -371,7 +371,7 @@ def compression_fidelity_sweep(
                 gt,
                 pq_search_rerank(
                     queries, snap, penc, books, k=k, shortlist=100,
-                    item_id="vec_id",
+                    item_id="vec_id", n_corpus=n,
                 ),
                 k=k,
             )
@@ -397,7 +397,7 @@ def compression_fidelity_sweep(
                 ivfsq_search(
                     queries, spark, codes_path, corpus_path, cents,
                     vmin, scale, k=k, n_probe=n_probe, shortlist=100,
-                    item_id="vec_id",
+                    item_id="vec_id", n_corpus=n,
                 ),
                 k=k,
             )

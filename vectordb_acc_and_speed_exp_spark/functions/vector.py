@@ -59,9 +59,6 @@ def _unroll_dim_default() -> int:
         return 0
 
 
-_UNROLL_DIM = _unroll_dim_default()
-
-
 def _as_double(v: Column) -> Column:
     return v.cast("array<double>")
 
@@ -80,7 +77,10 @@ def _fold(a: Column, b: Column, term, dim: int) -> Column:
 
 
 def _resolve_dim(dim: int | None) -> int:
-    return _UNROLL_DIM if dim is None else int(dim)
+    # env read per call, not at import (ADVICE r13): setting the override
+    # after this module is imported (tests, notebooks) must take effect;
+    # the getenv cost is nanoseconds against plan construction
+    return _unroll_dim_default() if dim is None else int(dim)
 
 
 def _guarded(a: Column, b: Column, unrolled: Column, hof: Column, dim: int) -> Column:

@@ -297,12 +297,17 @@ def _shortlist_rerank(
     query_vec: str,
     item_id: str,
     item_vec: str,
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """Shared tail of both BQ search paths: Hamming-shortlist window over
     ``scored`` (query_id, item_id, hamming) → exact L2 re-rank against
     ``vec_source`` → top-k by (dist, item_id). One place to own the
-    tie-break and output contract for the flat and composed layouts."""
+    tie-break and output contract for the flat and composed layouts.
+    ``n_corpus`` gates the re-rank broadcast hint — see
+    operators/hints.py (both callers pass their training count ``n``,
+    which equals the corpus size)."""
     from ..functions.vector import l2_dist
+    from .hints import broadcast_if_large
 
     wham = Window.partitionBy("query_id").orderBy(
         F.asc("hamming"), F.asc("item_id")
@@ -320,11 +325,9 @@ def _shortlist_rerank(
     )
     reranked = (
         # shortlist candidates are serving-bounded (queries x shortlist);
-        # broadcast them so the exact re-rank is a BroadcastHashJoin over
-        # the vector scan instead of a SortMergeJoin that shuffles every
-        # corpus vector to attach a tiny id list (guide §3.1/§8; measured
-        # on the 1M mtlsh twin: ~0.5 GB exchange removed)
-        F.broadcast(cand).join(vecs, "item_id")
+        # broadcast hint gated on corpus size (guide §3.1/§8 at scale,
+        # fixed driver roundtrip below it — VERDICT r13 #1)
+        broadcast_if_large(cand, n_corpus).join(vecs, "item_id")
         .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
@@ -390,7 +393,7 @@ def bq_search_rerank(
     )
     return _shortlist_rerank(
         scored, queries, corpus, k, shortlist,
-        query_id, query_vec, item_id, item_vec,
+        query_id, query_vec, item_id, item_vec, n_corpus=n,
     )
 
 
@@ -537,5 +540,5 @@ def ivfbq_search(
     )
     return _shortlist_rerank(
         scored, queries, pruned_vecs, k, shortlist,
-        query_id, query_vec, item_id, item_vec,
+        query_id, query_vec, item_id, item_vec, n_corpus=n,
     )

@@ -52,6 +52,21 @@ from ..functions.vector import l2_dist
 DEFAULT_N_TABLES = 32
 DEFAULT_FLIP_POOL = 10  # enumerate flips over the 10 lowest-margin bits
 DEFAULT_MAX_FLIPS = 5
+# Cap on the pushed-down In(bucket, ...) literal list (ADVICE r13): the
+# bucket pruner is a superset optimization only (per-(table,bucket)
+# exactness comes from the probe join), and its distinct-value count
+# scales as n_queries x n_probe_buckets — past a few thousand values the
+# In-expression bloats the plan and driver memory faster than it saves
+# scan I/O, so skip it there and let the join do the filtering.
+MAX_BUCKET_ISIN = 4096
+
+
+def _bucket_pruned(sig: DataFrame, buckets: list[int]) -> DataFrame:
+    """Apply the bucket-isin row-group pruner to an index/signature scan
+    when the probed-bucket list is small enough to be worth pushing."""
+    if 0 < len(buckets) <= MAX_BUCKET_ISIN:
+        return sig.filter(F.col("bucket").isin(buckets))
+    return sig
 # Auto-compaction cadence (VERDICT r10 #6): without it, append-mode
 # indexes grow one file per table per batch FOREVER until someone calls
 # optimize() — read amplification unbounded by anything but operator
@@ -199,11 +214,12 @@ def _probe_df(
     query_vec: str,
     flip_pool: int,
     max_flips: int,
-) -> tuple[DataFrame, DataFrame, list[int]]:
+) -> tuple[DataFrame, DataFrame, list[int], list[int]]:
     """Collect the (tiny) query set, return (probe plan DF, query vec DF,
-    sorted probed-table ids). The table list comes from the SAME
-    driver-side enumeration that built the plan — consumers that prune
-    the index scan by table never pay a Spark job to rediscover it."""
+    sorted probed-table ids, sorted probed-bucket values). The table and
+    bucket lists come from the SAME driver-side enumeration that built
+    the plan — consumers that prune the index scan by table/bucket never
+    pay a Spark job to rediscover them."""
     qrows = queries.select(
         F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
     ).collect()
@@ -279,7 +295,7 @@ def multitable_lsh_ann(
     )
     cand = (
         F.broadcast(probe)
-        .join(sig.filter(F.col("bucket").isin(buckets)), ["table", "bucket"])
+        .join(_bucket_pruned(sig, buckets), ["table", "bucket"])
         .select("query_id", "item_id")
         .dropDuplicates(["query_id", "item_id"])
     )
@@ -666,11 +682,11 @@ def mt_lsh_ann_pruned(
     # repartitionByRange on bucket), so parquet min/max stats skip the
     # non-probed ranges — without this the scan reads every index row
     # (n_corpus x n_tables; 32M rows at the 1M bench point) and filters
-    # only via the join (guide §6 "verify pushdown reached the scan")
-    sig = (
-        read_layout(spark, index_path)
-        .filter(F.col("table").isin(tables))
-        .filter(F.col("bucket").isin(buckets))
+    # only via the join (guide §6 "verify pushdown reached the scan");
+    # capped at MAX_BUCKET_ISIN values (ADVICE r13)
+    sig = _bucket_pruned(
+        read_layout(spark, index_path).filter(F.col("table").isin(tables)),
+        buckets,
     )
     cand = (
         F.broadcast(probe)
@@ -679,20 +695,13 @@ def mt_lsh_ann_pruned(
         .dropDuplicates(["query_id", "item_id"])
     )
     # candidates are serving-bounded (queries x probed buckets); the
-    # corpus is the heavy payload. Past ~200k indexed vectors the
-    # planner's estimate for the candidate subtree (joins over parquet
-    # scans) blows past the broadcast threshold and it sort-merge-
-    # SHUFFLES the corpus vectors to attach a tiny id list (measured at
-    # the 1M bench corpus: ~0.5 GB exchange, plans/r13/
-    # mtlsh_pruned_1m_5q_before.txt) — force-broadcast the candidates
-    # there. Below that, auto-planning already broadcasts correctly and
-    # the forced collect+rebroadcast of the computed candidate subtree
-    # measured +0.4 s of pure roundtrip — leave the planner alone. The
-    # dial is data-driven (the index sidecar records n_corpus), not a
-    # local-mode constant.
-    cand_hinted = (
-        F.broadcast(cand) if int(meta.get("n_corpus", 0)) >= 200_000 else cand
-    )
+    # corpus is the heavy payload. The broadcast hint is gated on the
+    # indexed corpus size from the sidecar — the shared rule, measured
+    # rationale and threshold live in operators/hints.py (this was the
+    # r13 in-place original; r14 extends it to the sq/pq/bq re-ranks).
+    from .hints import broadcast_if_large
+
+    cand_hinted = broadcast_if_large(cand, int(meta.get("n_corpus", 0)))
     rer = cand_hinted.join(
         corpus.select(F.col(item_id).alias("item_id"), F.col(item_vec).alias("_ivec")),
         "item_id",

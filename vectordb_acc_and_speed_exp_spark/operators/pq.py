@@ -189,12 +189,15 @@ def pq_search_rerank(
     query_vec: str = "query_vec",
     item_id: str = "item_id",
     item_vec: str = "embedding",
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """Production PQ pattern: ADC short-list over codes (compressed scan),
     then exact re-rank of only the short-listed vectors. Recall equals the
     short-list's coverage of the true top-k; the exact scan touches
-    shortlist/n of the corpus."""
+    shortlist/n of the corpus. ``n_corpus`` gates the re-rank broadcast
+    hint — see operators/hints.py."""
     from ..functions.vector import l2_dist
+    from .hints import broadcast_if_large
 
     cand = pq_search(
         queries, encoded, codebooks, k=shortlist, query_id=query_id, query_vec=query_vec
@@ -205,11 +208,9 @@ def pq_search_rerank(
     vecs = corpus.select(F.col(item_id).alias("item_id"), F.col(item_vec).alias("_cvec"))
     scored = (
         # shortlist candidates are serving-bounded (queries x shortlist);
-        # broadcast them so the exact re-rank is a BroadcastHashJoin over
-        # the vector scan instead of a SortMergeJoin that shuffles every
-        # corpus vector to attach a tiny id list (guide §3.1/§8; measured
-        # on the 1M mtlsh twin: ~0.5 GB exchange removed)
-        F.broadcast(cand).join(vecs, "item_id")
+        # broadcast hint gated on corpus size (guide §3.1/§8 at scale,
+        # fixed driver roundtrip below it — VERDICT r13 #1)
+        broadcast_if_large(cand, n_corpus).join(vecs, "item_id")
         .join(F.broadcast(qv), "query_id")
         .select(
             "query_id", "item_id", l2_dist(F.col("_qvec"), F.col("_cvec")).alias("dist")
@@ -297,6 +298,7 @@ def ivfpq_search(
     item_id: str = "item_id",
     item_vec: str = "embedding",
     predicate: Column | str | None = None,
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """Composed IVF-PQ search — the production large-corpus configuration:
 
@@ -318,8 +320,12 @@ def ivfpq_search(
     ELIGIBLE rows, never a post-filter. Both applications see the id
     column under its NORMALIZED name ``item_id`` (the codes tables'
     write-time name); predicates over other metadata require the codes
-    table written with those columns passed through."""
+    table written with those columns passed through.
+
+    ``n_corpus`` gates the re-rank broadcast hint — see
+    operators/hints.py."""
     from ..functions.vector import l2_dist
+    from .hints import broadcast_if_large
     from .knn import exact_knn
 
     m, kcent, dsub = codebooks.shape
@@ -414,11 +420,9 @@ def ivfpq_search(
     )
     scored = (
         # shortlist candidates are serving-bounded (queries x shortlist);
-        # broadcast them so the exact re-rank is a BroadcastHashJoin over
-        # the vector scan instead of a SortMergeJoin that shuffles every
-        # corpus vector to attach a tiny id list (guide §3.1/§8; measured
-        # on the 1M mtlsh twin: ~0.5 GB exchange removed)
-        F.broadcast(cand).join(vecs, "item_id")
+        # broadcast hint gated on corpus size (guide §3.1/§8 at scale,
+        # fixed driver roundtrip below it — VERDICT r13 #1)
+        broadcast_if_large(cand, n_corpus).join(vecs, "item_id")
         .join(F.broadcast(qv), "query_id")
         .select(
             "query_id", "item_id", l2_dist(F.col("_qvec"), F.col("_cvec")).alias("dist")

@@ -224,10 +224,14 @@ def sq_search_rerank(
     query_vec: str = "query_vec",
     item_id: str = "item_id",
     item_vec: str = "embedding",
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """Compressed scan → exact re-rank of the short-list (the production
-    pattern; same contract as pq_search_rerank)."""
+    pattern; same contract as pq_search_rerank). ``n_corpus`` (when the
+    caller knows the corpus size, e.g. from a sidecar) gates the re-rank
+    broadcast hint — see operators/hints.py."""
     from ..functions.vector import l2_dist
+    from .hints import broadcast_if_large
 
     cand = sq_search(
         queries, encoded, vmin, scale, k=shortlist,
@@ -241,11 +245,13 @@ def sq_search_rerank(
     )
     scored = (
         # shortlist candidates are serving-bounded (queries x shortlist);
-        # broadcast them so the exact re-rank is a BroadcastHashJoin over
-        # the vector scan instead of a SortMergeJoin that shuffles every
-        # corpus vector to attach a tiny id list (guide §3.1/§8; measured
-        # on the 1M mtlsh twin: ~0.5 GB exchange removed)
-        F.broadcast(cand).join(vecs, "item_id")
+        # at large corpus sizes broadcast them so the exact re-rank is a
+        # BroadcastHashJoin over the vector scan instead of a
+        # SortMergeJoin that shuffles every corpus vector to attach a
+        # tiny id list (guide §3.1/§8); at small sizes the planner
+        # already broadcasts and forcing the computed subtree through a
+        # driver collect costs a fixed roundtrip (VERDICT r13 #1)
+        broadcast_if_large(cand, n_corpus).join(vecs, "item_id")
         .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
@@ -340,6 +346,7 @@ def ivfsq_search(
     query_vec: str = "query_vec",
     item_id: str = "item_id",
     item_vec: str = "embedding",
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """Composed IVF-SQ search (the EP5 'hot data' recipe):
 
@@ -351,8 +358,10 @@ def ivfsq_search(
        directories.
 
     Full probe with shortlist ≥ corpus is exact (tested — the same
-    metamorphic identity as IVF-PQ)."""
+    metamorphic identity as IVF-PQ). ``n_corpus`` gates the re-rank
+    broadcast hint — see operators/hints.py."""
     from ..functions.vector import l2_dist
+    from .hints import broadcast_if_large
     from .knn import exact_knn
 
     qcells = exact_knn(
@@ -438,11 +447,9 @@ def ivfsq_search(
     )
     scored = (
         # shortlist candidates are serving-bounded (queries x shortlist);
-        # broadcast them so the exact re-rank is a BroadcastHashJoin over
-        # the vector scan instead of a SortMergeJoin that shuffles every
-        # corpus vector to attach a tiny id list (guide §3.1/§8; measured
-        # on the 1M mtlsh twin: ~0.5 GB exchange removed)
-        F.broadcast(cand).join(vecs, "item_id")
+        # broadcast hint gated on corpus size (guide §3.1/§8 at scale,
+        # fixed driver roundtrip below it — VERDICT r13 #1)
+        broadcast_if_large(cand, n_corpus).join(vecs, "item_id")
         .join(F.broadcast(qv), "query_id")
         .select(
             "query_id", "item_id",
