@@ -10,6 +10,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_SMALL = "/root/testdata/sf0.001"
 
 
+def pytest_collection_modifyitems(config, items):
+    """Tier the suite to the driver's verify budget (VERDICT r13 #2): a
+    default ``pytest tests/`` run SKIPS ``@pytest.mark.slow`` tests (the
+    multi-minute index-build / property-sweep / streaming-machinery
+    tests) so the run the round driver can afford stays green and
+    complete. The full suite is one env var away:
+
+        SPARK_GRAFT_FULL_TESTS=1 python -m pytest tests/ -q   # everything
+        python -m pytest tests/ -q -m slow                    # slow tier only
+
+    An explicit ``-m`` expression always wins (no double-filtering)."""
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1" or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: opt in with SPARK_GRAFT_FULL_TESTS=1 or -m slow"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     from vectordb_acc_and_speed_exp_spark.session import get_spark

@@ -37,6 +37,7 @@ def test_query_by_text_finds_itself(store, documents):
         assert row.dist < 1e-6  # same text -> same fake embedding
 
 
+@pytest.mark.slow
 def test_query_modes_agree_on_top1(store, documents):
     texts = [documents.limit(1).first().text]
     tops = {}
@@ -147,6 +148,7 @@ def test_query_hybrid_respects_where(store, documents):
     for r in res:
         assert int(r.item_id) % 2 == 0
 
+@pytest.mark.slow
 def test_upsert_replaces_and_inserts(store, spark, documents):
     """ChromaDB collection.upsert parity: existing ids replaced (count
     unchanged), new ids appended, and a live graph index stays fresh."""
@@ -347,6 +349,7 @@ def test_where_reroutes_index_modes_to_auto(store, spark, documents):
     store.delete_collection("wherecol")
 
 
+@pytest.mark.slow
 def test_hybrid_artifact_equals_inline_and_stays_fresh(
     store, spark, documents
 ):
@@ -414,6 +417,7 @@ def test_hybrid_artifact_equals_inline_and_stays_fresh(
     store.delete_collection("hybcol")
 
 
+@pytest.mark.slow
 def test_torn_freshen_marker_forces_index_rebuild(store, spark, documents):
     """ADVICE r07 (medium): a crash mid-_freshen_indexes leaves torn
     incremental artifacts (e.g. postings layout written, forward layout
@@ -453,6 +457,7 @@ def test_torn_freshen_marker_forces_index_rebuild(store, spark, documents):
     store.delete_collection("torncol")
 
 
+@pytest.mark.slow
 def test_ivfbq_and_mtlsh_freshness_after_add(store, spark, documents):
     """The scale-star modes stay correct across add(): IVF-BQ absorbs the
     batch cell-incrementally (codes re-encoded for touched cells only);
@@ -492,6 +497,7 @@ def test_ivfbq_and_mtlsh_freshness_after_add(store, spark, documents):
     store.delete_collection("starcol")
 
 
+@pytest.mark.slow
 def test_pq_sq_ivfpq_facade_modes_and_freshness(store, spark, documents):
     """VERDICT r07 #7: the remaining index families exposed through the
     facade. Each mode serves from a persisted per-collection artifact;
@@ -656,6 +662,7 @@ def test_crashed_optimize_invisible_to_catalog_and_healed_on_read(
     assert not os.path.exists(vs._path("papers") + "._compact_staged")
 
 
+@pytest.mark.slow
 def test_near_duplicates_maintained_through_add(
     spark, documents, tmp_path_factory
 ):
@@ -747,6 +754,7 @@ def test_torn_freshen_marker_heals_on_first_query(store, spark, documents):
     store.delete_collection("tornq")
 
 
+@pytest.mark.slow
 def test_target_recall_with_where_routes_through_chooser(
     store, documents
 ):
@@ -805,6 +813,7 @@ def test_filtered_chooser_min_probe_floor():
     assert choose_filtered_strategy(**base, min_probe=1) == (s0, p0)
 
 
+@pytest.mark.slow
 def test_mtlsh_incremental_add_upsert_compaction_staleness(
     spark, documents, tmp_path_factory
 ):
@@ -1026,6 +1035,7 @@ def test_defer_maintenance_accrues_debt_and_optimize_clears_it(
     assert vs._codes_file_count(codes) < 4  # inline compaction re-engaged
 
 
+@pytest.mark.slow
 def test_defer_maintenance_graph_and_ivf_surfaces(
     spark, embeddings, tmp_path_factory
 ):

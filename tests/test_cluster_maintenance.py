@@ -62,6 +62,7 @@ BATCHES = [
 ALL = [p for b in BATCHES for p in b]
 
 
+@pytest.mark.slow
 def test_incremental_equals_oneshot_any_order(spark, tmp_path):
     import itertools
 

@@ -72,6 +72,7 @@ def _shifted(embeddings, n, delta, tag):
     )
 
 
+@pytest.mark.slow
 def test_facade_drift_trigger_and_rebuild_restores_recall(
     drift_store, embeddings, spark
 ):
@@ -121,6 +122,7 @@ def test_facade_drift_trigger_and_rebuild_restores_recall(
     assert st["upsert_n"] == 0 and st["ratio"] is None  # baseline reset
 
 
+@pytest.mark.slow
 def test_flat_pq_drift_trigger_and_rebuild_restores_recall(
     drift_store, embeddings, spark
 ):
@@ -184,6 +186,7 @@ def test_flat_pq_drift_trigger_and_rebuild_restores_recall(
     assert st["upsert_n"] == 0 and st["ratio"] is None  # baseline reset
 
 
+@pytest.mark.slow
 def test_sq_in_distribution_add_does_not_fire(spark, embeddings, tmp_path):
     """Round-12 regression, surfaced by the per-family live drift rows
     (VERDICT r11 #6): the SQ baseline used to be measured IN-SAMPLE —
@@ -228,6 +231,7 @@ def test_sq_in_distribution_add_does_not_fire(spark, embeddings, tmp_path):
     assert fams["ivfsq"]["retrain_recommended"]
 
 
+@pytest.mark.slow
 def test_drift_status_covers_all_six_families(drift_store, embeddings):
     """drift_status()['families'] reports every quantized family once its
     artifact exists (VERDICT r08 #2 done-criterion, + the ivfsq twin)."""

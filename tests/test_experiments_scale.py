@@ -9,6 +9,7 @@ import os
 
 import numpy as np
 import pyspark.sql.functions as F
+import pytest
 
 from vectordb_acc_and_speed_exp_spark.experiments_scale import (
     expand_embeddings,
@@ -42,6 +43,7 @@ def test_expand_copy0_is_normalized_original(embeddings):
     assert abs(norms[0] - 1.0) < 1e-9 and abs(norms[1] - 1.0) < 1e-9
 
 
+@pytest.mark.slow
 def test_sweep_writes_artifacts_and_monotone_budget(spark, sf_dir, tmp_path):
     prefix = str(tmp_path / "sweep")
     out = mtlsh_recall_sweep(
@@ -60,6 +62,7 @@ def test_sweep_writes_artifacts_and_monotone_budget(spark, sf_dir, tmp_path):
     assert len(data) == len(out)
 
 
+@pytest.mark.slow
 def test_compression_sweep_shapes_and_ordering(spark, sf_dir, tmp_path):
     from vectordb_acc_and_speed_exp_spark.experiments_scale import (
         compression_fidelity_sweep,

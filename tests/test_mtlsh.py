@@ -134,6 +134,7 @@ def test_pruned_storage_matches_inmemory(spark, query_set, embeddings, tmp_path)
     assert len([d for d in os.listdir(path) if d.startswith("table=")]) == meta["n_tables"]
 
 
+@pytest.mark.slow
 def test_incremental_append_equals_full_rebuild(spark, query_set, embeddings, tmp_path):
     """Round-10 write contract (VERDICT r09 #1): the plane matrix is
     corpus-independent (seeded, regenerated from meta), so signatures
@@ -262,6 +263,7 @@ def test_compact_keeps_live_bucket_on_gen_collision(spark, embeddings, tmp_path)
     assert live <= kept  # every live bucket survives compaction
 
 
+@pytest.mark.slow
 def test_auto_compaction_bounds_read_amplification(
     spark, embeddings, tmp_path, monkeypatch
 ):
@@ -323,3 +325,122 @@ def test_auto_compaction_bounds_read_amplification(
     ids = {r.id for r in vs.get("c").select("id").collect()}
     assert all(r.item_id in ids for r in res)
     assert vs.query("c", query_vecs=probe, k=5, mode="bq").count() == 5
+
+
+def test_query_probe_plan_matches_reference_loop():
+    """The round-14 vectorized probe-plan enumeration must be
+    BIT-identical (same tuples, same float cost bits, same order) to the
+    per-(table, flip-set) python loop it replaced — including the
+    (cost, table, bid) sort order and the budget truncation point."""
+    import itertools
+
+    import numpy as np
+
+    def reference(qids, qvecs, planes, n_tables, n_planes, budget,
+                  flip_pool=10, max_flips=5):
+        pw = 1 << np.arange(n_planes)
+        flip_pool = min(flip_pool, n_planes)
+        max_flips = min(max_flips, flip_pool)
+        flip_sets = [
+            list(s)
+            for r in range(0, max_flips + 1)
+            for s in itertools.combinations(range(flip_pool), r)
+        ]
+        rows = []
+        for qid, qv in zip(qids, qvecs):
+            proj = qv @ planes.T
+            per_q = []
+            for t in range(n_tables):
+                m = np.abs(proj[t * n_planes : (t + 1) * n_planes])
+                bits = proj[t * n_planes : (t + 1) * n_planes] >= 0
+                base = int(bits @ pw)
+                order = np.argsort(m, kind="stable")[:flip_pool]
+                ms = m[order]
+                for S in flip_sets:
+                    bid = base
+                    for i in S:
+                        bid ^= int(pw[order[i]])
+                    per_q.append((float(ms[S].sum()) if S else 0.0, t, bid))
+            per_q.sort()
+            rows.extend(
+                (qid, t, bid, cost) for cost, t, bid in per_q[:budget]
+            )
+        return rows
+
+    rng = np.random.default_rng(7)
+    for L, b, nq, budget, fp, mf in [
+        (32, 4, 5, 256, 10, 5),   # the sf0.1 serving shape
+        (32, 14, 5, 256, 10, 5),  # the 1M-scale shape (wide buckets)
+        (8, 4, 3, 64, 4, 4),      # pool == planes (full flip cover)
+        (16, 8, 1, 1, 10, 5),     # budget 1: truncation at the tie edge
+    ]:
+        planes = mtlsh.mt_planes(64, b, L, 42)
+        qv = rng.normal(size=(nq, 64))
+        a = reference(list(range(nq)), qv, planes, L, b, budget, fp, mf)
+        c = mtlsh.query_probe_plan(
+            list(range(nq)), qv, planes, L, b, budget,
+            flip_pool=fp, max_flips=mf,
+        )
+        assert len(a) == len(c)
+        for x, y in zip(a, c):
+            assert x[:3] == y[:3]
+            # float bit equality, not approx — the probe order must be
+            # reproducible against the loop to the bit
+            import struct
+            assert struct.pack("<d", x[3]) == struct.pack("<d", y[3])
+
+
+def test_fresh_index_bucket_range_slices_disjoint_and_serve_equal(
+    spark, embeddings, query_set, tmp_path
+):
+    """Round-14 layout: the fresh write range-partitions on (table,
+    bucket) so each file in a table dir owns a disjoint bucket range
+    (the invariant compact_mt_lsh_index restores) — row-group/file
+    min/max pruning works from the first write. Force multiple slices
+    per table with a tiny target size, assert per-file bucket ranges
+    are disjoint within each table dir, and the served results equal
+    the single-slice layout's."""
+    import os
+
+    base = embeddings.filter(F.col("vec_id") < 300).select(
+        "vec_id", "embedding"
+    )
+    multi = str(tmp_path / "idx_multi")
+    single = str(tmp_path / "idx_single")
+    mtlsh.write_mt_lsh_index(
+        base, multi, n_planes=4, n_tables=4, item_id="vec_id",
+        target_slice_bytes=4_000,  # forces many range slices
+    )
+    mtlsh.write_mt_lsh_index(
+        base, single, n_planes=4, n_tables=4, item_id="vec_id",
+    )
+    # at least one table dir carries >1 file, and within every table dir
+    # the per-file [min, max] bucket ranges do not overlap
+    multi_seen = False
+    for t in range(4):
+        d = os.path.join(multi, f"table={t}")
+        files = sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        if len(files) > 1:
+            multi_seen = True
+        ranges = []
+        for f in files:
+            row = spark.read.parquet(f).agg(
+                F.min("bucket"), F.max("bucket")
+            ).first()
+            if row[0] is not None:
+                ranges.append((row[0], row[1]))
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, f"overlapping bucket ranges in table={t}"
+    assert multi_seen, "tiny target_slice_bytes produced no multi-file table"
+    a = mtlsh.mt_lsh_ann_pruned(
+        query_set, spark, multi, base, k=5, n_probe_buckets=32,
+        item_id="vec_id",
+    ).collect()
+    b = mtlsh.mt_lsh_ann_pruned(
+        query_set, spark, single, base, k=5, n_probe_buckets=32,
+        item_id="vec_id",
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

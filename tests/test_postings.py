@@ -305,6 +305,7 @@ def _artifact_state(spark, path):
     return inv, fwd, terms, stats, doclens, dirs, tdirs
 
 
+@pytest.mark.slow
 def test_postings_upsert_equals_rebuild(spark, tmp_path):
     """Upsert replaces same-id docs, adds new ones, evicts terms that no
     longer occur anywhere (including their now-empty bucket directory),
@@ -369,6 +370,7 @@ def test_postings_upsert_rejects_duplicate_ids(spark, tmp_path):
         postings_upsert(spark, path, dup)
 
 
+@pytest.mark.slow
 def test_partial_upsert_heals_on_replay(spark, tmp_path):
     """Crash-recovery: simulate an upsert that died AFTER overwriting the
     corpus layouts (postings + forward) but BEFORE recomputing the
@@ -434,6 +436,7 @@ def test_partial_upsert_heals_on_replay(spark, tmp_path):
     assert not os.path.exists(f"{path}/_UPSERT_INTENT.json")
 
 
+@pytest.mark.slow
 def test_corrupt_intent_marker_falls_back_to_full_sidecar_recompute(
     spark, tmp_path
 ):
@@ -486,6 +489,7 @@ def test_term_df_scan_is_bucket_pruned(spark, index_path):
     assert got <= {"spark", "join"}
 
 
+@pytest.mark.slow
 def test_postings_upsert_replay_is_idempotent(spark, tmp_path):
     from vectordb_acc_and_speed_exp_spark.operators.postings import (
         postings_upsert,
@@ -502,6 +506,7 @@ def test_postings_upsert_replay_is_idempotent(spark, tmp_path):
     assert _artifact_state(spark, path) == once
 
 
+@pytest.mark.slow
 def test_stream_maintains_postings_index(spark, documents, tmp_path):
     """Micro-batches of documents flow through the streaming sink; after
     the stream drains the artifact equals a from-scratch build over all

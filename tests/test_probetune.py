@@ -123,6 +123,7 @@ def test_facade_target_recall_dial(spark, embeddings, tmp_path):
         vs.query("c", query_vecs=probe, k=5, mode="exact", target_recall=0.9)
 
 
+@pytest.mark.slow
 def test_target_recall_every_family_meets_08(spark, embeddings, tmp_path):
     """VERDICT r08 #4 done-criterion: target_recall=0.8 on EVERY
     approximate family serves at a measured budget whose realized recall
@@ -165,6 +166,7 @@ def test_target_recall_every_family_meets_08(spark, embeddings, tmp_path):
         assert r >= 0.8 - 0.2, f"{mode}: target 0.8 served recall {r}"
 
 
+@pytest.mark.slow
 def test_default_budgets_are_measured(spark, embeddings, tmp_path):
     """No-knob facade queries serve at curve-chosen budgets: the flat
     families persist a shortlist curve beside their codes, the composed
@@ -201,6 +203,7 @@ def test_default_budgets_are_measured(spark, embeddings, tmp_path):
     assert tgt["n_probe"] >= 1 and tgt["shortlist"] >= 5
 
 
+@pytest.mark.slow
 def test_curve_recalibrates_on_corpus_growth(spark, embeddings, tmp_path):
     """VERDICT r08 #3 done-criterion: doubling the corpus WITHOUT
     distribution drift refreshes the probe curve (fixed-probe recall
@@ -345,6 +348,7 @@ def test_lsh_calib_invalidation_is_collection_exact(
         assert os.path.exists(p), p
 
 
+@pytest.mark.slow
 def test_filtered_target_recall_flat_families(spark, embeddings, tmp_path):
     """VERDICT r09 Missing #1 done-criterion: where= + target_recall=0.8
     on the flat compressed families (bq/pq/sq) serves a shortlist from
@@ -459,6 +463,7 @@ def test_filtered_target_recall_flat_families(spark, embeddings, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_k_keyed_calibration_meets_recall_at_requested_k(
     spark, embeddings, tmp_path
 ):

@@ -35,6 +35,7 @@ _corpus = st.lists(_doc, min_size=1, max_size=6)
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(texts=_corpus)
+@pytest.mark.slow
 def test_subword_tokenize_equals_python_reference(spark, texts):
     from tests.test_pipeline_ops import TestSubwordTokenize
     from vectordb_acc_and_speed_exp_spark.queries.textops import (

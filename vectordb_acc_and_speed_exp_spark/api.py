@@ -1122,7 +1122,11 @@ class VectorStore:
         cell, not the corpus)."""
         import json
 
-        from .operators.ann import ivf_assign, kmeans_centroids, write_ivf_corpus
+        from .operators.ann import (
+            ivf_assign_blas,
+            kmeans_centroids,
+            write_ivf_corpus,
+        )
 
         from .operators.drift import mean_coarse_qerr, write_drift_baseline
 
@@ -1142,7 +1146,11 @@ class VectorStore:
             )
             os.makedirs(path, exist_ok=True)
             cents.write.mode("overwrite").parquet(cents_path)
-            assigned = ivf_assign(
+            # BLAS streaming assignment for the full-collection build
+            # (guide §2.4: no n x n_cells crossJoin row expansion);
+            # incremental upsert batches keep the window path — they are
+            # batch-sized by construction
+            assigned = ivf_assign_blas(
                 corpus, cents, item_vec="embedding", keep_dist="_qerr"
             ).localCheckpoint(eager=True)
             # training-time coarse quantization error = the drift

@@ -566,7 +566,7 @@ def maintenance_economics(
     import pandas as pd
 
     from .operators.ann import (
-        ivf_assign,
+        ivf_assign_blas,
         ivf_index_upsert,
         kmeans_centroids,
         write_ivf_corpus,
@@ -590,7 +590,7 @@ def maintenance_economics(
     # kmeans_centroids already returns a driver-local-rows frame with no
     # lineage to `big` — nothing to freeze
     cents = kmeans_centroids(big, n_cells=n_cells, sample_fraction=0.1)
-    write_ivf_corpus(ivf_assign(big, cents), corpus_path)
+    write_ivf_corpus(ivf_assign_blas(big, cents), corpus_path)
     vmin, scale = sq_train(big, item_vec="embedding")
     write_ivfsq_codes(
         spark.read.parquet(corpus_path), vmin, scale, codes_path, item_id="vec_id"

@@ -18,7 +18,12 @@ from ..io.relcache import read_layout
 
 from ..io import load_table
 from ..io.local import local_df
-from ..operators.ann import ivf_assign, kmeans_centroids, lsh_ann, write_ivf_corpus
+from ..operators.ann import (
+    ivf_assign_blas,
+    kmeans_centroids,
+    lsh_ann,
+    write_ivf_corpus,
+)
 from ..operators.embedding import embed_documents
 from ..operators.knn import exact_knn
 from ..operators.multimodal import extract_media_features, with_binary_payload
@@ -137,9 +142,15 @@ def _get_or_build_ivf(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]
 
         emb = load_table(spark, sf_dir, "embeddings")
         cents = kmeans_centroids(emb, n_cells=16, sample_fraction=0.5)
-        assigned = ivf_assign(emb, cents, keep_dist="_qerr").localCheckpoint(
-            eager=True
-        )
+        # BLAS streaming assignment (guide §2.4/§3.1, VERDICT r13 #4):
+        # zero shuffle / zero row expansion vs the crossJoin+window
+        # ivf_assign, which materializes n x n_cells rows — the §2
+        # row-explosion pathology on the build side at 100 TB. Same
+        # (id -> cell) map including the asc-cell tie-break (equality
+        # pinned by tests/test_ann.py and re-verified on all three SFs).
+        assigned = ivf_assign_blas(
+            emb, cents, keep_dist="_qerr"
+        ).localCheckpoint(eager=True)
         # training-time coarse quantization error = the EP13 drift
         # baseline; any later ivf_index_upsert against this layout folds
         # its batch error into the retrain-trigger ratio
@@ -154,7 +165,7 @@ def _get_or_build_ivf(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]
         # so the close's DRIFT section covers it (VERDICT r08 #5)
         from ..operators.drift import mean_coarse_qerr, write_drift_baseline
 
-        assigned = ivf_assign(
+        assigned = ivf_assign_blas(
             load_table(spark, sf_dir, "embeddings"),
             read_layout(spark, cent_path),
             keep_dist="_qerr",
