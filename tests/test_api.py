@@ -48,11 +48,19 @@ def test_query_modes_agree_on_top1(store, documents):
 
 
 def test_graph_index_incremental_add(store, documents):
-    """The first graph query built the index (test above); add() must keep
-    it fresh via shard upsert — a doc added AFTER the build is found as its
-    own top-1 without any rebuild-from-scratch."""
+    """A graph query builds the index lazily; add() must keep it fresh
+    via shard upsert — a doc added AFTER the build is found as its own
+    top-1 without any rebuild-from-scratch."""
     import os
 
+    # trigger the lazy build ourselves: this test must not depend on an
+    # earlier (now slow-tier) test having issued the first graph query
+    store.query(
+        "papers",
+        query_texts=[documents.limit(1).first().text],
+        k=1,
+        mode="graph",
+    ).collect()
     idx_dir = os.path.join(store.root, ".graph_index", "papers")
     assert os.path.exists(idx_dir)  # built lazily by the graph query
     assert store.list_collections() == ["papers"]  # dot-dir hidden
@@ -173,9 +181,13 @@ def test_upsert_replaces_and_inserts(store, spark, documents):
 
 def test_delete_ids_removes_rows(store):
     n0 = store.count("papers")
-    store.delete("papers", ["999999"])
+    # "999999" exists only when the (slow-tier) upsert test ran first;
+    # fall back to any live id so this test is order-independent
+    have = store.get("papers").filter("id = '999999'").count()
+    victim = "999999" if have else store.get("papers").limit(1).first().id
+    store.delete("papers", [victim])
     assert store.count("papers") == n0 - 1
-    assert store.get("papers").filter("id = '999999'").count() == 0
+    assert store.get("papers").filter(f"id = '{victim}'").count() == 0
     # graph mode still works (index dropped, lazily rebuilt post-delete)
     res = store.query("papers", query_texts=["anything"], k=3, mode="graph")
     assert res.count() == 3
