@@ -303,19 +303,40 @@ def _decontaminate_frame(d: DataFrame) -> DataFrame:
         )
         .persist()
     )
-    freq_w = Window.partitionBy("gh")
-    tr = (
-        g.filter(F.col("split") == "train")
-        .withColumn("df", F.count(F.lit(1)).over(freq_w))
-        .filter(F.col("df") <= _DECON_DF_CAP)
-        .select(F.col("doc_id").alias("train_doc_id"), "gh")
-    )
     te = g.filter(F.col("split") == "test").select(
         F.col("doc_id").alias("test_doc_id"), "gh"
     )
     tot = te.groupBy("test_doc_id").agg(F.count(F.lit(1)).alias("n_test_grams"))
+    # Posting-list shape (round 14, guide §2.3/§2.4 — the same reshape
+    # dedup's _band_collisions uses): ONE groupBy(gh) builds per-split
+    # id lists, the df cap is size(train list) <= CAP (identical to the
+    # count window over train rows it replaces), and the train x test
+    # pair expansion runs in codegen off the grouped row. This folds the
+    # old window-on-gh exchange AND the tr-join-te exchange into the one
+    # groupBy(gh) shuffle: 3 gram-sized exchanges -> 1 (pairs still
+    # shuffle once into the count). Lists are bounded: train by the cap,
+    # test by the held-out set's df for that gram.
+    per_gh = (
+        g.groupBy("gh")
+        .agg(
+            F.collect_list(
+                F.when(F.col("split") == "train", F.col("doc_id"))
+            ).alias("tr_ids"),
+            F.collect_list(
+                F.when(F.col("split") == "test", F.col("doc_id"))
+            ).alias("te_ids"),
+        )
+        .filter(
+            (F.size("tr_ids") > 0)
+            & (F.size("tr_ids") <= _DECON_DF_CAP)
+            & (F.size("te_ids") > 0)
+        )
+    )
     j = (
-        tr.join(te, "gh")
+        per_gh.select(
+            F.explode("tr_ids").alias("train_doc_id"), "te_ids"
+        )
+        .select("train_doc_id", F.explode("te_ids").alias("test_doc_id"))
         .groupBy("train_doc_id", "test_doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _DECON_MIN_SHARED)
